@@ -1,0 +1,258 @@
+package graft.som
+
+/** Neighborhood weighting kernels: for a batch of winner coordinates and a
+  * spread sigma, produce per-sample weight grids over all x*y neurons
+  * (flat id = i*y + j).
+  *
+  * Semantics from the reference `neighborhoods.py`:
+  *  - rect kernels are separable outer products over grid indices
+  *    (`neighborhoods.py:14-33,57-74,99-130`);
+  *  - hexagonal gaussian/mexican-hat use the shifted euclidean coordinates
+  *    (`neighborhoods.py:35-55,76-97`, shift `xpysom.py:205-206`);
+  *  - bubble uses raw grid indices even under hexagonal topology
+  *    (registry, `xpysom.py:277-278`);
+  *  - triangle is rect-only (absent from the hex registry,
+  *    `xpysom.py:271-279`);
+  *  - compact support truncates strictly outside (c−σ, c+σ)
+  *    (`neighborhoods.py:29-31`).
+  */
+sealed abstract class Neighborhood(val name: String) extends Serializable {
+  def topo: Topology
+  final def x: Int = topo.x
+  final def y: Int = topo.y
+
+  /** Fill `out` (row-major n x (x*y)) with weights; winner s at
+    * (winI(s), winJ(s)).
+    */
+  def compute(winI: Array[Int], winJ: Array[Int], n: Int, sigma: Double,
+              out: Array[Double]): Unit
+}
+
+object Neighborhoods {
+
+  /** gaussian_rect `neighborhoods.py:14-33` / gaussian_generic
+    * `neighborhoods.py:35-55` (selected by topology, `xpysom.py:260-276`).
+    */
+  final case class Gaussian(topo: Topology, stdCoeff: Double, compact: Boolean)
+      extends Neighborhood("gaussian") {
+    def compute(winI: Array[Int], winJ: Array[Int], n: Int, sigma: Double,
+                out: Array[Double]): Unit = {
+      val d = 2.0 * stdCoeff * stdCoeff * sigma * sigma
+      val k = x * y
+      val ax = new Array[Double](x)
+      val ay = new Array[Double](y)
+      topo match {
+        case _: Rectangular =>
+          var s = 0
+          while (s < n) {
+            val cx = winI(s).toDouble
+            val cy = winJ(s).toDouble
+            var i = 0
+            while (i < x) {
+              var v = math.exp(-(i - cx) * (i - cx) / d)
+              if (compact && !(i > cx - sigma && i < cx + sigma)) v = 0.0
+              ax(i) = v; i += 1
+            }
+            var j = 0
+            while (j < y) {
+              var v = math.exp(-(j - cy) * (j - cy) / d)
+              if (compact && !(j > cy - sigma && j < cy + sigma)) v = 0.0
+              ay(j) = v; j += 1
+            }
+            val base = s * k
+            i = 0
+            while (i < x) {
+              var jj = 0
+              while (jj < y) { out(base + i * y + jj) = ax(i) * ay(jj); jj += 1 }
+              i += 1
+            }
+            s += 1
+          }
+        case _ =>
+          var s = 0
+          while (s < n) {
+            val cx = topo.euclidX(winI(s), winJ(s))
+            val cy = topo.euclidY(winI(s), winJ(s))
+            val base = s * k
+            var i = 0
+            while (i < x) {
+              var j = 0
+              while (j < y) {
+                val nx = topo.euclidX(i, j)
+                val ny = topo.euclidY(i, j)
+                var axv = math.exp(-(nx - cx) * (nx - cx) / d)
+                var ayv = math.exp(-(ny - cy) * (ny - cy) / d)
+                if (compact) {
+                  if (!(nx > cx - sigma && nx < cx + sigma)) axv = 0.0
+                  if (!(ny > cy - sigma && ny < cy + sigma)) ayv = 0.0
+                }
+                out(base + i * y + j) = axv * ayv
+                j += 1
+              }
+              i += 1
+            }
+            s += 1
+          }
+      }
+    }
+  }
+
+  /** mexican_hat_rect `neighborhoods.py:57-74` / mexican_hat_generic
+    * `neighborhoods.py:76-97`. Note the reference's rect compact-support
+    * path multiplies px by BOTH the x- and y-window indicators evaluated
+    * at the same index (`neighborhoods.py:70-71`) — only well-defined for
+    * square maps; replicated as such.
+    */
+  final case class MexicanHat(topo: Topology, stdCoeff: Double, compact: Boolean)
+      extends Neighborhood("mexican_hat") {
+    def compute(winI: Array[Int], winJ: Array[Int], n: Int, sigma: Double,
+                out: Array[Double]): Unit = {
+      val d = 2.0 * stdCoeff * stdCoeff * sigma * sigma
+      val k = x * y
+      topo match {
+        case _: Rectangular =>
+          val px = new Array[Double](x)
+          val py = new Array[Double](y)
+          var s = 0
+          while (s < n) {
+            val cx = winI(s).toDouble
+            val cy = winJ(s).toDouble
+            var i = 0
+            while (i < x) {
+              var v = (i - cx) * (i - cx)
+              if (compact) {
+                if (!(i > cx - sigma && i < cx + sigma)) v = 0.0
+                if (x == y && !(i > cy - sigma && i < cy + sigma)) v = 0.0
+              }
+              px(i) = v; i += 1
+            }
+            var j = 0
+            while (j < y) { py(j) = (j - cy) * (j - cy); j += 1 }
+            val base = s * k
+            i = 0
+            while (i < x) {
+              var jj = 0
+              while (jj < y) {
+                val p = px(i) + py(jj)
+                out(base + i * y + jj) = math.exp(-p / d) * (1.0 - 2.0 / d * p)
+                jj += 1
+              }
+              i += 1
+            }
+            s += 1
+          }
+        case _ =>
+          var s = 0
+          while (s < n) {
+            val cx = topo.euclidX(winI(s), winJ(s))
+            val cy = topo.euclidY(winI(s), winJ(s))
+            val base = s * k
+            var i = 0
+            while (i < x) {
+              var j = 0
+              while (j < y) {
+                val nx = topo.euclidX(i, j)
+                val ny = topo.euclidY(i, j)
+                var pxv = (nx - cx) * (nx - cx)
+                if (compact) {
+                  if (!(nx > cx - sigma && nx < cx + sigma)) pxv = 0.0
+                  if (!(ny > cy - sigma && ny < cy + sigma)) pxv = 0.0
+                }
+                val p = pxv + (ny - cy) * (ny - cy)
+                out(base + i * y + j) = math.exp(-p / d) * (1.0 - 2.0 / d * p)
+                j += 1
+              }
+              i += 1
+            }
+            s += 1
+          }
+      }
+    }
+  }
+
+  /** bubble `neighborhoods.py:99-112` — strict indicator window on raw
+    * grid indices under BOTH topologies (`xpysom.py:266-267,277-278`).
+    */
+  final case class Bubble(topo: Topology) extends Neighborhood("bubble") {
+    def compute(winI: Array[Int], winJ: Array[Int], n: Int, sigma: Double,
+                out: Array[Double]): Unit = {
+      val k = x * y
+      var s = 0
+      while (s < n) {
+        val cx = winI(s).toDouble
+        val cy = winJ(s).toDouble
+        val base = s * k
+        var i = 0
+        while (i < x) {
+          val axv = i > cx - sigma && i < cx + sigma
+          var j = 0
+          while (j < y) {
+            val ayv = j > cy - sigma && j < cy + sigma
+            out(base + i * y + j) = if (axv && ayv) 1.0 else 0.0
+            j += 1
+          }
+          i += 1
+        }
+        s += 1
+      }
+    }
+  }
+
+  /** triangle `neighborhoods.py:114-130` — rect indices only. */
+  final case class Triangle(topo: Topology, compact: Boolean)
+      extends Neighborhood("triangle") {
+    def compute(winI: Array[Int], winJ: Array[Int], n: Int, sigma: Double,
+                out: Array[Double]): Unit = {
+      val k = x * y
+      val tx = new Array[Double](x)
+      val ty = new Array[Double](y)
+      var s = 0
+      while (s < n) {
+        val cx = winI(s).toDouble
+        val cy = winJ(s).toDouble
+        var i = 0
+        while (i < x) {
+          var v = sigma - math.abs(cx - i)
+          if (v < 0) v = 0.0
+          if (compact && !(i > cx - sigma && i < cx + sigma)) v = 0.0
+          tx(i) = v; i += 1
+        }
+        var j = 0
+        while (j < y) {
+          var v = sigma - math.abs(cy - j)
+          if (v < 0) v = 0.0
+          if (compact && !(j > cy - sigma && j < cy + sigma)) v = 0.0
+          ty(j) = v; j += 1
+        }
+        val base = s * k
+        i = 0
+        while (i < x) {
+          var jj = 0
+          while (jj < y) { out(base + i * y + jj) = tx(i) * ty(jj); jj += 1 }
+          i += 1
+        }
+        s += 1
+      }
+    }
+  }
+
+  /** Per-topology registry (`xpysom.py:255-283`): triangle is unavailable
+    * under hexagonal topology (and the reference warns before failing,
+    * `xpysom.py:207-209`).
+    */
+  def apply(name: String, topo: Topology, stdCoeff: Double, compact: Boolean): Neighborhood = {
+    val available: Map[String, Neighborhood] = topo match {
+      case _: Rectangular => Map(
+        "gaussian" -> Gaussian(topo, stdCoeff, compact),
+        "mexican_hat" -> MexicanHat(topo, stdCoeff, compact),
+        "bubble" -> Bubble(topo),
+        "triangle" -> Triangle(topo, compact))
+      case _: Hexagonal => Map(
+        "gaussian" -> Gaussian(topo, stdCoeff, compact),
+        "mexican_hat" -> MexicanHat(topo, stdCoeff, compact),
+        "bubble" -> Bubble(topo))
+    }
+    available.getOrElse(name, throw new IllegalArgumentException(
+      s"$name not supported. Functions available: ${available.keys.mkString(", ")}"))
+  }
+}

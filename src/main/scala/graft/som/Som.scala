@@ -1,0 +1,204 @@
+package graft.som
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.storage.StorageLevel
+
+/** SOM estimator configuration. Defaults mirror the reference constructor
+  * (`xpysom.py:73-82`): sigma=0 ⇒ min(x,y)/2 (`xpysom.py:178-181`),
+  * sigmaN=1, lr=0.5→0.01, exponential decay, gaussian neighborhood,
+  * std_coeff=0.5, rectangular topology, partial-euclidean activation
+  * distance.
+  */
+final case class SomConfig(
+    x: Int,
+    y: Int,
+    sigma: Double = 0.0,
+    sigmaN: Double = 1.0,
+    learningRate: Double = 0.5,
+    learningRateN: Double = 0.01,
+    decay: String = "exponential",
+    neighborhood: String = "gaussian",
+    stdCoeff: Double = 0.5,
+    topology: String = "rectangular",
+    distance: String = "euclidean",
+    normP: Double = 2.0,
+    compactSupport: Boolean = false,
+    seed: Long = 0L,
+    /** Rows per in-partition sub-batch — the analogue of the reference's
+      * `n_parallel` mini-batch (`xpysom.py:140-144,242-251`): bounds the
+      * transient (batch x neurons) activation matrix, NOT the
+      * parallelism (partitions are the unit of parallelism here).
+      */
+    batchSize: Int = 2048,
+    /** treeReduce depth for the per-epoch (num, den) combine; 2 keeps
+      * driver fan-in bounded at cluster scale (the reference's dask path
+      * does a flat single-node sum, `xpysom.py:545-558`).
+      */
+    treeDepth: Int = 2) {
+
+  def sigma0: Double = if (sigma == 0) math.min(x, y) / 2.0 else sigma
+
+  def topo: Topology = Topology(topology, x, y)
+  def decayFn: Decay = Decay(decay)
+  def distanceFn: Distance = Distances(distance, normP)
+  def neighborhoodFn: Neighborhood =
+    Neighborhoods(neighborhood, topo, stdCoeff, compactSupport)
+
+  /** Validation at construction, mirroring `xpysom.py:164-165,196-231`. */
+  def validated: SomConfig = {
+    if (sigma >= x || sigma >= y)
+      System.err.println("Warning: sigma is too high for the dimension of the map.")
+    topo; decayFn; distanceFn; neighborhoodFn
+    this
+  }
+}
+
+/** Batch-SOM trainer: one Spark job per epoch — broadcast the codebook,
+  * per-partition batched update (winners → neighborhood-weighted partial
+  * sums via gemm), elementwise treeReduce of (num, den), guarded-division
+  * merge on the driver. Dataflow per `xpysom.py:458-594` re-expressed as
+  * the idiomatic MLlib broadcast+aggregate pattern; the per-partition
+  * sub-batching replaces the reference's `n_parallel` chunking
+  * (`xpysom.py:560-575`) and the treeReduce replaces dask's delayed flat
+  * sum (`xpysom.py:545-558`).
+  */
+final class Som(val config: SomConfig) extends Serializable {
+  config.validated
+
+  /** Train for numEpochs epochs. `init` overrides the default seeded
+    * uniform-normalized initialization (`xpysom.py:188-190`).
+    */
+  def fit(df: DataFrame, featuresCol: String = "features", numEpochs: Int,
+          init: Codebook = null): SomModel = {
+    require(numEpochs >= 1, "num_iteration must be > 1")
+    val data = SomData.toVectors(df, featuresCol)
+    data.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val first = data.take(1)
+      require(first.nonEmpty, "cannot fit a SOM on an empty dataset")
+      val dim = first.head.length
+      val cb0 = Option(init).getOrElse(
+        Codebook.randomUniform(config.x, config.y, dim, config.seed))
+      require(cb0.dim == dim, s"Received $dim features, expected ${cb0.dim}.")
+      new SomModel(config, fitFrom(data, cb0, numEpochs))
+    } finally data.unpersist(blocking = false)
+  }
+
+  /** Epoch loop over an already-materialized vector RDD. */
+  private[som] def fitFrom(data: RDD[Array[Double]], init: Codebook,
+                           numEpochs: Int): Codebook = {
+    val sc = data.sparkContext
+    val cfg = config
+    var cb = init
+    var t = 0
+    while (t < numEpochs) {
+      val eta = cfg.decayFn(cfg.learningRate, cfg.learningRateN, t, numEpochs)
+      val sig = cfg.decayFn(cfg.sigma0, cfg.sigmaN, t, numEpochs)
+      val wSq = if (cfg.distanceFn.canCache) cb.rowSumSq() else null
+      val bc = sc.broadcast((cb.weights, wSq))
+      val (num, den) = data
+        .mapPartitions { it =>
+          val (w, wsq) = bc.value
+          Iterator.single(SomKernels.partitionUpdate(it, w, wsq, cfg, eta, sig))
+        }
+        .treeReduce({ (a, b) =>
+          SomKernels.addInPlace(a._1, b._1); SomKernels.addInPlace(a._2, b._2); a
+        }, depth = cfg.treeDepth)
+      cb = cb.merged(num, den)
+      bc.destroy()
+      t += 1
+    }
+    cb
+  }
+}
+
+/** Per-partition numeric kernels for training. */
+private[som] object SomKernels {
+
+  def addInPlace(a: Array[Double], b: Array[Double]): Unit = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+  }
+
+  /** One partition's (num, den) contribution for one epoch: iterate the
+    * partition in `batchSize` sub-batches; per batch compute activation
+    * distances, first-index argmin winners, neighborhood weights g·eta,
+    * then accumulate den += Σ_s g and num += Gᵀ·X (`xpysom.py:420-443`).
+    * Buffers are reused across sub-batches (`xpysom.py:516-527`).
+    */
+  def partitionUpdate(it: Iterator[Array[Double]], w: Array[Double],
+                      wSq: Array[Double], cfg: SomConfig, eta: Double,
+                      sig: Double): (Array[Double], Array[Double]) = {
+    val k = cfg.x * cfg.y
+    val dim = w.length / k
+    val dist = cfg.distanceFn
+    val neigh = cfg.neighborhoodFn
+    val bs = cfg.batchSize
+    val num = new Array[Double](k * dim)
+    val den = new Array[Double](k)
+    val xBuf = new Array[Double](bs * dim)
+    val dBuf = new Array[Double](bs * k)
+    val gBuf = new Array[Double](bs * k)
+    val wins = new Array[Int](bs)
+    val winI = new Array[Int](bs)
+    val winJ = new Array[Int](bs)
+    while (it.hasNext) {
+      var n = 0
+      while (n < bs && it.hasNext) {
+        val row = it.next()
+        if (row.length != dim)
+          throw new IllegalArgumentException(
+            s"Received ${row.length} features, expected $dim.")
+        System.arraycopy(row, 0, xBuf, n * dim, dim)
+        n += 1
+      }
+      dist.compute(xBuf, n, w, k, dim, wSq, dBuf)
+      Distances.argminRows(dBuf, n, k, wins)
+      var s = 0
+      while (s < n) { winI(s) = wins(s) / cfg.y; winJ(s) = wins(s) % cfg.y; s += 1 }
+      neigh.compute(winI, winJ, n, sig, gBuf)
+      // den += column sums of g*eta; num += (g*eta)^T x
+      s = 0
+      while (s < n * k) { gBuf(s) *= eta; s += 1 }
+      s = 0
+      while (s < n) {
+        val base = s * k
+        var j = 0
+        while (j < k) { den(j) += gBuf(base + j); j += 1 }
+        s += 1
+      }
+      // num (k x dim, row-major) += G^T (k x n) * X (n x dim):
+      // column-major view num^T (dim x k) = X^T (dim x n) * G (n x k).
+      Distances.blas.dgemm("N", "T", dim, k, n, 1.0, xBuf, dim, gBuf, k, 1.0, num, dim)
+    }
+    (num, den)
+  }
+}
+
+/** Feature-column extraction: accepts array<float>, array<double>, or
+  * array<numeric> columns (the Spark analogue of the reference's
+  * six-way container dispatch, `xpysom.py:487-510`).
+  */
+object SomData {
+  def toVectors(df: DataFrame, featuresCol: String): RDD[Array[Double]] = {
+    val idx = df.schema.fieldIndex(featuresCol)
+    df.select(featuresCol).rdd.map(r => rowToVec(r, 0))
+  }
+
+  def rowToVec(r: Row, idx: Int): Array[Double] = {
+    val seq = r.getSeq[Any](idx)
+    val out = new Array[Double](seq.length)
+    var i = 0
+    seq.foreach { v =>
+      out(i) = v match {
+        case f: Float  => f.toDouble
+        case d: Double => d
+        case n: Number => n.doubleValue()
+        case null      => Double.NaN
+      }
+      i += 1
+    }
+    out
+  }
+}
