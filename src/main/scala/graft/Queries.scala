@@ -56,7 +56,10 @@ object Queries {
 
   // ------------------------------------------------------------ queries
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val all: Map[String, (SparkSession, String) => DataFrame] =
+    somQueries ++ pipelineQueries ++ relationalQueries
+
+  private lazy val somQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // winner / predict (xpysom.py:370-417,608-617)
     "som_winner" -> ((s, dir) =>
       fixedModel(s, dir).transform(emb(s, dir), "embedding")
@@ -168,6 +171,172 @@ object Queries {
     })
   )
 
+  // ---------------------------------------------- pipeline operators
+
+  private lazy val pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = {
+    import graft.functions.TextFunctions._
+    import graft.operators.{Dedup, Multimodal, Similarity}
+    Map(
+      // exact dedup groups by content fingerprint
+      "dedup_exact" -> ((s, dir) => Dedup.exactGroups(docs(s, dir), "text", "doc_id")),
+
+      // per-document fingerprint (rolling/content hash)
+      "doc_fingerprint" -> ((s, dir) =>
+        docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+                            docFingerprint(col("text")).as("fp"))),
+
+      // n-gram jaccard over a bounded id-offset candidate window
+      "dedup_ngram_jaccard" -> ((s, dir) =>
+        Dedup.ngramJaccardPairs(docs(s, dir), "text", "doc_id", n = 3, maxOffset = 5)),
+
+      // MinHash LSH near-dup candidates (cross-engine hash: rows-only check)
+      "dedup_minhash" -> ((s, dir) =>
+        Dedup.minhashCandidates(docs(s, dir), "text", "doc_id")
+          .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))),
+
+      // SimHash near-dup candidates (rows-only check)
+      "dedup_simhash" -> ((s, dir) =>
+        Dedup.simhashCandidates(docs(s, dir), "text", "doc_id", maxHamming = 16)
+          .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
+
+      // embedding-cosine near-dups in a bounded id window
+      "dedup_embedding" -> ((s, dir) =>
+        Dedup.embeddingNearDups(emb(s, dir), "embedding", "vec_id",
+          threshold = 0.25, maxOffset = 50)),
+
+      // brute-force cosine top-k (exact ANN baseline)
+      "ann_cosine_topk" -> ((s, dir) => {
+        val qs = emb(s, dir).orderBy("vec_id").limit(5).collect()
+          .map(r => (r.getLong(r.fieldIndex("vec_id")),
+            r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)).toSeq
+        Similarity.bruteForceTopK(emb(s, dir), "embedding", "vec_id", qs, k = 5)
+      }),
+
+      // SOM-bucketed (IVF-style) ANN — training-dependent: rows-only check
+      "ann_som_topk" -> ((s, dir) => {
+        val qs = emb(s, dir).orderBy("vec_id").limit(5).collect()
+          .map(r => (r.getLong(r.fieldIndex("vec_id")),
+            r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)).toSeq
+        Similarity.somTopK(emb(s, dir), "embedding", "vec_id", qs, k = 5)
+      }),
+
+      // text statistics: token counts, punctuation, mean token length
+      "text_stats" -> ((s, dir) =>
+        docs(s, dir).select(
+          col("doc_id").cast("long").as("doc_id"),
+          tokenCount(col("text")).cast("long").as("n_tokens"),
+          tokenCountBpeish(col("text")).cast("long").as("n_bpeish"),
+          punctCount(col("text")).cast("long").as("n_punct"),
+          round(meanTokenLen(col("text")), 6).as("mean_tok_len"))),
+
+      // language identification (marker-word heuristic)
+      "lang_id" -> ((s, dir) =>
+        docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+                            langId(col("text")).as("lang_pred"))),
+
+      // composite quality score
+      "quality_score" -> ((s, dir) =>
+        docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+                            qualityScore(col("text")).as("q"))),
+
+      // multimodal: binary payload decode (stub) — rows-only check
+      "multimodal_decode" -> ((s, dir) => {
+        val withPayload = docs(s, dir)
+          .select(col("doc_id").cast("long").as("doc_id"),
+                  encode(col("text"), "UTF-8").as("payload"))
+        Multimodal.decodeFeatures(withPayload, "payload")
+          .select(col("doc_id"), col("n_bytes"),
+                  round(element_at(col("feature"), 7), 6).as("f6"),
+                  round(element_at(col("feature"), 8), 6).as("f7"))
+      }),
+
+      // multimodal: frame sampling over binary payloads — rows-only check
+      "multimodal_frames" -> ((s, dir) => {
+        val withPayload = docs(s, dir)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        Multimodal.sampleFrames(withPayload, "payload", "doc_id",
+          frameSize = 32, stride = 2)
+      })
+    )
+  }
+
+  // ---------------------------------------------- relational / events
+
+  private lazy val relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-style scan + hash aggregate with pushed-down filter.
+    // Money math in DECIMAL so partial-aggregation order can't move a
+    // sum across a rounding boundary (exact, bit-identical to DuckDB).
+    "q1_lineitem_agg" -> ((s, dir) => {
+      val qty = col("l_quantity").cast("decimal(18,6)")
+      val price = col("l_extendedprice").cast("decimal(18,6)")
+      val disc = col("l_discount").cast("decimal(18,6)")
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum(qty), 2).cast("double").as("sum_qty"),
+             round(sum(price), 2).cast("double").as("sum_base"),
+             round(sum(price * (lit(1).cast("decimal(18,6)") - disc)), 2)
+               .cast("double").as("sum_disc_price"),
+             round(sum(disc).cast("double") / count(lit(1)), 6).as("avg_disc"),
+             count(lit(1)).as("n"))
+    }),
+
+    // TPC-H Q3-style 3-way join (customer broadcast, orders/lineitem shuffle)
+    "q3_revenue_by_order" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .where(col("c_mktsegment") === "BUILDING")
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val price = col("l_extendedprice").cast("decimal(18,6)")
+      val disc = col("l_discount").cast("decimal(18,6)")
+      li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderkey")
+        .agg(round(sum(price * (lit(1).cast("decimal(18,6)") - disc)), 2)
+               .cast("double").as("revenue"),
+             count(lit(1)).as("n_items"))
+        .select(col("o_orderkey").cast("long").as("o_orderkey"), col("revenue"), col("n_items"))
+    }),
+
+    // events: two-level hash aggregate
+    "events_agg" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"), round(avg("value"), 6).as("avg_value"))
+        .select(col("user_id").cast("long").as("user_id"), col("event_type"),
+                col("n"), col("avg_value"))),
+
+    // events: per-user argmax via window function
+    "events_top_event" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("value").desc, col("event_id").asc)
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("user_id").cast("long").as("user_id"),
+                col("event_id").cast("long").as("event_id"),
+                round(col("value"), 6).as("value"))
+    }),
+
+    // events: sessionization (30-minute gap) via lag window
+    "events_sessionize" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        // ts reads as LongType nanos (spark.sql.legacy.parquet.nanosAsLong)
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+               col("ts") - col("prev_ts") > 1800000000000L, 1)
+            .otherwise(0))
+        .groupBy("user_id")
+        .agg(sum("new_session").cast("long").as("n_sessions"),
+             count(lit(1)).as("n_events"))
+        .select(col("user_id").cast("long").as("user_id"),
+                col("n_sessions"), col("n_events"))
+    })
+  )
+
   /** Round to 6 decimals HALF_UP — same mode as Spark's `round()` and
     * DuckDB's `round()`, so hashes match bit-exactly.
     */
@@ -205,7 +374,15 @@ object Queries {
 
   // ------------------------------------------------------------ oracles
 
-  val oracles: Map[String, String] = Map(
+  /** DuckDB token expression mirroring TextFunctions.tokens. */
+  private val duckToks: String =
+    """list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> length(t) > 0)"""
+
+  private val allMarkers: String =
+    graft.functions.TextFunctions.langMarkers.flatMap(_._2).distinct
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val oracles: Map[String, String] = pipelineOracles ++ relationalOracles ++ Map(
     "som_winner" ->
       s"""$cbDistCte
          |SELECT CAST(vec_id AS BIGINT) AS vec_id,
@@ -389,5 +566,183 @@ object Queries {
         |       CAST(CASE WHEN (5 - 1 - j) % 2 = 0 THEN i - 0.5 ELSE CAST(i AS DOUBLE) END AS DOUBLE) AS ex,
         |       CAST(j AS DOUBLE) AS ey
         |FROM generate_series(0, 4) a(i), generate_series(0, 4) b(j)""".stripMargin
+  )
+
+  private lazy val pipelineOracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""WITH f AS (SELECT doc_id, md5(array_to_string($duckToks, ' ')) AS fp FROM documents)
+         |SELECT fp, CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n
+         |FROM f GROUP BY fp""".stripMargin,
+
+    "doc_fingerprint" ->
+      s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |       md5(array_to_string($duckToks, ' ')) AS fp FROM documents""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id, substr(text, CAST(u.i AS INT), 3) AS g
+        |  FROM documents,
+        |       LATERAL (SELECT unnest(generate_series(1, length(text) - 2)) AS i) u
+        |), sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM documents a JOIN documents b
+        |    ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS isz
+        |  FROM g a JOIN g b ON a.g = b.g AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT CAST(p.id_a AS BIGINT) AS id_a, CAST(p.id_b AS BIGINT) AS id_b,
+        |       CAST(round(CAST(COALESCE(i.isz, 0) AS DOUBLE)
+        |            / greatest(sa.sz + sb.sz - COALESCE(i.isz, 0), 1), 6) AS DOUBLE) AS jaccard
+        |FROM pairs p
+        |JOIN sizes sa ON sa.doc_id = p.id_a
+        |JOIN sizes sb ON sb.doc_id = p.id_b
+        |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b""".stripMargin,
+
+    "dedup_embedding" ->
+      """WITH ex AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings
+        |), norms AS (SELECT vec_id, sum(v * v) AS nrm FROM ex GROUP BY vec_id),
+        |dots AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dot
+        |  FROM ex a JOIN ex b
+        |    ON a.i = b.i AND b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 50
+        |  GROUP BY a.vec_id, b.vec_id),
+        |p AS (
+        |  SELECT d.id_a, d.id_b,
+        |         CASE WHEN sqrt(na.nrm * nb.nrm) = 0 THEN 0
+        |              ELSE d.dot / sqrt(na.nrm * nb.nrm) END AS cos
+        |  FROM dots d JOIN norms na ON na.vec_id = d.id_a
+        |              JOIN norms nb ON nb.vec_id = d.id_b)
+        |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+        |       CAST(round(cos, 6) AS DOUBLE) AS cos
+        |FROM p WHERE round(cos, 6) >= 0.25""".stripMargin,
+
+    "ann_cosine_topk" ->
+      """WITH ex AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings
+        |), norms AS (SELECT vec_id, sum(v * v) AS nrm FROM ex GROUP BY vec_id),
+        |qids AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT 5),
+        |dots AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.v * b.v) AS dot
+        |  FROM ex a JOIN ex b ON a.i = b.i AND b.vec_id <> a.vec_id
+        |  WHERE a.vec_id IN (SELECT qid FROM qids)
+        |  GROUP BY a.vec_id, b.vec_id),
+        |ranked AS (
+        |  SELECT d.qid, d.nid,
+        |         CASE WHEN sqrt(nq.nrm * nn.nrm) = 0 THEN 0
+        |              ELSE d.dot / sqrt(nq.nrm * nn.nrm) END AS sim,
+        |         row_number() OVER (PARTITION BY d.qid
+        |           ORDER BY (CASE WHEN sqrt(nq.nrm * nn.nrm) = 0 THEN 0
+        |                          ELSE d.dot / sqrt(nq.nrm * nn.nrm) END) DESC,
+        |                    d.nid ASC) AS rn
+        |  FROM dots d JOIN norms nq ON nq.vec_id = d.qid
+        |              JOIN norms nn ON nn.vec_id = d.nid)
+        |SELECT CAST(qid AS BIGINT) AS qid, CAST(rn AS BIGINT) AS rank,
+        |       CAST(nid AS BIGINT) AS nid, CAST(round(sim, 6) AS DOUBLE) AS sim
+        |FROM ranked WHERE rn <= 5""".stripMargin,
+
+    "text_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |       CAST(length(toks) AS BIGINT) AS n_tokens,
+         |       CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpeish,
+         |       CAST(length(regexp_extract_all(text, '[.,!?;:''"()\\[\\]{}-]')) AS BIGINT) AS n_punct,
+         |       CAST(CASE WHEN length(toks) = 0 THEN 0
+         |            ELSE round(CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+         |                       / length(toks), 6) END AS DOUBLE) AS mean_tok_len
+         |FROM t""".stripMargin,
+
+    "lang_id" -> {
+      val scores = graft.functions.TextFunctions.langMarkers.map { case (lang, words) =>
+        val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"length(list_filter(toks, t -> list_contains($lst, t))) AS s_$lang"
+      }.mkString(",\n       ")
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |       $scores
+         |FROM t)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |       CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |            WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |            WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |            WHEN s_fr >= s_zh THEN 'fr'
+         |            ELSE 'zh' END AS lang_pred
+         |FROM s""".stripMargin
+    },
+
+    "quality_score" ->
+      s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |        CAST(length(toks) AS DOUBLE) AS nt,
+         |        CAST(length(regexp_extract_all(text, '[.,!?;:''"()\\[\\]{}-]')) AS DOUBLE) AS np,
+         |        CAST(length(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS nd,
+         |        CAST(length(text) AS DOUBLE) AS nc,
+         |        CAST(length(list_filter(toks, t -> list_contains($allMarkers, t))) AS DOUBLE) AS ns
+         |      FROM t)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |       CAST(round(
+         |         least(nt / 20.0, 1.0) * 0.4
+         |         + greatest(0.0, 1.0 - (CASE WHEN nc = 0 THEN 0 ELSE np / nc END) * 5.0) * 0.2
+         |         + greatest(0.0, 1.0 - (CASE WHEN nc = 0 THEN 0 ELSE nd / nc END) * 5.0) * 0.2
+         |         + least((CASE WHEN nt = 0 THEN 0 ELSE ns / nt END) * 4.0, 1.0) * 0.2, 6) AS DOUBLE) AS q
+         |FROM m""".stripMargin
+  )
+
+  private lazy val relationalOracles: Map[String, String] = Map(
+    "q1_lineitem_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base,
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+        |                      * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS sum_disc_price,
+        |       CAST(round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS DOUBLE) AS avg_disc,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_revenue_by_order" ->
+      """SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+        |       CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+        |                      * (1 - CAST(l.l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY o.o_orderkey""".stripMargin,
+
+    "events_agg" ->
+      """SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(round(avg(value), 6) AS DOUBLE) AS avg_value
+        |FROM events GROUP BY user_id, event_type""".stripMargin,
+
+    "events_top_event" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+        |  FROM events)
+        |SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id,
+        |       CAST(round(value, 6) AS DOUBLE) AS value
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, event_id,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev
+        |  FROM events)
+        |SELECT CAST(user_id AS BIGINT) AS user_id,
+        |       CAST(sum(CASE WHEN prev IS NULL OR epoch_ns(ts) - epoch_ns(prev) > 1800000000000
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM r GROUP BY user_id""".stripMargin
   )
 }

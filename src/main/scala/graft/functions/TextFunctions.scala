@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data
+  * pipelines. Everything here is built from `org.apache.spark.sql
+  * .functions` higher-order/regexp expressions — no UDFs — so the whole
+  * pipeline stays inside whole-stage codegen and pushes down through
+  * Catalyst untouched.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of lower-cased text (empty string -> empty array). */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: runs of letters, runs of digits, and single
+    * other non-space characters each count as one token — a cheap,
+    * deterministic stand-in for subword tokenizers.
+    */
+  def tokenCountBpeish(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Character n-gram shingles (distinct), 1-based sliding window.
+    * NB: guard the short-text case explicitly — Spark's `sequence(1, 0)`
+    * would generate a DESCENDING sequence, not an empty one.
+    */
+  def charShingles(text: Column, n: Int): Column =
+    when(length(text) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n)))))
+
+  /** Word n-gram shingles (distinct) over whitespace tokens. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(ts) - (n - 1)),
+        i => concat_ws(" ", slice(ts, i, lit(n))))))
+  }
+
+  /** Punctuation character count / ratio over total characters. */
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[.,!?;:'\"()\\[\\]{}-]"), lit(0)))
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(punctCount(text).cast("double") / length(text))
+
+  /** Digit / alpha character ratios. */
+  def digitRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(size(regexp_extract_all(text, lit("[0-9]"), lit(0))).cast("double") / length(text))
+  def alphaRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(size(regexp_extract_all(text, lit("[A-Za-z]"), lit(0))).cast("double") / length(text))
+
+  /** Mean token length (0 for empty docs). */
+  def meanTokenLen(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) === 0, 0.0).otherwise(
+      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(ts))
+  }
+
+  /** Share of tokens found in `words` (e.g. a stopword list). */
+  def wordSetRatio(text: Column, words: Seq[String]): Column = {
+    val ts = tokens(text)
+    val set = array(words.map(lit): _*)
+    when(size(ts) === 0, 0.0).otherwise(
+      size(filter(ts, t => array_contains(set, t))).cast("double") / size(ts))
+  }
+
+  /** Count of tokens found in `words`. */
+  def wordSetCount(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => array_contains(array(words.map(lit): _*), t)))
+
+  /** Marker words per language for the n-gram/stopword language-ID
+    * heuristic. Deterministic and mirrored 1:1 in the DuckDB oracle.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es" -> Seq("el", "los", "que", "de", "la", "es", "por", "una"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "dans"),
+    "zh" -> Seq("de", "shi", "bu", "le", "wo", "zai", "you", "he"))
+
+  /** Predicted language: argmax of marker-word hits, ties broken by
+    * alphabetical language code (greatest-struct trick keeps this a
+    * single codegen'd expression).
+    */
+  def langId(text: Column): Column = {
+    // struct ordering compares fields in order: (score, tie) — langMarkers
+    // is alphabetical, so a DESCENDING tie value makes the
+    // alphabetically-first language win equal scores.
+    val scored = langMarkers.zipWithIndex.map { case ((lang, words), idx) =>
+      struct(
+        wordSetCount(text, words).as("score"),
+        lit(langMarkers.length - idx).as("tie"),
+        lit(lang).as("lang"))
+    }
+    greatest(scored: _*).getField("lang")
+  }
+
+  /** Marker-hit score for one language (exposed for oracle parity). */
+  def langScore(text: Column, lang: String): Column =
+    wordSetCount(text, langMarkers.toMap.apply(lang))
+
+  /** Composite quality score in [0,1]: rewards mid-length docs, low
+    * punctuation/digit noise, and presence of common words.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lengthTerm = least(nTok / 20.0, lit(1.0))
+    val punctTerm = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0)
+    val digitTerm = greatest(lit(0.0), lit(1.0) - digitRatio(text) * 5.0)
+    val stopTerm = least(wordSetRatio(text, langMarkers.flatMap(_._2).distinct) * 4.0, lit(1.0))
+    round((lengthTerm * 0.4 + punctTerm * 0.2 + digitTerm * 0.2 + stopTerm * 0.2), 6)
+  }
+
+  /** Deterministic document fingerprint: md5 of the token-normalized
+    * text (cross-engine checkable, unlike xxhash64).
+    */
+  def docFingerprint(text: Column): Column =
+    md5(concat_ws(" ", tokens(text)))
+}

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.som.{Som, SomConfig, SomData}
+
+/** Approximate/exact nearest-neighbor search over an embedding column.
+  *
+  * Scale design: query vectors are broadcast (they are the small side);
+  * each partition scores its rows against all queries and keeps only a
+  * local top-k per query, so the shuffle carries at most
+  * (partitions x queries x k) rows regardless of table size. The
+  * SOM-bucketed variant (`somTopK`) is the IVF-style scale path: a small
+  * trained SOM acts as the coarse quantizer and only cells near the
+  * query's BMU are scanned.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns in double precision —
+    * pure Catalyst (zip_with + aggregate), codegen-friendly.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+    val nb = aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+    when(sqrt(na * nb) === 0.0, 0.0).otherwise(dot / sqrt(na * nb))
+  }
+
+  /** Dot product of two array columns in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Brute-force cosine top-k: exact baseline. `queries` is a small
+    * DataFrame (qid, vector); it is broadcast and each partition emits
+    * its local top-k per query before the global top-k shuffle.
+    */
+  def bruteForceTopK(df: DataFrame, vecCol: String, idCol: String,
+                     queries: Seq[(Long, Array[Double])], k: Int,
+                     excludeSelf: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(queries)
+    val fIdx = df.schema.fieldIndex(vecCol)
+    val iIdx = df.schema.fieldIndex(idCol)
+    val scored = df.rdd.mapPartitions { it =>
+      val qs = bc.value
+      // local top-k per query: bounded priority queues
+      val heaps = qs.map { case (qid, _) =>
+        qid -> collection.mutable.PriorityQueue.empty[(Double, Long)](
+          Ordering.by[(Double, Long), (Double, Long)](t => (-t._1, t._2)))
+      }.toMap
+      val qNorms = qs.map { case (qid, v) =>
+        qid -> math.sqrt(v.map(x => x * x).sum)
+      }.toMap
+      it.foreach { r =>
+        val id = r.getLong(iIdx)
+        val v = SomData.rowToVec(r, fIdx)
+        val nv = math.sqrt(v.map(x => x * x).sum)
+        qs.foreach { case (qid, q) =>
+          if (!(excludeSelf && id == qid)) {
+            var s = 0.0
+            var i = 0
+            while (i < q.length) { s += q(i) * v(i); i += 1 }
+            val sim = if (nv * qNorms(qid) == 0) 0.0 else s / (nv * qNorms(qid))
+            val h = heaps(qid)
+            h.enqueue((sim, id))
+            if (h.size > k) h.dequeue()
+          }
+        }
+      }
+      heaps.iterator.flatMap { case (qid, h) =>
+        h.iterator.map { case (sim, id) => Row(qid, id, sim) }
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("qid", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("nid", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sim", org.apache.spark.sql.types.DoubleType)))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    spark.createDataFrame(scored, schema)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+              round(col("sim"), 6).as("sim"))
+  }
+
+  /** IVF-style ANN: train a small SOM as the coarse quantizer, assign
+    * every row to its BMU cell, and scan only the `nProbe` cells whose
+    * centroids are closest to each query. Returns (qid, rank, nid, sim).
+    * Recall < 1 by construction; the bucketed scan is the 100 TB path
+    * (cells are read via a partition-pruned equi-join, not a full scan).
+    */
+  def somTopK(df: DataFrame, vecCol: String, idCol: String,
+              queries: Seq[(Long, Array[Double])], k: Int,
+              gridX: Int = 4, gridY: Int = 4, nProbe: Int = 4,
+              epochs: Int = 3, seed: Long = 42): DataFrame = {
+    val model = new Som(SomConfig(gridX, gridY, seed = seed))
+      .fit(df, vecCol, numEpochs = epochs)
+    val assigned = model.transform(df, vecCol)
+    // nProbe nearest cells per query, by centroid distance (driver-local)
+    val cb = model.codebook
+    val probe = queries.flatMap { case (qid, q) =>
+      val dists = (0 until cb.numNeurons).map { n =>
+        val base = n * cb.dim
+        var s = 0.0
+        var i = 0
+        while (i < cb.dim) { val d = q(i) - cb.weights(base + i); s += d * d; i += 1 }
+        (n, s)
+      }
+      dists.sortBy(t => (t._2, t._1)).take(nProbe).map { case (n, _) => (qid, n) }
+    }
+    val probeDf = df.sparkSession.createDataFrame(probe).toDF("qid", "bmu_id")
+    val qDf = df.sparkSession.createDataFrame(
+      queries.map { case (qid, v) => (qid, v.toSeq) }).toDF("qid", "qv")
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    assigned.join(broadcast(probeDf), "bmu_id")
+      .join(broadcast(qDf), "qid")
+      .where(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol).cast("long").as("nid"),
+              cosine(col(vecCol), col("qv")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+              round(col("sim"), 6).as("sim"))
+  }
+}

@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** Unit coverage for the training-data pipeline operators: text
+  * functions, dedup family, similarity search, multimodal plumbing.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (2L, "the quick brown fox jumped over the lazy dog"), // near dup
+    (3L, "completely different content here about spark engines"),
+    (4L, ""),
+    (5L, "der hund und die katze sind nicht das problem")
+  ).toDF("doc_id", "text")
+
+  test("tokens / shingles edge cases") {
+    val r = docs.select(col("doc_id"), tokenCount(col("text")).as("n"),
+        size(charShingles(col("text"), 3)).as("sh"),
+        size(wordShingles(col("text"), 2)).as("wsh"))
+      .collect().map(x => x.getLong(0) -> (x.getInt(1), x.getInt(2), x.getInt(3))).toMap
+    assert(r(0L)._1 == 9)
+    assert(r(4L) == ((0, 0, 0))) // empty doc: no tokens, no shingles
+    assert(r(0L)._3 == 8) // 9 tokens -> 8 distinct bigrams
+  }
+
+  test("language id picks marker-heavy language deterministically") {
+    val r = docs.select(col("doc_id"), langId(col("text")).as("lang"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(0L) == "en")
+    assert(r(5L) == "de")
+    assert(r(4L) == "de") // all-zero scores: alphabetically first wins
+  }
+
+  test("exact dedup groups duplicates and keeps min id") {
+    val g = Dedup.exactGroups(docs, "text", "doc_id")
+      .where(col("n") > 1).collect()
+    assert(g.length == 1)
+    assert(g.head.getLong(1) == 0L && g.head.getLong(2) == 2L)
+    val kept = Dedup.dropExactDuplicates(docs, "text", "doc_id").count()
+    assert(kept == 5)
+  }
+
+  test("minhash: identical texts agree on full signature") {
+    val cands = Dedup.minhashCandidates(docs, "text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cands((0L, 1L)) == 1.0)
+    assert(cands.get((0L, 2L)).forall(_ > 0.3)) // near-dup likely a candidate
+  }
+
+  test("simhash: identical texts collide with 0 hamming") {
+    val c = Dedup.simhashCandidates(docs, "text", "doc_id", maxHamming = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(c((0L, 1L)) == 0)
+    // banding guarantees recall only for small hamming distances; any
+    // candidate that did surface must satisfy the threshold
+    c.values.foreach(h => assert(h <= 20))
+  }
+
+  test("ngram jaccard: identical pair = 1, disjoint ~ 0") {
+    val j = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, maxOffset = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((0L, 1L)) == 1.0)
+    assert(j((0L, 2L)) > 0.7 && j((0L, 2L)) < 1.0)
+    assert(j((0L, 3L)) < 0.2)
+  }
+
+  test("cosine column function matches manual computation") {
+    val df = Seq((Seq(1f, 0f, 2f), Seq(2f, 1f, 0f))).toDF("a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b"))).head().getDouble(0)
+    val exp = 2.0 / (math.sqrt(5.0) * math.sqrt(5.0))
+    assert(math.abs(got - exp) < 1e-12)
+    // zero-vector guard
+    val z = Seq((Seq(0f, 0f), Seq(1f, 1f))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b"))).head().getDouble(0)
+    assert(z == 0.0)
+  }
+
+  test("brute-force top-k matches exhaustive ranking") {
+    val rnd = new scala.util.Random(4)
+    val vecs = (0L until 50L).map(i => (i, Array.fill(8)(rnd.nextDouble() * 2 - 1)))
+    val df = vecs.map { case (i, v) => (i, v.map(_.toFloat).toSeq) }.toDF("vec_id", "embedding")
+    val qs = vecs.take(2)
+    val got = Similarity.bruteForceTopK(df, "embedding", "vec_id", qs, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    for ((qid, q) <- qs) {
+      val exp = vecs.filter(_._1 != qid)
+        .map { case (i, v) => (i, cos(q, v)) }
+        .sortBy { case (i, s) => (-s, i) }.take(3)
+      exp.zipWithIndex.foreach { case ((nid, _), r) =>
+        assert(got((qid, (r + 1).toLong)) == nid, s"q=$qid rank=${r + 1}")
+      }
+    }
+  }
+
+  test("som-bucketed ANN returns k ranked neighbors per query") {
+    val rnd = new scala.util.Random(9)
+    val vecs = (0L until 200L).map(i => (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val qs = vecs.take(2).map { case (i, v) => (i, v.map(_.toDouble).toArray) }
+    val got = Similarity.somTopK(df, "embedding", "vec_id", qs, k = 5,
+      gridX = 2, gridY = 2, nProbe = 2, epochs = 2)
+    val byQ = got.collect().groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L))
+    byQ.values.foreach(rows => assert(rows.length == 5))
+  }
+
+  test("multimodal decode stub: histogram is normalized, frames sampled") {
+    val df = docs.where(length(col("text")) > 0)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val feat = Multimodal.decodeFeatures(df, "payload").collect()
+    feat.foreach { r =>
+      val f = r.getSeq[Double](3)
+      assert(f.length == Multimodal.featureDim)
+      assert(math.abs(f.sum - 1.0) < 1e-9)
+      assert(r.getLong(2) > 0)
+    }
+    val frames = Multimodal.sampleFrames(df, "payload", "doc_id", frameSize = 8, stride = 2)
+      .collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.getLong(1) % 2 == 0)) // only even frame indices
+    assert(frames.forall(_.getLong(2) <= 8))
+  }
+
+  test("quality score is in [0,1] and favors clean prose") {
+    val r = docs.select(col("doc_id"), qualityScore(col("text")).as("q"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    r.values.foreach(q => assert(q >= 0.0 && q <= 1.0))
+    assert(r(0L) > r(4L)) // real sentence beats empty doc
+  }
+}

@@ -18,12 +18,15 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
-def main(sf_dir, out_dir):
+def fresh_con(sf_dir):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+def main(sf_dir, out_dir):
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
@@ -36,6 +39,7 @@ def main(sf_dir, out_dir):
         except Exception as e:
             print(f"[ERR ] {name}: reading spark output: {e}"); n_fail += 1; continue
         try:
+            con = fresh_con(sf_dir)  # isolate: a crashing query must not poison others
             exp = canon(con.execute(sql).df())
         except Exception as e:
             print(f"[ERR ] {name}: duckdb: {e}"); n_fail += 1; continue
