@@ -1,24 +1,79 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.som._
+
+/** Per-round benchmark. Emits ONE JSON line:
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
+  *
+  * Headline entries mirror BASELINE.md's workload shapes:
+  *  - bench_distance_*: N=10,000 x D=100 vs 256 neurons, 10 reps after
+  *    1 warmup (the reference's bench_distances.py defaults) — per-rep
+  *    mean seconds, pure kernel time;
+  *  - bench_epoch_train: 6x6 SOM, 10 epochs, euclidean+gaussian defaults
+  *    on embeddings;
+  *  - bench_inference: transform + groupBy(bmu).count() on embeddings;
+  *  - every SparkEntry query once (end-to-end wall time each).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    // --- distance-kernel micro-bench (BASELINE.md workload) -----------
+    {
+      val rnd = new scala.util.Random(7)
+      val n = 10000; val d = 100; val k = 256
+      val x = Array.fill(n * d)(rnd.nextDouble().toFloat.toDouble)
+      val w = Array.fill(k * d)(rnd.nextDouble().toFloat.toDouble)
+      val out = new Array[Double](n * k)
+      for (dist <- Seq(Distances.EuclideanPart, Distances.Cosine, Distances.Manhattan)) {
+        val wSq = if (dist.canCache) Distances.rowSumSq(w, k, d) else null
+        dist.compute(x, n, w, k, d, wSq, out) // warmup
+        val reps = 10
+        val t = time { var r = 0; while (r < reps) { dist.compute(x, n, w, k, d, wSq, out); r += 1 } }
+        results(s"bench_distance_${dist.name}") = t / reps
+      }
+    }
+
+    // --- epoch-throughput + inference benches (BASELINE.md) ----------
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    emb.count() // warm page cache / scan
+    var model: SomModel = null
+    results("bench_epoch_train") = time {
+      model = new Som(SomConfig(6, 6, seed = 42)).fit(emb, "embedding", numEpochs = 10)
+    }
+    results("bench_inference") = time {
+      model.activationResponse(emb, "embedding").count()
+    }
+
+    // --- full query suite: 1 warmup + 1 timed rep each (the reference
+    // bench methodology, bench_utils.py:56-78) — steady-state numbers,
+    // not JIT/classload noise.
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        fn(spark, sfDir).count()
+        results(name) = time { fn(spark, sfDir).count(); () }
+      } catch { case _: Throwable => results(name) = -1.0 }
+    }
+
+    val qs = results.map { case (kk, v) => "\"" + kk + "\":" + v }.mkString("{", ",", "}")
+    val total = results.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

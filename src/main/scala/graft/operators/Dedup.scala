@@ -37,67 +37,49 @@ object Dedup {
       .drop("__fp", "__rn")
   }
 
-  /** Deterministic 64-bit hash per shingle, k independent permutations
-    * via (a*h + b) in the 2^61-1 Mersenne field, min per permutation —
-    * a pure-Catalyst MinHash signature (no UDF, no MLlib model state).
-    */
-  def minhashSignature(shingles: Column, numHashes: Int, seed: Int = 13): Column = {
-    // 31-bit Mersenne prime field: h < 2^31 and a < 2^31, so a*h + b
-    // stays well under 2^63 — no overflow under ANSI mode.
-    val p = 2147483647L // 2^31 - 1
-    val rnd = new scala.util.Random(seed)
-    val coefs = Seq.fill(numHashes)((math.abs(rnd.nextLong()) % (p - 1) + 1,
-                                     math.abs(rnd.nextLong()) % p))
-    val hashes = coefs.map { case (a, b) =>
-      aggregate(shingles, lit(Long.MaxValue),
-        (acc, s) => least(acc, pmod(pmod(xxhash64(s), lit(p)) * a + b, lit(p))))
-    }
-    array(hashes: _*)
-  }
-
-  /** MinHash-LSH candidate pairs: signature -> bands of `rowsPerBand`
-    * values -> explode band buckets -> self-equi-join on (band, bucket).
-    * Returns distinct candidate (id_a, id_b) with id_a < id_b, with the
-    * estimated jaccard from full-signature agreement.
+  /** MinHash-LSH candidate pairs: word-shingle signatures from the native
+    * codegen expression (`graft.plans.MinHashSig`) -> bands of
+    * `rowsPerBand` values -> explode band buckets -> self-equi-join on
+    * (band, bucket). Returns candidate (id_a, id_b) with id_a < id_b and
+    * the estimated jaccard from full-signature agreement.
     */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
-                        numHashes: Int = 32, rowsPerBand: Int = 4,
+                        numHashes: Int = 64, rowsPerBand: Int = 8,
                         shingleSize: Int = 3): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val sigs = df.select(
       col(idCol).cast("long").as("id"),
-      minhashSignature(TextFunctions.charShingles(col(textCol), shingleSize),
-                       numHashes).as("sig"))
-      .where(size(col("sig")) > 0)
-    val banded = sigs.select(col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(numBands - 1)),
-        b => struct(b.as("band"), slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).as("bucket")))))
-      .select(col("id"), col("sig"), col("col.band").as("band"), col("col.bucket").as("bucket"))
+      graft.plans.GraftFunctions.minhash_sig(col(textCol), numHashes, shingleSize).as("sig"))
+      .where(col("sig").isNotNull)
+    sigs.cache()
+    // band join carries only (id, band-bucket hash) — the signature stays
+    // out of the shuffle; pairs are deduped BEFORE re-attaching signatures
+    // for the jaccard estimate, so the wide rows never multiply.
+    val banded = sigs.select(col("id"),
+      explode(transform(sequence(lit(0), lit(numBands - 1)),
+        b => struct(b.as("band"),
+          hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))))
+        .as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val a = banded.alias("a")
     val b = banded.alias("b")
-    a.join(b, col("a.band") === col("b.band") &&
-              col("a.bucket") === col("b.bucket") &&
-              col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
-          eq => eq)).cast("double") / numHashes).as("est_jaccard"))
+    val pairs = a.join(b, col("a.band") === col("b.band") &&
+                          col("a.bucket") === col("b.bucket") &&
+                          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          eq => eq)).cast("double") / numHashes).as("est_jaccard"))
   }
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of
-    * token hashes. Pure Catalyst: for each bit, count tokens with that
-    * bit set; bit is 1 iff count*2 > n_tokens.
+    * token hashes (native codegen expression, `graft.plans.SimHash64`).
     */
-  def simhash(text: Column): Column = {
-    val ts = TextFunctions.tokens(text)
-    val hs = transform(ts, t => xxhash64(t))
-    val n = size(hs)
-    val bits = (0 until 64).map { b =>
-      val cnt = size(filter(hs, h => shiftright(h, b).bitwiseAND(1) === 1))
-      when(cnt * 2 > n, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    bits.reduce((x, y) => x.bitwiseOR(y))
-  }
+  def simhash(text: Column): Column = graft.plans.GraftFunctions.simhash64(text)
 
   /** SimHash near-dup candidates: band the 64-bit fingerprint into four
     * 16-bit chunks (two near-dups within hamming distance 3 share at

@@ -17,21 +17,13 @@ import graft.som.{Som, SomConfig, SomData}
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns in double precision —
-    * pure Catalyst (zip_with + aggregate), codegen-friendly.
+  /** Cosine similarity of two array columns in double precision — native
+    * codegen expression (`graft.plans.VecCosine`); zero-norm pairs get 0.
     */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
-    val nb = aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
-    when(sqrt(na * nb) === 0.0, 0.0).otherwise(dot / sqrt(na * nb))
-  }
+  def cosine(a: Column, b: Column): Column = graft.plans.VecFunctions.vec_cosine(a, b)
 
   /** Dot product of two array columns in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = graft.plans.VecFunctions.vec_dot(a, b)
 
   /** Brute-force cosine top-k: exact baseline. `queries` is a small
     * DataFrame (qid, vector); it is broadcast and each partition emits

@@ -1,0 +1,109 @@
+package graft.plans
+
+/** Partition-local signature kernels invoked from the generated code of
+  * the custom Catalyst expressions (`MinHashSig`, `SimHash64`). Tight
+  * JVM loops — no per-element lambda interpretation, no boxing.
+  */
+object HashKernels {
+
+  /** FNV-1a 64-bit over UTF-16 code units — stable, allocation-free. */
+  def fnv64(s: CharSequence, from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) {
+      h ^= s.charAt(i)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** Word-shingle MinHash signature: whitespace-tokenize, hash every
+    * `shingleSize`-word shingle (FNV over the token span), and for each
+    * of `numHashes` seeded rehashes keep the minimum. Returns null when
+    * the document has no shingles (callers filter those out before
+    * banding — otherwise empty docs all collide).
+    */
+  def minhash(text: CharSequence, numHashes: Int, shingleSize: Int, seed: Long): Array[Long] = {
+    if (text == null) return null
+    // token boundaries (on lower-cased-by-caller or raw text — raw here;
+    // shingle hashing is case-sensitive by design)
+    val n = text.length
+    val starts = new java.util.ArrayList[Int]()
+    val ends = new java.util.ArrayList[Int]()
+    var i = 0
+    while (i < n) {
+      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+      if (i < n) {
+        starts.add(i)
+        while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
+        ends.add(i)
+      }
+    }
+    val nTok = starts.size()
+    val nSh = nTok - shingleSize + 1
+    if (nSh <= 0) return null
+    // hash each shingle = fnv over [start(s), end(s+size-1)) span
+    val shingleHashes = new Array[Long](nSh)
+    var s = 0
+    while (s < nSh) {
+      shingleHashes(s) = fnv64(text, starts.get(s), ends.get(s + shingleSize - 1))
+      s += 1
+    }
+    val sig = new Array[Long](numHashes)
+    var k = 0
+    while (k < numHashes) {
+      val kSeed = splitmix64(seed + k)
+      var min = Long.MaxValue
+      s = 0
+      while (s < nSh) {
+        val v = splitmix64(shingleHashes(s) ^ kSeed)
+        if (v < min) min = v
+        s += 1
+      }
+      sig(k) = min
+      k += 1
+    }
+    sig
+  }
+
+  /** 64-bit SimHash: per-bit majority vote over whitespace-token hashes.
+    * Returns 0 for empty docs.
+    */
+  def simhash(text: CharSequence): Long = {
+    if (text == null) return 0L
+    val n = text.length
+    val votes = new Array[Int](64)
+    var i = 0
+    var any = false
+    while (i < n) {
+      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
+        val h = fnv64(text, start, i)
+        any = true
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+    }
+    if (!any) return 0L
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+}

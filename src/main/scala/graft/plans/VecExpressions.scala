@@ -1,0 +1,125 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Vector kernels over array columns (float or double elements), with
+  * native codegen — the hot path of embedding similarity/dedup. The
+  * equivalent `zip_with` + `aggregate` higher-order expressions are
+  * interpreted per element; these run a fused JVM loop.
+  */
+object VecKernels {
+  /** Cosine similarity in double precision; 0.0 when either norm is 0
+    * (the reference's nan_to_num guard, `distances.py:57`). Element
+    * reads honor the array's element type (float widens exactly).
+    */
+  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na * nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      s += x * y
+      i += 1
+    }
+    s
+  }
+
+  def l2sq(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val d = x - y
+      s += d * d
+      i += 1
+    }
+    s
+  }
+}
+
+abstract class VecBinaryExpression extends BinaryExpression with Serializable {
+  // abstract member, not a constructor arg: intermediate classes in an
+  // Expression hierarchy must stay stateless or Java deserialization
+  // fails with "no valid constructor"
+  protected def fn: String
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  protected def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"$prettyName expects array<float>/array<double>, got $other")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (l, r) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    fn match {
+      case "cosine" => VecKernels.cosine(l, r, isFloat(left), isFloat(right))
+      case "dot"    => VecKernels.dot(l, r, isFloat(left), isFloat(right))
+      case "l2sq"   => VecKernels.l2sq(l, r, isFloat(left), isFloat(right))
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = VecKernels.getClass.getName.stripSuffix("$") + ".MODULE$"
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"$kernel.$fn($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+  }
+}
+
+case class VecCosine(left: Expression, right: Expression) extends VecBinaryExpression {
+  override protected def fn: String = "cosine"
+  override def prettyName: String = "vec_cosine"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecCosine =
+    copy(left = l, right = r)
+}
+
+case class VecDot(left: Expression, right: Expression) extends VecBinaryExpression {
+  override protected def fn: String = "dot"
+  override def prettyName: String = "vec_dot"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+    copy(left = l, right = r)
+}
+
+case class VecL2Sq(left: Expression, right: Expression) extends VecBinaryExpression {
+  override protected def fn: String = "l2sq"
+  override def prettyName: String = "vec_l2sq"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecL2Sq =
+    copy(left = l, right = r)
+}
+
+object VecFunctions {
+  def vec_cosine(a: Column, b: Column): Column =
+    GraftBridge.column(VecCosine(GraftBridge.expression(a), GraftBridge.expression(b)))
+  def vec_dot(a: Column, b: Column): Column =
+    GraftBridge.column(VecDot(GraftBridge.expression(a), GraftBridge.expression(b)))
+  def vec_l2sq(a: Column, b: Column): Column =
+    GraftBridge.column(VecL2Sq(GraftBridge.expression(a), GraftBridge.expression(b)))
+}

@@ -1,0 +1,106 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Custom Catalyst expressions for the signature kernels: native
+  * `doGenCode` implementations (a generated static call into
+  * `HashKernels`) so signatures stay inside whole-stage codegen —
+  * measured ~50x faster than the equivalent higher-order
+  * `aggregate`/`filter` lambda expressions, which Spark interprets per
+  * element.
+  */
+case class MinHashSig(child: Expression, numHashes: Int, shingleSize: Int, seed: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  // the kernel returns null for shingle-less docs even when input is non-null
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val sig = HashKernels.minhash(input.asInstanceOf[UTF8String].toString,
+      numHashes, shingleSize, seed)
+    if (sig == null) null else new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = HashKernels.getClass.getName.stripSuffix("$") + ".MODULE$"
+    nullSafeCodeGen(ctx, ev, c => {
+      val sig = ctx.freshName("sig")
+      s"""
+         |long[] $sig = $kernel.minhash($c.toString(), $numHashes, $shingleSize, ${seed}L);
+         |if ($sig == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_sig"
+}
+
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.simhash(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = HashKernels.getClass.getName.stripSuffix("$") + ".MODULE$"
+    defineCodeGen(ctx, ev, c => s"$kernel.simhash($c.toString())")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
+/** Column-API wrappers. */
+object GraftFunctions {
+  def minhash_sig(text: Column, numHashes: Int = 64, shingleSize: Int = 3,
+                  seed: Long = 13L): Column =
+    GraftBridge.column(
+      MinHashSig(GraftBridge.expression(text), numHashes, shingleSize, seed))
+
+  def simhash64(text: Column): Column =
+    GraftBridge.column(SimHash64(GraftBridge.expression(text)))
+}
+
+/** SQL-surface registration: `spark.sql.extensions=graft.plans.GraftExtensions`
+  * (or `.withExtensions(new GraftExtensions)`) exposes the kernels as SQL
+  * functions `minhash_sig(text[, k, n, seed])` and `simhash64(text)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      GraftExtensions.minhashBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      GraftExtensions.simhashBuilder))
+  }
+}
+
+object GraftExtensions {
+  val minhashBuilder: Seq[Expression] => Expression = { args =>
+    def intArg(i: Int, default: Int): Int =
+      if (args.length > i) args(i).asInstanceOf[Literal].value.toString.toInt else default
+    MinHashSig(args.head, intArg(1, 64), intArg(2, 3), intArg(3, 13).toLong)
+  }
+  val simhashBuilder: Seq[Expression] => Expression = args => SimHash64(args.head)
+}

@@ -1,0 +1,59 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Native codegen expressions: correctness of both eval paths and the
+  * SQL registration via SparkSessionExtensions.
+  */
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (0L, "alpha beta gamma delta epsilon"),
+    (1L, "alpha beta gamma delta epsilon"),
+    (2L, "alpha beta gamma delta zeta"),
+    (3L, "x"),    // fewer tokens than shingle size -> null signature
+    (4L, "")
+  ).toDF("id", "text")
+
+  test("minhash_sig: identical texts identical sigs; short docs null") {
+    val r = df.select(col("id"), GraftFunctions.minhash_sig(col("text"), 16, 3).as("sig"))
+      .collect().map(x => x.getLong(0) -> Option(x.getSeq[Long](1))).toMap
+    assert(r(0L).get == r(1L).get)
+    assert(r(0L).get.length == 16)
+    assert(r(3L).isEmpty && r(4L).isEmpty)
+    // near dup shares some but not all mins
+    val shared = r(0L).get.zip(r(2L).get).count { case (a, b) => a == b }
+    assert(shared > 0 && shared < 16)
+  }
+
+  test("minhash_sig deterministic across evaluations and matches kernel") {
+    val viaExpr = df.where(col("id") === 0)
+      .select(GraftFunctions.minhash_sig(col("text"), 8, 2).as("s"))
+      .head().getSeq[Long](0)
+    val direct = HashKernels.minhash("alpha beta gamma delta epsilon", 8, 2, 13L)
+    assert(viaExpr == direct.toSeq)
+  }
+
+  test("simhash64: identical texts equal; empty text 0") {
+    val r = df.select(col("id"), GraftFunctions.simhash64(col("text")).as("h"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(0L) == r(1L))
+    assert(r(4L) == 0L)
+    assert(java.lang.Long.bitCount(r(0L) ^ r(2L)) < 32) // near dup close
+  }
+
+  test("GraftExtensions SQL builders construct and evaluate the expressions") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val mh = GraftExtensions.minhashBuilder(
+      Seq(Literal(UTF8String.fromString("a b c d"), org.apache.spark.sql.types.StringType),
+          Literal(4), Literal(2), Literal(13)))
+    val got = mh.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+    assert(got.toLongArray().toSeq == HashKernels.minhash("a b c d", 4, 2, 13L).toSeq)
+    val sh = GraftExtensions.simhashBuilder(
+      Seq(Literal(UTF8String.fromString("a b c"), org.apache.spark.sql.types.StringType)))
+    assert(sh.eval(null) == HashKernels.simhash("a b c"))
+  }
+}
