@@ -161,6 +161,30 @@ object Queries {
       s.createDataFrame(rows).toDF("i", "j", "ex", "ey")
     }),
 
+    // winner via the native som_bmu Catalyst expression (same semantics
+    // as som_winner, exercised through the codegen/streaming-safe path)
+    "som_winner_expr" -> ((s, dir) =>
+      fixedModel(s, dir).withBmu(emb(s, dir), "embedding")
+        .select(col("vec_id").cast("long").as("vec_id"),
+                col("bmu_id").cast("long").as("bmu_id"))),
+
+    // distributed PCA init (xpysom.py:762-785) — eig not SQL-expressible;
+    // rows-only check (golden fixture pinned in SomInitSpec)
+    "som_pca_init" -> ((s, dir) => {
+      val cb = new Som(SomConfig(3, 3)).pcaInit(emb(s, dir), "embedding")
+      val rows = for (n <- 0 until 9; c <- 0 until cb.dim)
+        yield (n.toLong, c.toLong, r6(cb.weights(n * cb.dim + c)))
+      s.createDataFrame(rows).toDF("nid", "dim", "w")
+    }),
+
+    // sample init (xpysom.py:749-759) — seeded takeSample; rows-only check
+    "som_sample_init" -> ((s, dir) => {
+      val cb = new Som(SomConfig(3, 3, seed = 7)).sampleInit(emb(s, dir), "embedding")
+      val rows = for (n <- 0 until 9; c <- 0 until cb.dim)
+        yield (n.toLong, c.toLong, r6(cb.weights(n * cb.dim + c)))
+      s.createDataFrame(rows).toDF("nid", "dim", "w")
+    }),
+
     // full training on embeddings — not SQL-expressible; rows-only check
     "som_train_activation_response" -> ((s, dir) => {
       val df = emb(s, dir)
@@ -317,6 +341,19 @@ object Queries {
                 col("event_id").cast("long").as("event_id"),
                 round(col("value"), 6).as("value"))
     }),
+
+    // events: tumbling-hour windowed counts (the batch twin of the
+    // streaming activation/window aggregation; ns-long arithmetic keeps
+    // the window boundary exact on both engines)
+    "events_hourly" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("window_start_ns",
+          col("ts") - pmod(col("ts"), lit(3600000000000L)))
+        .groupBy("window_start_ns", "event_type")
+        .agg(count(lit(1)).as("n"),
+             round(sum("value"), 4).as("sum_value"))
+        .select(col("window_start_ns").cast("long").as("window_start_ns"),
+                col("event_type"), col("n"), col("sum_value"))),
 
     // events: sessionization (30-minute gap) via lag window
     "events_sessionize" -> ((s, dir) => {
@@ -569,6 +606,12 @@ object Queries {
   )
 
   private lazy val pipelineOracles: Map[String, String] = Map(
+    "som_winner_expr" ->
+      s"""$cbDistCte
+         |SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         |       (array_agg(nid ORDER BY dist2 ASC, nid ASC))[1] AS bmu_id
+         |FROM d GROUP BY vec_id""".stripMargin,
+
     "dedup_exact" ->
       s"""WITH f AS (SELECT doc_id, md5(array_to_string($duckToks, ' ')) AS fp FROM documents)
          |SELECT fp, CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n
@@ -718,6 +761,13 @@ object Queries {
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |WHERE c.c_mktsegment = 'BUILDING'
         |GROUP BY o.o_orderkey""".stripMargin,
+
+    "events_hourly" ->
+      """SELECT CAST(epoch_ns(ts) - epoch_ns(ts) % 3600000000000 AS BIGINT) AS window_start_ns,
+        |       event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(round(sum(value), 4) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "events_agg" ->
       """SELECT CAST(user_id AS BIGINT) AS user_id, event_type,

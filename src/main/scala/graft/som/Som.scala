@@ -86,30 +86,94 @@ final class Som(val config: SomConfig) extends Serializable {
   }
 
   /** Epoch loop over an already-materialized vector RDD. */
-  private[som] def fitFrom(data: RDD[Array[Double]], init: Codebook,
-                           numEpochs: Int): Codebook = {
-    val sc = data.sparkContext
-    val cfg = config
+  private[graft] def fitFrom(data: RDD[Array[Double]], init: Codebook,
+                             numEpochs: Int): Codebook = {
     var cb = init
     var t = 0
     while (t < numEpochs) {
-      val eta = cfg.decayFn(cfg.learningRate, cfg.learningRateN, t, numEpochs)
-      val sig = cfg.decayFn(cfg.sigma0, cfg.sigmaN, t, numEpochs)
-      val wSq = if (cfg.distanceFn.canCache) cb.rowSumSq() else null
-      val bc = sc.broadcast((cb.weights, wSq))
-      val (num, den) = data
-        .mapPartitions { it =>
-          val (w, wsq) = bc.value
-          Iterator.single(SomKernels.partitionUpdate(it, w, wsq, cfg, eta, sig))
-        }
-        .treeReduce({ (a, b) =>
-          SomKernels.addInPlace(a._1, b._1); SomKernels.addInPlace(a._2, b._2); a
-        }, depth = cfg.treeDepth)
-      cb = cb.merged(num, den)
-      bc.destroy()
+      cb = epoch(data, cb, t, numEpochs)
       t += 1
     }
     cb
+  }
+
+  /** One training epoch (one Spark job): broadcast codebook (+ wSq
+    * cache), per-partition update, treeReduce of (num, den), merge.
+    * Exposed for incremental/streaming training where each micro-batch
+    * advances the decay schedule by one step.
+    */
+  private[graft] def epoch(data: RDD[Array[Double]], cb: Codebook, t: Int,
+                           numEpochs: Int): Codebook = {
+    val sc = data.sparkContext
+    val cfg = config
+    val eta = cfg.decayFn(cfg.learningRate, cfg.learningRateN, t, numEpochs)
+    val sig = cfg.decayFn(cfg.sigma0, cfg.sigmaN, t, numEpochs)
+    val wSq = if (cfg.distanceFn.canCache) cb.rowSumSq() else null
+    val bc = sc.broadcast((cb.weights, wSq))
+    val (num, den) = data
+      .mapPartitions { it =>
+        val (w, wsq) = bc.value
+        Iterator.single(SomKernels.partitionUpdate(it, w, wsq, cfg, eta, sig))
+      }
+      .treeReduce({ (a, b) =>
+        SomKernels.addInPlace(a._1, b._1); SomKernels.addInPlace(a._2, b._2); a
+      }, depth = cfg.treeDepth)
+    val merged = cb.merged(num, den)
+    bc.destroy()
+    merged
+  }
+
+  /** Sample init (`random_weights_init`, `xpysom.py:749-759`): draw x*y
+    * rows uniformly with replacement (distributed `takeSample`), one per
+    * neuron in row-major order.
+    */
+  def sampleInit(df: DataFrame, featuresCol: String = "features"): Codebook = {
+    val rows = SomData.toVectors(df, featuresCol)
+      .takeSample(withReplacement = true, config.x * config.y, config.seed)
+    Codebook.fromRows(config.x, config.y, rows.toSeq)
+  }
+
+  /** PCA init (`pca_weights_init`, `xpysom.py:762-785`): sample
+    * covariance via a single distributed pass (treeAggregate of
+    * (x xᵀ, Σx, n)), then the reference's eigen-combination on the
+    * driver (including its row-indexing quirk — see Codebook.pcaFromCov).
+    */
+  def pcaInit(df: DataFrame, featuresCol: String = "features"): Codebook = {
+    val data = SomData.toVectors(df, featuresCol)
+    val first = data.take(1)
+    require(first.nonEmpty, "cannot pca-init on an empty dataset")
+    val d = first.head.length
+    val (xtx, sums, n) = data.treeAggregate(
+      (new Array[Double](d * d), new Array[Double](d), 0L))(
+      seqOp = { case ((m, s, c), v) =>
+        var i = 0
+        while (i < d) {
+          s(i) += v(i)
+          var j = 0
+          val base = i * d
+          while (j < d) { m(base + j) += v(i) * v(j); j += 1 }
+          i += 1
+        }
+        (m, s, c + 1)
+      },
+      combOp = { case ((m1, s1, c1), (m2, s2, c2)) =>
+        SomKernels.addInPlace(m1, m2); SomKernels.addInPlace(s1, s2)
+        (m1, s1, c1 + c2)
+      }, depth = config.treeDepth)
+    require(n > 1, "pca init needs at least 2 samples")
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      (xtx(i * d + j) - sums(i) * sums(j) / n) / (n - 1)
+    }
+    Codebook.pcaFromCov(config.x, config.y, cov)
+  }
+
+  /** MiniSom-compat aliases (`xpysom.py:597-605`). */
+  def trainBatch(df: DataFrame, featuresCol: String, numEpochs: Int): SomModel =
+    fit(df, featuresCol, numEpochs)
+  def trainRandom(df: DataFrame, featuresCol: String, numEpochs: Int): SomModel = {
+    System.err.println("WARNING: due to batch SOM algorithm, random order is not " +
+      "supported. Falling back to train_batch.")
+    fit(df, featuresCol, numEpochs)
   }
 }
 

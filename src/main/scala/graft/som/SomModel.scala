@@ -95,6 +95,20 @@ final class SomModel(val config: SomConfig, val codebook: Codebook)
       Seq(best, best / y, best % y)
     }
 
+  /** Expression-based BMU transform: appends bmu_id/bmu_i/bmu_j as a pure
+    * column operation via the native `som_bmu` Catalyst expression
+    * (`graft.plans.SomBmu`) — stays inside whole-stage codegen and,
+    * unlike the mapPartitions path, composes with Structured Streaming.
+    * Identical semantics to `transform`.
+    */
+  def withBmu(df: DataFrame, featuresCol: String = "features"): DataFrame = {
+    val bmu = graft.plans.SomBmuFunctions.som_bmu(
+      col(featuresCol), codebook.weights, dim, config.distance, config.normP)
+    df.withColumn("bmu_id", bmu)
+      .withColumn("bmu_i", floor(col("bmu_id") / y).cast("int"))
+      .withColumn("bmu_j", pmod(col("bmu_id"), lit(y)).cast("int"))
+  }
+
   /** Activation map (`activate`, `xpysom.py:323-354`): appends the full
     * per-neuron distance vector.
     */

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.som.{Codebook, Som, SomData, SomModel}
+
+/** Structured Streaming surface for the SOM engine. The reference has no
+  * streaming API (SURVEY §2.9); this extends the same operator semantics
+  * to unbounded inputs the Spark-native way:
+  *
+  *  - inference is the `som_bmu` Catalyst expression, so any streaming
+  *    DataFrame can be BMU-tagged with a plain `withColumn` — no special
+  *    sink, full codegen;
+  *  - `activation_response` over a stream becomes a watermarked windowed
+  *    count (the streaming analogue of `xpysom.py:819-829`);
+  *  - training continues across micro-batches via `foreachBatch`: each
+  *    batch advances the epoch counter by one step of the decay
+  *    schedule — the streaming analogue of the batch epoch loop
+  *    (`xpysom.py:515-577`).
+  */
+object StreamingSom {
+
+  /** BMU-tag a (possibly streaming) DataFrame. */
+  def assignBmu(stream: DataFrame, model: SomModel,
+                featuresCol: String = "features"): DataFrame =
+    model.withBmu(stream, featuresCol)
+
+  /** Windowed per-neuron win counts over event time with a watermark —
+    * streaming activation response. `tsCol` must be a TimestampType
+    * column; `windowDur`/`watermarkDur` are duration strings ("1 hour").
+    */
+  def activationResponseStream(stream: DataFrame, model: SomModel,
+                               featuresCol: String, tsCol: String,
+                               windowDur: String, watermarkDur: String): DataFrame =
+    model.withBmu(stream, featuresCol)
+      .withWatermark(tsCol, watermarkDur)
+      .groupBy(window(col(tsCol), windowDur), col("bmu_id"))
+      .agg(count(lit(1)).as("n_wins"))
+
+  /** Incremental trainer: call `update` from `foreachBatch`. Each
+    * micro-batch runs one epoch (broadcast + treeReduce + merge) at the
+    * current position of the decay schedule, capped at `totalEpochs`
+    * (after which eta/sigma stay at their final values).
+    */
+  final class IncrementalTrainer(som: Som, initial: Codebook,
+                                 totalEpochs: Int) extends Serializable {
+    @volatile private var cb: Codebook = initial
+    private var step = 0
+
+    def codebook: Codebook = cb
+    def model: SomModel = new SomModel(som.config, cb)
+
+    def update(batch: DataFrame, featuresCol: String = "features"): Unit =
+      synchronized {
+        if (!batch.isEmpty) {
+          val data = SomData.toVectors(batch, featuresCol)
+          val t = math.min(step, totalEpochs - 1)
+          cb = som.epoch(data, cb, t, totalEpochs)
+          step += 1
+        }
+      }
+  }
+}

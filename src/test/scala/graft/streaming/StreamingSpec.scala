@@ -1,0 +1,86 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.som.{Codebook, Som, SomConfig, SomModel}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming: BMU tagging on a stream, watermarked windowed
+  * activation response, and incremental (foreachBatch) training.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixtureModel: SomModel = {
+    val rows = (0 until 25).map { n =>
+      val (i, j) = (n / 5, n % 5)
+      Array(if (i == 2 && j == 3) 5.0 else if (i == 1 && j == 1) 2.0 else 0.0)
+    }
+    SomModel.fromWeights(SomConfig(5, 5), rows)
+  }
+
+  test("streaming BMU assignment via the som_bmu expression") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Float])]
+    val tagged = StreamingSom.assignBmu(
+      input.toDF().toDF("id", "features"), fixtureModel)
+    val q = tagged.writeStream.format("memory").queryName("bmu_out")
+      .outputMode("append").start()
+    try {
+      input.addData((0L, Seq(5.0f)), (1L, Seq(2.0f)))
+      q.processAllAvailable()
+      val out = spark.table("bmu_out").collect()
+        .map(r => r.getLong(0) -> (r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+      assert(out(0L) == ((13, 2, 3)))
+      assert(out(1L) == ((6, 1, 1)))
+    } finally q.stop()
+  }
+
+  test("windowed activation response with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Seq[Float])]
+    val agg = StreamingSom.activationResponseStream(
+      input.toDF().toDF("ts", "features"), fixtureModel,
+      "features", "ts", "1 hour", "2 hours")
+    val q = agg.writeStream.format("memory").queryName("ar_out")
+      .outputMode("complete").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:15:00")
+      val t1 = java.sql.Timestamp.valueOf("2026-01-01 10:45:00")
+      val t2 = java.sql.Timestamp.valueOf("2026-01-01 11:05:00")
+      input.addData((t0, Seq(5.0f)), (t1, Seq(5.0f)), (t2, Seq(2.0f)))
+      q.processAllAvailable()
+      val out = spark.table("ar_out").collect()
+        .map(r => (r.getStruct(0).getTimestamp(0).toString, r.getInt(1)) -> r.getLong(2))
+        .toMap
+      assert(out(("2026-01-01 10:00:00.0", 13)) == 2L)
+      assert(out(("2026-01-01 11:00:00.0", 6)) == 1L)
+    } finally q.stop()
+  }
+
+  test("incremental training over micro-batches decreases QE") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(21)
+    val allData = Seq.fill(120)(Seq.fill(3)(rnd.nextFloat()))
+    val batches = allData.grouped(40).toSeq
+    val som = new Som(SomConfig(4, 4, seed = 5))
+    val init = Codebook.randomUniform(4, 4, 3, seed = 5)
+    val trainer = new StreamingSom.IncrementalTrainer(som, init, totalEpochs = 6)
+
+    val evalDf = allData.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "features")
+    val q0 = new SomModel(som.config, init).quantizationError(evalDf)
+
+    val input = MemoryStream[Seq[Float]]
+    val query = input.toDF().toDF("features").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        trainer.update(batch, "features")
+      }
+      .start()
+    try {
+      batches.foreach { b => input.addData(b: _*); query.processAllAvailable() }
+      val q1 = trainer.model.quantizationError(evalDf)
+      assert(q1 < q0, s"QE should decrease: $q0 -> $q1")
+    } finally query.stop()
+  }
+}
