@@ -1,0 +1,24 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.01"
+    def show(name: String): Unit = {
+      println(s"===== $name =====")
+      println(Queries.all(name)(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.ExtendedMode).split("\n")
+        .filter(l => l.contains("Scan") || l.contains("Join") || l.contains("Exchange")
+          || l.contains("Filter") || l.contains("Codegen") || l.contains("Physical Plan")
+          || l.contains("PushedFilters") || l.contains("ReadSchema")).take(25).mkString("\n"))
+    }
+    Seq("q1_lineitem_agg", "q3_revenue_by_order", "som_winner_expr",
+        "dedup_exact", "ann_cosine_topk", "dedup_minhash", "events_hourly").foreach(show)
+    spark.stop()
+  }
+}

@@ -47,11 +47,14 @@ object Dedup {
                         numHashes: Int = 64, rowsPerBand: Int = 8,
                         shingleSize: Int = 3): DataFrame = {
     val numBands = numHashes / rowsPerBand
+    // persist: the signature column is referenced by four plan branches
+    // (band self-join sides + two re-attach joins) — without this the
+    // scan AND the signature kernel run four times (verified via explain)
     val sigs = df.select(
       col(idCol).cast("long").as("id"),
       graft.plans.GraftFunctions.minhash_sig(col(textCol), numHashes, shingleSize).as("sig"))
       .where(col("sig").isNotNull)
-    sigs.cache()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band join carries only (id, band-bucket hash) — the signature stays
     // out of the shuffle; pairs are deduped BEFORE re-attaching signatures
     // for the jaccard estimate, so the wide rows never multiply.
@@ -89,6 +92,7 @@ object Dedup {
                         maxHamming: Int = 3): DataFrame = {
     val withFp = df.select(col(idCol).cast("long").as("id"),
                            simhash(col(textCol)).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = withFp.select(col("id"), col("fp"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

@@ -240,29 +240,37 @@ private[som] object SomKernels {
   }
 }
 
-/** Feature-column extraction: accepts array<float>, array<double>, or
-  * array<numeric> columns (the Spark analogue of the reference's
-  * six-way container dispatch, `xpysom.py:487-510`).
+/** Feature-column extraction: accepts array<float>, array<double>,
+  * array<numeric>, or `ml.linalg.Vector` (VectorUDT) columns — the Spark
+  * analogue of the reference's six-way container dispatch
+  * (`xpysom.py:487-510`): any container normalizes to one vector type
+  * before the math sees it.
   */
 object SomData {
   def toVectors(df: DataFrame, featuresCol: String): RDD[Array[Double]] = {
-    val idx = df.schema.fieldIndex(featuresCol)
+    df.schema.fieldIndex(featuresCol) // fail fast on missing column
     df.select(featuresCol).rdd.map(r => rowToVec(r, 0))
   }
 
-  def rowToVec(r: Row, idx: Int): Array[Double] = {
-    val seq = r.getSeq[Any](idx)
-    val out = new Array[Double](seq.length)
-    var i = 0
-    seq.foreach { v =>
-      out(i) = v match {
-        case f: Float  => f.toDouble
-        case d: Double => d
-        case n: Number => n.doubleValue()
-        case null      => Double.NaN
+  def rowToVec(r: Row, idx: Int): Array[Double] = r.get(idx) match {
+    case v: org.apache.spark.ml.linalg.Vector => v.toArray
+    case seq: scala.collection.Seq[_] =>
+      val out = new Array[Double](seq.length)
+      var i = 0
+      seq.foreach { v =>
+        out(i) = v match {
+          case f: Float  => f.toDouble
+          case d: Double => d
+          case n: Number => n.doubleValue()
+          case null      => Double.NaN
+        }
+        i += 1
       }
-      i += 1
-    }
-    out
+      out
+    case null => throw new IllegalArgumentException(
+      s"null features at column index $idx")
+    case other => throw new IllegalArgumentException(
+      s"unsupported features type ${other.getClass.getName}: expected " +
+        "array<numeric> or ml.linalg.Vector")
   }
 }

@@ -45,6 +45,39 @@ class SomInitSpec extends SparkSpec {
     }
   }
 
+  test("ingest dispatch: ml.linalg.Vector column (`xpysom.py:487-510` analogue)") {
+    import org.apache.spark.ml.linalg.Vectors
+    val df = Seq(
+      (0L, Vectors.dense(1.0, 2.0)),
+      (1L, Vectors.dense(3.0, 1.0)),
+      (2L, Vectors.sparse(2, Seq((0, 5.0))))
+    ).toDF("id", "features")
+    val m = new Som(SomConfig(2, 2, seed = 4)).fit(df, "features", 2)
+    assert(m.dim == 2)
+    // arrays and vectors produce the same training result
+    val df2 = Seq((0L, Seq(1f, 2f)), (1L, Seq(3f, 1f)), (2L, Seq(5f, 0f)))
+      .toDF("id", "features")
+    val m2 = new Som(SomConfig(2, 2, seed = 4)).fit(df2, "features", 2)
+    assert(m.codebook.weights.zip(m2.codebook.weights)
+      .forall { case (a, b) => math.abs(a - b) < 1e-9 })
+  }
+
+  test("ingest dispatch: CSV source (iris-style)") {
+    val tmp = java.nio.file.Files.createTempDirectory("som-csv")
+    val csv = tmp.resolve("iris.csv")
+    java.nio.file.Files.writeString(csv,
+      "5.1,3.5,1.4,0.2,setosa\n4.9,3.0,1.4,0.2,setosa\n6.2,3.4,5.4,2.3,virginica\n")
+    val raw = spark.read.csv(csv.toString)
+      .toDF("sl", "sw", "pl", "pw", "species")
+    val df = raw.select(
+      array(col("sl"), col("sw"), col("pl"), col("pw"))
+        .cast("array<float>").as("features"),
+      col("species"))
+    val m = new Som(SomConfig(2, 2, seed = 9)).fit(df, "features", 3)
+    val lm = m.labelsMap(df, "species")
+    assert(lm.count() >= 2) // both species land somewhere
+  }
+
   test("trainBatch/trainRandom aliases (`xpysom.py:597-605`)") {
     val df = Seq((0L, Seq(1f, 2f)), (1L, Seq(3f, 1f))).toDF("id", "features")
     val som = new Som(SomConfig(2, 2, seed = 1))
