@@ -62,6 +62,26 @@ object Bench {
       model.activationResponse(emb, "embedding").count()
     }
 
+    // --- scale benches: 200k x 64 synthetic embeddings, generated with
+    // pure expressions (no driver materialization) — the meaningful
+    // throughput measurement on this machine; the small parquet tables
+    // above are too small to exercise the epoch/BMU paths.
+    {
+      val big = spark.range(200000).select(col("id"),
+        transform(sequence(lit(1), lit(64)),
+          i => sin(col("id") * i * 0.7 + i * 1.3).cast("float")).as("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      big.count()
+      var bigModel: SomModel = null
+      results("bench_train_200k") = time {
+        bigModel = new Som(SomConfig(8, 8, seed = 1)).fit(big, "embedding", numEpochs = 3)
+      }
+      results("bench_bmu_200k") = time {
+        bigModel.withBmu(big, "embedding").groupBy("bmu_id").count().count()
+      }
+      big.unpersist(blocking = false)
+    }
+
     // --- full query suite: 1 warmup + 1 timed rep each (the reference
     // bench methodology, bench_utils.py:56-78) — steady-state numbers,
     // not JIT/classload noise.

@@ -161,6 +161,30 @@ object Queries {
       s.createDataFrame(rows).toDF("i", "j", "ex", "ey")
     }),
 
+    // winner under cosine activation distance (distances.py:45-59)
+    "som_winner_cosine" -> ((s, dir) =>
+      fixedModel(s, dir, distance = "cosine").transform(emb(s, dir), "embedding")
+        .select(col("vec_id").cast("long").as("vec_id"),
+                col("bmu_id").cast("long").as("bmu_id"))),
+
+    // U-matrix under hexagonal topology (parity-dependent offsets,
+    // xpysom.py:802-810)
+    "som_umatrix_hex" -> ((s, dir) => {
+      val dm = Codebook.fromRows(3, 3, fixedRows(s, dir)).distanceMap(Hexagonal(3, 3))
+      val rows = for (i <- 0 until 3; j <- 0 until 3)
+        yield (i.toLong, j.toLong, r6(dm(i)(j)))
+      s.createDataFrame(rows).toDF("i", "j", "u")
+    }),
+
+    // topographic error under hexagonal topology (xpysom.py:741-746,
+    // including the transposed meshgrid-indexing quirk)
+    "som_topographic_error_hex" -> ((s, dir) => {
+      val m = SomModel.fromWeights(
+        SomConfig(3, 3, topology = "hexagonal"), fixedRows(s, dir))
+      val te = m.topographicError(emb(s, dir), "embedding")
+      s.createDataFrame(Seq(Tuple1(r6(te)))).toDF("te")
+    }),
+
     // winner via the native som_bmu Catalyst expression (same semantics
     // as som_winner, exercised through the codegen/streaming-safe path)
     "som_winner_expr" -> ((s, dir) =>
@@ -234,6 +258,15 @@ object Queries {
           .map(r => (r.getLong(r.fieldIndex("vec_id")),
             r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)).toSeq
         Similarity.bruteForceTopK(emb(s, dir), "embedding", "vec_id", qs, k = 5)
+      }),
+
+      // random-hyperplane LSH ANN — recall < 1 by design: rows-only check
+      "ann_lsh_topk" -> ((s, dir) => {
+        val qs = emb(s, dir).orderBy("vec_id").limit(5).collect()
+          .map(r => (r.getLong(r.fieldIndex("vec_id")),
+            r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)).toSeq
+        Similarity.lshCosineTopK(emb(s, dir), "embedding", "vec_id", qs, k = 5,
+          numPlanes = 6, numTables = 8)
       }),
 
       // SOM-bucketed (IVF-style) ANN — training-dependent: rows-only check
@@ -606,6 +639,64 @@ object Queries {
   )
 
   private lazy val pipelineOracles: Map[String, String] = Map(
+    "som_winner_cosine" ->
+      """WITH cb AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS nid, embedding AS w
+        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 9)
+        |), d AS (
+        |  SELECT e.vec_id, c.nid,
+        |         sum(CAST(u.v AS DOUBLE) * CAST(c.w[u.i] AS DOUBLE)) AS dot,
+        |         sum(CAST(u.v AS DOUBLE) * CAST(u.v AS DOUBLE)) AS x2,
+        |         sum(CAST(c.w[u.i] AS DOUBLE) * CAST(c.w[u.i] AS DOUBLE)) AS w2
+        |  FROM embeddings e CROSS JOIN cb c,
+        |       LATERAL (SELECT unnest(e.embedding) AS v,
+        |                       generate_subscripts(e.embedding, 1) AS i) u
+        |  GROUP BY e.vec_id, c.nid
+        |)
+        |SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |       (array_agg(nid ORDER BY
+        |          1 - CASE WHEN sqrt(x2 * w2) = 0 THEN 0 ELSE dot / sqrt(x2 * w2) END ASC,
+        |          nid ASC))[1] AS bmu_id
+        |FROM d GROUP BY vec_id""".stripMargin,
+
+    "som_umatrix_hex" ->
+      """WITH cb AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS nid, embedding AS w
+        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 9)
+        |), off AS (
+        |  SELECT * FROM (VALUES
+        |    (0, 0, 1), (0, 1, 0), (0, 0, -1), (0, -1, -1), (0, -1, 0), (0, -1, 1),
+        |    (1, 1, 1), (1, 1, 0), (1, 1, -1), (1, 0, -1), (1, -1, 0), (1, 0, 1)
+        |  ) AS t(par, di, dj)
+        |), nb AS (
+        |  SELECT a.nid AS n1, b.nid AS n2,
+        |         sqrt(sum((CAST(a.w[u.i] AS DOUBLE) - CAST(b.w[u.i] AS DOUBLE))
+        |                * (CAST(a.w[u.i] AS DOUBLE) - CAST(b.w[u.i] AS DOUBLE)))) AS dist
+        |  FROM cb a
+        |  JOIN off o ON o.par = CASE WHEN (a.nid % 3) % 2 = 0 THEN 0 ELSE 1 END
+        |  JOIN cb b ON b.nid // 3 = a.nid // 3 + o.di AND b.nid % 3 = a.nid % 3 + o.dj
+        |           AND a.nid // 3 + o.di BETWEEN 0 AND 2 AND a.nid % 3 + o.dj BETWEEN 0 AND 2,
+        |       LATERAL (SELECT generate_subscripts(a.w, 1) AS i) u
+        |  GROUP BY a.nid, b.nid
+        |), um AS (SELECT n1, sum(dist) AS u FROM nb GROUP BY n1)
+        |SELECT CAST(c.nid // 3 AS BIGINT) AS i, CAST(c.nid % 3 AS BIGINT) AS j,
+        |       CAST(round(COALESCE(um.u, 0) / (SELECT max(u) FROM um), 6) AS DOUBLE) AS u
+        |FROM cb c LEFT JOIN um ON um.n1 = c.nid""".stripMargin,
+
+    "som_topographic_error_hex" ->
+      s"""$cbDistCte, ranked AS (
+         |  SELECT vec_id, nid, row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, nid ASC) AS rn
+         |  FROM d),
+         |coords AS (
+         |  SELECT vec_id, rn,
+         |         (nid % 3) - CASE WHEN (3 - 1 - (nid // 3)) % 2 = 0 THEN 0.5 ELSE 0.0 END AS tex,
+         |         CAST(nid // 3 AS DOUBLE) AS tey
+         |  FROM ranked WHERE rn <= 2)
+         |SELECT CAST(round(avg(CASE WHEN sqrt((b1.tex - b2.tex) * (b1.tex - b2.tex)
+         |                                   + (b1.tey - b2.tey) * (b1.tey - b2.tey)) > 1.5
+         |                           THEN 1.0 ELSE 0.0 END), 6) AS DOUBLE) AS te
+         |FROM coords b1 JOIN coords b2 ON b1.vec_id = b2.vec_id AND b1.rn = 1 AND b2.rn = 2""".stripMargin,
+
     "som_winner_expr" ->
       s"""$cbDistCte
          |SELECT CAST(vec_id AS BIGINT) AS vec_id,

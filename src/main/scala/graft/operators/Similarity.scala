@@ -78,6 +78,58 @@ object Similarity {
               round(col("sim"), 6).as("sim"))
   }
 
+  /** Random-hyperplane LSH ANN: per table, a `numPlanes`-bit bucket from
+    * the signs of projections onto seeded random hyperplanes; candidates
+    * are rows sharing any (table, bucket) with a query, reranked by exact
+    * cosine. All bucketing is codegen'd `vec_dot` against literal planes;
+    * the probe set is broadcast — the scan stays single-pass and the
+    * shuffle carries only candidates.
+    */
+  def lshCosineTopK(df: DataFrame, vecCol: String, idCol: String,
+                    queries: Seq[(Long, Array[Double])], k: Int,
+                    numPlanes: Int = 12, numTables: Int = 4,
+                    seed: Long = 31): DataFrame = {
+    val dim = queries.head._2.length
+    val rnd = new scala.util.Random(seed)
+    // planes(t)(p) is a dim-vector
+    val planes = Array.fill(numTables, numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+
+    def bucketCol(t: Int): Column =
+      (0 until numPlanes).map { p =>
+        val plane = typedLit(planes(t)(p).toSeq)
+        when(graft.plans.VecFunctions.vec_dot(col("__v"), plane) > 0, lit(1 << p))
+          .otherwise(lit(0))
+      }.reduce(_.bitwiseOR(_))
+
+    def bucketOf(t: Int, v: Array[Double]): Int =
+      (0 until numPlanes).map { p =>
+        val d = planes(t)(p).zip(v).map { case (a, b) => a * b }.sum
+        if (d > 0) 1 << p else 0
+      }.reduce(_ | _)
+
+    val probe = for ((qid, q) <- queries; t <- 0 until numTables)
+      yield (qid, t, bucketOf(t, q))
+    val probeDf = df.sparkSession.createDataFrame(probe).toDF("qid", "table", "bucket")
+    val qDf = df.sparkSession.createDataFrame(
+      queries.map { case (qid, v) => (qid, v.toSeq) }).toDF("qid", "qv")
+
+    val bucketed = df.select(col(idCol).cast("long").as("nid"), col(vecCol).as("__v"))
+      .select(col("nid"), col("__v"), explode(array((0 until numTables).map(t =>
+        struct(lit(t).as("table"), bucketCol(t).as("bucket"))): _*)).as("tb"))
+      .select(col("nid"), col("__v"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    bucketed.join(broadcast(probeDf), Seq("table", "bucket"))
+      .where(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), col("__v")).distinct()
+      .join(broadcast(qDf), "qid")
+      .select(col("qid"), col("nid"), cosine(col("__v"), col("qv")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+              round(col("sim"), 6).as("sim"))
+  }
+
   /** IVF-style ANN: train a small SOM as the coarse quantizer, assign
     * every row to its BMU cell, and scan only the `nProbe` cells whose
     * centroids are closest to each query. Returns (qid, rank, nid, sim).

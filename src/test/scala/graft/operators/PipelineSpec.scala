@@ -102,6 +102,26 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("LSH cosine ANN: candidates rerank exactly, high overlap with brute force") {
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 300L).map(i => (i, Array.fill(16)(rnd.nextGaussian())))
+    val df = vecs.map { case (i, v) => (i, v.map(_.toFloat).toSeq) }.toDF("vec_id", "embedding")
+    val qs = vecs.take(3)
+    // 4 planes x 8 tables: per-plane agreement ~0.7 for near neighbors
+    // here, so candidate recall ~1-(1-0.7^4)^8 ~ 0.9
+    val lsh = Similarity.lshCosineTopK(df, "embedding", "vec_id", qs, k = 5,
+      numPlanes = 4, numTables = 8)
+    val brute = Similarity.bruteForceTopK(df, "embedding", "vec_id", qs, k = 5)
+    val lshSets = lsh.collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet)
+    val bruteSets = brute.collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet)
+    for (qid <- qs.map(_._1)) {
+      assert(lshSets(qid).size == 5)
+      // 8 tables x 8 planes: most true neighbors should surface
+      assert((lshSets(qid) intersect bruteSets(qid)).size >= 2,
+        s"q=$qid recall too low: ${lshSets(qid)} vs ${bruteSets(qid)}")
+    }
+  }
+
   test("som-bucketed ANN returns k ranked neighbors per query") {
     val rnd = new scala.util.Random(9)
     val vecs = (0L until 200L).map(i => (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
