@@ -142,7 +142,7 @@ object Similarity {
               epochs: Int = 3, seed: Long = 42): DataFrame = {
     val model = new Som(SomConfig(gridX, gridY, seed = seed))
       .fit(df, vecCol, numEpochs = epochs)
-    val assigned = model.transform(df, vecCol)
+    val assigned = model.withBmu(df, vecCol)
     // nProbe nearest cells per query, by centroid distance (driver-local)
     val cb = model.codebook
     val probe = queries.flatMap { case (qid, q) =>

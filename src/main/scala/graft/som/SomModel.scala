@@ -180,10 +180,12 @@ final class SomModel(val config: SomConfig, val codebook: Codebook)
   }
 
   /** Wins per neuron (`activation_response`, `xpysom.py:819-829`) as a
-    * DataFrame (bmu_id, bmu_i, bmu_j, n_wins) — a hash aggregate.
+    * DataFrame (bmu_id, bmu_i, bmu_j, n_wins) — a hash aggregate over the
+    * expression-based BMU (whole scan + partial agg stay in one codegen
+    * stage; no Row round-trip).
     */
   def activationResponse(df: DataFrame, featuresCol: String = "features"): DataFrame =
-    transform(df, featuresCol)
+    withBmu(df, featuresCol)
       .groupBy("bmu_id", "bmu_i", "bmu_j")
       .agg(count(lit(1)).as("n_wins"))
 
@@ -191,7 +193,7 @@ final class SomModel(val config: SomConfig, val codebook: Codebook)
     * as (bmu_id, bmu_i, bmu_j, samples array).
     */
   def winMap(df: DataFrame, featuresCol: String = "features"): DataFrame =
-    transform(df, featuresCol)
+    withBmu(df, featuresCol)
       .groupBy("bmu_id", "bmu_i", "bmu_j")
       .agg(collect_list(col(featuresCol)).as("samples"))
 
@@ -200,7 +202,7 @@ final class SomModel(val config: SomConfig, val codebook: Codebook)
     */
   def labelsMap(df: DataFrame, labelCol: String,
                 featuresCol: String = "features"): DataFrame =
-    transform(df, featuresCol)
+    withBmu(df, featuresCol)
       .groupBy(col("bmu_id"), col("bmu_i"), col("bmu_j"), col(labelCol).as("label"))
       .agg(count(lit(1)).as("n"))
 
