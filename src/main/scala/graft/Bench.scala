@@ -54,10 +54,12 @@ object Bench {
     // --- epoch-throughput + inference benches (BASELINE.md) ----------
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     emb.count() // warm page cache / scan
+    new Som(SomConfig(6, 6, seed = 42)).fit(emb, "embedding", numEpochs = 2) // JIT/codegen warmup
     var model: SomModel = null
     results("bench_epoch_train") = time {
       model = new Som(SomConfig(6, 6, seed = 42)).fit(emb, "embedding", numEpochs = 10)
     }
+    model.activationResponse(emb, "embedding").count() // warmup
     results("bench_inference") = time {
       model.activationResponse(emb, "embedding").count()
     }
@@ -72,10 +74,12 @@ object Bench {
           i => sin(col("id") * i * 0.7 + i * 1.3).cast("float")).as("embedding"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       big.count()
+      new Som(SomConfig(8, 8, seed = 1)).fit(big, "embedding", numEpochs = 1) // warmup
       var bigModel: SomModel = null
       results("bench_train_200k") = time {
         bigModel = new Som(SomConfig(8, 8, seed = 1)).fit(big, "embedding", numEpochs = 3)
       }
+      bigModel.withBmu(big, "embedding").groupBy("bmu_id").count().count() // warmup
       results("bench_bmu_200k") = time {
         bigModel.withBmu(big, "embedding").groupBy("bmu_id").count().count()
       }

@@ -99,9 +99,82 @@ case class SomBmu(child: Expression, weights: Array[Double], dim: Int,
   override def hashCode(): Int = child.hashCode() * 31 + dim
 }
 
+/** Quantization distance: the true euclidean distance to the closest
+  * codebook vector (always euclidean, regardless of activation distance —
+  * reference `_quantization` semantics, `xpysom.py:660-671`). Lets
+  * quantization error run as `select(avg(som_qdist(...)))` — one
+  * codegen'd scan + scalar aggregate.
+  */
+case class SomQDist(child: Expression, weights: Array[Double], dim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val wSq: Array[Double] =
+    graft.som.Distances.rowSumSq(weights, weights.length / dim, dim)
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    SomQDistKernel.minDist(input.asInstanceOf[ArrayData], isFloat, weights, wSq, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("somWeights", weights, "double[]")
+    val wSqRef = ctx.addReferenceObj("somWSq", wSq, "double[]")
+    val kernel = SomQDistKernel.getClass.getName.stripSuffix("$") + ".MODULE$"
+    defineCodeGen(ctx, ev, c => s"$kernel.minDist($c, $isFloat, $wRef, $wSqRef, $dim)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SomQDist =
+    copy(child = newChild)
+  override def prettyName: String = "som_qdist"
+  override def equals(o: Any): Boolean = o match {
+    case s: SomQDist => (s.child == child) && (s.weights eq weights) && s.dim == dim
+    case _ => false
+  }
+  override def hashCode(): Int = child.hashCode() * 31 + dim
+}
+
+object SomQDistKernel {
+  /** sqrt of min over neurons of full squared euclidean distance;
+    * negative fp residue clamps to 0 (nan_to_num parity).
+    */
+  def minDist(v: ArrayData, isFloat: Boolean, w: Array[Double],
+              wSq: Array[Double], dim: Int): Double = {
+    val k = wSq.length
+    val x = new Array[Double](dim)
+    val n = math.min(v.numElements(), dim)
+    var i = 0
+    var xSq = 0.0
+    while (i < n) {
+      x(i) = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      xSq += x(i) * x(i)
+      i += 1
+    }
+    var best = Double.MaxValue
+    var j = 0
+    while (j < k) {
+      val base = j * dim
+      var dot = 0.0
+      i = 0
+      while (i < dim) { dot += x(i) * w(base + i); i += 1 }
+      val d = xSq - 2.0 * dot + wSq(j)
+      if (d < best) best = d
+      j += 1
+    }
+    if (best > 0) math.sqrt(best) else 0.0
+  }
+}
+
 object SomBmuFunctions {
   def som_bmu(features: Column, weights: Array[Double], dim: Int,
               distance: String = "euclidean", normP: Double = 2.0): Column =
     GraftBridge.column(
       SomBmu(GraftBridge.expression(features), weights, dim, distance, normP))
+
+  def som_qdist(features: Column, weights: Array[Double], dim: Int): Column =
+    GraftBridge.column(SomQDist(GraftBridge.expression(features), weights, dim))
 }

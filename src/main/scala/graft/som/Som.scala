@@ -249,7 +249,16 @@ private[som] object SomKernels {
 object SomData {
   def toVectors(df: DataFrame, featuresCol: String): RDD[Array[Double]] = {
     df.schema.fieldIndex(featuresCol) // fail fast on missing column
-    df.select(featuresCol).rdd.map(r => rowToVec(r, 0))
+    df.schema(featuresCol).dataType match {
+      case _: org.apache.spark.sql.types.ArrayType =>
+        // cast in codegen + primitive-array encoder: no per-element boxing
+        val spark = df.sparkSession
+        import spark.implicits._
+        df.select(org.apache.spark.sql.functions.col(featuresCol)
+          .cast("array<double>")).as[Array[Double]].rdd
+      case _ => // VectorUDT and friends
+        df.select(featuresCol).rdd.map(r => rowToVec(r, 0))
+    }
   }
 
   def rowToVec(r: Row, idx: Int): Array[Double] = r.get(idx) match {

@@ -144,11 +144,10 @@ final class SomModel(val config: SomConfig, val codebook: Codebook)
     * sample and its BMU codebook vector (euclidean, as in the reference).
     * Distributed narrow map + scalar aggregate.
     */
-  def quantizationError(df: DataFrame, featuresCol: String = "features"): Double = {
-    val qd = quantize(df, featuresCol).select(col("q_dist"))
-    val r = qd.agg(avg("q_dist")).head()
-    r.getDouble(0)
-  }
+  def quantizationError(df: DataFrame, featuresCol: String = "features"): Double =
+    df.select(avg(graft.plans.SomBmuFunctions.som_qdist(
+        col(featuresCol), codebook.weights, dim)).as("qe"))
+      .head().getDouble(0)
 
   /** Topographic error (`xpysom.py:709-746`): share of samples whose two
     * best-matching units are not grid-adjacent. Per-row top-2 selection
