@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.som._
+import java.nio.file.{Files, Paths}
+
+/** Differential-harness dump: trains the engine under a matrix of
+  * configurations from a FIXED init on the sf0.001 embeddings and writes
+  * weights + metrics as JSON. `tools/ref_diff.py` replays the identical
+  * runs through the reference implementation (pure NumPy locally) and
+  * compares — the same oracle-differential strategy as the reference's
+  * own test suite (`tests.py`), but against the reference itself.
+  */
+object RefDump {
+
+  case class Cfg(name: String, config: SomConfig, epochs: Int)
+
+  val configs: Seq[Cfg] = Seq(
+    Cfg("euclid_gauss_exp", SomConfig(3, 3, sigma = 1.2), 3),
+    Cfg("euclid_gauss_5ep", SomConfig(3, 3, sigma = 1.2), 5),
+    Cfg("cosine_gauss", SomConfig(3, 3, sigma = 1.2, distance = "cosine"), 3),
+    Cfg("manhattan_gauss", SomConfig(3, 3, sigma = 1.2, distance = "manhattan"), 3),
+    Cfg("normp3_gauss", SomConfig(3, 3, sigma = 1.2, distance = "norm_p", normP = 3.0), 3),
+    Cfg("euclid_bubble", SomConfig(3, 3, sigma = 1.2, neighborhood = "bubble"), 3),
+    Cfg("euclid_mexican", SomConfig(3, 3, sigma = 1.2, neighborhood = "mexican_hat"), 3),
+    Cfg("euclid_triangle", SomConfig(3, 3, sigma = 1.5, neighborhood = "triangle"), 3),
+    Cfg("euclid_gauss_linear", SomConfig(3, 3, sigma = 1.2, decay = "linear"), 3),
+    Cfg("euclid_gauss_asym", SomConfig(3, 3, sigma = 1.2, decay = "asymptotic"), 3),
+    Cfg("hex_gauss", SomConfig(3, 3, sigma = 1.2, topology = "hexagonal"), 3),
+    Cfg("hex_bubble", SomConfig(3, 3, sigma = 1.2, topology = "hexagonal",
+      neighborhood = "bubble"), 3),
+    Cfg("euclid_gauss_compact", SomConfig(3, 3, sigma = 1.8, compactSupport = true), 3))
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/ref_dump.jsonl")
+    val dir = args.lift(1).getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = spark.read.parquet(s"$dir/embeddings.parquet")
+    val initRows = df.orderBy("vec_id").limit(9).collect()
+      .map(r => r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray).toSeq
+
+    val sb = new StringBuilder
+    for (c <- configs) {
+      val init = Codebook.fromRows(3, 3, initRows)
+      val model = new Som(c.config).fit(df, "embedding", c.epochs, init = init)
+      val qe = model.quantizationError(df, "embedding")
+      val te = model.topographicError(df, "embedding")
+      val dm = model.distanceMap().flatten
+      val w = model.codebook.weights
+      sb.append(s"""{"name":"${c.name}","epochs":${c.epochs},""")
+      sb.append(s""""sigma":${c.config.sigma0},"sigmaN":${c.config.sigmaN},""")
+      sb.append(s""""decay":"${c.config.decay}","neighborhood":"${c.config.neighborhood}",""")
+      sb.append(s""""topology":"${c.config.topology}","distance":"${c.config.distance}",""")
+      sb.append(s""""normP":${c.config.normP},"compact":${c.config.compactSupport},""")
+      sb.append(s""""stdCoeff":${c.config.stdCoeff},""")
+      sb.append(s""""qe":$qe,"te":$te,""")
+      sb.append(s""""dm":[${dm.mkString(",")}],""")
+      sb.append(s""""weights":[${w.mkString(",")}]}""")
+      sb.append("\n")
+      println(s"[refdump] ${c.name}: qe=$qe te=$te")
+    }
+    Files.writeString(Paths.get(out), sb.toString)
+    spark.stop()
+  }
+}

@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Differential check: replay graft.RefDump's training runs through the
+reference implementation (pure NumPy) and compare weights + metrics.
+
+Usage: python3 tools/ref_diff.py [/tmp/ref_dump.jsonl] [sfDir]
+"""
+import sys, json
+import numpy as np
+
+sys.path.insert(0, "/root/reference")
+from xpysom_dask import XPySom  # noqa: E402
+
+def main(dump_path="/tmp/ref_dump.jsonl", sf_dir="/root/testdata/sf0.001"):
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    order = np.argsort(np.array(t.column("vec_id")))
+    emb = np.array(t.column("embedding").to_pylist(), dtype=np.float64)[order]
+    init = emb[:9].reshape(3, 3, -1).copy()
+    dim = emb.shape[1]
+
+    n_pass = n_fail = 0
+    for line in open(dump_path):
+        rec = json.loads(line)
+        kwargs = {}
+        if rec["distance"] == "norm_p":
+            kwargs = {"p": rec["normP"]}
+        som = XPySom(3, 3, dim,
+                     sigma=rec["sigma"], sigmaN=rec["sigmaN"],
+                     learning_rate=0.5, learning_rateN=0.01,
+                     decay_function=rec["decay"],
+                     neighborhood_function=rec["neighborhood"],
+                     std_coeff=rec["stdCoeff"],
+                     topology=rec["topology"],
+                     activation_distance=rec["distance"],
+                     activation_distance_kwargs=kwargs,
+                     compact_support=rec["compact"],
+                     random_seed=1)
+        som._weights = init.copy()
+        som.train(emb, rec["epochs"])
+        ref_w = np.asarray(som._weights, dtype=np.float64).reshape(-1)
+        got_w = np.array(rec["weights"])
+        w_err = np.max(np.abs(ref_w - got_w) / (np.abs(ref_w) + 1e-6))
+        ref_qe = som.quantization_error(emb)
+        ref_te = som.topographic_error(emb)
+        ref_dm = som.distance_map().reshape(-1)
+        got_dm = np.array(rec["dm"])
+        dm_err = np.max(np.abs(ref_dm - got_dm))
+        qe_err = abs(ref_qe - rec["qe"])
+        te_err = abs(ref_te - rec["te"])
+        ok = w_err < 1e-3 and qe_err < 1e-3 and te_err < 1e-9 and dm_err < 1e-3
+        status = "PASS" if ok else "FAIL"
+        print(f"[{status}] {rec['name']}: w_rel_err={w_err:.2e} qe_err={qe_err:.2e} "
+              f"te_err={te_err:.2e} dm_err={dm_err:.2e}")
+        if ok: n_pass += 1
+        else: n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(*sys.argv[1:]))
