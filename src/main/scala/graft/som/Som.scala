@@ -70,9 +70,12 @@ final class Som(val config: SomConfig) extends Serializable {
     * uniform-normalized initialization (`xpysom.py:188-190`).
     */
   def fit(df: DataFrame, featuresCol: String = "features", numEpochs: Int,
-          init: Codebook = null): SomModel = {
+          init: Codebook = null, verbose: Boolean = false): SomModel = {
     require(numEpochs >= 1, "num_iteration must be > 1")
-    val data = SomData.toVectors(df, featuresCol)
+    // float32 vectors: half the cache footprint of double, and exactly
+    // the reference's training dtype (`xpysom.py:485,510`); all math
+    // still runs in double inside the kernels
+    val data = SomData.toFloatVectors(df, featuresCol)
     data.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val first = data.take(1)
@@ -81,17 +84,20 @@ final class Som(val config: SomConfig) extends Serializable {
       val cb0 = Option(init).getOrElse(
         Codebook.randomUniform(config.x, config.y, dim, config.seed))
       require(cb0.dim == dim, s"Received $dim features, expected ${cb0.dim}.")
-      new SomModel(config, fitFrom(data, cb0, numEpochs))
+      new SomModel(config, fitFrom(data, cb0, numEpochs, verbose))
     } finally data.unpersist(blocking = false)
   }
 
   /** Epoch loop over an already-materialized vector RDD. */
-  private[graft] def fitFrom(data: RDD[Array[Double]], init: Codebook,
-                             numEpochs: Int): Codebook = {
+  private[graft] def fitFrom(data: RDD[Array[Float]], init: Codebook,
+                             numEpochs: Int, verbose: Boolean = false): Codebook = {
     var cb = init
     var t = 0
     while (t < numEpochs) {
+      val t0 = System.nanoTime()
       cb = epoch(data, cb, t, numEpochs)
+      if (verbose)
+        println(f"[som] epoch ${t + 1}/$numEpochs done in ${(System.nanoTime() - t0) / 1e9}%.2f s")
       t += 1
     }
     cb
@@ -102,7 +108,7 @@ final class Som(val config: SomConfig) extends Serializable {
     * Exposed for incremental/streaming training where each micro-batch
     * advances the decay schedule by one step.
     */
-  private[graft] def epoch(data: RDD[Array[Double]], cb: Codebook, t: Int,
+  private[graft] def epoch(data: RDD[Array[Float]], cb: Codebook, t: Int,
                            numEpochs: Int): Codebook = {
     val sc = data.sparkContext
     val cfg = config
@@ -191,7 +197,7 @@ private[som] object SomKernels {
     * then accumulate den += Σ_s g and num += Gᵀ·X (`xpysom.py:420-443`).
     * Buffers are reused across sub-batches (`xpysom.py:516-527`).
     */
-  def partitionUpdate(it: Iterator[Array[Double]], w: Array[Double],
+  def partitionUpdate(it: Iterator[Array[Float]], w: Array[Double],
                       wSq: Array[Double], cfg: SomConfig, eta: Double,
                       sig: Double): (Array[Double], Array[Double]) = {
     val k = cfg.x * cfg.y
@@ -214,7 +220,9 @@ private[som] object SomKernels {
         if (row.length != dim)
           throw new IllegalArgumentException(
             s"Received ${row.length} features, expected $dim.")
-        System.arraycopy(row, 0, xBuf, n * dim, dim)
+        var c = 0
+        val base = n * dim
+        while (c < dim) { xBuf(base + c) = row(c); c += 1 }
         n += 1
       }
       dist.compute(xBuf, n, w, k, dim, wSq, dBuf)
@@ -247,6 +255,26 @@ private[som] object SomKernels {
   * before the math sees it.
   */
 object SomData {
+  /** float32 vectors — the training representation (reference dtype). */
+  def toFloatVectors(df: DataFrame, featuresCol: String): RDD[Array[Float]] = {
+    df.schema.fieldIndex(featuresCol)
+    df.schema(featuresCol).dataType match {
+      case _: org.apache.spark.sql.types.ArrayType =>
+        val spark = df.sparkSession
+        import spark.implicits._
+        df.select(org.apache.spark.sql.functions.col(featuresCol)
+          .cast("array<float>")).as[Array[Float]].rdd
+      case _ =>
+        df.select(featuresCol).rdd.map { r =>
+          val d = rowToVec(r, 0)
+          val out = new Array[Float](d.length)
+          var i = 0
+          while (i < d.length) { out(i) = d(i).toFloat; i += 1 }
+          out
+        }
+    }
+  }
+
   def toVectors(df: DataFrame, featuresCol: String): RDD[Array[Double]] = {
     df.schema.fieldIndex(featuresCol) // fail fast on missing column
     df.schema(featuresCol).dataType match {

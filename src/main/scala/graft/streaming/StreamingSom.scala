@@ -53,7 +53,7 @@ object StreamingSom {
     def update(batch: DataFrame, featuresCol: String = "features"): Unit =
       synchronized {
         if (!batch.isEmpty) {
-          val data = SomData.toVectors(batch, featuresCol)
+          val data = SomData.toFloatVectors(batch, featuresCol)
           val t = math.min(step, totalEpochs - 1)
           cb = som.epoch(data, cb, t, totalEpochs)
           step += 1
