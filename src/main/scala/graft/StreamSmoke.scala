@@ -36,6 +36,25 @@ object StreamSmoke {
       .select("bmu_id", "n_wins").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val streamed = spark.table("stream_ar").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     println("[stream-smoke] batch==stream: " + (batch == streamed))
+
+    // stateful sessionize over a real file stream vs the batch twin
+    val eventsStatic = spark.read.parquet(s"$dir/events.parquet")
+    val evDir = java.nio.file.Files.createTempDirectory("stream-smoke-ev")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      evDir.resolve("events.parquet"))
+    val evStream = spark.readStream.schema(eventsStatic.schema).parquet(evDir.toString)
+    val sess = graft.streaming.StreamingSom.sessionizeStream(
+      evStream, "user_id", "ts", gapNs = 1800L * 1000000000L)
+    val q2 = sess.writeStream.format("memory").queryName("stream_sess")
+      .outputMode("update").start()
+    q2.processAllAvailable()
+    q2.stop()
+    val streamSess = spark.table("stream_sess").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val batchSess = Queries.all("events_sessionize")(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    println("[stream-smoke] sessionize batch==stream: " + (batchSess == streamSess))
     spark.stop()
   }
 }

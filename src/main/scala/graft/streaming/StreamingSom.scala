@@ -37,6 +37,59 @@ object StreamingSom {
       .groupBy(window(col(tsCol), windowDur), col("bmu_id"))
       .agg(count(lit(1)).as("n_wins"))
 
+  /** Stateful streaming sessionization via `mapGroupsWithState` — the
+    * unbounded-input twin of the batch `events_sessionize` query: per
+    * user, a session counter advances whenever the gap to the previous
+    * event exceeds `gapNs`. Emits the running (user_id, n_sessions,
+    * n_events) in update mode. Events are ordered within each
+    * micro-batch; cross-batch order follows arrival (the standard
+    * contract for this pattern).
+    */
+  def sessionizeStream(events: DataFrame, userCol: String, tsCol: String,
+                       gapNs: Long, idleTimeoutMs: Long = 0L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.types.TimestampType
+    // normalize ts to long nanos: TimestampType would otherwise cast to
+    // epoch SECONDS and silently never exceed a nanosecond gap
+    val tsNs = events.schema(tsCol).dataType match {
+      case TimestampType => (unix_micros(col(tsCol)) * 1000L).as("__ts")
+      case _             => col(tsCol).cast("long").as("__ts")
+    }
+    val timeout =
+      if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .select(col(userCol).cast("long").as("__u"), tsNs)
+      .where(col("__u").isNotNull && col("__ts").isNotNull)
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](timeout) {
+        (user, rows, state) =>
+          if (state.hasTimedOut) {
+            val result = state.getOption.map(s => (user, s._2, s._3))
+              .getOrElse((user, 0L, 0L))
+            state.remove() // bound the state store for idle/churned keys
+            result
+          } else {
+            var (lastTs, nSessions, nEvents) =
+              state.getOption.getOrElse((0L, 0L, 0L))
+            rows.map(_._2).toArray.sorted.foreach { ts =>
+              if (nEvents == 0 || ts - lastTs > gapNs) nSessions += 1
+              nEvents += 1
+              // late arrivals merge into the current session but must not
+              // move the frontier backwards
+              lastTs = math.max(lastTs, ts)
+            }
+            state.update((lastTs, nSessions, nEvents))
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+            (user, nSessions, nEvents)
+          }
+      }
+      .toDF("user_id", "n_sessions", "n_events")
+  }
+
   /** Incremental trainer: call `update` from `foreachBatch`. Each
     * micro-batch runs one epoch (broadcast + treeReduce + merge) at the
     * current position of the decay schedule, capped at `totalEpochs`

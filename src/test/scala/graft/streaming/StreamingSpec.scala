@@ -58,6 +58,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful sessionize stream matches batch semantics across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val gapNs = 1800L * 1000000000L
+    val input = MemoryStream[(Long, Long)]
+    val out = StreamingSom.sessionizeStream(
+      input.toDF().toDF("user_id", "ts"), "user_id", "ts", gapNs)
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode("update").start()
+    try {
+      val h = 3600L * 1000000000L
+      // user 1: events at 0h, 0.25h | 2h  -> 2 sessions; user 2: one event
+      input.addData((1L, 0L), (1L, h / 4), (2L, 5 * h))
+      q.processAllAvailable()
+      input.addData((1L, 2 * h))
+      q.processAllAvailable()
+      // late arrival inside the first session: merges, does not move the
+      // frontier back (a following in-order event must not split)
+      input.addData((1L, h / 8))
+      q.processAllAvailable()
+      input.addData((1L, 2 * h + h / 4))
+      q.processAllAvailable()
+      val last = spark.table("sess_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.last).toMap
+      assert(last(1L) == ((1L, 2L, 5L)))
+      assert(last(2L) == ((2L, 1L, 1L)))
+    } finally q.stop()
+  }
+
   test("incremental training over micro-batches decreases QE") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new scala.util.Random(21)
