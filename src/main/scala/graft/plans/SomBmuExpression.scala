@@ -22,10 +22,12 @@ object SomBmuKernel {
   def bmu(v: ArrayData, isFloat: Boolean, w: Array[Double], wSq: Array[Double],
           dim: Int, dist: String, normP: Double): Int = {
     val k = wSq.length
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"Received ${v.numElements()} features, expected $dim.")
     val x = new Array[Double](dim)
-    val n = math.min(v.numElements(), dim)
     var i = 0
-    while (i < n) { x(i) = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i); i += 1 }
+    while (i < dim) { x(i) = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i); i += 1 }
     var best = 0
     var bestV = Double.MaxValue
     var xSq = 0.0
@@ -49,9 +51,11 @@ object SomBmuKernel {
         case "manhattan" | "manhattan_no_opt" =>
           i = 0
           while (i < dim) { d += math.abs(x(i) - w(base + i)); i += 1 }
-        case _ => // norm_p
+        case "norm_p" | "norm_p_no_opt" =>
           i = 0
           while (i < dim) { d += math.pow(math.abs(x(i) - w(base + i)), normP); i += 1 }
+        case other =>
+          throw new IllegalArgumentException(s"$other not supported by som_bmu")
       }
       if (d < bestV) { bestV = d; best = j }
       j += 1
@@ -64,6 +68,15 @@ case class SomBmu(child: Expression, weights: Array[Double], dim: Int,
                   distance: String, normP: Double) extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"som_bmu expects array<float>/array<double>, got $other")
+    }
 
   @transient private lazy val wSq: Array[Double] =
     graft.som.Distances.rowSumSq(weights, weights.length / dim, dim)
@@ -110,6 +123,15 @@ case class SomQDist(child: Expression, weights: Array[Double], dim: Int)
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"som_qdist expects array<float>/array<double>, got $other")
+    }
+
   @transient private lazy val wSq: Array[Double] =
     graft.som.Distances.rowSumSq(weights, weights.length / dim, dim)
 
@@ -145,8 +167,11 @@ object SomQDistKernel {
   def minDist(v: ArrayData, isFloat: Boolean, w: Array[Double],
               wSq: Array[Double], dim: Int): Double = {
     val k = wSq.length
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"Received ${v.numElements()} features, expected $dim.")
     val x = new Array[Double](dim)
-    val n = math.min(v.numElements(), dim)
+    val n = dim
     var i = 0
     var xSq = 0.0
     while (i < n) {

@@ -69,27 +69,32 @@ object Neighborhoods {
             s += 1
           }
         case _ =>
+          // hoist the sample-independent coordinate grid out of the
+          // per-sample loop (the reference precomputes _xx/_yy once)
+          val ex = new Array[Double](k)
+          val ey = new Array[Double](k)
+          var p = 0
+          while (p < k) {
+            ex(p) = topo.euclidX(p / y, p % y); ey(p) = topo.euclidY(p / y, p % y)
+            p += 1
+          }
           var s = 0
           while (s < n) {
-            val cx = topo.euclidX(winI(s), winJ(s))
-            val cy = topo.euclidY(winI(s), winJ(s))
+            val cx = ex(winI(s) * y + winJ(s))
+            val cy = ey(winI(s) * y + winJ(s))
             val base = s * k
-            var i = 0
-            while (i < x) {
-              var j = 0
-              while (j < y) {
-                val nx = topo.euclidX(i, j)
-                val ny = topo.euclidY(i, j)
-                var axv = math.exp(-(nx - cx) * (nx - cx) / d)
-                var ayv = math.exp(-(ny - cy) * (ny - cy) / d)
-                if (compact) {
-                  if (!(nx > cx - sigma && nx < cx + sigma)) axv = 0.0
-                  if (!(ny > cy - sigma && ny < cy + sigma)) ayv = 0.0
-                }
-                out(base + i * y + j) = axv * ayv
-                j += 1
+            var q = 0
+            while (q < k) {
+              val nx = ex(q)
+              val ny = ey(q)
+              var axv = math.exp(-(nx - cx) * (nx - cx) / d)
+              var ayv = math.exp(-(ny - cy) * (ny - cy) / d)
+              if (compact) {
+                if (!(nx > cx - sigma && nx < cx + sigma)) axv = 0.0
+                if (!(ny > cy - sigma && ny < cy + sigma)) ayv = 0.0
               }
-              i += 1
+              out(base + q) = axv * ayv
+              q += 1
             }
             s += 1
           }
@@ -142,27 +147,30 @@ object Neighborhoods {
             s += 1
           }
         case _ =>
+          val ex = new Array[Double](k)
+          val ey = new Array[Double](k)
+          var pp = 0
+          while (pp < k) {
+            ex(pp) = topo.euclidX(pp / y, pp % y); ey(pp) = topo.euclidY(pp / y, pp % y)
+            pp += 1
+          }
           var s = 0
           while (s < n) {
-            val cx = topo.euclidX(winI(s), winJ(s))
-            val cy = topo.euclidY(winI(s), winJ(s))
+            val cx = ex(winI(s) * y + winJ(s))
+            val cy = ey(winI(s) * y + winJ(s))
             val base = s * k
-            var i = 0
-            while (i < x) {
-              var j = 0
-              while (j < y) {
-                val nx = topo.euclidX(i, j)
-                val ny = topo.euclidY(i, j)
-                var pxv = (nx - cx) * (nx - cx)
-                if (compact) {
-                  if (!(nx > cx - sigma && nx < cx + sigma)) pxv = 0.0
-                  if (!(ny > cy - sigma && ny < cy + sigma)) pxv = 0.0
-                }
-                val p = pxv + (ny - cy) * (ny - cy)
-                out(base + i * y + j) = math.exp(-p / d) * (1.0 - 2.0 / d * p)
-                j += 1
+            var q = 0
+            while (q < k) {
+              val nx = ex(q)
+              val ny = ey(q)
+              var pxv = (nx - cx) * (nx - cx)
+              if (compact) {
+                if (!(nx > cx - sigma && nx < cx + sigma)) pxv = 0.0
+                if (!(ny > cy - sigma && ny < cy + sigma)) pxv = 0.0
               }
-              i += 1
+              val p = pxv + (ny - cy) * (ny - cy)
+              out(base + q) = math.exp(-p / d) * (1.0 - 2.0 / d * p)
+              q += 1
             }
             s += 1
           }

@@ -49,6 +49,8 @@ final case class SomConfig(
   def validated: SomConfig = {
     if (sigma >= x || sigma >= y)
       System.err.println("Warning: sigma is too high for the dimension of the map.")
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    require(treeDepth >= 1, s"treeDepth must be >= 1, got $treeDepth")
     topo; decayFn; distanceFn; neighborhoodFn
     this
   }

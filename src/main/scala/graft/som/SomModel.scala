@@ -14,6 +14,7 @@ import org.apache.spark.sql.types._
   */
 final class SomModel(val config: SomConfig, val codebook: Codebook)
     extends Serializable {
+  config.validated // name/size validation also on the fromWeights path
 
   def topo: Topology = config.topo
   def x: Int = config.x
@@ -28,7 +29,7 @@ final class SomModel(val config: SomConfig, val codebook: Codebook)
     */
   private def mapWithDistances(df: DataFrame, featuresCol: String,
                                dist: Distance, newFields: Seq[StructField])(
-      emit: (Array[Double], Int, Int) => Seq[Any]): DataFrame = {
+      emit: (Array[Double], Int, Int, Array[Double]) => Seq[Any]): DataFrame = {
     val spark = df.sparkSession
     val schema = StructType(df.schema.fields ++ newFields)
     val fIdx = df.schema.fieldIndex(featuresCol)
@@ -67,7 +68,7 @@ final class SomModel(val config: SomConfig, val codebook: Codebook)
         def next(): Row = {
           if (pos >= n) fill()
           val row = rows(pos)
-          val extra = emit(dBuf, pos * k, k)
+          val extra = emit(dBuf, pos * k, k, w)
           pos += 1
           Row.fromSeq(row.toSeq ++ extra)
         }
@@ -83,17 +84,16 @@ final class SomModel(val config: SomConfig, val codebook: Codebook)
     * Uses the configured activation distance; argmin ties resolve to the
     * first flat index, like numpy.
     */
-  def transform(df: DataFrame, featuresCol: String = "features"): DataFrame =
+  def transform(df: DataFrame, featuresCol: String = "features"): DataFrame = {
+    val yLocal = y // avoid capturing `this` (and the codebook) in the closure
     mapWithDistances(df, featuresCol, config.distanceFn, Seq(
       StructField("bmu_id", IntegerType, nullable = false),
       StructField("bmu_i", IntegerType, nullable = false),
-      StructField("bmu_j", IntegerType, nullable = false))) { (dBuf, off, k) =>
-      var best = 0
-      var bestV = dBuf(off)
-      var j = 1
-      while (j < k) { if (dBuf(off + j) < bestV) { bestV = dBuf(off + j); best = j }; j += 1 }
-      Seq(best, best / y, best % y)
+      StructField("bmu_j", IntegerType, nullable = false))) { (dBuf, off, k, _) =>
+      val best = Distances.argminRow(dBuf, off, k)
+      Seq(best, best / yLocal, best % yLocal)
     }
+  }
 
   /** Expression-based BMU transform: appends bmu_id/bmu_i/bmu_j as a pure
     * column operation via the native `som_bmu` Catalyst expression
@@ -115,7 +115,7 @@ final class SomModel(val config: SomConfig, val codebook: Codebook)
   def activate(df: DataFrame, featuresCol: String = "features"): DataFrame =
     mapWithDistances(df, featuresCol, config.distanceFn, Seq(
       StructField("activation", ArrayType(DoubleType, containsNull = false)))) {
-      (dBuf, off, k) =>
+      (dBuf, off, k, _) =>
         val arr = java.util.Arrays.copyOfRange(dBuf, off, off + k)
         Seq(arr.toSeq)
     }
@@ -126,17 +126,14 @@ final class SomModel(val config: SomConfig, val codebook: Codebook)
     * configured activation distance — reference behavior.
     */
   def quantize(df: DataFrame, featuresCol: String = "features"): DataFrame = {
-    val cbLocal = codebook
+    val dimLocal = dim
     mapWithDistances(df, featuresCol, Distances.EuclideanTrue, Seq(
       StructField("quantized", ArrayType(DoubleType, containsNull = false)),
-      StructField("q_dist", DoubleType, nullable = false))) { (dBuf, off, k) =>
-      var best = 0
-      var bestV = dBuf(off)
-      var j = 1
-      while (j < k) { if (dBuf(off + j) < bestV) { bestV = dBuf(off + j); best = j }; j += 1 }
-      val base = best * cbLocal.dim
-      val q = java.util.Arrays.copyOfRange(cbLocal.weights, base, base + cbLocal.dim)
-      Seq(q.toSeq, bestV)
+      StructField("q_dist", DoubleType, nullable = false))) { (dBuf, off, k, w) =>
+      val best = Distances.argminRow(dBuf, off, k)
+      val base = best * dimLocal
+      val q = java.util.Arrays.copyOfRange(w, base, base + dimLocal)
+      Seq(q.toSeq, dBuf(off + best))
     }
   }
 
@@ -144,10 +141,12 @@ final class SomModel(val config: SomConfig, val codebook: Codebook)
     * sample and its BMU codebook vector (euclidean, as in the reference).
     * Distributed narrow map + scalar aggregate.
     */
-  def quantizationError(df: DataFrame, featuresCol: String = "features"): Double =
-    df.select(avg(graft.plans.SomBmuFunctions.som_qdist(
+  def quantizationError(df: DataFrame, featuresCol: String = "features"): Double = {
+    val r = df.select(avg(graft.plans.SomBmuFunctions.som_qdist(
         col(featuresCol), codebook.weights, dim)).as("qe"))
-      .head().getDouble(0)
+      .head()
+    if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
+  }
 
   /** Topographic error (`xpysom.py:709-746`): share of samples whose two
     * best-matching units are not grid-adjacent. Per-row top-2 selection
@@ -162,20 +161,13 @@ final class SomModel(val config: SomConfig, val codebook: Codebook)
     val t = topo
     val yy = y
     val errs = mapWithDistances(df, featuresCol, Distances.EuclideanTrue, Seq(
-      StructField("te_err", IntegerType, nullable = false))) { (dBuf, off, k) =>
-      var b1 = -1; var b2 = -1
-      var v1 = Double.PositiveInfinity; var v2 = Double.PositiveInfinity
-      var j = 0
-      while (j < k) {
-        val v = dBuf(off + j)
-        if (v < v1) { v2 = v1; b2 = b1; v1 = v; b1 = j }
-        else if (v < v2) { v2 = v; b2 = j }
-        j += 1
-      }
+      StructField("te_err", IntegerType, nullable = false))) { (dBuf, off, k, _) =>
+      val (b1, b2) = Distances.top2Row(dBuf, off, k)
       val adj = t.adjacent(b1 / yy, b1 % yy, b2 / yy, b2 % yy)
       Seq(if (adj) 0 else 1)
     }
-    errs.agg(avg("te_err")).head().getDouble(0)
+    val r = errs.agg(avg("te_err")).head()
+    if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
   }
 
   /** Wins per neuron (`activation_response`, `xpysom.py:819-829`) as a
@@ -248,7 +240,7 @@ object SomModel {
       m.map(_.group(1)).getOrElse(sys.error(s"missing $k"))
     }
     def num(k: String): Double = {
-      val m = ("\"" + k + "\":(-?[0-9.eE+]+)").r.findFirstMatchIn(json)
+      val m = ("\"" + k + "\":(-?[0-9.eE+-]+)").r.findFirstMatchIn(json)
       m.map(_.group(1).toDouble).getOrElse(sys.error(s"missing $k"))
     }
     val cfg = SomConfig(

@@ -155,6 +155,31 @@ class SomSpec extends SparkSpec {
     assert(loaded.codebook.weights.sameElements(m.codebook.weights))
   }
 
+  test("save/load round-trips scientific-notation hyperparameters") {
+    // 1e-4 formats as "1.0E-4" — the loader must parse negative exponents
+    val m = SomModel.fromWeights(
+      SomConfig(2, 2, learningRateN = 0.0001, sigmaN = 0.00005),
+      Seq.fill(4)(Array(1.0, 2.0)))
+    val path = java.nio.file.Files.createTempDirectory("som-sci").toString
+    m.save(spark, path)
+    val loaded = SomModel.load(spark, path)
+    assert(loaded.config == m.config)
+  }
+
+  test("empty input: QE/TE return NaN like the reference's empty mean") {
+    val m = fixtureModel()
+    val empty = df1(5.0).where("id < 0")
+    assert(m.quantizationError(empty).isNaN)
+    assert(m.topographicError(empty).isNaN)
+  }
+
+  test("wrong-dimension rows fail loudly on the expression path too") {
+    val m = fixtureModel()
+    val bad = Seq((0L, Seq(1f, 2f))).toDF("id", "features")
+    val ex = intercept[Exception](m.withBmu(bad).collect())
+    assert(ex.getMessage.contains("features") || ex.getCause != null)
+  }
+
   test("hexagonal training runs and stays deterministic") {
     val rnd = new scala.util.Random(17)
     val data = Seq.fill(50)(Seq.fill(3)(rnd.nextFloat())).zipWithIndex
