@@ -23,6 +23,7 @@ object Queries {
     s.read.parquet(s"$dir/embeddings.parquet")
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+      .where(org.apache.spark.sql.functions.col("text").isNotNull)
 
   /** First 9 embeddings by vec_id as a 3x3 codebook (driver-local, like
     * the reference's in-core codebook).
@@ -704,13 +705,15 @@ object Queries {
          |FROM d GROUP BY vec_id""".stripMargin,
 
     "dedup_exact" ->
-      s"""WITH f AS (SELECT doc_id, md5(array_to_string($duckToks, ' ')) AS fp FROM documents)
+      s"""WITH f AS (SELECT doc_id, md5(COALESCE(array_to_string($duckToks, ' '), '')) AS fp
+         |           FROM documents WHERE text IS NOT NULL)
          |SELECT fp, CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n
          |FROM f GROUP BY fp""".stripMargin,
 
     "doc_fingerprint" ->
       s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
-         |       md5(array_to_string($duckToks, ' ')) AS fp FROM documents""".stripMargin,
+         |       md5(COALESCE(array_to_string($duckToks, ' '), '')) AS fp
+         |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       """WITH g AS (
@@ -722,6 +725,7 @@ object Queries {
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM documents a JOIN documents b
         |    ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
+        |  WHERE a.text IS NOT NULL AND b.text IS NOT NULL
         |), inter AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS isz
         |  FROM g a JOIN g b ON a.g = b.g AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
@@ -729,10 +733,10 @@ object Queries {
         |)
         |SELECT CAST(p.id_a AS BIGINT) AS id_a, CAST(p.id_b AS BIGINT) AS id_b,
         |       CAST(round(CAST(COALESCE(i.isz, 0) AS DOUBLE)
-        |            / greatest(sa.sz + sb.sz - COALESCE(i.isz, 0), 1), 6) AS DOUBLE) AS jaccard
+        |            / greatest(COALESCE(sa.sz, 0) + COALESCE(sb.sz, 0) - COALESCE(i.isz, 0), 1), 6) AS DOUBLE) AS jaccard
         |FROM pairs p
-        |JOIN sizes sa ON sa.doc_id = p.id_a
-        |JOIN sizes sb ON sb.doc_id = p.id_b
+        |LEFT JOIN sizes sa ON sa.doc_id = p.id_a
+        |LEFT JOIN sizes sb ON sb.doc_id = p.id_b
         |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b""".stripMargin,
 
     "dedup_embedding" ->
@@ -783,7 +787,7 @@ object Queries {
         |FROM ranked WHERE rn <= 5""".stripMargin,
 
     "text_stats" ->
-      s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents)
+      s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents WHERE text IS NOT NULL)
          |SELECT CAST(doc_id AS BIGINT) AS doc_id,
          |       CAST(length(toks) AS BIGINT) AS n_tokens,
          |       CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpeish,
@@ -798,7 +802,7 @@ object Queries {
         val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
         s"length(list_filter(toks, t -> list_contains($lst, t))) AS s_$lang"
       }.mkString(",\n       ")
-      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents WHERE text IS NOT NULL),
          |s AS (SELECT doc_id,
          |       $scores
          |FROM t)
@@ -812,7 +816,7 @@ object Queries {
     },
 
     "quality_score" ->
-      s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents),
+      s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents WHERE text IS NOT NULL),
          |m AS (SELECT doc_id,
          |        CAST(length(toks) AS DOUBLE) AS nt,
          |        CAST(length(regexp_extract_all(text, '[.,!?;:''"()\\[\\]{}-]')) AS DOUBLE) AS np,

@@ -30,7 +30,8 @@ object Dedup {
     * group. Window over fp — shuffles only once on the fingerprint.
     */
   def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy("__fp").orderBy(col(idCol))
+    // order by the CAST id so the kept row agrees with exactGroups' min
+    val w = Window.partitionBy("__fp").orderBy(col(idCol).cast("long"))
     df.withColumn("__fp", TextFunctions.docFingerprint(col(textCol)))
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
@@ -46,6 +47,9 @@ object Dedup {
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         numHashes: Int = 64, rowsPerBand: Int = 8,
                         shingleSize: Int = 3): DataFrame = {
+    require(rowsPerBand > 0 && rowsPerBand <= numHashes &&
+      numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a positive multiple of rowsPerBand ($rowsPerBand)")
     val numBands = numHashes / rowsPerBand
     // persist: the signature column is referenced by four plan branches
     // (band self-join sides + two re-attach joins) — without this the
@@ -71,12 +75,16 @@ object Dedup {
                           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    pairs
+    val result = pairs
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           eq => eq)).cast("double") / numHashes).as("est_jaccard"))
+    // materialize the (small) candidate set, then free the signature cache
+    result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+    sigs.unpersist(blocking = false)
+    result
   }
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of
@@ -101,12 +109,17 @@ object Dedup {
     val a = banded.alias("a")
     val b = banded.alias("b")
     val hamming = bit_count(col("a.fp").bitwiseXOR(col("b.fp")))
-    a.join(b, col("a.band") === col("b.band") &&
+    val out = a.join(b, col("a.band") === col("b.band") &&
               col("a.chunk") === col("b.chunk") &&
               col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), hamming.as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
+    // materialize then free the fingerprint cache (bounded candidate set)
+    val result = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    withFp.unpersist(blocking = false)
+    result
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs joined by a

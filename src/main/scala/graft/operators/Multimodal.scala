@@ -63,7 +63,8 @@ object Multimodal {
   def sampleFrames(df: DataFrame, payloadCol: String, idCol: String,
                    frameSize: Int, stride: Int): DataFrame = {
     val nFrames = ceil(length(col(payloadCol)).cast("double") / frameSize).cast("int")
-    df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("__p"),
+    df.where(col(payloadCol).isNotNull && length(col(payloadCol)) > 0)
+      .select(col(idCol).cast("long").as("id"), col(payloadCol).as("__p"),
         explode(filter(
           sequence(lit(0), greatest(nFrames - 1, lit(0))),
           i => i % stride === 0)).as("frame_idx"))

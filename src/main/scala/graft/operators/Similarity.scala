@@ -32,6 +32,7 @@ object Similarity {
   def bruteForceTopK(df: DataFrame, vecCol: String, idCol: String,
                      queries: Seq[(Long, Array[Double])], k: Int,
                      excludeSelf: Boolean = true): DataFrame = {
+    require(queries.nonEmpty, "bruteForceTopK needs at least one query")
     val spark = df.sparkSession
     val bc = spark.sparkContext.broadcast(queries)
     val fIdx = df.schema.fieldIndex(vecCol)
@@ -49,6 +50,9 @@ object Similarity {
       it.foreach { r =>
         val id = r.getLong(iIdx)
         val v = SomData.rowToVec(r, fIdx)
+        if (v.length != qs.head._2.length)
+          throw new IllegalArgumentException(
+            s"Received ${v.length} features, expected ${qs.head._2.length}.")
         val nv = math.sqrt(v.map(x => x * x).sum)
         qs.foreach { case (qid, q) =>
           if (!(excludeSelf && id == qid)) {
@@ -89,6 +93,7 @@ object Similarity {
                     queries: Seq[(Long, Array[Double])], k: Int,
                     numPlanes: Int = 12, numTables: Int = 4,
                     seed: Long = 31): DataFrame = {
+    require(queries.nonEmpty, "lshCosineTopK needs at least one query")
     val dim = queries.head._2.length
     val rnd = new scala.util.Random(seed)
     // planes(t)(p) is a dim-vector

@@ -50,11 +50,21 @@ object HashKernels {
     val nTok = starts.size()
     val nSh = nTok - shingleSize + 1
     if (nSh <= 0) return null
-    // hash each shingle = fnv over [start(s), end(s+size-1)) span
+    // hash each TOKEN, then combine consecutive token hashes into the
+    // shingle hash — whitespace runs between tokens don't affect it
+    val tokenHashes = new Array[Long](nTok)
+    var t = 0
+    while (t < nTok) {
+      tokenHashes(t) = fnv64(text, starts.get(t), ends.get(t))
+      t += 1
+    }
     val shingleHashes = new Array[Long](nSh)
     var s = 0
     while (s < nSh) {
-      shingleHashes(s) = fnv64(text, starts.get(s), ends.get(s + shingleSize - 1))
+      var h = 0xcbf29ce484222325L
+      var q = 0
+      while (q < shingleSize) { h = splitmix64(h ^ tokenHashes(s + q)); q += 1 }
+      shingleHashes(s) = h
       s += 1
     }
     val sig = new Array[Long](numHashes)

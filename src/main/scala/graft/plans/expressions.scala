@@ -98,9 +98,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
   val minhashBuilder: Seq[Expression] => Expression = { args =>
-    def intArg(i: Int, default: Int): Int =
-      if (args.length > i) args(i).asInstanceOf[Literal].value.toString.toInt else default
-    MinHashSig(args.head, intArg(1, 64), intArg(2, 3), intArg(3, 13).toLong)
+    def longArg(i: Int, default: Long): Long = if (args.length > i) args(i) match {
+      case Literal(v, _) => v.toString.toLong
+      case other => throw new IllegalArgumentException(
+        s"minhash_sig argument ${i} must be a literal, got $other")
+    } else default
+    MinHashSig(args.head, longArg(1, 64).toInt, longArg(2, 3).toInt, longArg(3, 13))
   }
   val simhashBuilder: Seq[Expression] => Expression = args => SimHash64(args.head)
 }
