@@ -36,6 +36,12 @@ class ExpressionsSpec extends SparkSpec {
     assert(viaExpr == direct.toSeq)
   }
 
+  test("minhash signatures are whitespace-invariant") {
+    val a = HashKernels.minhash("hello  world foo\tbar", 8, 2, 13L)
+    val b = HashKernels.minhash("hello world foo bar", 8, 2, 13L)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("simhash64: identical texts equal; empty text 0") {
     val r = df.select(col("id"), GraftFunctions.simhash64(col("text")).as("h"))
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
