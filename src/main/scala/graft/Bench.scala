@@ -97,7 +97,9 @@ object Bench {
     }
 
     val qs = results.map { case (kk, v) => "\"" + kk + "\":" + v }.mkString("{", ",", "}")
-    val total = results.values.sum
+    // failed queries are recorded as -1 in `queries` but must not reduce
+    // the headline total
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

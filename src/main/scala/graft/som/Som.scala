@@ -73,7 +73,7 @@ final class Som(val config: SomConfig) extends Serializable {
     */
   def fit(df: DataFrame, featuresCol: String = "features", numEpochs: Int,
           init: Codebook = null, verbose: Boolean = false): SomModel = {
-    require(numEpochs >= 1, "num_iteration must be > 1")
+    require(numEpochs >= 1, s"numEpochs must be >= 1, got $numEpochs")
     // float32 vectors: half the cache footprint of double, and exactly
     // the reference's training dtype (`xpysom.py:485,510`); all math
     // still runs in double inside the kernels
@@ -86,6 +86,8 @@ final class Som(val config: SomConfig) extends Serializable {
       val cb0 = Option(init).getOrElse(
         Codebook.randomUniform(config.x, config.y, dim, config.seed))
       require(cb0.dim == dim, s"Received $dim features, expected ${cb0.dim}.")
+      require(cb0.x == config.x && cb0.y == config.y,
+        s"init codebook grid ${cb0.x}x${cb0.y} does not match config ${config.x}x${config.y}")
       new SomModel(config, fitFrom(data, cb0, numEpochs, verbose))
     } finally data.unpersist(blocking = false)
   }
@@ -118,17 +120,17 @@ final class Som(val config: SomConfig) extends Serializable {
     val sig = cfg.decayFn(cfg.sigma0, cfg.sigmaN, t, numEpochs)
     val wSq = if (cfg.distanceFn.canCache) cb.rowSumSq() else null
     val bc = sc.broadcast((cb.weights, wSq))
-    val (num, den) = data
-      .mapPartitions { it =>
-        val (w, wsq) = bc.value
-        Iterator.single(SomKernels.partitionUpdate(it, w, wsq, cfg, eta, sig))
-      }
-      .treeReduce({ (a, b) =>
-        SomKernels.addInPlace(a._1, b._1); SomKernels.addInPlace(a._2, b._2); a
-      }, depth = cfg.treeDepth)
-    val merged = cb.merged(num, den)
-    bc.destroy()
-    merged
+    try {
+      val (num, den) = data
+        .mapPartitions { it =>
+          val (w, wsq) = bc.value
+          Iterator.single(SomKernels.partitionUpdate(it, w, wsq, cfg, eta, sig))
+        }
+        .treeReduce({ (a, b) =>
+          SomKernels.addInPlace(a._1, b._1); SomKernels.addInPlace(a._2, b._2); a
+        }, depth = cfg.treeDepth)
+      cb.merged(num, den)
+    } finally bc.destroy() // don't leak the broadcast on job failure
   }
 
   /** Sample init (`random_weights_init`, `xpysom.py:749-759`): draw x*y
@@ -257,14 +259,18 @@ private[som] object SomKernels {
   * before the math sees it.
   */
 object SomData {
-  /** float32 vectors — the training representation (reference dtype). */
+  /** float32 vectors — the training representation (reference dtype).
+    * Null feature rows are skipped (they carry no information for the
+    * update; the reference would crash on them).
+    */
   def toFloatVectors(df: DataFrame, featuresCol: String): RDD[Array[Float]] = {
     df.schema.fieldIndex(featuresCol)
     df.schema(featuresCol).dataType match {
       case _: org.apache.spark.sql.types.ArrayType =>
         val spark = df.sparkSession
         import spark.implicits._
-        df.select(org.apache.spark.sql.functions.col(featuresCol)
+        df.where(org.apache.spark.sql.functions.col(featuresCol).isNotNull)
+          .select(org.apache.spark.sql.functions.col(featuresCol)
           .cast("array<float>")).as[Array[Float]].rdd
       case _ =>
         df.select(featuresCol).rdd.map { r =>

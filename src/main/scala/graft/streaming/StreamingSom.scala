@@ -43,26 +43,33 @@ object StreamingSom {
     * event exceeds `gapNs`. Emits the running (user_id, n_sessions,
     * n_events) in update mode. Events are ordered within each
     * micro-batch; cross-batch order follows arrival (the standard
-    * contract for this pattern).
+    * contract for this pattern). NB: when `idleTimeoutMs` expires a key,
+    * its running totals reset — a returning user restarts at session 1
+    * (bounded state trades away monotone counters for expired keys).
     */
   def sessionizeStream(events: DataFrame, userCol: String, tsCol: String,
                        gapNs: Long, idleTimeoutMs: Long = 0L): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
-    import org.apache.spark.sql.types.TimestampType
-    // normalize ts to long nanos: TimestampType would otherwise cast to
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    // normalize ts to long nanos: timestamp types would otherwise cast to
     // epoch SECONDS and silently never exceed a nanosecond gap
     val tsNs = events.schema(tsCol).dataType match {
-      case TimestampType => (unix_micros(col(tsCol)) * 1000L).as("__ts")
-      case _             => col(tsCol).cast("long").as("__ts")
+      case TimestampType    => (unix_micros(col(tsCol)) * 1000L).as("__ts")
+      case TimestampNTZType =>
+        (unix_micros(col(tsCol).cast(TimestampType)) * 1000L).as("__ts")
+      case _                => col(tsCol).cast("long").as("__ts")
     }
     val timeout =
       if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
     events
+      // filter raw nulls BEFORE the cast: a null key/ts row is skipped,
+      // while a non-numeric user id still fails loudly under ANSI mode
+      .where(col(userCol).isNotNull && col(tsCol).isNotNull)
       .select(col(userCol).cast("long").as("__u"), tsNs)
-      .where(col("__u").isNotNull && col("__ts").isNotNull)
+      .where(col("__ts").isNotNull)
       .as[(Long, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](timeout) {
@@ -97,6 +104,7 @@ object StreamingSom {
     */
   final class IncrementalTrainer(som: Som, initial: Codebook,
                                  totalEpochs: Int) extends Serializable {
+    require(totalEpochs >= 1, s"totalEpochs must be >= 1, got $totalEpochs")
     @volatile private var cb: Codebook = initial
     private var step = 0
 
