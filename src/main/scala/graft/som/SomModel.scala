@@ -46,7 +46,6 @@ final class SomModel(val config: SomConfig, val codebook: Codebook)
       val rows = new Array[Row](bs)
       val wSq = if (distFn.canCache) Distances.rowSumSq(w, k, d) else null
       new Iterator[Row] {
-        private var batch: Array[Row] = _
         private var n = 0
         private var pos = 0
         private def fill(): Unit = {
