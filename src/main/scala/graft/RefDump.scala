@@ -57,8 +57,14 @@ object RefDump {
       sb.append(s""""topology":"${c.config.topology}","distance":"${c.config.distance}",""")
       sb.append(s""""normP":${c.config.normP},"compact":${c.config.compactSupport},""")
       sb.append(s""""stdCoeff":${c.config.stdCoeff},""")
+      // per-sample BMU assignments through the trained model (winner
+      // parity check; ordered by vec_id)
+      val bmus = model.withBmu(df, "embedding")
+        .select("vec_id", "bmu_id").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).sortBy(_._1).map(_._2)
       sb.append(s""""qe":$qe,"te":$te,""")
       sb.append(s""""dm":[${dm.mkString(",")}],""")
+      sb.append(s""""bmus":[${bmus.mkString(",")}],""")
       sb.append(s""""weights":[${w.mkString(",")}]}""")
       sb.append("\n")
       println(s"[refdump] ${c.name}: qe=$qe te=$te")

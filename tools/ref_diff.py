@@ -47,10 +47,16 @@ def main(dump_path="/tmp/ref_dump.jsonl", sf_dir="/root/testdata/sf0.001"):
         dm_err = np.max(np.abs(ref_dm - got_dm))
         qe_err = abs(ref_qe - rec["qe"])
         te_err = abs(ref_te - rec["te"])
-        ok = w_err < 1e-3 and qe_err < 1e-3 and te_err < 1e-9 and dm_err < 1e-3
+        # winner parity: per-sample BMU flat ids from the trained model
+        ref_winners = som.winner(emb)
+        ref_bmus = [i * 3 + j for (i, j) in ref_winners]
+        got_bmus = rec.get("bmus", [])
+        bmu_mism = sum(1 for a, b in zip(ref_bmus, got_bmus) if a != b)
+        ok = (w_err < 1e-3 and qe_err < 1e-3 and te_err < 1e-9
+              and dm_err < 1e-3 and bmu_mism == 0)
         status = "PASS" if ok else "FAIL"
         print(f"[{status}] {rec['name']}: w_rel_err={w_err:.2e} qe_err={qe_err:.2e} "
-              f"te_err={te_err:.2e} dm_err={dm_err:.2e}")
+              f"te_err={te_err:.2e} dm_err={dm_err:.2e} bmu_mismatch={bmu_mism}/{len(got_bmus)}")
         if ok: n_pass += 1
         else: n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
