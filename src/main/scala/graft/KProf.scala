@@ -39,6 +39,15 @@ object KProf {
     t("update dgemm", 50) {
       Distances.blas.dgemm("N", "T", dim, k, bs, 1.0, xBuf, dim, gBuf, k, 1.0, num, dim)
     }
+    // NN-layout alternative: out_cm(k x n) = Wcol(k x d) * Xcol(d x n)
+    val wCol = new Array[Double](k * dim)
+    t("w transpose to col-major", 200) {
+      var j = 0
+      while (j < k) { var c = 0; while (c < dim) { wCol(j + c * k) = w(j * dim + c); c += 1 }; j += 1 }
+    }
+    t("distance gemm NN layout", 50) {
+      Distances.blas.dgemm("N", "N", k, bs, dim, 1.0, wCol, k, xBuf, dim, 0.0, dBuf, k)
+    }
     t("float->double fill (2048 rows)", 50) {
       var i = 0
       while (i < bs) { val r = rows(i); var c = 0; val b = i*dim; while (c < dim) { xBuf(b+c) = r(c); c += 1 }; i += 1 }
