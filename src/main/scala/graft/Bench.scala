@@ -42,7 +42,8 @@ object Bench {
       val x = Array.fill(n * d)(rnd.nextDouble().toFloat.toDouble)
       val w = Array.fill(k * d)(rnd.nextDouble().toFloat.toDouble)
       val out = new Array[Double](n * k)
-      for (dist <- Seq(Distances.EuclideanPart, Distances.Cosine, Distances.Manhattan)) {
+      for (dist <- Seq(Distances.EuclideanPart, Distances.Cosine,
+                       Distances.Manhattan, Distances.NormP(3))) {
         val wSq = if (dist.canCache) Distances.rowSumSq(w, k, d) else null
         dist.compute(x, n, w, k, d, wSq, out) // warmup
         val reps = 10
@@ -62,6 +63,14 @@ object Bench {
     model.activationResponse(emb, "embedding").count() // warmup
     results("bench_inference") = time {
       model.activationResponse(emb, "embedding").count()
+    }
+    // hexagonal epoch throughput (BASELINE.md: reference hex is
+    // "significantly slower"; our hex kernels hoist the coordinate grid)
+    new Som(SomConfig(6, 6, topology = "hexagonal", seed = 42))
+      .fit(emb, "embedding", numEpochs = 2) // warmup
+    results("bench_epoch_train_hex") = time {
+      new Som(SomConfig(6, 6, topology = "hexagonal", seed = 42))
+        .fit(emb, "embedding", numEpochs = 10); ()
     }
 
     // --- scale benches: 200k x 64 synthetic embeddings, generated with
