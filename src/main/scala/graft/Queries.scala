@@ -248,6 +248,17 @@ object Queries {
         Dedup.simhashCandidates(docs(s, dir), "text", "doc_id", maxHamming = 16)
           .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
 
+      // end-to-end near-dup resolution: minhash candidates above an
+      // estimated-jaccard threshold collapse into keep-id clusters
+      // (training-free but hash-dependent: rows-only check)
+      "dedup_resolve_clusters" -> ((s, dir) => {
+        val cands = Dedup.minhashCandidates(docs(s, dir), "text", "doc_id")
+          .where(col("est_jaccard") >= 0.5)
+        Dedup.resolveDuplicateClusters(cands)
+          .select(col("id").cast("long").as("id"),
+                  col("keep_id").cast("long").as("keep_id"))
+      }),
+
       // embedding-cosine near-dups in a bounded id window
       "dedup_embedding" -> ((s, dir) =>
         Dedup.embeddingNearDups(emb(s, dir), "embedding", "vec_id",

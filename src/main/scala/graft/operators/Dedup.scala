@@ -140,6 +140,41 @@ object Dedup {
           greatest(size(array_union(col("sh"), col("sh_b"))), lit(1)), 6).as("jaccard"))
   }
 
+  /** Resolve near-duplicate candidate pairs into clusters: iterative
+    * min-label propagation (each id adopts the smallest id reachable
+    * through candidate edges) until fixpoint — connected components with
+    * a handful of hash-join rounds, no driver-side graph. Returns
+    * (id, keep_id); rows absent from any pair keep themselves.
+    */
+  def resolveDuplicateClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .union(pairs.select(col("id_b").cast("long"), col("id_a").cast("long")))
+      .toDF("id", "nbr")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.groupBy("id")
+      .agg(least(min("nbr"), min("id")).as("keep_id"))
+    var i = 0
+    var converged = false
+    while (i < maxIters && !converged) {
+      // each node adopts the min label among itself and its neighbors
+      val nbrLabels = edges
+        .join(labels.withColumnRenamed("id", "nbr"), "nbr")
+        .groupBy("id").agg(min("keep_id").as("nbr_keep"))
+      val next = labels.join(nbrLabels, Seq("id"), "left")
+        .select(col("id"),
+          least(col("keep_id"), coalesce(col("nbr_keep"), col("keep_id"))).as("keep_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.alias("n").join(labels.alias("l"), "id")
+        .where(col("n.keep_id") =!= col("l.keep_id")).limit(1).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
   /** Embedding near-duplicates: cosine similarity above a threshold for
     * pairs within a bounded id-offset window (the oracle-checkable
     * variant; LSH-bucketed variant in `Similarity`).

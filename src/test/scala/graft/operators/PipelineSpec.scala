@@ -151,6 +151,28 @@ class PipelineSpec extends SparkSpec {
     assert(frames.forall(_.getLong(2) <= 8))
   }
 
+  test("duplicate-cluster resolution: chains collapse to min id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (3L, 9L))
+      .toDF("id_a", "id_b")
+    val r = Dedup.resolveDuplicateClusters(pairs).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // {1,2,3,8,9} is one component (3-9 bridge); {5,6} another
+    assert(Seq(1L, 2L, 3L, 8L, 9L).forall(r(_) == 1L), r.toString)
+    assert(r(5L) == 5L && r(6L) == 5L)
+  }
+
+  test("multimodal resize stride-samples payloads to ~target bytes") {
+    val df = docs.where(length(col("text")) > 10)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val r = Multimodal.resize(df, "payload", targetBytes = 16).collect()
+    r.foreach { row =>
+      val orig = row.getAs[Array[Byte]](1).length
+      val resized = row.getLong(row.fieldIndex("resized_bytes"))
+      assert(resized <= 16 + 1, s"doc ${row.getLong(0)}: $orig -> $resized")
+      assert(resized > 0)
+    }
+  }
+
   test("quality score is in [0,1] and favors clean prose") {
     val r = docs.select(col("doc_id"), qualityScore(col("text")).as("q"))
       .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
