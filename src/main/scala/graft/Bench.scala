@@ -55,6 +55,32 @@ object Bench {
       }
     }
 
+    // --- neighborhood-kernel micro-bench (BASELINE.md workload:
+    // bench_neighborhoods.py — 64x64 grid, N=10,000 random winners,
+    // sigma=1, std=0.5; per-rep seconds). gaussian_hex exercises the
+    // generic-coordinate path the reference calls "much slower".
+    {
+      val rnd = new scala.util.Random(11)
+      val size = 64; val n = 10000
+      val winI = Array.fill(n)(rnd.nextInt(size))
+      val winJ = Array.fill(n)(rnd.nextInt(size))
+      val out = new Array[Double](n * size * size)
+      val rect = Rectangular(size, size)
+      val hex = Hexagonal(size, size)
+      val kernels = Seq(
+        "gaussian" -> Neighborhoods("gaussian", rect, 0.5, compact = false),
+        "mexican_hat" -> Neighborhoods("mexican_hat", rect, 0.5, compact = false),
+        "bubble" -> Neighborhoods("bubble", rect, 0.5, compact = false),
+        "triangle" -> Neighborhoods("triangle", rect, 0.5, compact = false),
+        "gaussian_hex" -> Neighborhoods("gaussian", hex, 0.5, compact = false))
+      for ((nm, kern) <- kernels) {
+        kern.compute(winI, winJ, n, 1.0, out) // warmup
+        val reps = 5
+        val t = time { var r = 0; while (r < reps) { kern.compute(winI, winJ, n, 1.0, out); r += 1 } }
+        results(s"bench_neighborhood_$nm") = t / reps
+      }
+    }
+
     // --- epoch-throughput + inference benches (BASELINE.md) ----------
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     emb.count() // warm page cache / scan
@@ -105,7 +131,12 @@ object Bench {
       try {
         fn(spark, sfDir).count()
         results(name) = time2 { fn(spark, sfDir).count(); () }
-      } catch { case _: Throwable => results(name) = -1.0 }
+      } catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] query '$name' FAILED: $t")
+          t.printStackTrace()
+          results(name) = -1.0
+      }
     }
 
     val qs = results.map { case (kk, v) => "\"" + kk + "\":" + v }.mkString("{", ",", "}")

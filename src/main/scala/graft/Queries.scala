@@ -243,15 +243,28 @@ object Queries {
         Dedup.minhashCandidates(docs(s, dir), "text", "doc_id")
           .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))),
 
-      // SimHash near-dup candidates (rows-only check)
+      // SimHash near-dup candidates (rows-only check: engine-specific
+      // hash). maxHamming=7 is the guaranteed-recall bound for 8 bands
+      // of 8 bits (pigeonhole).
       "dedup_simhash" -> ((s, dir) =>
-        Dedup.simhashCandidates(docs(s, dir), "text", "doc_id", maxHamming = 16)
+        Dedup.simhashCandidates(docs(s, dir), "text", "doc_id", maxHamming = 7)
           .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
 
-      // end-to-end near-dup resolution: minhash candidates above an
-      // estimated-jaccard threshold collapse into keep-id clusters
-      // (training-free but hash-dependent: rows-only check)
+      // end-to-end near-dup resolution: exact n-gram-jaccard candidates
+      // above a threshold collapse into keep-id clusters (connected
+      // components; oracled via a recursive CTE in DuckDB)
       "dedup_resolve_clusters" -> ((s, dir) => {
+        val cands = Dedup.ngramJaccardPairs(docs(s, dir), "text", "doc_id",
+            n = 3, maxOffset = 5)
+          .where(col("jaccard") >= 0.5)
+        Dedup.resolveDuplicateClusters(cands)
+          .select(col("id").cast("long").as("id"),
+                  col("keep_id").cast("long").as("keep_id"))
+      }),
+
+      // minhash candidates -> cluster resolution (the production pairing;
+      // hash-dependent candidates: rows-only check)
+      "dedup_resolve_minhash" -> ((s, dir) => {
         val cands = Dedup.minhashCandidates(docs(s, dir), "text", "doc_id")
           .where(col("est_jaccard") >= 0.5)
         Dedup.resolveDuplicateClusters(cands)
@@ -308,7 +321,8 @@ object Queries {
         docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
                             qualityScore(col("text")).as("q"))),
 
-      // multimodal: binary payload decode (stub) — rows-only check
+      // multimodal: binary payload decode — the stub's byte-histogram
+      // feature is DuckDB-expressible (hex-digit arithmetic), full oracle
       "multimodal_decode" -> ((s, dir) => {
         val withPayload = docs(s, dir)
           .select(col("doc_id").cast("long").as("doc_id"),
@@ -319,12 +333,26 @@ object Queries {
                   round(element_at(col("feature"), 8), 6).as("f7"))
       }),
 
-      // multimodal: frame sampling over binary payloads — rows-only check
+      // multimodal: frame sampling over binary payloads (frame byte
+      // counts are pure arithmetic over octet_length — full oracle)
       "multimodal_frames" -> ((s, dir) => {
         val withPayload = docs(s, dir)
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
         Multimodal.sampleFrames(withPayload, "payload", "doc_id",
           frameSize = 32, stride = 2)
+      }),
+
+      // multimodal: stride-sample resize (codegen ByteStride kernel);
+      // resized bytes oracled exactly via hex-pair sampling in DuckDB
+      "multimodal_resize" -> ((s, dir) => {
+        val withPayload = docs(s, dir)
+          .select(col("doc_id").cast("long").as("doc_id"),
+                  encode(col("text"), "UTF-8").as("payload"))
+        Multimodal.resize(withPayload, "payload", targetBytes = 64)
+          .select(col("doc_id"),
+                  length(col("payload")).cast("long").as("n_bytes"),
+                  col("resized_bytes"),
+                  hex(col("resized")).as("resized_hex"))
       })
     )
   }
@@ -605,7 +633,8 @@ object Queries {
       """SELECT CAST(ci AS BIGINT) AS ci, CAST(cj AS BIGINT) AS cj,
         |       CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
         |       CAST(round(exp(-CAST((i-ci)*(i-ci) + (j-cj)*(j-cj) AS DOUBLE) / 0.5)
-        |                * (1 - 4.0 * CAST((i-ci)*(i-ci) + (j-cj)*(j-cj) AS DOUBLE)), 6) AS DOUBLE) AS g
+        |                * (1 - 4.0 * CAST((i-ci)*(i-ci) + (j-cj)*(j-cj) AS DOUBLE)), 6)
+        |            + 0.0 AS DOUBLE) AS g
         |FROM generate_series(0, 4) a(ci), generate_series(0, 4) b(cj),
         |     generate_series(0, 4) c(i), generate_series(0, 4) e(j)""".stripMargin,
 
@@ -749,6 +778,103 @@ object Queries {
         |LEFT JOIN sizes sa ON sa.doc_id = p.id_a
         |LEFT JOIN sizes sb ON sb.doc_id = p.id_b
         |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b""".stripMargin,
+
+    // connected components over the (oracle-expressible) n-gram-jaccard
+    // candidate edges, as a recursive CTE: keep_id = min id reachable
+    "dedup_resolve_clusters" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT DISTINCT doc_id, substr(text, CAST(u.i AS INT), 3) AS g
+        |  FROM documents,
+        |       LATERAL (SELECT unnest(generate_series(1, length(text) - 2)) AS i) u
+        |), sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM documents a JOIN documents b
+        |    ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
+        |  WHERE a.text IS NOT NULL AND b.text IS NOT NULL
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS isz
+        |  FROM g a JOIN g b ON a.g = b.g AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
+        |  GROUP BY a.doc_id, b.doc_id
+        |), e AS (
+        |  SELECT p.id_a, p.id_b
+        |  FROM cand p
+        |  LEFT JOIN sizes sa ON sa.doc_id = p.id_a
+        |  LEFT JOIN sizes sb ON sb.doc_id = p.id_b
+        |  LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+        |  WHERE round(CAST(COALESCE(i.isz, 0) AS DOUBLE)
+        |        / greatest(COALESCE(sa.sz, 0) + COALESCE(sb.sz, 0) - COALESCE(i.isz, 0), 1), 6) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS id, id_b AS nbr FROM e
+        |  UNION ALL
+        |  SELECT id_b AS id, id_a AS nbr FROM e
+        |), reach(id, r) AS (
+        |  SELECT id, nbr FROM edges
+        |  UNION
+        |  SELECT e2.id, r.r FROM edges e2 JOIN reach r ON r.id = e2.nbr
+        |)
+        |SELECT CAST(id AS BIGINT) AS id,
+        |       CAST(least(id, min(r)) AS BIGINT) AS keep_id
+        |FROM reach GROUP BY id""".stripMargin,
+
+    // byte-histogram stub feature recomputed from hex pairs: byte value
+    // = 16*hi + lo hex digit, bin = byte // 16, f_k = count(bin=k)/total
+    "multimodal_decode" ->
+      """WITH p AS (
+        |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+        |  FROM documents WHERE text IS NOT NULL
+        |), b AS (
+        |  SELECT p.doc_id,
+        |         (strpos('0123456789ABCDEF', substr(p.h, CAST(2 * u.i - 1 AS INT), 1)) - 1) * 16
+        |       + (strpos('0123456789ABCDEF', substr(p.h, CAST(2 * u.i AS INT), 1)) - 1) AS byte
+        |  FROM p, LATERAL (SELECT unnest(generate_series(1, p.n)) AS i) u
+        |), hist AS (
+        |  SELECT doc_id,
+        |         sum(CASE WHEN byte // 16 = 6 THEN 1 ELSE 0 END) AS c6,
+        |         sum(CASE WHEN byte // 16 = 7 THEN 1 ELSE 0 END) AS c7,
+        |         count(*) AS tot
+        |  FROM b GROUP BY doc_id
+        |)
+        |SELECT CAST(p.doc_id AS BIGINT) AS doc_id, CAST(p.n AS BIGINT) AS n_bytes,
+        |       CAST(round(CASE WHEN COALESCE(hi.tot, 0) = 0 THEN 0.0
+        |                       ELSE CAST(hi.c6 AS DOUBLE) / hi.tot END, 6) AS DOUBLE) AS f6,
+        |       CAST(round(CASE WHEN COALESCE(hi.tot, 0) = 0 THEN 0.0
+        |                       ELSE CAST(hi.c7 AS DOUBLE) / hi.tot END, 6) AS DOUBLE) AS f7
+        |FROM p LEFT JOIN hist hi ON hi.doc_id = p.doc_id""".stripMargin,
+
+    // sampled-frame byte counts: pure arithmetic over octet_length
+    "multimodal_frames" ->
+      """WITH p AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n
+        |  FROM documents WHERE text IS NOT NULL AND octet_length(encode(text)) > 0
+        |)
+        |SELECT CAST(p.doc_id AS BIGINT) AS id, CAST(u.i AS BIGINT) AS frame_idx,
+        |       CAST(least(32, p.n - u.i * 32) AS BIGINT) AS frame_bytes
+        |FROM p, LATERAL (SELECT unnest(generate_series(0,
+        |       CAST(ceil(p.n / 32.0) AS BIGINT) - 1, 2)) AS i) u""".stripMargin,
+
+    // stride-sampled resize: reconstruct the sampled bytes from hex pairs
+    "multimodal_resize" ->
+      """WITH p AS (
+        |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+        |  FROM documents WHERE text IS NOT NULL
+        |), st AS (
+        |  SELECT doc_id, h, n,
+        |         CASE WHEN n <= 64 THEN 1 ELSE (n + 63) // 64 END AS stride
+        |  FROM p
+        |), sampled AS (
+        |  SELECT st.doc_id, u.i AS i,
+        |         substr(st.h, CAST(u.i * st.stride * 2 + 1 AS INT), 2) AS hh
+        |  FROM st, LATERAL (SELECT unnest(generate_series(0,
+        |         CASE WHEN st.n = 0 THEN -1 ELSE (st.n - 1) // st.stride END)) AS i) u
+        |), agg AS (
+        |  SELECT doc_id, string_agg(hh, '' ORDER BY i) AS hx, count(*) AS nb
+        |  FROM sampled GROUP BY doc_id
+        |)
+        |SELECT CAST(st.doc_id AS BIGINT) AS doc_id, CAST(st.n AS BIGINT) AS n_bytes,
+        |       CAST(COALESCE(agg.nb, 0) AS BIGINT) AS resized_bytes,
+        |       COALESCE(agg.hx, '') AS resized_hex
+        |FROM st LEFT JOIN agg ON agg.doc_id = st.doc_id""".stripMargin,
 
     "dedup_embedding" ->
       """WITH ex AS (

@@ -13,7 +13,13 @@ import java.nio.file.{Files, Paths}
   */
 object RefDump {
 
-  case class Cfg(name: String, config: SomConfig, epochs: Int)
+  /** `split > 0` trains epochs [0, split) + [split, epochs) as two
+    * `fit` calls (the iterBeg/iterEnd resume path) — the reference side
+    * replays one-shot, so a PASS proves checkpoint/resume positions the
+    * decay schedule exactly like the reference's `train(…, iter_beg,
+    * iter_end)` (`xpysom.py:458,541-543`).
+    */
+  case class Cfg(name: String, config: SomConfig, epochs: Int, split: Int = 0)
 
   val configs: Seq[Cfg] = Seq(
     Cfg("euclid_gauss_exp", SomConfig(3, 3, sigma = 1.2), 3),
@@ -29,7 +35,8 @@ object RefDump {
     Cfg("hex_gauss", SomConfig(3, 3, sigma = 1.2, topology = "hexagonal"), 3),
     Cfg("hex_bubble", SomConfig(3, 3, sigma = 1.2, topology = "hexagonal",
       neighborhood = "bubble"), 3),
-    Cfg("euclid_gauss_compact", SomConfig(3, 3, sigma = 1.8, compactSupport = true), 3))
+    Cfg("euclid_gauss_compact", SomConfig(3, 3, sigma = 1.8, compactSupport = true), 3),
+    Cfg("euclid_split_resume", SomConfig(3, 3, sigma = 1.2), 5, split = 2))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/ref_dump.jsonl")
@@ -46,7 +53,12 @@ object RefDump {
     val sb = new StringBuilder
     for (c <- configs) {
       val init = Codebook.fromRows(3, 3, initRows)
-      val model = new Som(c.config).fit(df, "embedding", c.epochs, init = init)
+      val model = if (c.split > 0) {
+        val half = new Som(c.config).fit(df, "embedding", c.epochs,
+          init = init, iterEnd = c.split)
+        new Som(c.config).fit(df, "embedding", c.epochs,
+          init = half.codebook, iterBeg = c.split)
+      } else new Som(c.config).fit(df, "embedding", c.epochs, init = init)
       val qe = model.quantizationError(df, "embedding")
       val te = model.topographicError(df, "embedding")
       val dm = model.distanceMap().flatten

@@ -92,19 +92,32 @@ object Dedup {
     */
   def simhash(text: Column): Column = graft.plans.GraftFunctions.simhash64(text)
 
-  /** SimHash near-dup candidates: band the 64-bit fingerprint into four
-    * 16-bit chunks (two near-dups within hamming distance 3 share at
-    * least one chunk), equi-join on chunks, verify hamming distance.
+  /** SimHash near-dup candidates: band the 64-bit fingerprint into eight
+    * 8-bit chunks, equi-join on chunks, verify hamming distance.
+    *
+    * Recall contract (pigeonhole): a pair within hamming distance 7 has
+    * fewer flipped bits than bands, so at least one 8-bit chunk is
+    * untouched and the pair is guaranteed to surface. `maxHamming` above
+    * 7 is rejected — banding cannot guarantee those pairs (a pair at
+    * hamming 8+ can flip one bit in every chunk and never collide), and
+    * silently returning a partial candidate set would misrepresent the
+    * result as exhaustive.
     */
   def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
-                        maxHamming: Int = 3): DataFrame = {
+                        maxHamming: Int = 7): DataFrame = {
+    val numBands = 8
+    val bitsPerBand = 8
+    require(maxHamming >= 0 && maxHamming < numBands,
+      s"maxHamming ($maxHamming) must be < $numBands bands: LSH banding only " +
+        s"guarantees recall for hamming < numBands (pigeonhole); use more, " +
+        s"narrower bands for larger radii")
     val withFp = df.select(col(idCol).cast("long").as("id"),
                            simhash(col(textCol)).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = withFp.select(col("id"), col("fp"),
-      explode(array((0 until 4).map(b =>
+      explode(array((0 until numBands).map(b =>
         struct(lit(b).as("band"),
-               shiftright(col("fp"), b * 16).bitwiseAND(0xFFFFL).as("chunk"))): _*)).as("bb"))
+               shiftright(col("fp"), b * bitsPerBand).bitwiseAND(0xFFL).as("chunk"))): _*)).as("bb"))
       .select(col("id"), col("fp"), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
     val a = banded.alias("a")
     val b = banded.alias("b")
@@ -140,19 +153,28 @@ object Dedup {
           greatest(size(array_union(col("sh"), col("sh_b"))), lit(1)), 6).as("jaccard"))
   }
 
-  /** Resolve near-duplicate candidate pairs into clusters: iterative
-    * min-label propagation (each id adopts the smallest id reachable
-    * through candidate edges) until fixpoint — connected components with
-    * a handful of hash-join rounds, no driver-side graph. Returns
-    * (id, keep_id); rows absent from any pair keep themselves.
+  /** Resolve near-duplicate candidate pairs into clusters: each id adopts
+    * the smallest id reachable through candidate edges — connected
+    * components as hash-join rounds, no driver-side graph. Each round
+    * combines neighbor-min propagation with pointer jumping
+    * (label <- label-of-label), so a chain of diameter d converges in
+    * O(log d) rounds rather than O(d); maxIters=16 covers any diameter
+    * up to 2^16. Returns (id, keep_id); throws if the fixpoint is not
+    * reached (partial clusters must never look authoritative).
     */
-  def resolveDuplicateClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def resolveDuplicateClusters(pairs: DataFrame, maxIters: Int = 16): DataFrame = {
     val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
       .union(pairs.select(col("id_b").cast("long"), col("id_a").cast("long")))
       .toDF("id", "nbr")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint per round: each round references the previous
+    // labels multiple times, so without lineage truncation the logical
+    // plan grows exponentially and the optimizer itself becomes the
+    // bottleneck (the standard iterative-DataFrame trap; on a cluster
+    // with unreliable executors use checkpoint() on a reliable dir).
     var labels = edges.groupBy("id")
       .agg(least(min("nbr"), min("id")).as("keep_id"))
+      .localCheckpoint(true)
     var i = 0
     var converged = false
     while (i < maxIters && !converged) {
@@ -160,10 +182,17 @@ object Dedup {
       val nbrLabels = edges
         .join(labels.withColumnRenamed("id", "nbr"), "nbr")
         .groupBy("id").agg(min("keep_id").as("nbr_keep"))
-      val next = labels.join(nbrLabels, Seq("id"), "left")
+      val stepped = labels.join(nbrLabels, Seq("id"), "left")
         .select(col("id"),
           least(col("keep_id"), coalesce(col("nbr_keep"), col("keep_id"))).as("keep_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
+      // pointer jumping: follow keep_id one more hop (keep_id of
+      // keep_id), halving the remaining chain depth each round
+      val hop = stepped.select(col("id").as("jid"), col("keep_id").as("jkeep"))
+      val next = stepped.join(hop, stepped("keep_id") === hop("jid"), "left")
+        .select(col("id"), least(col("keep_id"), coalesce(col("jkeep"), col("keep_id")))
+          .as("keep_id"))
+        .localCheckpoint(true)
       val changed = next.alias("n").join(labels.alias("l"), "id")
         .where(col("n.keep_id") =!= col("l.keep_id")).limit(1).count()
       labels.unpersist(blocking = false)
@@ -172,6 +201,12 @@ object Dedup {
       i += 1
     }
     edges.unpersist(blocking = false)
+    if (!converged) {
+      labels.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"resolveDuplicateClusters did not converge in $maxIters rounds " +
+          "(component diameter exceeds 2^maxIters); raise maxIters")
+    }
     labels
   }
 

@@ -58,23 +58,14 @@ object Multimodal {
 
   /** Resize (STUB semantics, real plumbing): stride-sample the payload
     * bytes down to ~`targetBytes` — the deterministic stand-in for an
-    * image resize; swap the byte-stride for a real scaler in production.
-    * Pure expressions over the binary column.
+    * image resize; swap the byte-stride kernel for a real scaler in
+    * production. Single codegen'd O(len) pass per payload
+    * (`graft.plans.ByteStride`); null payloads stay null.
     */
-  def resize(df: DataFrame, payloadCol: String, targetBytes: Int): DataFrame = {
-    val n = length(col(payloadCol))
-    val stride = greatest(ceil(n.cast("double") / targetBytes).cast("int"), lit(1))
+  def resize(df: DataFrame, payloadCol: String, targetBytes: Int): DataFrame =
     df.withColumn("resized",
-        when(n === 0 || col(payloadCol).isNull, col(payloadCol))
-          .otherwise(expr(
-            s"""aggregate(
-               |  transform(sequence(0, int((length($payloadCol) - 1) /
-               |      greatest(int(ceil(length($payloadCol) / $targetBytes.0)), 1))),
-               |    i -> substring($payloadCol,
-               |           i * greatest(int(ceil(length($payloadCol) / $targetBytes.0)), 1) + 1, 1)),
-               |  cast('' as binary), (acc, b) -> concat(acc, b))""".stripMargin)))
+        graft.plans.GraftFunctions.byte_stride(col(payloadCol), targetBytes))
       .withColumn("resized_bytes", length(col("resized")).cast("long"))
-  }
 
   /** Frame sampling: slice the payload into `frameSize`-byte frames and
     * keep every `stride`-th frame (the video-keyframe access pattern) —

@@ -84,6 +84,22 @@ object HashKernels {
     sig
   }
 
+  /** Stride-sample a byte payload down to ~`targetBytes`: keep bytes at
+    * indices 0, stride, 2·stride, … with stride = ceil(len/target).
+    * Single pass, one output allocation — the deterministic stand-in for
+    * a media resize (`Multimodal.resize`).
+    */
+  def strideSample(payload: Array[Byte], targetBytes: Int): Array[Byte] = {
+    val len = payload.length
+    if (len == 0 || len <= targetBytes) return payload
+    val stride = (len + targetBytes - 1) / targetBytes
+    val n = (len - 1) / stride + 1
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) { out(i) = payload(i * stride); i += 1 }
+    out
+  }
+
   /** 64-bit SimHash: per-bit majority vote over whitespace-token hashes.
     * Returns 0 for empty docs.
     */

@@ -17,6 +17,20 @@ import org.apache.spark.sql.types._
   * partial euclidean by default (rank-invariant, `distances.py:11-23`),
   * first-index argmin ties (`xpysom.py:416`).
   */
+/** Per-thread scratch vector shared by the SOM expression kernels: kills
+  * the per-row `Array[Double](dim)` allocation (and its GC churn) in the
+  * codegen hot path. Safe because each Spark task thread owns its copy
+  * and the buffer never escapes a single kernel call.
+  */
+object SomScratch {
+  private val tl = new ThreadLocal[Array[Double]]()
+  def get(dim: Int): Array[Double] = {
+    var a = tl.get()
+    if (a == null || a.length < dim) { a = new Array[Double](dim); tl.set(a) }
+    a
+  }
+}
+
 object SomBmuKernel {
   /** argmin over neurons of the configured distance; double math. */
   def bmu(v: ArrayData, isFloat: Boolean, w: Array[Double], wSq: Array[Double],
@@ -25,7 +39,7 @@ object SomBmuKernel {
     if (v.numElements() != dim)
       throw new IllegalArgumentException(
         s"Received ${v.numElements()} features, expected $dim.")
-    val x = new Array[Double](dim)
+    val x = SomScratch.get(dim)
     var i = 0
     while (i < dim) { x(i) = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i); i += 1 }
     var best = 0
@@ -94,7 +108,7 @@ case class SomBmu(child: Expression, weights: Array[Double], dim: Int,
     // ship the codebook into the generated class once via reference objects
     val wRef = ctx.addReferenceObj("somWeights", weights, "double[]")
     val wSqRef = ctx.addReferenceObj("somWSq", wSq, "double[]")
-    val kernel = SomBmuKernel.getClass.getName.stripSuffix("$") + ".MODULE$"
+    val kernel = SomBmuKernel.getClass.getName.stripSuffix("$") // mirror-class static forwarders — Janino cannot resolve MODULE$
     defineCodeGen(ctx, ev, c =>
       s"""$kernel.bmu($c, $isFloat, $wRef, $wSqRef, $dim, "$distance", $normP)""")
   }
@@ -146,7 +160,7 @@ case class SomQDist(child: Expression, weights: Array[Double], dim: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val wRef = ctx.addReferenceObj("somWeights", weights, "double[]")
     val wSqRef = ctx.addReferenceObj("somWSq", wSq, "double[]")
-    val kernel = SomQDistKernel.getClass.getName.stripSuffix("$") + ".MODULE$"
+    val kernel = SomQDistKernel.getClass.getName.stripSuffix("$") // mirror-class static forwarders — Janino cannot resolve MODULE$
     defineCodeGen(ctx, ev, c => s"$kernel.minDist($c, $isFloat, $wRef, $wSqRef, $dim)")
   }
 
@@ -170,7 +184,7 @@ object SomQDistKernel {
     if (v.numElements() != dim)
       throw new IllegalArgumentException(
         s"Received ${v.numElements()} features, expected $dim.")
-    val x = new Array[Double](dim)
+    val x = SomScratch.get(dim)
     val n = dim
     var i = 0
     var xSq = 0.0

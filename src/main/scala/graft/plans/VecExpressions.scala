@@ -101,7 +101,7 @@ abstract class VecBinaryExpression extends BinaryExpression with Serializable {
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val kernel = VecKernels.getClass.getName.stripSuffix("$") + ".MODULE$"
+    val kernel = VecKernels.getClass.getName.stripSuffix("$") // mirror-class static forwarders — Janino cannot resolve MODULE$
     defineCodeGen(ctx, ev, (a, b) =>
       s"$kernel.$fn($a, $b, ${isFloat(left)}, ${isFloat(right)})")
   }

@@ -32,7 +32,7 @@ case class MinHashSig(child: Expression, numHashes: Int, shingleSize: Int, seed:
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val kernel = HashKernels.getClass.getName.stripSuffix("$") + ".MODULE$"
+    val kernel = HashKernels.getClass.getName.stripSuffix("$") // mirror-class static forwarders — Janino cannot resolve MODULE$
     nullSafeCodeGen(ctx, ev, c => {
       val sig = ctx.freshName("sig")
       s"""
@@ -59,13 +59,45 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     HashKernels.simhash(input.asInstanceOf[UTF8String].toString)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val kernel = HashKernels.getClass.getName.stripSuffix("$") + ".MODULE$"
+    val kernel = HashKernels.getClass.getName.stripSuffix("$") // mirror-class static forwarders — Janino cannot resolve MODULE$
     defineCodeGen(ctx, ev, c => s"$kernel.simhash($c.toString())")
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
   override def prettyName: String = "simhash64"
+}
+
+/** Byte-stride downsample of a binary payload (`HashKernels.strideSample`):
+  * a single-pass, O(len) construction — the codegen replacement for the
+  * quadratic per-byte `aggregate`/`concat` formulation.
+  */
+case class ByteStride(child: Expression, targetBytes: Int) extends UnaryExpression {
+  require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"byte_stride expects binary, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.strideSample(input.asInstanceOf[Array[Byte]], targetBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = HashKernels.getClass.getName.stripSuffix("$") // mirror-class static forwarders — Janino cannot resolve MODULE$
+    defineCodeGen(ctx, ev, c => s"$kernel.strideSample($c, $targetBytes)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ByteStride =
+    copy(child = newChild)
+  override def prettyName: String = "byte_stride"
 }
 
 /** Column-API wrappers. */
@@ -77,6 +109,9 @@ object GraftFunctions {
 
   def simhash64(text: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(text)))
+
+  def byte_stride(payload: Column, targetBytes: Int): Column =
+    GraftBridge.column(ByteStride(GraftBridge.expression(payload), targetBytes))
 }
 
 /** SQL-surface registration: `spark.sql.extensions=graft.plans.GraftExtensions`
@@ -93,6 +128,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       GraftExtensions.simhashBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("byte_stride"),
+      new ExpressionInfo(classOf[ByteStride].getName, "byte_stride"),
+      GraftExtensions.byteStrideBuilder))
   }
 }
 
@@ -106,4 +145,12 @@ object GraftExtensions {
     MinHashSig(args.head, longArg(1, 64).toInt, longArg(2, 3).toInt, longArg(3, 13))
   }
   val simhashBuilder: Seq[Expression] => Expression = args => SimHash64(args.head)
+  val byteStrideBuilder: Seq[Expression] => Expression = { args =>
+    val target = args(1) match {
+      case Literal(v, _) => v.toString.toInt
+      case other => throw new IllegalArgumentException(
+        s"byte_stride targetBytes must be a literal, got $other")
+    }
+    ByteStride(args.head, target)
+  }
 }

@@ -110,6 +110,15 @@ object Neighborhoods {
     */
   final case class MexicanHat(topo: Topology, stdCoeff: Double, compact: Boolean)
       extends Neighborhood("mexican_hat") {
+    // the reference's rect compact-support broadcast (neighborhoods.py:70-71)
+    // raises a shape error on non-square maps; fail loudly like it does
+    // rather than silently skipping the y-window coupling
+    if (compact && topo.isInstanceOf[Rectangular] && topo.x != topo.y)
+      throw new IllegalArgumentException(
+        "mexican_hat with compact_support requires a square map on " +
+          s"rectangular topology (got ${topo.x}x${topo.y}); the reference " +
+          "broadcast fails on non-square maps")
+
     def compute(winI: Array[Int], winJ: Array[Int], n: Int, sigma: Double,
                 out: Array[Double]): Unit = {
       val d = 2.0 * stdCoeff * stdCoeff * sigma * sigma

@@ -31,9 +31,9 @@ final case class SomConfig(
       * parallelism (partitions are the unit of parallelism here).
       */
     batchSize: Int = 2048,
-    /** treeReduce depth for the per-epoch (num, den) combine; 2 keeps
-      * driver fan-in bounded at cluster scale (the reference's dask path
-      * does a flat single-node sum, `xpysom.py:545-558`).
+    /** Tree depth for the per-epoch deterministic (num, den) combine;
+      * 2 keeps driver fan-in bounded at cluster scale (the reference's
+      * dask path does a flat single-node sum, `xpysom.py:545-558`).
       */
     treeDepth: Int = 2) {
 
@@ -68,12 +68,22 @@ final case class SomConfig(
 final class Som(val config: SomConfig) extends Serializable {
   config.validated
 
-  /** Train for numEpochs epochs. `init` overrides the default seeded
+  /** Train epochs [iterBeg, iterEnd) of a `numEpochs`-epoch schedule
+    * (`xpysom.py:458-476`): the decay functions are evaluated at the
+    * absolute epoch index over `numEpochs`, so
+    * `fit(…, 10, iterEnd = 5)` followed by
+    * `fit(…, 10, init = m.codebook, iterBeg = 5)` is bit-identical to a
+    * single `fit(…, 10)` — the checkpoint/resume contract. `iterEnd = -1`
+    * (default) means `numEpochs`. `init` overrides the default seeded
     * uniform-normalized initialization (`xpysom.py:188-190`).
     */
   def fit(df: DataFrame, featuresCol: String = "features", numEpochs: Int,
-          init: Codebook = null, verbose: Boolean = false): SomModel = {
+          init: Codebook = null, verbose: Boolean = false,
+          iterBeg: Int = 0, iterEnd: Int = -1): SomModel = {
     require(numEpochs >= 1, s"numEpochs must be >= 1, got $numEpochs")
+    val end = if (iterEnd < 0) numEpochs else iterEnd
+    require(iterBeg >= 0 && iterBeg <= end && end <= numEpochs,
+      s"need 0 <= iterBeg ($iterBeg) <= iterEnd ($end) <= numEpochs ($numEpochs)")
     // float32 vectors: half the cache footprint of double, and exactly
     // the reference's training dtype (`xpysom.py:485,510`); all math
     // still runs in double inside the kernels
@@ -88,29 +98,46 @@ final class Som(val config: SomConfig) extends Serializable {
       require(cb0.dim == dim, s"Received $dim features, expected ${cb0.dim}.")
       require(cb0.x == config.x && cb0.y == config.y,
         s"init codebook grid ${cb0.x}x${cb0.y} does not match config ${config.x}x${config.y}")
-      new SomModel(config, fitFrom(data, cb0, numEpochs, verbose))
+      val model = new SomModel(config,
+        fitFrom(data, cb0, numEpochs, verbose, iterBeg, end))
+      // end-of-train QE print (`xpysom.py:591-592`)
+      if (verbose)
+        println(s"\n quantization error: ${model.quantizationError(df, featuresCol)}")
+      model
     } finally data.unpersist(blocking = false)
   }
 
-  /** Epoch loop over an already-materialized vector RDD. */
+  /** Epoch loop over an already-materialized vector RDD: epochs
+    * [iterBeg, iterEnd) of the `numEpochs` decay schedule.
+    */
   private[graft] def fitFrom(data: RDD[Array[Float]], init: Codebook,
-                             numEpochs: Int, verbose: Boolean = false): Codebook = {
+                             numEpochs: Int, verbose: Boolean = false,
+                             iterBeg: Int = 0, iterEnd: Int = -1): Codebook = {
+    val end = if (iterEnd < 0) numEpochs else iterEnd
     var cb = init
-    var t = 0
-    while (t < numEpochs) {
-      val t0 = System.nanoTime()
+    var t = iterBeg
+    val begin = System.nanoTime()
+    while (t < end) {
       cb = epoch(data, cb, t, numEpochs)
-      if (verbose)
-        println(f"[som] epoch ${t + 1}/$numEpochs done in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      if (verbose) println(Som.progressLine(t - iterBeg, end - iterBeg,
+        numEpochs, (System.nanoTime() - begin) / 1e9))
       t += 1
     }
     cb
   }
 
   /** One training epoch (one Spark job): broadcast codebook (+ wSq
-    * cache), per-partition update, treeReduce of (num, den), merge.
-    * Exposed for incremental/streaming training where each micro-batch
-    * advances the decay schedule by one step.
+    * cache), per-partition update, deterministic tree-combine of
+    * (num, den), merge. Exposed for incremental/streaming training where
+    * each micro-batch advances the decay schedule by one step.
+    *
+    * The fan-in is a fixed-topology tree keyed by partition id (partials
+    * sorted before every fold) rather than `treeReduce`, whose combine
+    * order follows shuffle-block arrival and therefore perturbs the
+    * float sum by ~1 ulp from run to run. Same shuffle volume and
+    * bounded driver fan-in, plus bit-reproducible training — which the
+    * resume contract (`fit(iterBeg/iterEnd)`) and the seeded-determinism
+    * guarantee both rely on.
     */
   private[graft] def epoch(data: RDD[Array[Float]], cb: Codebook, t: Int,
                            numEpochs: Int): Codebook = {
@@ -121,14 +148,14 @@ final class Som(val config: SomConfig) extends Serializable {
     val wSq = if (cfg.distanceFn.canCache) cb.rowSumSq() else null
     val bc = sc.broadcast((cb.weights, wSq))
     try {
-      val (num, den) = data
-        .mapPartitions { it =>
-          val (w, wsq) = bc.value
-          Iterator.single(SomKernels.partitionUpdate(it, w, wsq, cfg, eta, sig))
-        }
-        .treeReduce({ (a, b) =>
-          SomKernels.addInPlace(a._1, b._1); SomKernels.addInPlace(a._2, b._2); a
-        }, depth = cfg.treeDepth)
+      val partials = data.mapPartitionsWithIndex { (pid, it) =>
+        val (w, wsq) = bc.value
+        Iterator.single(pid -> SomKernels.partitionUpdate(it, w, wsq, cfg, eta, sig))
+      }
+      val (num, den) = SomKernels.reduceDeterministic(
+        partials, data.getNumPartitions, cfg.treeDepth) { (a, b) =>
+        SomKernels.addInPlace(a._1, b._1); SomKernels.addInPlace(a._2, b._2); a
+      }
       cb.merged(num, den)
     } finally bc.destroy() // don't leak the broadcast on job failure
   }
@@ -153,9 +180,13 @@ final class Som(val config: SomConfig) extends Serializable {
     val first = data.take(1)
     require(first.nonEmpty, "cannot pca-init on an empty dataset")
     val d = first.head.length
-    val (xtx, sums, n) = data.treeAggregate(
-      (new Array[Double](d * d), new Array[Double](d), 0L))(
-      seqOp = { case ((m, s, c), v) =>
+    // deterministic fan-in (see SomKernels.reduceDeterministic): pca init
+    // stays bit-reproducible across runs like the training path
+    val partials = data.mapPartitionsWithIndex { (pid, it) =>
+      val m = new Array[Double](d * d)
+      val s = new Array[Double](d)
+      var c = 0L
+      it.foreach { v =>
         var i = 0
         while (i < d) {
           s(i) += v(i)
@@ -164,12 +195,16 @@ final class Som(val config: SomConfig) extends Serializable {
           while (j < d) { m(base + j) += v(i) * v(j); j += 1 }
           i += 1
         }
-        (m, s, c + 1)
-      },
-      combOp = { case ((m1, s1, c1), (m2, s2, c2)) =>
+        c += 1
+      }
+      Iterator.single(pid -> ((m, s, c)))
+    }
+    val (xtx, sums, n) = SomKernels.reduceDeterministic(
+      partials, data.getNumPartitions, config.treeDepth) {
+      case ((m1, s1, c1), (m2, s2, c2)) =>
         SomKernels.addInPlace(m1, m2); SomKernels.addInPlace(s1, s2)
         (m1, s1, c1 + c2)
-      }, depth = config.treeDepth)
+    }
     require(n > 1, "pca init needs at least 2 samples")
     val cov = Array.tabulate(d, d) { (i, j) =>
       (xtx(i * d + j) - sums(i) * sums(j) / n) / (n - 1)
@@ -187,12 +222,71 @@ final class Som(val config: SomConfig) extends Serializable {
   }
 }
 
-/** Per-partition numeric kernels for training. */
-private[som] object SomKernels {
+object Som {
+  /** Reference-format progress line (`print_progress`, `xpysom.py:50-69`)
+    * at epoch granularity: `[ t / T ] p% - H:MM:SS elapsed - H:MM:SS left`.
+    * `done` epochs of `toRun` have finished in this call; `totalEpochs`
+    * only sets the index padding width (parity with the reference's
+    * digit-aligned counter).
+    */
+  private[graft] def progressLine(done: Int, toRun: Int, totalEpochs: Int,
+                                  elapsedSec: Double): String = {
+    val t = done + 1
+    val digits = totalEpochs.toString.length
+    val secLeft = (toRun - t) * elapsedSec / t
+    val pct = math.round(100.0 * t / toRun)
+    s" [ ${String.format(s"%${digits}d", Int.box(t))} / $toRun ] " +
+      f"$pct%3d%% - ${hms(elapsedSec)} elapsed - ${hms(secLeft)} left"
+  }
+
+  private def hms(sec: Double): String = {
+    val s = math.max(sec, 0.0).toLong
+    f"${s / 3600}:${s % 3600 / 60}%02d:${s % 60}%02d"
+  }
+}
+
+/** Per-partition numeric kernels for training. Serializable: the
+  * deterministic-combine closures reference the module from executors.
+  */
+private[som] object SomKernels extends Serializable {
 
   def addInPlace(a: Array[Double], b: Array[Double]): Unit = {
     var i = 0
     while (i < a.length) { a(i) += b(i); i += 1 }
+  }
+
+  type Partial = (Array[Double], Array[Double])
+
+  /** Deterministic tree-combine of per-partition partials: group
+    * `fanout` adjacent partition ids per level, sort each group by id,
+    * fold left; repeat until at most `fanout` partials remain, then
+    * collect (sorted) and fold on the driver. Combine topology depends
+    * only on (width, depth) — never on shuffle arrival order — so the
+    * float sum is bit-reproducible across runs and resumes, unlike
+    * `RDD.treeReduce`/`treeAggregate`. Fan-in stays bounded
+    * (`fanout` ≈ width^(1/depth)) for cluster-scale partition counts.
+    * `comb` may mutate and return its left argument (both operands are
+    * task-local deserialized copies).
+    */
+  def reduceDeterministic[T: scala.reflect.ClassTag](
+      parts: RDD[(Int, T)], width0: Int, depth: Int)(comb: (T, T) => T): T = {
+    val fanout = math.max(
+      math.ceil(math.pow(width0.toDouble, 1.0 / math.max(depth, 1))).toInt, 2)
+    var cur = parts
+    var width = width0
+    while (width > fanout) {
+      val nextWidth = (width + fanout - 1) / fanout
+      cur = cur
+        .map { case (pid, v) => (pid / fanout, (pid, v)) }
+        .groupByKey(nextWidth)
+        .map { case (gid, it) =>
+          gid -> it.toArray.sortBy(_._1).map(_._2).reduceLeft(comb)
+        }
+      width = nextWidth
+    }
+    val fin = cur.collect().sortBy(_._1).map(_._2)
+    require(fin.nonEmpty, "no partials to reduce (empty RDD)")
+    fin.reduceLeft(comb)
   }
 
   /** One partition's (num, den) contribution for one epoch: iterate the

@@ -65,7 +65,7 @@ final class SomModel(val config: SomConfig, val codebook: Codebook)
         }
         def hasNext: Boolean = pos < n || { if (it.hasNext) { fill(); pos < n } else false }
         def next(): Row = {
-          if (pos >= n) fill()
+          if (!hasNext) throw new NoSuchElementException("next on empty iterator")
           val row = rows(pos)
           val extra = emit(dBuf, pos * k, k, w)
           pos += 1

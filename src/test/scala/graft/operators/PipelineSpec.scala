@@ -54,12 +54,42 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("simhash: identical texts collide with 0 hamming") {
-    val c = Dedup.simhashCandidates(docs, "text", "doc_id", maxHamming = 20)
+    val c = Dedup.simhashCandidates(docs, "text", "doc_id", maxHamming = 7)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(c((0L, 1L)) == 0)
-    // banding guarantees recall only for small hamming distances; any
-    // candidate that did surface must satisfy the threshold
-    c.values.foreach(h => assert(h <= 20))
+    c.values.foreach(h => assert(h <= 7))
+    // bounds past the banding guarantee are rejected, not silently partial
+    intercept[IllegalArgumentException] {
+      Dedup.simhashCandidates(docs, "text", "doc_id", maxHamming = 8)
+    }
+  }
+
+  test("simhash banding: full recall vs exact hamming within the guarantee") {
+    // corpus with graded token overlap so fingerprints land at assorted
+    // hamming distances, some within the <=7 guarantee
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val words = base.split(" ")
+    val corpus = (0 until 30).map { i =>
+      // replace i%7 words with doc-specific tokens
+      val toks = words.zipWithIndex.map { case (w, j) =>
+        if (j < i % 7) s"tok${i}_$j" else w
+      }
+      (i.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    // exact all-pairs hamming over the same fingerprints
+    val fps = corpus.select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val expected = (for {
+      a <- fps.keys; b <- fps.keys if a < b
+      h = hamming(fps(a), fps(b)) if h <= 7
+    } yield (a, b)).toSet
+    val got = Dedup.simhashCandidates(corpus, "text", "doc_id", maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "test corpus produced no close pairs — weak test")
+    assert(got == expected,
+      s"banding recall broken: missing ${expected -- got}, extra ${got -- expected}")
   }
 
   test("ngram jaccard: identical pair = 1, disjoint ~ 0") {
@@ -166,10 +196,36 @@ class PipelineSpec extends SparkSpec {
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
     val r = Multimodal.resize(df, "payload", targetBytes = 16).collect()
     r.foreach { row =>
-      val orig = row.getAs[Array[Byte]](1).length
-      val resized = row.getLong(row.fieldIndex("resized_bytes"))
-      assert(resized <= 16 + 1, s"doc ${row.getLong(0)}: $orig -> $resized")
-      assert(resized > 0)
+      val payload = row.getAs[Array[Byte]](1)
+      val resized = row.getAs[Array[Byte]](row.fieldIndex("resized"))
+      val n = row.getLong(row.fieldIndex("resized_bytes"))
+      assert(n == resized.length && n > 0 && n <= 16 + 1)
+      // exact stride-sample semantics: bytes at 0, stride, 2*stride, ...
+      val stride = math.max((payload.length + 15) / 16, 1)
+      val expect = (0 until (payload.length - 1) / stride + 1)
+        .map(i => payload(i * stride)).toArray
+      assert(resized.sameElements(expect), s"doc ${row.getLong(0)}")
+    }
+    // identity below target; null payload stays null
+    val small = Seq((0L, Array[Byte](1, 2, 3)), (1L, null)).toDF("doc_id", "payload")
+    val sr = Multimodal.resize(small, "payload", targetBytes = 16)
+      .collect().map(x => x.getLong(0) -> Option(x.getAs[Array[Byte]](2))).toMap
+    assert(sr(0L).get.sameElements(Array[Byte](1, 2, 3)))
+    assert(sr(1L).isEmpty)
+  }
+
+  test("cluster resolution converges on a chain longer than 10 hops") {
+    // 40-node path: min-label needs O(diameter) rounds without pointer
+    // jumping; with jumping it converges well inside maxIters=16
+    val pairs = (0L until 39L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val r = Dedup.resolveDuplicateClusters(pairs).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.size == 40)
+    assert(r.values.forall(_ == 0L), r.toString)
+    // a genuinely-unconverged run fails loudly instead of returning
+    // partially-merged clusters
+    intercept[IllegalStateException] {
+      Dedup.resolveDuplicateClusters(pairs, maxIters = 1)
     }
   }
 

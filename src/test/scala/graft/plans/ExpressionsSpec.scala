@@ -50,6 +50,31 @@ class ExpressionsSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(r(0L) ^ r(2L)) < 32) // near dup close
   }
 
+  test("byte_stride: exact stride-sample, identity below target, O(n) kernel") {
+    val payloads = Seq(
+      (0L, Array.tabulate(100)(_.toByte)),
+      (1L, Array.tabulate(7)(i => (i * 3).toByte)), // below target: identity
+      (2L, Array.empty[Byte]),
+      (3L, null))
+    val r = payloads.toDF("id", "p")
+      .select(col("id"), GraftFunctions.byte_stride(col("p"), 10).as("s"))
+      .collect().map(x => x.getLong(0) -> Option(x.getAs[Array[Byte]](1))).toMap
+    // 100 bytes @ target 10 -> stride 10 -> bytes 0,10,...,90
+    assert(r(0L).get.toSeq == (0 until 100 by 10).map(_.toByte).toSeq)
+    assert(r(1L).get.toSeq == payloads(1)._2.toSeq)
+    assert(r(2L).get.isEmpty)
+    assert(r(3L).isEmpty)
+    // kernel matches a naive reference on assorted lengths/targets
+    val rnd = new scala.util.Random(3)
+    for (len <- Seq(1, 9, 10, 11, 99, 1000); target <- Seq(1, 3, 10, 64)) {
+      val p = Array.fill(len)(rnd.nextInt().toByte)
+      val stride = math.max((len + target - 1) / target, 1)
+      val naive = (0 until (len - 1) / stride + 1).map(i => p(i * stride)).toArray
+      assert(HashKernels.strideSample(p, target).sameElements(naive),
+        s"len=$len target=$target")
+    }
+  }
+
   test("GraftExtensions SQL builders construct and evaluate the expressions") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.unsafe.types.UTF8String

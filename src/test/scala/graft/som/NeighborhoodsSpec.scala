@@ -55,6 +55,15 @@ class NeighborhoodsSpec extends AnyFunSuite {
     }
   }
 
+  test("mexican hat compact support rejects non-square rect maps (ref broadcast error)") {
+    intercept[IllegalArgumentException] {
+      Neighborhoods.MexicanHat(Rectangular(4, 6), 0.5, compact = true)
+    }
+    // square + compact and non-square + non-compact both construct fine
+    Neighborhoods.MexicanHat(Rectangular(5, 5), 0.5, compact = true)
+    Neighborhoods.MexicanHat(Rectangular(4, 6), 0.5, compact = false)
+  }
+
   test("bubble uses strict inequalities and raw indices (`neighborhoods.py:99-112`)") {
     val topo = Rectangular(5, 5)
     val b = Neighborhoods.Bubble(topo)

@@ -124,6 +124,37 @@ class SomSpec extends SparkSpec {
     assert(m2.quantizationError(d2) < q2)
   }
 
+  test("split training via iterBeg/iterEnd equals one-shot (`xpysom.py:458`)") {
+    val rnd = new scala.util.Random(42)
+    val data = Seq.fill(80)(Seq.fill(3)(rnd.nextFloat())).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "features")
+    val cfg = SomConfig(4, 4, sigma = 1.0, seed = 3)
+    val oneShot = new Som(cfg).fit(data, "features", numEpochs = 10)
+    // checkpoint at epoch 5, resume with the decay schedule positioned
+    // at the absolute epoch index
+    val half = new Som(cfg).fit(data, "features", numEpochs = 10, iterEnd = 5)
+    val resumed = new Som(cfg).fit(data, "features", numEpochs = 10,
+      init = half.codebook, iterBeg = 5)
+    assert(oneShot.codebook.weights.sameElements(resumed.codebook.weights),
+      "fit(0..5)+fit(5..10) must be bit-identical to fit(0..10)")
+    // out-of-range bounds fail loudly
+    intercept[IllegalArgumentException] {
+      new Som(cfg).fit(data, "features", numEpochs = 10, iterBeg = 7, iterEnd = 5)
+    }
+    intercept[IllegalArgumentException] {
+      new Som(cfg).fit(data, "features", numEpochs = 10, iterEnd = 11)
+    }
+  }
+
+  test("verbose progress line mirrors the reference format (`xpysom.py:50-69`)") {
+    // [ t / T ] p% - elapsed elapsed - left left, digit-aligned on the
+    // full schedule width
+    assert(Som.progressLine(0, 5, 10, 2.0) ==
+      " [  1 / 5 ]  20% - 0:00:02 elapsed - 0:00:08 left")
+    assert(Som.progressLine(4, 5, 10, 10.0) ==
+      " [  5 / 5 ] 100% - 0:00:10 elapsed - 0:00:00 left")
+  }
+
   test("result invariant to partitioning (dask-path analogue)") {
     val rnd = new scala.util.Random(5)
     val vals = Seq.fill(64)(Seq.fill(3)(rnd.nextFloat()))
