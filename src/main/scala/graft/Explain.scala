@@ -18,7 +18,9 @@ object Explain {
           || l.contains("PushedFilters") || l.contains("ReadSchema")).take(25).mkString("\n"))
     }
     Seq("q1_lineitem_agg", "q3_revenue_by_order", "som_winner_expr",
-        "dedup_exact", "ann_cosine_topk", "dedup_minhash", "events_hourly").foreach(show)
+        "dedup_exact", "ann_cosine_topk", "dedup_minhash", "events_hourly",
+        "multimodal_resize", "multimodal_frames", "dedup_simhash",
+        "text_stats").foreach(show)
     spark.stop()
   }
 }

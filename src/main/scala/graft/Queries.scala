@@ -210,6 +210,32 @@ object Queries {
       s.createDataFrame(rows).toDF("nid", "dim", "w")
     }),
 
+    // save/load round-trip driven end-to-end: persist the fixed
+    // codebook, reload, assign winners — oracled against the same
+    // codebook SQL as som_winner, so a lossy round-trip flips BMUs
+    // and fails the hash (xpysom.py:868-892 pickle-parity analogue)
+    "som_save_load_winner" -> ((s, dir) => {
+      val path = s"/tmp/graft_model_roundtrip"
+      fixedModel(s, dir).save(s, path)
+      SomModel.load(s, path).transform(emb(s, dir), "embedding")
+        .select(col("vec_id").cast("long").as("vec_id"),
+                col("bmu_id").cast("long").as("bmu_id"))
+    }),
+
+    // CSV source driven end-to-end: embeddings -> CSV (floats as
+    // shortest-round-trip strings, so the trip is lossless) -> read back
+    // -> winners; same oracle as som_winner (§2.1 example-CSV-source row)
+    "som_csv_source_winner" -> ((s, dir) => {
+      val path = s"/tmp/graft_csv_roundtrip"
+      emb(s, dir).select(col("vec_id"), concat_ws(";", col("embedding")).as("emb"))
+        .write.mode("overwrite").option("header", "true").csv(path)
+      val back = s.read.option("header", "true").csv(path)
+        .select(col("vec_id").cast("long").as("vec_id"),
+                split(col("emb"), ";").cast("array<float>").as("embedding"))
+      fixedModel(s, dir).transform(back, "embedding")
+        .select(col("vec_id"), col("bmu_id").cast("long").as("bmu_id"))
+    }),
+
     // full training on embeddings — not SQL-expressible; rows-only check
     "som_train_activation_response" -> ((s, dir) => {
       val df = emb(s, dir)
@@ -739,6 +765,18 @@ object Queries {
          |FROM coords b1 JOIN coords b2 ON b1.vec_id = b2.vec_id AND b1.rn = 1 AND b2.rn = 2""".stripMargin,
 
     "som_winner_expr" ->
+      s"""$cbDistCte
+         |SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         |       (array_agg(nid ORDER BY dist2 ASC, nid ASC))[1] AS bmu_id
+         |FROM d GROUP BY vec_id""".stripMargin,
+
+    "som_save_load_winner" ->
+      s"""$cbDistCte
+         |SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         |       (array_agg(nid ORDER BY dist2 ASC, nid ASC))[1] AS bmu_id
+         |FROM d GROUP BY vec_id""".stripMargin,
+
+    "som_csv_source_winner" ->
       s"""$cbDistCte
          |SELECT CAST(vec_id AS BIGINT) AS vec_id,
          |       (array_agg(nid ORDER BY dist2 ASC, nid ASC))[1] AS bmu_id

@@ -27,6 +27,9 @@ object RefDump {
     Cfg("cosine_gauss", SomConfig(3, 3, sigma = 1.2, distance = "cosine"), 3),
     Cfg("manhattan_gauss", SomConfig(3, 3, sigma = 1.2, distance = "manhattan"), 3),
     Cfg("normp3_gauss", SomConfig(3, 3, sigma = 1.2, distance = "norm_p", normP = 3.0), 3),
+    // even p exercises the reference's norm_p_power_distance_even branch
+    // (distances.py:77-96) against our fused generic loop
+    Cfg("normp4_gauss", SomConfig(3, 3, sigma = 1.2, distance = "norm_p", normP = 4.0), 3),
     Cfg("euclid_bubble", SomConfig(3, 3, sigma = 1.2, neighborhood = "bubble"), 3),
     Cfg("euclid_mexican", SomConfig(3, 3, sigma = 1.2, neighborhood = "mexican_hat"), 3),
     Cfg("euclid_triangle", SomConfig(3, 3, sigma = 1.5, neighborhood = "triangle"), 3),

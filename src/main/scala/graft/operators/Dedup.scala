@@ -185,16 +185,22 @@ object Dedup {
       val stepped = labels.join(nbrLabels, Seq("id"), "left")
         .select(col("id"),
           least(col("keep_id"), coalesce(col("nbr_keep"), col("keep_id"))).as("keep_id"))
-        .localCheckpoint(true)
       // pointer jumping: follow keep_id one more hop (keep_id of
-      // keep_id), halving the remaining chain depth each round
+      // keep_id), halving the remaining chain depth each round. stepped
+      // appears twice below but derives from checkpointed labels, so the
+      // per-round plan stays constant-size; only `next` needs the
+      // lineage cut.
       val hop = stepped.select(col("id").as("jid"), col("keep_id").as("jkeep"))
       val next = stepped.join(hop, stepped("keep_id") === hop("jid"), "left")
         .select(col("id"), least(col("keep_id"), coalesce(col("jkeep"), col("keep_id")))
           .as("keep_id"))
         .localCheckpoint(true)
-      val changed = next.alias("n").join(labels.alias("l"), "id")
-        .where(col("n.keep_id") =!= col("l.keep_id")).limit(1).count()
+      // a chain of diameter d needs ~log2(d) jump rounds; checking the
+      // fixpoint before round 3 (diameter 8) just burns a job
+      val changed =
+        if (i < 2 && maxIters > 3) 1L
+        else next.alias("n").join(labels.alias("l"), "id")
+          .where(col("n.keep_id") =!= col("l.keep_id")).limit(1).count()
       labels.unpersist(blocking = false)
       labels = next
       converged = changed == 0

@@ -37,6 +37,24 @@ object StreamingSom {
       .groupBy(window(col(tsCol), windowDur), col("bmu_id"))
       .agg(count(lit(1)).as("n_wins"))
 
+  /** Streaming exact dedup: fingerprint each document (same md5-of-
+    * normalized-tokens as the batch `doc_fingerprint`) and drop rows
+    * whose fingerprint was already seen within the watermark
+    * (`dropDuplicatesWithinWatermark`). State holds one entry per
+    * distinct fingerprint and expires past the watermark — the
+    * bounded-state contract an unbounded ingest pipeline needs (global
+    * exact dedup over an infinite stream would need infinite state;
+    * run the batch `Dedup.dropExactDuplicates` over the sealed corpus
+    * for that).
+    */
+  def dropDuplicatesStream(stream: DataFrame, textCol: String, tsCol: String,
+                           watermarkDur: String): DataFrame =
+    stream
+      .withColumn("__fp", graft.functions.TextFunctions.docFingerprint(col(textCol)))
+      .withWatermark(tsCol, watermarkDur)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Stateful streaming sessionization via `mapGroupsWithState` — the
     * unbounded-input twin of the batch `events_sessionize` query: per
     * user, a session counter advances whenever the gap to the previous

@@ -87,6 +87,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup drops in-watermark duplicates, keeps distinct docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val deduped = StreamingSom.dropDuplicatesStream(
+      input.toDF().toDF("doc_id", "ts", "text"), "text", "ts", "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      val t = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+      input.addData(
+        (0L, t, "the quick brown fox"),
+        (1L, t, "the quick brown fox"),   // dup of 0 (same batch)
+        (2L, t, "something else entirely"))
+      q.processAllAvailable()
+      input.addData((3L, t, "THE  quick   brown fox")) // dup after normalization
+      q.processAllAvailable()
+      val kept = spark.table("dedup_out").collect().map(_.getLong(0)).toSet
+      assert(kept.contains(2L))
+      // exactly one of the three fox docs survives
+      assert((kept intersect Set(0L, 1L, 3L)).size == 1)
+      assert(kept.size == 2)
+    } finally q.stop()
+  }
+
   test("incremental training over micro-batches decreases QE") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new scala.util.Random(21)
