@@ -124,6 +124,36 @@ object Bench {
       big.unpersist(blocking = false)
     }
 
+    // --- dedup scale bench: 200k synthetic docs (50 tokens each from a
+    // 10k-word vocab; groups of 4 consecutive ids share a text, so the
+    // banding join sees real duplicate structure). Generated with pure
+    // expressions — measures the minhash signature kernel + LSH banding
+    // join at a scale the parquet corpus (5k docs) can't exercise.
+    {
+      val bigDocs = spark.range(200000).select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(49)),
+          i => concat(lit("w"), pmod(xxhash64(expr("id DIV 4"), i), lit(10000))
+            .cast("string")))).as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      bigDocs.count()
+      // unpersist the returned candidate cache after each rep — the
+      // second rep's identical plan would otherwise be served from the
+      // first rep's cache by the CacheManager and time ~0
+      results("bench_minhash_200k") = time2 {
+        val r = graft.operators.Dedup.minhashCandidates(bigDocs, "text", "doc_id")
+        r.count(); r.unpersist(blocking = true); ()
+      }
+      // 16-bit chunks at this n: 8-bit buckets would hold ~780 docs each
+      // and the band self-join would go quadratic (see simhashCandidates
+      // scale guidance)
+      results("bench_simhash_200k") = time2 {
+        val r = graft.operators.Dedup.simhashCandidates(bigDocs, "text", "doc_id",
+          maxHamming = 3, numBands = 4)
+        r.count(); r.unpersist(blocking = true); ()
+      }
+      bigDocs.unpersist(blocking = false)
+    }
+
     // --- full query suite: 1 warmup + 1 timed rep each (the reference
     // bench methodology, bench_utils.py:56-78) — steady-state numbers,
     // not JIT/classload noise.

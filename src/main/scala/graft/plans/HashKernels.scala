@@ -84,6 +84,23 @@ object HashKernels {
     sig
   }
 
+  /** Fraction of positions where two minhash signatures agree — the
+    * standard jaccard estimator. Fused loop over the long arrays; the
+    * `zip_with`+`filter` formulation interprets a lambda per element.
+    */
+  def sigAgreement(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                   b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    if (n == 0) return 0.0
+    var eq = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) eq += 1
+      i += 1
+    }
+    eq.toDouble / n
+  }
+
   /** Stride-sample a byte payload down to ~`targetBytes`: keep bytes at
     * indices 0, stride, 2·stride, … with stride = ceil(len/target).
     * Single pass, one output allocation — the deterministic stand-in for

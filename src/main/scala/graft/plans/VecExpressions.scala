@@ -3,8 +3,8 @@ package graft.plans
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Vector kernels over array columns (float or double elements), with
@@ -60,6 +60,42 @@ object VecKernels {
       i += 1
     }
     s
+  }
+
+  /** All LSH bucket ids for one vector in a single pass: `planes` is the
+    * flattened (tables x planesPerTable x dim) hyperplane tensor; bucket
+    * bit p of table t is the sign of the projection onto plane (t, p).
+    * The vector is read once into a scratch buffer, then every
+    * projection runs over primitive arrays — one expression evaluation
+    * replaces tables x planes separate dot-product expressions.
+    */
+  def lshBuckets(v: ArrayData, isFloat: Boolean, planes: Array[Double],
+                 numTables: Int, numPlanes: Int, dim: Int): Array[Int] = {
+    val x = SomScratch.get(dim)
+    val n = math.min(v.numElements(), dim)
+    var i = 0
+    while (i < n) {
+      x(i) = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      i += 1
+    }
+    while (i < dim) { x(i) = 0.0; i += 1 } // short vectors pad with 0
+    val out = new Array[Int](numTables)
+    var t = 0
+    while (t < numTables) {
+      var bucket = 0
+      var p = 0
+      while (p < numPlanes) {
+        val base = (t * numPlanes + p) * dim
+        var s = 0.0
+        i = 0
+        while (i < dim) { s += x(i) * planes(base + i); i += 1 }
+        if (s > 0) bucket |= 1 << p
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    out
   }
 }
 
@@ -128,6 +164,57 @@ case class VecL2Sq(left: Expression, right: Expression) extends VecBinaryExpress
     copy(left = l, right = r)
 }
 
+/** All random-hyperplane LSH bucket ids for a vector, as one codegen'd
+  * expression: replaces tables x planes separate `vec_dot`s (each of
+  * which re-reads the array column) with a single fused pass.
+  */
+case class LshBuckets(child: Expression, planes: Array[Double], numTables: Int,
+                      numPlanes: Int, dim: Int) extends UnaryExpression {
+  require(planes.length == numTables * numPlanes * dim,
+    s"planes length ${planes.length} != $numTables*$numPlanes*$dim")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lsh_buckets expects array<float>/array<double>, got $other")
+    }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(VecKernels.lshBuckets(input.asInstanceOf[ArrayData],
+      isFloat, planes, numTables, numPlanes, dim))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("lshPlanes", planes, "double[]")
+    val kernel = VecKernels.getClass.getName.stripSuffix("$") // static forwarders
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"$kernel.lshBuckets($c, $isFloat, $pRef, $numTables, $numPlanes, $dim))")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBuckets =
+    copy(child = newChild)
+  override def prettyName: String = "lsh_buckets"
+
+  // the plane tensor would bloat tree equality/hash; identity is fine
+  override def equals(o: Any): Boolean = o match {
+    case s: LshBuckets => (s.child == child) && (s.planes eq planes) &&
+      s.numTables == numTables && s.numPlanes == numPlanes && s.dim == dim
+    case _ => false
+  }
+  override def hashCode(): Int = child.hashCode() * 31 + numTables * 13 + numPlanes
+}
+
 object VecFunctions {
   def vec_cosine(a: Column, b: Column): Column =
     GraftBridge.column(VecCosine(GraftBridge.expression(a), GraftBridge.expression(b)))
@@ -135,4 +222,8 @@ object VecFunctions {
     GraftBridge.column(VecDot(GraftBridge.expression(a), GraftBridge.expression(b)))
   def vec_l2sq(a: Column, b: Column): Column =
     GraftBridge.column(VecL2Sq(GraftBridge.expression(a), GraftBridge.expression(b)))
+  def lsh_buckets(v: Column, planes: Array[Double], numTables: Int,
+                  numPlanes: Int, dim: Int): Column =
+    GraftBridge.column(LshBuckets(GraftBridge.expression(v), planes,
+      numTables, numPlanes, dim))
 }

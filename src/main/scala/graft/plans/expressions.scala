@@ -68,6 +68,42 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash64"
 }
 
+/** Jaccard estimate from two minhash signatures: fraction of agreeing
+  * positions, as one fused codegen'd loop (`HashKernels.sigAgreement`).
+  */
+case class SigAgreement(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sig_agreement expects array<bigint> inputs, got " +
+          s"${left.dataType} and ${right.dataType}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.sigAgreement(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = HashKernels.getClass.getName.stripSuffix("$") // static forwarders
+    defineCodeGen(ctx, ev, (a, b) => s"$kernel.sigAgreement($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SigAgreement =
+    copy(left = l, right = r)
+  override def prettyName: String = "sig_agreement"
+}
+
 /** Byte-stride downsample of a binary payload (`HashKernels.strideSample`):
   * a single-pass, O(len) construction — the codegen replacement for the
   * quadratic per-byte `aggregate`/`concat` formulation.
@@ -112,6 +148,9 @@ object GraftFunctions {
 
   def byte_stride(payload: Column, targetBytes: Int): Column =
     GraftBridge.column(ByteStride(GraftBridge.expression(payload), targetBytes))
+
+  def sig_agreement(a: Column, b: Column): Column =
+    GraftBridge.column(SigAgreement(GraftBridge.expression(a), GraftBridge.expression(b)))
 }
 
 /** SQL-surface registration: `spark.sql.extensions=graft.plans.GraftExtensions`
