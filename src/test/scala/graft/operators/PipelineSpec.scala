@@ -152,7 +152,7 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
-  test("som-bucketed ANN returns k ranked neighbors per query") {
+  test("som-bucketed ANN returns k ranked neighbors with real recall") {
     val rnd = new scala.util.Random(9)
     val vecs = (0L until 200L).map(i => (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
     val df = vecs.toDF("vec_id", "embedding")
@@ -162,6 +162,14 @@ class PipelineSpec extends SparkSpec {
     val byQ = got.collect().groupBy(_.getLong(0))
     assert(byQ.keySet == Set(0L, 1L))
     byQ.values.foreach(rows => assert(rows.length == 5))
+    // probing half the cells must still recover a solid share of the
+    // exact top-5 (the IVF recall/contract check, not just row counts)
+    val brute = Similarity.bruteForceTopK(df, "embedding", "vec_id", qs, k = 5)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet)
+    for (qid <- qs.map(_._1)) {
+      val overlap = (byQ(qid).map(_.getLong(2)).toSet intersect brute(qid)).size
+      assert(overlap >= 2, s"q=$qid IVF recall too low: $overlap/5")
+    }
   }
 
   test("multimodal decode stub: histogram is normalized, frames sampled") {

@@ -75,6 +75,31 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("lsh_buckets matches per-plane dot-product signs; sig_agreement matches zip_with") {
+    val rnd = new scala.util.Random(5)
+    val dim = 6; val tables = 3; val planesPer = 4
+    val planes = Array.fill(tables * planesPer * dim)(rnd.nextGaussian())
+    val vecs = (0L until 20L).map(i => (i, Seq.fill(dim)(rnd.nextGaussian().toFloat)))
+    val vdf = vecs.toDF("id", "v")
+    val got = vdf.select(col("id"),
+        VecFunctions.lsh_buckets(col("v"), planes, tables, planesPer, dim).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    for ((id, v) <- vecs) {
+      val expect = (0 until tables).map { t =>
+        (0 until planesPer).map { p =>
+          val base = (t * planesPer + p) * dim
+          val s = (0 until dim).map(i => planes(base + i) * v(i)).sum
+          if (s > 0) 1 << p else 0
+        }.reduce(_ | _)
+      }
+      assert(got(id) == expect, s"id=$id")
+    }
+    // sig_agreement == fraction of equal positions
+    val sdf = Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 7L))).toDF("a", "b")
+    val est = sdf.select(GraftFunctions.sig_agreement(col("a"), col("b"))).head().getDouble(0)
+    assert(est == 0.5)
+  }
+
   test("GraftExtensions SQL builders construct and evaluate the expressions") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.unsafe.types.UTF8String
