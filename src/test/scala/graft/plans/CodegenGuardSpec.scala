@@ -1,0 +1,68 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Regression guard: every custom expression must actually COMPILE under
+  * codegen. Spark's default behavior on a Janino compile error is a
+  * silent per-query fallback to interpreted eval — results stay correct
+  * while 10x the performance disappears (this bit us: generated calls to
+  * `Obj.MODULE$` don't resolve under Janino; only a log line showed it).
+  * `CODEGEN_ONLY` + `fallback=false` turn that silent downgrade into a
+  * loud test failure.
+  */
+class CodegenGuardSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withCodegenOnly[A](body: => A): A = {
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try body
+    finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+    }
+  }
+
+  test("all custom expressions compile under CODEGEN_ONLY (no silent fallback)") {
+    withCodegenOnly {
+      val docs = Seq((0L, "alpha beta gamma delta", Array[Byte](1, 2, 3, 4, 5)),
+                     (1L, "alpha beta gamma zeta", Array[Byte](9, 8, 7)))
+        .toDF("id", "text", "payload")
+      val sigged = docs.select(
+        col("id"),
+        GraftFunctions.minhash_sig(col("text"), 16, 2).as("sig"),
+        GraftFunctions.simhash64(col("text")).as("fp"),
+        GraftFunctions.byte_stride(col("payload"), 2).as("bs"))
+      val r = sigged.alias("a").join(sigged.alias("b"),
+          col("a.id") < col("b.id"))
+        .select(GraftFunctions.sig_agreement(col("a.sig"), col("b.sig")).as("est"))
+        .collect()
+      assert(r.length == 1 && r.head.getDouble(0) > 0.0)
+
+      val vecs = Seq((0L, Seq(1.0f, 2.0f, 3.0f)), (1L, Seq(3.0f, 2.0f, 1.0f)))
+        .toDF("id", "v")
+      val planes = Array.fill(2 * 4 * 3)(0.5)
+      val vr = vecs.alias("a").join(vecs.alias("b"), col("a.id") < col("b.id"))
+        .select(
+          VecFunctions.vec_cosine(col("a.v"), col("b.v")).as("cos"),
+          VecFunctions.vec_dot(col("a.v"), col("b.v")).as("dot"),
+          VecFunctions.vec_l2sq(col("a.v"), col("b.v")).as("l2"))
+        .collect()
+      assert(vr.length == 1 && vr.head.getDouble(1) == 10.0)
+      val lb = vecs.select(VecFunctions.lsh_buckets(col("v"), planes, 2, 4, 3))
+        .collect()
+      assert(lb.forall(_.getSeq[Int](0).length == 2))
+
+      val weights = Array(0.0, 0.0, 0.0, 1.0, 2.0, 3.0)
+      val bmus = vecs.select(
+          SomBmuFunctions.som_bmu(col("v"), weights, 3).as("bmu"),
+          SomBmuFunctions.som_qdist(col("v"), weights, 3).as("qd"))
+        .collect()
+      // partial euclidean -2*dot + wSq: both vectors are closer to
+      // neuron 1 (dot 14 -> -14, dot 10 -> -6; neuron 0 scores 0)
+      assert(bmus.map(_.getInt(0)).toSeq == Seq(1, 1))
+      assert(bmus.map(_.getDouble(1)).forall(_ >= 0.0))
+    }
+  }
+}
