@@ -44,8 +44,12 @@ object Similarity {
         qid -> collection.mutable.PriorityQueue.empty[(Double, Long)](
           Ordering.by[(Double, Long), (Double, Long)](t => (-t._1, t._2)))
       }.toMap
-      val qNorms = qs.map { case (qid, v) =>
-        qid -> math.sqrt(v.map(x => x * x).sum)
+      // keep norms SQUARED and divide by sqrt(naSq*nbSq): bit-identical
+      // to the VecCosine kernel and the DuckDB oracle, so argmin ties on
+      // duplicate vectors rank the same everywhere (sqrt(a)*sqrt(b)
+      // differs from sqrt(a*b) in ulps and broke tie order)
+      val qNormsSq = qs.map { case (qid, v) =>
+        qid -> v.map(x => x * x).sum
       }.toMap
       it.foreach { r =>
         val id = r.getLong(iIdx)
@@ -53,13 +57,14 @@ object Similarity {
         if (v.length != qs.head._2.length)
           throw new IllegalArgumentException(
             s"Received ${v.length} features, expected ${qs.head._2.length}.")
-        val nv = math.sqrt(v.map(x => x * x).sum)
+        val nvSq = v.map(x => x * x).sum
         qs.foreach { case (qid, q) =>
           if (!(excludeSelf && id == qid)) {
             var s = 0.0
             var i = 0
             while (i < q.length) { s += q(i) * v(i); i += 1 }
-            val sim = if (nv * qNorms(qid) == 0) 0.0 else s / (nv * qNorms(qid))
+            val denom = math.sqrt(nvSq * qNormsSq(qid))
+            val sim = if (denom == 0) 0.0 else s / denom
             val h = heaps(qid)
             h.enqueue((sim, id))
             if (h.size > k) h.dequeue()
