@@ -705,6 +705,60 @@ object Queries {
         |FROM generate_series(0, 4) a(i), generate_series(0, 4) b(j)""".stripMargin
   )
 
+  /** Unrolled min-label propagation + pointer jumping over the n-gram
+    * jaccard candidate edges — the SQL mirror of
+    * `Dedup.resolveDuplicateClusters` (same init, same per-round
+    * update, same 16-round bound).
+    */
+  private lazy val resolveClustersOracle: String = {
+    val rounds = 16
+    val levels = (1 to rounds).map { i =>
+      // MATERIALIZED: step$i feeds both sides of the jump join — inlined
+      // twice per level it would double the plan 16 times over
+      s"""nbr$i AS (
+         |  SELECT e.id, min(l.keep_id) AS nk
+         |  FROM edges e JOIN lab${i - 1} l ON l.id = e.nbr GROUP BY e.id
+         |), step$i AS MATERIALIZED (
+         |  SELECT l.id, least(l.keep_id, COALESCE(n.nk, l.keep_id)) AS keep_id
+         |  FROM lab${i - 1} l LEFT JOIN nbr$i n ON n.id = l.id
+         |), lab$i AS MATERIALIZED (
+         |  SELECT s.id, least(s.keep_id, COALESCE(j.keep_id, s.keep_id)) AS keep_id
+         |  FROM step$i s LEFT JOIN step$i j ON j.id = s.keep_id
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH g AS (
+       |  SELECT DISTINCT doc_id, substr(text, CAST(u.i AS INT), 3) AS g
+       |  FROM documents,
+       |       LATERAL (SELECT unnest(generate_series(1, length(text) - 2)) AS i) u
+       |), sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+       |cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM documents a JOIN documents b
+       |    ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
+       |  WHERE a.text IS NOT NULL AND b.text IS NOT NULL
+       |), inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS isz
+       |  FROM g a JOIN g b ON a.g = b.g AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
+       |  GROUP BY a.doc_id, b.doc_id
+       |), e AS (
+       |  SELECT p.id_a, p.id_b
+       |  FROM cand p
+       |  LEFT JOIN sizes sa ON sa.doc_id = p.id_a
+       |  LEFT JOIN sizes sb ON sb.doc_id = p.id_b
+       |  LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+       |  WHERE round(CAST(COALESCE(i.isz, 0) AS DOUBLE)
+       |        / greatest(COALESCE(sa.sz, 0) + COALESCE(sb.sz, 0) - COALESCE(i.isz, 0), 1), 6) >= 0.5
+       |), edges AS (
+       |  SELECT id_a AS id, id_b AS nbr FROM e
+       |  UNION ALL
+       |  SELECT id_b AS id, id_a AS nbr FROM e
+       |), lab0 AS (
+       |  SELECT id, least(id, min(nbr)) AS keep_id FROM edges GROUP BY id
+       |), $levels
+       |SELECT CAST(id AS BIGINT) AS id, CAST(keep_id AS BIGINT) AS keep_id
+       |FROM lab$rounds""".stripMargin
+  }
+
   private lazy val pipelineOracles: Map[String, String] = Map(
     "som_winner_cosine" ->
       """WITH cb AS (
@@ -818,42 +872,15 @@ object Queries {
         |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b""".stripMargin,
 
     // connected components over the (oracle-expressible) n-gram-jaccard
-    // candidate edges, as a recursive CTE: keep_id = min id reachable
-    "dedup_resolve_clusters" ->
-      """WITH RECURSIVE g AS (
-        |  SELECT DISTINCT doc_id, substr(text, CAST(u.i AS INT), 3) AS g
-        |  FROM documents,
-        |       LATERAL (SELECT unnest(generate_series(1, length(text) - 2)) AS i) u
-        |), sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
-        |cand AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM documents a JOIN documents b
-        |    ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
-        |  WHERE a.text IS NOT NULL AND b.text IS NOT NULL
-        |), inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS isz
-        |  FROM g a JOIN g b ON a.g = b.g AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
-        |  GROUP BY a.doc_id, b.doc_id
-        |), e AS (
-        |  SELECT p.id_a, p.id_b
-        |  FROM cand p
-        |  LEFT JOIN sizes sa ON sa.doc_id = p.id_a
-        |  LEFT JOIN sizes sb ON sb.doc_id = p.id_b
-        |  LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
-        |  WHERE round(CAST(COALESCE(i.isz, 0) AS DOUBLE)
-        |        / greatest(COALESCE(sa.sz, 0) + COALESCE(sb.sz, 0) - COALESCE(i.isz, 0), 1), 6) >= 0.5
-        |), edges AS (
-        |  SELECT id_a AS id, id_b AS nbr FROM e
-        |  UNION ALL
-        |  SELECT id_b AS id, id_a AS nbr FROM e
-        |), reach(id, r) AS (
-        |  SELECT id, nbr FROM edges
-        |  UNION
-        |  SELECT e2.id, r.r FROM edges e2 JOIN reach r ON r.id = e2.nbr
-        |)
-        |SELECT CAST(id AS BIGINT) AS id,
-        |       CAST(least(id, min(r)) AS BIGINT) AS keep_id
-        |FROM reach GROUP BY id""".stripMargin,
+    // candidate edges. NOT a recursive reachability CTE — that computes
+    // the transitive closure (O(component^2) rows, O(diameter)
+    // iterations; a 3k-node duplicate chain took >30 CPU-min in DuckDB).
+    // Instead the engine's own algorithm is unrolled: 16 levels of
+    // neighbor-min + pointer jumping, each level a pair of O(E) joins,
+    // covering any diameter up to 2^16 — exactly the rounds
+    // resolveDuplicateClusters runs (it throws past 16, so both sides
+    // agree or the query loudly has no output).
+    "dedup_resolve_clusters" -> resolveClustersOracle,
 
     // byte-histogram stub feature recomputed from hex pairs: byte value
     // = 16*hi + lo hex digit, bin = byte // 16, f_k = count(bin=k)/total
