@@ -328,6 +328,20 @@ object Queries {
         Similarity.somTopK(emb(s, dir), "embedding", "vec_id", qs, k = 5)
       }),
 
+      // deterministic content-hash sampling: reproducible across engines
+      // and partitionings (pipeline-scale sampling must not depend on RNG
+      // stream position)
+      "sample_by_hash" -> ((s, dir) =>
+        graft.operators.Sampling.sampleByHash(docs(s, dir), "doc_id",
+            rate = 0.25, salt = "graft")
+          .select(col("doc_id").cast("long").as("doc_id"))),
+
+      // deterministic train/val/test split assignment
+      "split_by_hash" -> ((s, dir) =>
+        graft.operators.Sampling.splitByHash(docs(s, dir), "doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "graft")
+          .select(col("doc_id").cast("long").as("doc_id"), col("split"))),
+
       // text statistics: token counts, punctuation, mean token length
       "text_stats" -> ((s, dir) =>
         docs(s, dir).select(
@@ -987,6 +1001,22 @@ object Queries {
         |SELECT CAST(qid AS BIGINT) AS qid, CAST(rn AS BIGINT) AS rank,
         |       CAST(nid AS BIGINT) AS nid, CAST(round(sim, 6) AS DOUBLE) AS sim
         |FROM ranked WHERE rn <= 5""".stripMargin,
+
+    // thresholds are round(rate * 2^32) in lowercase hex; hex-prefix
+    // string comparison is ASCII-ordered so both engines draw uniformly
+    // from the same 2^32 buckets
+    "sample_by_hash" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id
+        |FROM documents
+        |WHERE text IS NOT NULL
+        |  AND substr(md5(concat('graft', CAST(doc_id AS VARCHAR))), 1, 8) < '40000000'""".stripMargin,
+
+    "split_by_hash" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       CASE WHEN substr(md5(concat('graft', CAST(doc_id AS VARCHAR))), 1, 8) < 'cccccccd' THEN 'train'
+        |            WHEN substr(md5(concat('graft', CAST(doc_id AS VARCHAR))), 1, 8) < 'e6666666' THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
     "text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents WHERE text IS NOT NULL)

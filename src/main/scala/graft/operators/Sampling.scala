@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, content-keyed sampling for training-data pipelines.
+  *
+  * `df.sample()` draws from per-partition RNG streams: the selected set
+  * changes with partitioning, executor count, and retries — at pipeline
+  * scale that silently changes datasets between runs. Hash sampling
+  * decides per ROW from a content key: reproducible across runs,
+  * engines, cluster sizes and retries, stable as the corpus grows
+  * (a document's fate never depends on its neighbors), and joins
+  * against any earlier/later run of the same pipeline.
+  *
+  * Mechanics: the first 8 hex chars of md5(salt || key) are compared
+  * lexicographically against a threshold — hex digits are ASCII-ordered,
+  * so this is a uniform draw over 2^32 buckets with no integer parsing,
+  * and the same predicate is expressible in any engine with md5().
+  */
+object Sampling {
+
+  private def bucket(key: Column, salt: String): Column =
+    substring(md5(concat(lit(salt), key.cast("string"))), 1, 8)
+
+  private def hexThreshold(p: Double): String =
+    f"${math.round(p.max(0.0).min(1.0) * 4294967296.0).min(4294967295L)}%08x"
+
+  /** Keep ~`rate` of rows, decided by md5(salt || key). */
+  def sampleByHash(df: DataFrame, keyCol: String, rate: Double,
+                   salt: String = ""): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    df.where(bucket(col(keyCol), salt) < lit(hexThreshold(rate)))
+  }
+
+  /** Assign every row to a named split with the given weights (need not
+    * sum to 1 — they are normalized). Returns the input plus a `split`
+    * column; the same (key, salt, weights) always yields the same
+    * assignment.
+    */
+  def splitByHash(df: DataFrame, keyCol: String,
+                  splits: Seq[(String, Double)],
+                  salt: String = ""): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "splits must be non-empty with positive weights")
+    val total = splits.map(_._2).sum
+    val cums = splits.map(_._2 / total).scanLeft(0.0)(_ + _).tail
+    val b = bucket(col(keyCol), salt)
+    // last split takes everything below threshold 1.0 (covers rounding)
+    val assigned = splits.init.zip(cums.init).foldRight(
+      lit(splits.last._1)) { case (((name, _), cum), rest) =>
+      when(b < lit(hexThreshold(cum)), lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", assigned)
+  }
+}

@@ -237,6 +237,28 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("hash sampling: deterministic, partition-invariant, nested rates") {
+    val ids = (0L until 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    def sample(df: org.apache.spark.sql.DataFrame, r: Double) =
+      Sampling.sampleByHash(df, "doc_id", r).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    val a = sample(ids, 0.25)
+    assert(sample(ids.repartition(13), 0.25) == a) // partitioning-invariant
+    assert(math.abs(a.size / 2000.0 - 0.25) < 0.05) // near the nominal rate
+    assert(a.subsetOf(sample(ids, 0.5))) // raising the rate only adds rows
+    // a different salt draws an (almost surely) different sample
+    val salted = Sampling.sampleByHash(ids, "doc_id", 0.25, salt = "x")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(salted != a)
+    val sp = Sampling.splitByHash(ids, "doc_id",
+        Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sp.keySet == Set("train", "val", "test"))
+    assert(sp.values.sum == 2000L)
+    assert(sp("train") > sp("val") * 5 && sp("train") > sp("test") * 5)
+  }
+
   test("quality score is in [0,1] and favors clean prose") {
     val r = docs.select(col("doc_id"), qualityScore(col("text")).as("q"))
       .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
