@@ -228,6 +228,25 @@ object Dedup {
     labels
   }
 
+  /** End-to-end near-dedup: MinHash-LSH candidates above
+    * `minEstJaccard` collapse into clusters; every row except each
+    * cluster's minimum id is dropped. One call from raw documents to a
+    * deduplicated corpus — candidates, clustering, and the final
+    * anti-join all stay distributed and bounded (no all-pairs product).
+    */
+  def dropNearDuplicates(df: DataFrame, textCol: String, idCol: String,
+                         minEstJaccard: Double = 0.8,
+                         numHashes: Int = 64, rowsPerBand: Int = 8,
+                         shingleSize: Int = 3): DataFrame = {
+    val cands = minhashCandidates(df, textCol, idCol, numHashes, rowsPerBand,
+        shingleSize)
+      .where(col("est_jaccard") >= minEstJaccard)
+    val clusters = resolveDuplicateClusters(cands)
+    val drop = clusters.where(col("id") =!= col("keep_id"))
+      .select(col("id").as("__drop_id"))
+    df.join(drop, col(idCol).cast("long") === col("__drop_id"), "left_anti")
+  }
+
   /** Embedding near-duplicates: cosine similarity above a threshold for
     * pairs within a bounded id-offset window (the oracle-checkable
     * variant; LSH-bucketed variant in `Similarity`).

@@ -55,6 +55,56 @@ object StreamingSom {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming near-duplicate candidate pairs: SimHash-band each
+    * document (codegen `SimHash64`), then a watermarked stream-stream
+    * self-join on (band, chunk) with a bounded event-time gap — the
+    * unbounded-input twin of `Dedup.simhashCandidates`. State is bounded
+    * by the watermark on both sides (Spark drops buffered rows older
+    * than watermark + `maxGapDur`); recall follows the batch banding
+    * contract (hamming < numBands guaranteed) for pairs arriving within
+    * the time window. Emits (id_a, id_b, hamming) with id_a < id_b.
+    */
+  def nearDupCandidatesStream(stream: DataFrame, textCol: String,
+                              idCol: String, tsCol: String,
+                              watermarkDur: String, maxGapDur: String,
+                              maxHamming: Int = 7,
+                              numBands: Int = 8): DataFrame = {
+    require(numBands > 0 && 64 % numBands == 0, s"numBands ($numBands) must divide 64")
+    require(maxHamming >= 0 && maxHamming < numBands,
+      s"maxHamming ($maxHamming) must be < numBands ($numBands)")
+    val bitsPerBand = 64 / numBands
+    val mask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1L
+    def banded(alias: String): DataFrame =
+      stream
+        .select(col(idCol).cast("long").as(s"${alias}_id"),
+                col(tsCol).as(s"${alias}_ts"),
+                graft.plans.GraftFunctions.simhash64(col(textCol)).as(s"${alias}_fp"))
+        .select(col(s"${alias}_id"), col(s"${alias}_ts"), col(s"${alias}_fp"),
+          explode(array((0 until numBands).map(b =>
+            struct(lit(b).as("band"),
+              shiftright(col(s"${alias}_fp"), b * bitsPerBand).bitwiseAND(mask)
+                .as("chunk"))): _*)).as("bb"))
+        .select(col(s"${alias}_id"), col(s"${alias}_ts"), col(s"${alias}_fp"),
+                col("bb.band").as(s"${alias}_band"), col("bb.chunk").as(s"${alias}_chunk"))
+        .withWatermark(s"${alias}_ts", watermarkDur)
+    val a = banded("a")
+    val b = banded("b")
+    a.join(b,
+        col("a_band") === col("b_band") && col("a_chunk") === col("b_chunk") &&
+        col("a_id") < col("b_id") &&
+        col("b_ts") >= col("a_ts") - expr(s"INTERVAL $maxGapDur") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $maxGapDur"))
+      .select(col("a_id").as("id_a"), col("b_id").as("id_b"),
+        bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).as("hamming"),
+        col("a_ts"))
+      .where(col("hamming") <= maxHamming)
+      // a pair can surface once per colliding band: dedup within the
+      // watermark (bounded state; plain dropDuplicates would keep pair
+      // state forever on an unbounded stream)
+      .dropDuplicatesWithinWatermark("id_a", "id_b")
+      .drop("a_ts")
+  }
+
   /** Stateful streaming sessionization via `mapGroupsWithState` — the
     * unbounded-input twin of the batch `events_sessionize` query: per
     * user, a session counter advances whenever the gap to the previous

@@ -199,6 +199,18 @@ class PipelineSpec extends SparkSpec {
     assert(r(5L) == 5L && r(6L) == 5L)
   }
 
+  test("dropNearDuplicates keeps one representative per near-dup cluster") {
+    val kept = Dedup.dropNearDuplicates(docs, "text", "doc_id",
+        minEstJaccard = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    // docs 0/1 identical and 2 a near dup -> only 0 survives of {0,1,2};
+    // distinct docs 3/4/5 survive untouched
+    assert(kept.contains(0L) && !kept.contains(1L))
+    assert(Set(3L, 4L, 5L).subsetOf(kept)) // incl. the sig-less empty doc
+    // doc 2 ("jumped") may fall either side of est_jaccard 0.5
+    assert(kept.size == 4 || kept.size == 5)
+  }
+
   test("multimodal resize stride-samples payloads to ~target bytes") {
     val df = docs.where(length(col("text")) > 10)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))

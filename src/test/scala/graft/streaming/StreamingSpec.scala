@@ -111,6 +111,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup candidates: banded self-join finds in-window pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val cands = StreamingSom.nearDupCandidatesStream(
+      input.toDF().toDF("doc_id", "ts", "text"), "text", "doc_id", "ts",
+      watermarkDur = "1 hour", maxGapDur = "30 minutes")
+    val q = cands.writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+      val t1 = java.sql.Timestamp.valueOf("2026-01-01 10:10:00")
+      val far = java.sql.Timestamp.valueOf("2026-01-01 13:00:00")
+      input.addData(
+        (0L, t0, "the quick brown fox jumps over the lazy dog"),
+        (1L, t1, "the quick brown fox jumps over the lazy dog"), // dup in window
+        (2L, t1, "completely different content about engines"),
+        (3L, far, "the quick brown fox jumps over the lazy dog")) // dup but out of window
+      q.processAllAvailable()
+      // advance the watermark far enough to flush append-mode results
+      input.addData((99L, java.sql.Timestamp.valueOf("2026-01-01 20:00:00"), "zzz"))
+      q.processAllAvailable()
+      val pairs = spark.table("neardup_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      assert(pairs.contains((0L, 1L)), s"in-window dup pair missing: $pairs")
+      assert(pairs((0L, 1L)) == 0)
+      assert(!pairs.contains((0L, 3L)) && !pairs.contains((1L, 3L)),
+        "out-of-window pair must not surface")
+      assert(!pairs.keySet.exists { case (x, y) => x == 2L || y == 2L })
+    } finally q.stop()
+  }
+
   test("incremental training over micro-batches decreases QE") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new scala.util.Random(21)
