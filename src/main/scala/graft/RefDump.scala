@@ -39,7 +39,10 @@ object RefDump {
     Cfg("hex_bubble", SomConfig(3, 3, sigma = 1.2, topology = "hexagonal",
       neighborhood = "bubble"), 3),
     Cfg("euclid_gauss_compact", SomConfig(3, 3, sigma = 1.8, compactSupport = true), 3),
-    Cfg("euclid_split_resume", SomConfig(3, 3, sigma = 1.2), 5, split = 2))
+    Cfg("euclid_split_resume", SomConfig(3, 3, sigma = 1.2), 5, split = 2),
+    // compact support through the generic (hex) kernel path
+    Cfg("hex_gauss_compact", SomConfig(3, 3, sigma = 1.8, topology = "hexagonal",
+      compactSupport = true), 3))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/ref_dump.jsonl")
