@@ -58,11 +58,12 @@ final case class SomConfig(
 
 /** Batch-SOM trainer: one Spark job per epoch — broadcast the codebook,
   * per-partition batched update (winners → neighborhood-weighted partial
-  * sums via gemm), elementwise treeReduce of (num, den), guarded-division
+  * sums via gemm), deterministic elementwise tree combine of (num, den),
+  * guarded-division
   * merge on the driver. Dataflow per `xpysom.py:458-594` re-expressed as
   * the idiomatic MLlib broadcast+aggregate pattern; the per-partition
   * sub-batching replaces the reference's `n_parallel` chunking
-  * (`xpysom.py:560-575`) and the treeReduce replaces dask's delayed flat
+  * (`xpysom.py:560-575`) and the tree combine replaces dask's delayed flat
   * sum (`xpysom.py:545-558`).
   */
 final class Som(val config: SomConfig) extends Serializable {

@@ -166,7 +166,8 @@ object StreamingSom {
   }
 
   /** Incremental trainer: call `update` from `foreachBatch`. Each
-    * micro-batch runs one epoch (broadcast + treeReduce + merge) at the
+    * micro-batch runs one epoch (broadcast + deterministic tree combine +
+    * merge) at the
     * current position of the decay schedule, capped at `totalEpochs`
     * (after which eta/sigma stay at their final values).
     */

@@ -146,6 +146,21 @@ class SomSpec extends SparkSpec {
     }
   }
 
+  test("reduceDeterministic: fixed combine topology, any width/depth") {
+    val sc = spark.sparkContext
+    for (width <- Seq(1, 2, 5, 16, 33); depth <- Seq(1, 2, 3)) {
+      val parts = sc.parallelize(0 until width, width)
+        .map(pid => pid -> ((Array(pid.toDouble, 1.0), Array(pid * 2.0))))
+      val (a, b) = SomKernels.reduceDeterministic(parts, width, depth) {
+        case ((m1, s1), (m2, s2)) =>
+          SomKernels.addInPlace(m1, m2); SomKernels.addInPlace(s1, s2); (m1, s1)
+      }
+      val expSum = (0 until width).map(_.toDouble).sum
+      assert(a.toSeq == Seq(expSum, width.toDouble), s"w=$width d=$depth")
+      assert(b.toSeq == Seq(expSum * 2), s"w=$width d=$depth")
+    }
+  }
+
   test("verbose progress line mirrors the reference format (`xpysom.py:50-69`)") {
     // [ t / T ] p% - elapsed elapsed - left left, digit-aligned on the
     // full schedule width
