@@ -112,23 +112,36 @@ object Dedup {
     * billion-doc corpus wants 2 bands (32-bit chunks, radius <= 1) or a
     * multi-index scheme over permuted fingerprints.
     */
-  def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
-                        maxHamming: Int = 7, numBands: Int = 8): DataFrame = {
+  /** Shared banding mechanics: validates the (maxHamming, numBands)
+    * recall contract and decomposes a 64-bit fingerprint into its
+    * (band, chunk) structs — one definition for the batch and streaming
+    * joins so their candidate sets cannot silently diverge.
+    */
+  private[graft] def validateBanding(maxHamming: Int, numBands: Int): Unit = {
     require(numBands > 0 && 64 % numBands == 0,
       s"numBands ($numBands) must divide 64")
-    val bitsPerBand = 64 / numBands
-    val mask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1L
     require(maxHamming >= 0 && maxHamming < numBands,
       s"maxHamming ($maxHamming) must be < numBands ($numBands): LSH banding " +
         s"only guarantees recall for hamming < numBands (pigeonhole); use " +
         s"more, narrower bands for larger radii")
+  }
+
+  private[graft] def bandChunks(fp: Column, numBands: Int): Column = {
+    val bits = 64 / numBands
+    val mask = if (bits == 64) -1L else (1L << bits) - 1L
+    array((0 until numBands).map(b =>
+      struct(lit(b).as("band"),
+             shiftright(fp, b * bits).bitwiseAND(mask).as("chunk"))): _*)
+  }
+
+  def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
+                        maxHamming: Int = 7, numBands: Int = 8): DataFrame = {
+    validateBanding(maxHamming, numBands)
     val withFp = df.select(col(idCol).cast("long").as("id"),
                            simhash(col(textCol)).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = withFp.select(col("id"), col("fp"),
-      explode(array((0 until numBands).map(b =>
-        struct(lit(b).as("band"),
-               shiftright(col("fp"), b * bitsPerBand).bitwiseAND(mask).as("chunk"))): _*)).as("bb"))
+      explode(bandChunks(col("fp"), numBands)).as("bb"))
       .select(col("id"), col("fp"), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
     val a = banded.alias("a")
     val b = banded.alias("b")
@@ -207,6 +220,8 @@ object Dedup {
         .select(col("id"), least(col("keep_id"), coalesce(col("jkeep"), col("keep_id")))
           .as("keep_id"))
         .localCheckpoint(true)
+      // next is materialized: the round's intermediate blocks are dead now
+      stepped.unpersist(blocking = false)
       // a chain of diameter d needs ~log2(d) jump rounds; checking the
       // fixpoint before round 3 (diameter 8) just burns a job
       val changed =
@@ -238,12 +253,18 @@ object Dedup {
                          minEstJaccard: Double = 0.8,
                          numHashes: Int = 64, rowsPerBand: Int = 8,
                          shingleSize: Int = 3): DataFrame = {
-    val cands = minhashCandidates(df, textCol, idCol, numHashes, rowsPerBand,
+    val allCands = minhashCandidates(df, textCol, idCol, numHashes, rowsPerBand,
         shingleSize)
-      .where(col("est_jaccard") >= minEstJaccard)
+    val cands = allCands.where(col("est_jaccard") >= minEstJaccard)
     val clusters = resolveDuplicateClusters(cands)
+    // pin only what the result actually needs (one long per dropped row),
+    // then release the candidate cache and label checkpoint — repeated
+    // calls in a long-lived session must not accumulate dead blocks
     val drop = clusters.where(col("id") =!= col("keep_id"))
       .select(col("id").as("__drop_id"))
+      .localCheckpoint(true)
+    clusters.unpersist(blocking = false)
+    allCands.unpersist(blocking = false)
     df.join(drop, col(idCol).cast("long") === col("__drop_id"), "left_anti")
   }
 

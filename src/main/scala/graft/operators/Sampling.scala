@@ -20,8 +20,11 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  // null keys coalesce to "" so they get one deterministic bucket —
+  // silently dropping them (null predicate) here but funnelling them all
+  // into the last split there would corrupt train/test separation
   private def bucket(key: Column, salt: String): Column =
-    substring(md5(concat(lit(salt), key.cast("string"))), 1, 8)
+    substring(md5(concat(lit(salt), coalesce(key.cast("string"), lit("")))), 1, 8)
 
   private def hexThreshold(p: Double): String =
     f"${math.round(p.max(0.0).min(1.0) * 4294967296.0).min(4294967295L)}%08x"
@@ -30,7 +33,11 @@ object Sampling {
   def sampleByHash(df: DataFrame, keyCol: String, rate: Double,
                    salt: String = ""): DataFrame = {
     require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
-    df.where(bucket(col(keyCol), salt) < lit(hexThreshold(rate)))
+    // rate 1.0 is the identity — the threshold is capped at 0xffffffff
+    // and the comparison is strict, so filtering would lose the ~1-in-4B
+    // rows hashing to the top bucket
+    if (rate >= 1.0) df
+    else df.where(bucket(col(keyCol), salt) < lit(hexThreshold(rate)))
   }
 
   /** Assign every row to a named split with the given weights (need not

@@ -71,14 +71,18 @@ object VecKernels {
     */
   def lshBuckets(v: ArrayData, isFloat: Boolean, planes: Array[Double],
                  numTables: Int, numPlanes: Int, dim: Int): Array[Int] = {
+    // fail loudly on malformed rows like the SOM kernels do — a silently
+    // zero-padded/truncated vector lands in wrong buckets and the ANN
+    // result is quietly wrong for that row
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"Received ${v.numElements()} features, expected $dim.")
     val x = SomScratch.get(dim)
-    val n = math.min(v.numElements(), dim)
     var i = 0
-    while (i < n) {
+    while (i < dim) {
       x(i) = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
       i += 1
     }
-    while (i < dim) { x(i) = 0.0; i += 1 } // short vectors pad with 0
     val out = new Array[Int](numTables)
     var t = 0
     while (t < numTables) {

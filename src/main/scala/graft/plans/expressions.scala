@@ -175,21 +175,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  val minhashBuilder: Seq[Expression] => Expression = { args =>
-    def longArg(i: Int, default: Long): Long = if (args.length > i) args(i) match {
-      case Literal(v, _) => v.toString.toLong
+  // SQL-surface argument extraction: every malformed call (wrong arity,
+  // NULL or non-numeric literal) must surface as a descriptive
+  // IllegalArgumentException, not a raw IndexOutOfBounds/NPE/NumberFormat
+  private def intLiteral(fn: String, args: Seq[Expression], i: Int,
+                         default: Option[Long]): Long = {
+    if (args.length <= i) default.getOrElse(throw new IllegalArgumentException(
+      s"$fn requires at least ${i + 1} arguments, got ${args.length}"))
+    else args(i) match {
+      case Literal(v, _) if v != null =>
+        try v.toString.toLong
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$fn argument $i must be an integer literal, got '$v'")
+        }
       case other => throw new IllegalArgumentException(
-        s"minhash_sig argument ${i} must be a literal, got $other")
-    } else default
-    MinHashSig(args.head, longArg(1, 64).toInt, longArg(2, 3).toInt, longArg(3, 13))
-  }
-  val simhashBuilder: Seq[Expression] => Expression = args => SimHash64(args.head)
-  val byteStrideBuilder: Seq[Expression] => Expression = { args =>
-    val target = args(1) match {
-      case Literal(v, _) => v.toString.toInt
-      case other => throw new IllegalArgumentException(
-        s"byte_stride targetBytes must be a literal, got $other")
+        s"$fn argument $i must be a non-null integer literal, got $other")
     }
-    ByteStride(args.head, target)
+  }
+
+  val minhashBuilder: Seq[Expression] => Expression = { args =>
+    require(args.nonEmpty, "minhash_sig requires a text argument")
+    MinHashSig(args.head,
+      intLiteral("minhash_sig", args, 1, Some(64)).toInt,
+      intLiteral("minhash_sig", args, 2, Some(3)).toInt,
+      intLiteral("minhash_sig", args, 3, Some(13)))
+  }
+  val simhashBuilder: Seq[Expression] => Expression = { args =>
+    require(args.nonEmpty, "simhash64 requires a text argument")
+    SimHash64(args.head)
+  }
+  val byteStrideBuilder: Seq[Expression] => Expression = { args =>
+    require(args.nonEmpty, "byte_stride requires a payload argument")
+    ByteStride(args.head, intLiteral("byte_stride", args, 1, None).toInt)
   }
 }

@@ -69,21 +69,17 @@ object StreamingSom {
                               watermarkDur: String, maxGapDur: String,
                               maxHamming: Int = 7,
                               numBands: Int = 8): DataFrame = {
-    require(numBands > 0 && 64 % numBands == 0, s"numBands ($numBands) must divide 64")
-    require(maxHamming >= 0 && maxHamming < numBands,
-      s"maxHamming ($maxHamming) must be < numBands ($numBands)")
-    val bitsPerBand = 64 / numBands
-    val mask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1L
+    graft.operators.Dedup.validateBanding(maxHamming, numBands)
+    // band decomposition shared with the batch path (Dedup.bandChunks):
+    // the streaming and batch candidate sets stay in lockstep by
+    // construction
     def banded(alias: String): DataFrame =
       stream
         .select(col(idCol).cast("long").as(s"${alias}_id"),
                 col(tsCol).as(s"${alias}_ts"),
                 graft.plans.GraftFunctions.simhash64(col(textCol)).as(s"${alias}_fp"))
         .select(col(s"${alias}_id"), col(s"${alias}_ts"), col(s"${alias}_fp"),
-          explode(array((0 until numBands).map(b =>
-            struct(lit(b).as("band"),
-              shiftright(col(s"${alias}_fp"), b * bitsPerBand).bitwiseAND(mask)
-                .as("chunk"))): _*)).as("bb"))
+          explode(graft.operators.Dedup.bandChunks(col(s"${alias}_fp"), numBands)).as("bb"))
         .select(col(s"${alias}_id"), col(s"${alias}_ts"), col(s"${alias}_fp"),
                 col("bb.band").as(s"${alias}_band"), col("bb.chunk").as(s"${alias}_chunk"))
         .withWatermark(s"${alias}_ts", watermarkDur)

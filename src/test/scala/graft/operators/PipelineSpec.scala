@@ -269,6 +269,24 @@ class PipelineSpec extends SparkSpec {
     assert(sp.keySet == Set("train", "val", "test"))
     assert(sp.values.sum == 2000L)
     assert(sp("train") > sp("val") * 5 && sp("train") > sp("test") * 5)
+    // rate 1.0 is the identity (no strict-< loss of the top hash bucket)
+    assert(sample(ids, 1.0).size == 2000)
+    // null keys: one deterministic bucket, identical fate in sample and
+    // split (not dropped by one and funneled to the last split by the other)
+    val withNull = spark.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](
+        org.apache.spark.sql.Row(null, "n1"), org.apache.spark.sql.Row(null, "n2")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    val nullSampled = Sampling.sampleByHash(withNull, "doc_id", 0.5).count()
+    assert(nullSampled == 0L || nullSampled == 2L) // both or neither
+    val nullSplits = Sampling.splitByHash(withNull, "doc_id",
+        Seq("train" -> 1.0, "test" -> 1.0))
+      .select("split").distinct().count()
+    assert(nullSplits == 1L) // all null keys land in ONE deterministic split
   }
 
   test("quality score is in [0,1] and favors clean prose") {
