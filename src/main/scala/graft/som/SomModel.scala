@@ -181,11 +181,33 @@ final class SomModel(val config: SomConfig, val codebook: Codebook)
 
   /** Samples grouped by winning neuron (`win_map`, `xpysom.py:831-840`)
     * as (bmu_id, bmu_i, bmu_j, samples array).
+    *
+    * Scale note: the collected array concentrates a hot neuron's entire
+    * sample set in one reducer group — faithful to the reference but the
+    * wrong shape past memory scale. `maxPerNeuron` caps the group
+    * payload BEFORE collection (deterministic: first k by the hash-
+    * sampling order of `Sampling`-style md5 buckets is overkill here;
+    * row_number over bmu partitions ordered by the feature hash keeps it
+    * reproducible). For unbounded relational access use the
+    * (bmu_id, vec_id) form that `transform` already emits — the oracled
+    * `som_win_map` query shape.
     */
-  def winMap(df: DataFrame, featuresCol: String = "features"): DataFrame =
-    withBmu(df, featuresCol)
+  def winMap(df: DataFrame, featuresCol: String = "features",
+             maxPerNeuron: Int = Int.MaxValue): DataFrame = {
+    val tagged = withBmu(df, featuresCol)
+    val bounded =
+      if (maxPerNeuron == Int.MaxValue) tagged
+      else {
+        require(maxPerNeuron > 0, s"maxPerNeuron must be positive, got $maxPerNeuron")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("bmu_id").orderBy(hash(col(featuresCol)))
+        tagged.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") <= maxPerNeuron).drop("__rn")
+      }
+    bounded
       .groupBy("bmu_id", "bmu_i", "bmu_j")
       .agg(collect_list(col(featuresCol)).as("samples"))
+  }
 
   /** Label histogram per neuron (`labels_map`, `xpysom.py:842-865`) as
     * (bmu_id, bmu_i, bmu_j, label, n) — a two-level hash aggregate.

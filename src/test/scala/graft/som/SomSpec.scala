@@ -36,6 +36,21 @@ class SomSpec extends SparkSpec {
     assert(wm.size == 2)
   }
 
+  test("win_map maxPerNeuron bounds each neuron's sample payload") {
+    val df = df1(5.0, 5.0, 5.0, 5.0, 2.0)
+    val wm = fixtureModel().winMap(df, maxPerNeuron = 2).collect()
+      .map(r => ((r.getInt(1), r.getInt(2)),
+        r.getSeq[scala.collection.Seq[Float]](3).length)).toMap
+    assert(wm((2, 3)) == 2) // 4 hits capped at 2
+    assert(wm((1, 1)) == 1)
+    // deterministic: same cap twice -> same sample selection
+    val again = fixtureModel().winMap(df, maxPerNeuron = 2).collect()
+      .map(r => (r.getInt(0), r.getSeq[scala.collection.Seq[Float]](3))).toMap
+    val first = fixtureModel().winMap(df, maxPerNeuron = 2).collect()
+      .map(r => (r.getInt(0), r.getSeq[scala.collection.Seq[Float]](3))).toMap
+    assert(again == first)
+  }
+
   test("labels_map (`tests.py:54-59`)") {
     val df = Seq((Seq(5.0f), "a"), (Seq(2.0f), "b")).toDF("features", "label")
     val lm = fixtureModel().labelsMap(df, "label").collect()
