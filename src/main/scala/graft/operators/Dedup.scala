@@ -92,30 +92,8 @@ object Dedup {
     */
   def simhash(text: Column): Column = graft.plans.GraftFunctions.simhash64(text)
 
-  /** SimHash near-dup candidates: band the 64-bit fingerprint into
-    * `numBands` equal chunks, equi-join on chunks, verify hamming
-    * distance.
-    *
-    * Recall contract (pigeonhole): a pair within hamming distance
-    * `numBands - 1` has fewer flipped bits than bands, so at least one
-    * chunk is untouched and the pair is guaranteed to surface.
-    * `maxHamming >= numBands` is rejected — banding cannot guarantee
-    * those pairs (a pair can flip one bit in every chunk and never
-    * collide), and silently returning a partial candidate set would
-    * misrepresent the result as exhaustive.
-    *
-    * Scale guidance: chunk width (64/numBands bits) sets the collision
-    * rate — expected bucket size is n / 2^width per band, and the band
-    * self-join is quadratic in it. 8 bands (8-bit chunks, radius <= 7)
-    * are fine up to ~10^4 docs; at larger n trade recall radius for
-    * width: 4 bands (16-bit chunks, radius <= 3) hold to ~10^7, and a
-    * billion-doc corpus wants 2 bands (32-bit chunks, radius <= 1) or a
-    * multi-index scheme over permuted fingerprints.
-    */
-  /** Shared banding mechanics: validates the (maxHamming, numBands)
-    * recall contract and decomposes a 64-bit fingerprint into its
-    * (band, chunk) structs — one definition for the batch and streaming
-    * joins so their candidate sets cannot silently diverge.
+  /** Validates the (maxHamming, numBands) banding recall contract —
+    * shared by the batch and streaming joins.
     */
   private[graft] def validateBanding(maxHamming: Int, numBands: Int): Unit = {
     require(numBands > 0 && 64 % numBands == 0,
@@ -126,6 +104,10 @@ object Dedup {
         s"more, narrower bands for larger radii")
   }
 
+  /** (band, chunk) struct array of a 64-bit fingerprint — the band
+    * decomposition shared by the batch and streaming joins so their
+    * candidate sets cannot silently diverge.
+    */
   private[graft] def bandChunks(fp: Column, numBands: Int): Column = {
     val bits = 64 / numBands
     val mask = if (bits == 64) -1L else (1L << bits) - 1L
@@ -134,6 +116,25 @@ object Dedup {
              shiftright(fp, b * bits).bitwiseAND(mask).as("chunk"))): _*)
   }
 
+  /** SimHash near-dup candidates: band the 64-bit fingerprint into
+    * `numBands` equal chunks, equi-join on chunks, verify hamming
+    * distance.
+    *
+    * Recall contract (pigeonhole): a pair within hamming distance
+    * `numBands - 1` has fewer flipped bits than bands, so at least one
+    * chunk is untouched and the pair is guaranteed to surface.
+    * `maxHamming >= numBands` is rejected — banding cannot guarantee
+    * those pairs, and silently returning a partial candidate set would
+    * misrepresent the result as exhaustive.
+    *
+    * Scale guidance: chunk width (64/numBands bits) sets the collision
+    * rate — expected bucket size is n / 2^width per band, and the band
+    * self-join is quadratic in it. 8 bands (8-bit chunks, radius <= 7)
+    * are fine up to ~10^4 docs; at larger n trade recall radius for
+    * width: 4 bands (16-bit chunks, radius <= 3) hold to ~10^7, and a
+    * billion-doc corpus wants 2 bands (32-bit chunks, radius <= 1) or a
+    * multi-index scheme over permuted fingerprints.
+    */
   def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         maxHamming: Int = 7, numBands: Int = 8): DataFrame = {
     validateBanding(maxHamming, numBands)
@@ -220,22 +221,25 @@ object Dedup {
         .select(col("id"), least(col("keep_id"), coalesce(col("jkeep"), col("keep_id")))
           .as("keep_id"))
         .localCheckpoint(true)
-      // next is materialized: the round's intermediate blocks are dead now
-      stepped.unpersist(blocking = false)
+      // next is materialized: the round's intermediate blocks are dead.
+      // NB plain Dataset.unpersist is a NO-OP for checkpoints (it only
+      // clears CacheManager entries; the checkpoint RDD is cached
+      // directly) — GraftBridge reaches the underlying RDD.
+      org.apache.spark.sql.GraftBridge.freeCheckpoint(stepped)
       // a chain of diameter d needs ~log2(d) jump rounds; checking the
       // fixpoint before round 3 (diameter 8) just burns a job
       val changed =
         if (i < 2 && maxIters > 3) 1L
         else next.alias("n").join(labels.alias("l"), "id")
           .where(col("n.keep_id") =!= col("l.keep_id")).limit(1).count()
-      labels.unpersist(blocking = false)
+      org.apache.spark.sql.GraftBridge.freeCheckpoint(labels)
       labels = next
       converged = changed == 0
       i += 1
     }
     edges.unpersist(blocking = false)
     if (!converged) {
-      labels.unpersist(blocking = false)
+      org.apache.spark.sql.GraftBridge.freeCheckpoint(labels)
       throw new IllegalStateException(
         s"resolveDuplicateClusters did not converge in $maxIters rounds " +
           "(component diameter exceeds 2^maxIters); raise maxIters")
@@ -263,7 +267,7 @@ object Dedup {
     val drop = clusters.where(col("id") =!= col("keep_id"))
       .select(col("id").as("__drop_id"))
       .localCheckpoint(true)
-    clusters.unpersist(blocking = false)
+    org.apache.spark.sql.GraftBridge.freeCheckpoint(clusters)
     allCands.unpersist(blocking = false)
     df.join(drop, col(idCol).cast("long") === col("__drop_id"), "left_anti")
   }

@@ -20,11 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  // null keys coalesce to "" so they get one deterministic bucket —
-  // silently dropping them (null predicate) here but funnelling them all
-  // into the last split there would corrupt train/test separation
+  // null keys get one deterministic bucket — silently dropping them
+  // (null predicate) in sample but funnelling them all into the last
+  // split would corrupt train/test separation. The sentinel is a NUL
+  // char, which no numeric id stringifies to, so null-keyed rows are not
+  // conflated with a legitimate empty-string key.
   private def bucket(key: Column, salt: String): Column =
-    substring(md5(concat(lit(salt), coalesce(key.cast("string"), lit("")))), 1, 8)
+    substring(md5(concat(lit(salt), coalesce(key.cast("string"), lit("\u0000")))), 1, 8)
 
   private def hexThreshold(p: Double): String =
     f"${math.round(p.max(0.0).min(1.0) * 4294967296.0).min(4294967295L)}%08x"

@@ -194,11 +194,22 @@ object GraftExtensions {
     }
   }
 
+  // .toInt on an out-of-range Long would silently truncate (e.g.
+  // byte_stride(p, 2^32+1) -> stride target 1) — range-check first
+  private def checkedInt(fn: String, args: Seq[Expression], i: Int,
+                         default: Option[Long]): Int = {
+    val v = intLiteral(fn, args, i, default)
+    if (v < Int.MinValue || v > Int.MaxValue)
+      throw new IllegalArgumentException(
+        s"$fn argument $i out of Int range: $v")
+    v.toInt
+  }
+
   val minhashBuilder: Seq[Expression] => Expression = { args =>
     require(args.nonEmpty, "minhash_sig requires a text argument")
     MinHashSig(args.head,
-      intLiteral("minhash_sig", args, 1, Some(64)).toInt,
-      intLiteral("minhash_sig", args, 2, Some(3)).toInt,
+      checkedInt("minhash_sig", args, 1, Some(64)),
+      checkedInt("minhash_sig", args, 2, Some(3)),
       intLiteral("minhash_sig", args, 3, Some(13)))
   }
   val simhashBuilder: Seq[Expression] => Expression = { args =>
@@ -207,6 +218,6 @@ object GraftExtensions {
   }
   val byteStrideBuilder: Seq[Expression] => Expression = { args =>
     require(args.nonEmpty, "byte_stride requires a payload argument")
-    ByteStride(args.head, intLiteral("byte_stride", args, 1, None).toInt)
+    ByteStride(args.head, checkedInt("byte_stride", args, 1, None))
   }
 }

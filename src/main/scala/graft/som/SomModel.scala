@@ -185,12 +185,12 @@ final class SomModel(val config: SomConfig, val codebook: Codebook)
     * Scale note: the collected array concentrates a hot neuron's entire
     * sample set in one reducer group — faithful to the reference but the
     * wrong shape past memory scale. `maxPerNeuron` caps the group
-    * payload BEFORE collection (deterministic: first k by the hash-
-    * sampling order of `Sampling`-style md5 buckets is overkill here;
-    * row_number over bmu partitions ordered by the feature hash keeps it
-    * reproducible). For unbounded relational access use the
-    * (bmu_id, vec_id) form that `transform` already emits — the oracled
-    * `som_win_map` query shape.
+    * payload BEFORE collection, ordered by (hash, features) — the
+    * feature column itself breaks 32-bit hash collisions, so the
+    * selection is a total order up to exact duplicates (which are
+    * interchangeable) and reproducible across runs. For unbounded
+    * relational access use the (bmu_id, vec_id) form that `transform`
+    * already emits — the oracled `som_win_map` query shape.
     */
   def winMap(df: DataFrame, featuresCol: String = "features",
              maxPerNeuron: Int = Int.MaxValue): DataFrame = {
@@ -199,8 +199,12 @@ final class SomModel(val config: SomConfig, val codebook: Codebook)
       if (maxPerNeuron == Int.MaxValue) tagged
       else {
         require(maxPerNeuron > 0, s"maxPerNeuron must be positive, got $maxPerNeuron")
+        // partition by all three group keys (bmu_i/bmu_j are functions of
+        // bmu_id) so the aggregation below reuses this exchange instead
+        // of shuffling the wide feature vectors a second time
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("bmu_id").orderBy(hash(col(featuresCol)))
+          .partitionBy("bmu_id", "bmu_i", "bmu_j")
+          .orderBy(hash(col(featuresCol)), col(featuresCol))
         tagged.withColumn("__rn", row_number().over(w))
           .where(col("__rn") <= maxPerNeuron).drop("__rn")
       }

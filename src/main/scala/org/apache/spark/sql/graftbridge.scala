@@ -11,4 +11,18 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Release the storage behind a `localCheckpoint(true)`-ed Dataset.
+    * `Dataset.unpersist` is a NO-OP for checkpoints: it only clears
+    * CacheManager entries (persist/cache), while localCheckpoint caches
+    * the internal RDD directly via `RDD.localCheckpoint` — that RDD is
+    * reachable only through the plan's `LogicalRDD` (private[sql], hence
+    * this bridge). Safe on any Dataset: non-checkpoint plans contain no
+    * LogicalRDD and nothing happens.
+    */
+  def freeCheckpoint(ds: Dataset[_]): Unit =
+    ds.queryExecution.analyzed.foreach {
+      case l: execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -289,6 +289,21 @@ class PipelineSpec extends SparkSpec {
     assert(nullSplits == 1L) // all null keys land in ONE deterministic split
   }
 
+  test("cluster resolution frees its per-round checkpoint blocks") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    val pairs = (0L until 39L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.resolveDuplicateClusters(pairs)
+    labels.count()
+    val afterRun = sc.getPersistentRDDs.size
+    // ~6 rounds ran; only the returned labels' checkpoint may remain
+    // (Dataset.unpersist is a no-op on checkpoints — GraftBridge frees
+    // the underlying RDDs; without it this delta is ~2 per round)
+    assert(afterRun - before <= 3,
+      s"leaked checkpoint RDDs: $before -> $afterRun")
+    org.apache.spark.sql.GraftBridge.freeCheckpoint(labels)
+  }
+
   test("quality score is in [0,1] and favors clean prose") {
     val r = docs.select(col("doc_id"), qualityScore(col("text")).as("q"))
       .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
