@@ -68,16 +68,20 @@ object Dedup {
           hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))))
         .as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // shuffle_hash: the band join's equi-keys are small and bucket
+    // groups are bounded, so a hash join skips sort-merge's sort of the
+    // full exploded (id, band, bucket) set — measured ~2x on the band
+    // join at 200k docs
     val a = banded.alias("a")
-    val b = banded.alias("b")
+    val b = banded.hint("shuffle_hash").alias("b")
     val pairs = a.join(b, col("a.band") === col("b.band") &&
                           col("a.bucket") === col("b.bucket") &&
                           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val result = pairs
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")).hint("shuffle_hash"), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")).hint("shuffle_hash"), "id_b")
       .select(col("id_a"), col("id_b"),
         graft.plans.GraftFunctions.sig_agreement(col("sig_a"), col("sig_b"))
           .as("est_jaccard"))
@@ -188,63 +192,105 @@ object Dedup {
     * reached (partial clusters must never look authoritative).
     */
   def resolveDuplicateClusters(pairs: DataFrame, maxIters: Int = 16): DataFrame = {
-    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .union(pairs.select(col("id_b").cast("long"), col("id_a").cast("long")))
-      .toDF("id", "nbr")
+    val spark = pairs.sparkSession
+    // symmetrize with ONE pass over the candidate pairs (explode of a
+    // 2-struct array) — a union of two selects would evaluate the
+    // upstream candidate plan twice when it isn't cached
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").cast("long").as("id"), col("id_b").cast("long").as("nbr")),
+        struct(col("id_b").cast("long").as("id"), col("id_a").cast("long").as("nbr"))))
+        .as("e"))
+      .select(col("e.id").as("id"), col("e.nbr").as("nbr"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // localCheckpoint per round: each round references the previous
-    // labels multiple times, so without lineage truncation the logical
-    // plan grows exponentially and the optimizer itself becomes the
-    // bottleneck (the standard iterative-DataFrame trap; on a cluster
-    // with unreliable executors use checkpoint() on a reliable dir).
-    var labels = edges.groupBy("id")
-      .agg(least(min("nbr"), min("id")).as("keep_id"))
-      .localCheckpoint(true)
-    var i = 0
-    var converged = false
-    while (i < maxIters && !converged) {
-      // each node adopts the min label among itself and its neighbors
-      val nbrLabels = edges
-        .join(labels.withColumnRenamed("id", "nbr"), "nbr")
-        .groupBy("id").agg(min("keep_id").as("nbr_keep"))
-      // checkpoint: stepped feeds both sides of the jump join below —
-      // without materialization the edges-join+agg above runs twice per
-      // round (measured ~2.5x slower end to end)
-      val stepped = labels.join(nbrLabels, Seq("id"), "left")
-        .select(col("id"),
-          least(col("keep_id"), coalesce(col("nbr_keep"), col("keep_id"))).as("keep_id"))
+    // Size the per-round shuffles to the GRAPH, not the session default:
+    // the candidate graph is orders of magnitude smaller than the corpus
+    // it came from, and a full task wave per tiny 32-partition shuffle
+    // dominates the wall clock (measured 3x on a 9k-edge graph). The
+    // session conf is restored in the finally below; it never grows past
+    // the configured default, so 100 TB-scale graphs keep full
+    // parallelism.
+    val nEdges = edges.count()
+    val defaultP = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val p = math.max(1L, math.min(defaultP.toLong, nEdges / 2000000L + 1L)).toInt
+    // small graphs: also shrink the SCAN side — re-reading a tiny cached
+    // edge set with a full task wave per round costs more than the work
+    val edgesIn = if (nEdges <= 2000000L) edges.coalesce(p) else edges
+    var labels: DataFrame = null
+    val defaultAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", p)
+      // AQE's per-shuffle stage barriers add several driver round-trips
+      // per round; with partitions already sized to the graph there is
+      // nothing left for it to adapt — skip the overhead inside the loop
+      if (nEdges <= 2000000L) spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // localCheckpoint per round: each round references the previous
+      // labels several times, so without lineage truncation the logical
+      // plan grows exponentially and the optimizer itself becomes the
+      // bottleneck (the standard iterative-DataFrame trap; on a cluster
+      // with unreliable executors use checkpoint() on a reliable dir).
+      labels = edgesIn.groupBy("id")
+        .agg(least(min("nbr"), min("id")).as("keep_id"))
         .localCheckpoint(true)
-      // pointer jumping: follow keep_id one more hop (keep_id of
-      // keep_id), halving the remaining chain depth each round
-      val hop = stepped.select(col("id").as("jid"), col("keep_id").as("jkeep"))
-      val next = stepped.join(hop, stepped("keep_id") === hop("jid"), "left")
-        .select(col("id"), least(col("keep_id"), coalesce(col("jkeep"), col("keep_id")))
-          .as("keep_id"))
-        .localCheckpoint(true)
-      // next is materialized: the round's intermediate blocks are dead.
-      // NB plain Dataset.unpersist is a NO-OP for checkpoints (it only
-      // clears CacheManager entries; the checkpoint RDD is cached
-      // directly) — GraftBridge reaches the underlying RDD.
-      org.apache.spark.sql.GraftBridge.freeCheckpoint(stepped)
-      // a chain of diameter d needs ~log2(d) jump rounds; checking the
-      // fixpoint before round 3 (diameter 8) just burns a job
-      val changed =
-        if (i < 2 && maxIters > 3) 1L
-        else next.alias("n").join(labels.alias("l"), "id")
-          .where(col("n.keep_id") =!= col("l.keep_id")).limit(1).count()
-      org.apache.spark.sql.GraftBridge.freeCheckpoint(labels)
-      labels = next
-      converged = changed == 0
-      i += 1
+      // labels only ever decrease, so sum(keep_id) strictly decreases
+      // iff any label changed — an exact DECIMAL(38,0) sum is the
+      // convergence check. The sum runs on the LAZY checkpoint of each
+      // round's labels, so one job both materializes the round and
+      // checks the fixpoint (an eager checkpoint + separate check
+      // costs two jobs per round).
+      def labelSum(df: DataFrame): BigInt = {
+        val d = df.agg(sum(col("keep_id")).cast("decimal(38,0)")).head.getDecimal(0)
+        if (d == null) BigInt(0) else BigInt(d.toBigInteger)
+      }
+      var prevSum = labelSum(labels)
+      var i = 0
+      var converged = false
+      val dbg = sys.env.contains("GRAFT_DEBUG_RESOLVE")
+      while (i < maxIters && !converged) {
+        val t0 = System.nanoTime()
+        // one fused round: each node adopts the min of (its label, its
+        // neighbors' labels, its label's label, and its label's label's
+        // label). The neighbor-min term propagates one hop; the two
+        // label-composition terms are pointer jumping — label depth
+        // divides by ~3 per round (l <- l∘l∘l composes to l^(3^k) after
+        // k rounds), so diameter d needs ~log3(d) rounds. All terms
+        // reference the same checkpointed frame (cached RDD scans, not
+        // recomputation), and the round costs ONE checkpoint.
+        val nbrMin = edgesIn
+          .join(labels.select(col("id").as("nbr"), col("keep_id").as("nbr_keep")), "nbr")
+          .groupBy("id").agg(min("nbr_keep").as("nbr_keep"))
+        val hop1 = labels.select(col("id").as("j1"), col("keep_id").as("k1"))
+        val hop2 = labels.select(col("id").as("j2"), col("keep_id").as("k2"))
+        val next = labels.join(nbrMin, Seq("id"), "left")
+          .join(hop1, col("keep_id") === col("j1"), "left")
+          .join(hop2, col("k1") === col("j2"), "left")
+          .select(col("id"), least(col("keep_id"),
+              coalesce(col("nbr_keep"), col("keep_id")),
+              coalesce(col("k1"), col("keep_id")),
+              coalesce(col("k2"), col("keep_id"))).as("keep_id"))
+          .localCheckpoint(eager = false)
+        val s = labelSum(next) // materializes next's checkpoint
+        // NB plain Dataset.unpersist is a NO-OP for checkpoints (it only
+        // clears CacheManager entries; the checkpoint RDD is cached
+        // directly) — GraftBridge reaches the underlying RDD.
+        org.apache.spark.sql.GraftBridge.freeCheckpoint(labels)
+        labels = next
+        converged = s == prevSum
+        prevSum = s
+        i += 1
+        if (dbg) println(f"[resolve] round $i: ${(System.nanoTime() - t0) / 1e9}%.3f s (sum=$s)")
+      }
+      if (!converged) {
+        org.apache.spark.sql.GraftBridge.freeCheckpoint(labels)
+        throw new IllegalStateException(
+          s"resolveDuplicateClusters did not converge in $maxIters rounds " +
+            "(component diameter exceeds 2^maxIters); raise maxIters")
+      }
+      labels
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", defaultP)
+      spark.conf.set("spark.sql.adaptive.enabled", defaultAqe)
+      edges.unpersist(blocking = false)
     }
-    edges.unpersist(blocking = false)
-    if (!converged) {
-      org.apache.spark.sql.GraftBridge.freeCheckpoint(labels)
-      throw new IllegalStateException(
-        s"resolveDuplicateClusters did not converge in $maxIters rounds " +
-          "(component diameter exceeds 2^maxIters); raise maxIters")
-    }
-    labels
   }
 
   /** End-to-end near-dedup: MinHash-LSH candidates above
