@@ -215,7 +215,9 @@ object Queries {
     // codebook SQL as som_winner, so a lossy round-trip flips BMUs
     // and fails the hash (xpysom.py:868-892 pickle-parity analogue)
     "som_save_load_winner" -> ((s, dir) => {
-      val path = s"/tmp/graft_model_roundtrip"
+      // unique per (JVM, corpus): concurrent Verify runs over different
+      // corpora must not race on the round-trip scratch dir
+      val path = s"/tmp/graft_model_roundtrip_${ProcessHandle.current.pid}_${dir.hashCode.toHexString}"
       fixedModel(s, dir).save(s, path)
       SomModel.load(s, path).transform(emb(s, dir), "embedding")
         .select(col("vec_id").cast("long").as("vec_id"),
@@ -226,7 +228,7 @@ object Queries {
     // shortest-round-trip strings, so the trip is lossless) -> read back
     // -> winners; same oracle as som_winner (§2.1 example-CSV-source row)
     "som_csv_source_winner" -> ((s, dir) => {
-      val path = s"/tmp/graft_csv_roundtrip"
+      val path = s"/tmp/graft_csv_roundtrip_${ProcessHandle.current.pid}_${dir.hashCode.toHexString}"
       emb(s, dir).select(col("vec_id"), concat_ws(";", col("embedding")).as("emb"))
         .write.mode("overwrite").option("header", "true").csv(path)
       val back = s.read.option("header", "true").csv(path)
@@ -236,7 +238,8 @@ object Queries {
         .select(col("vec_id"), col("bmu_id").cast("long").as("bmu_id"))
     }),
 
-    // full training on embeddings — not SQL-expressible; rows-only check
+    // full training on embeddings — oracled by replaying the seeded
+    // init + 3 unrolled epochs in SQL (TrainOracleSql)
     "som_train_activation_response" -> ((s, dir) => {
       val df = emb(s, dir)
       val model = new Som(SomConfig(6, 6, seed = 42)).fit(df, "embedding", numEpochs = 3)
@@ -264,14 +267,14 @@ object Queries {
       "dedup_ngram_jaccard" -> ((s, dir) =>
         Dedup.ngramJaccardPairs(docs(s, dir), "text", "doc_id", n = 3, maxOffset = 5)),
 
-      // MinHash LSH near-dup candidates (cross-engine hash: rows-only check)
+      // MinHash LSH near-dup candidates (exact DuckDB signature-replay oracle)
       "dedup_minhash" -> ((s, dir) =>
         Dedup.minhashCandidates(docs(s, dir), "text", "doc_id")
           .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))),
 
-      // SimHash near-dup candidates (rows-only check: engine-specific
-      // hash). maxHamming=7 is the guaranteed-recall bound for 8 bands
-      // of 8 bits (pigeonhole).
+      // SimHash near-dup candidates (exact DuckDB signature-replay
+      // oracle). maxHamming=7 is the guaranteed-recall bound for 8
+      // bands of 8 bits (pigeonhole).
       "dedup_simhash" -> ((s, dir) =>
         Dedup.simhashCandidates(docs(s, dir), "text", "doc_id", maxHamming = 7)
           .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
@@ -288,8 +291,9 @@ object Queries {
                   col("keep_id").cast("long").as("keep_id"))
       }),
 
-      // minhash candidates -> cluster resolution (the production pairing;
-      // hash-dependent candidates: rows-only check)
+      // minhash candidates -> cluster resolution (the production
+      // pairing; oracled end to end via the signature replay + the
+      // unrolled connected-components fixpoint)
       "dedup_resolve_minhash" -> ((s, dir) => {
         val cands = Dedup.minhashCandidates(docs(s, dir), "text", "doc_id")
           .where(col("est_jaccard") >= 0.5)
@@ -311,7 +315,8 @@ object Queries {
         Similarity.bruteForceTopK(emb(s, dir), "embedding", "vec_id", qs, k = 5)
       }),
 
-      // random-hyperplane LSH ANN — recall < 1 by design: rows-only check
+      // random-hyperplane LSH ANN — oracled via seeded-plane replay
+      // (HashOracleSql.lshTopK)
       "ann_lsh_topk" -> ((s, dir) => {
         val qs = emb(s, dir).orderBy("vec_id").limit(5).collect()
           .map(r => (r.getLong(r.fieldIndex("vec_id")),
@@ -320,7 +325,8 @@ object Queries {
           numPlanes = 6, numTables = 8)
       }),
 
-      // SOM-bucketed (IVF-style) ANN — training-dependent: rows-only check
+      // SOM-bucketed (IVF-style) ANN — oracled by replaying the seeded
+      // quantizer training in SQL (TrainOracleSql.annSomTopK)
       "ann_som_topk" -> ((s, dir) => {
         val qs = emb(s, dir).orderBy("vec_id").limit(5).collect()
           .map(r => (r.getLong(r.fieldIndex("vec_id")),
@@ -895,6 +901,21 @@ object Queries {
     // resolveDuplicateClusters runs (it throws past 16, so both sides
     // agree or the query loudly has no output).
     "dedup_resolve_clusters" -> resolveClustersOracle,
+
+    // the MinHash/SimHash signature pipelines replayed bit-for-bit in
+    // DuckDB (HUGEINT 64-bit modular arithmetic) — see HashOracleSql
+    "dedup_minhash" -> HashOracleSql.minhashCandidates,
+    "dedup_simhash" -> HashOracleSql.simhashCandidates,
+    "dedup_resolve_minhash" -> HashOracleSql.resolveMinhash,
+    // seeded-plane replay: the hyperplane tensor is regenerated from
+    // the same seed and embedded as literals
+    "ann_lsh_topk" -> HashOracleSql.lshTopK,
+
+    // full seeded-training replay (init stream + 3 unrolled epochs) —
+    // see TrainOracleSql for the scope and the documented edge-corpus
+    // limitation
+    "som_train_activation_response" -> TrainOracleSql.trainActivationResponse,
+    "ann_som_topk" -> TrainOracleSql.annSomTopK,
 
     // byte-histogram stub feature recomputed from hex pairs: byte value
     // = 16*hi + lo hex digit, bin = byte // 16, f_k = count(bin=k)/total

@@ -62,10 +62,16 @@ object Dedup {
     // band join carries only (id, band-bucket hash) — the signature stays
     // out of the shuffle; pairs are deduped BEFORE re-attaching signatures
     // for the jaccard estimate, so the wide rows never multiply.
+    // the bucket key is the RAW band slice of the signature (not an
+    // engine hash of it): candidates are then exactly "pairs agreeing on
+    // a full band" — no cross-band hash collisions, and the candidate
+    // set is engine-independent (the DuckDB oracle reproduces it
+    // bit-for-bit). Costs rowsPerBand longs per join key instead of one
+    // int; the shuffled row count is identical.
     val banded = sigs.select(col("id"),
       explode(transform(sequence(lit(0), lit(numBands - 1)),
         b => struct(b.as("band"),
-          hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))))
+          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).as("bucket"))))
         .as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     // shuffle_hash: the band join's equi-keys are small and bucket

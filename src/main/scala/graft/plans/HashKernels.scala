@@ -6,6 +6,13 @@ package graft.plans
   */
 object HashKernels {
 
+  /** ASCII whitespace (RE2/Java-regex `\s`: tab..CR + space). Used for
+    * tokenization instead of `Character.isWhitespace` so the token
+    * boundaries are portable across engines (DuckDB/RE2, Spark `\s+`,
+    * this kernel all agree); Unicode space separators count as content.
+    */
+  @inline private def isWs(c: Char): Boolean = c == ' ' || (c >= '\t' && c <= '\r')
+
   /** FNV-1a 64-bit over UTF-16 code units — stable, allocation-free. */
   def fnv64(s: CharSequence, from: Int, until: Int): Long = {
     var h = 0xcbf29ce484222325L
@@ -40,10 +47,10 @@ object HashKernels {
     val ends = new java.util.ArrayList[Int]()
     var i = 0
     while (i < n) {
-      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+      while (i < n && isWs(text.charAt(i))) i += 1
       if (i < n) {
         starts.add(i)
-        while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
+        while (i < n && !isWs(text.charAt(i))) i += 1
         ends.add(i)
       }
     }
@@ -127,10 +134,10 @@ object HashKernels {
     var i = 0
     var any = false
     while (i < n) {
-      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+      while (i < n && isWs(text.charAt(i))) i += 1
       if (i < n) {
         val start = i
-        while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
+        while (i < n && !isWs(text.charAt(i))) i += 1
         val h = fnv64(text, start, i)
         any = true
         var b = 0

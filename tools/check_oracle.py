@@ -28,8 +28,15 @@ def fresh_con(sf_dir):
 
 def main(sf_dir, out_dir):
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    # a corpus may declare queries whose exact replay is out of scope for
+    # it (e.g. the adversarial edge corpus vs the seeded-training-replay
+    # oracles — see TrainOracleSql); {"query_name": "reason"}
+    skip_path = os.path.join(sf_dir, "ORACLE_SKIP.json")
+    skips = json.load(open(skip_path)) if os.path.exists(skip_path) else {}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if name in skips:
+            print(f"[SKIP] {name}: {skips[name]}"); continue
         spark_dir = os.path.join(out_dir, name)
         files = glob.glob(os.path.join(spark_dir, "*.parquet"))
         if not files:
