@@ -156,4 +156,71 @@ object HashKernels {
     }
     fp
   }
+
+  /** Sorted distinct char n-grams, each packed into one long: a Unicode
+    * code point is ≤ 21 bits, so an n-gram of up to 3 code points packs
+    * injectively into 63 bits — the packed set IS the string n-gram set
+    * (no hashing, no collisions). Replaces `array<string>` shingles with
+    * a primitive `array<long>` whose pairwise intersection is a sorted
+    * merge instead of two hash-set passes over UTF8Strings.
+    * Returns an empty array when the text has fewer than n code points.
+    */
+  def packedNgrams(text: String, n: Int): Array[Long] = {
+    require(n >= 1 && n <= 3, s"packedNgrams supports n in 1..3, got $n")
+    val len = text.length
+    // decode to code points once (substr/length semantics in both Spark
+    // and DuckDB count code points, not UTF-16 units)
+    var nCp = 0
+    var i = 0
+    while (i < len) { i += Character.charCount(text.codePointAt(i)); nCp += 1 }
+    val m = nCp - n + 1
+    if (m <= 0) return new Array[Long](0)
+    val cps = new Array[Int](nCp)
+    i = 0
+    var k = 0
+    while (i < len) {
+      val cp = text.codePointAt(i)
+      cps(k) = cp; k += 1
+      i += Character.charCount(cp)
+    }
+    val out = new Array[Long](m)
+    var s = 0
+    while (s < m) {
+      var v = 0L
+      var q = 0
+      while (q < n) { v = (v << 21) | cps(s + q); q += 1 }
+      out(s) = v
+      s += 1
+    }
+    java.util.Arrays.sort(out)
+    // in-place dedupe of the sorted array
+    var w = 0
+    s = 0
+    while (s < m) {
+      if (w == 0 || out(s) != out(w - 1)) { out(w) = out(s); w += 1 }
+      s += 1
+    }
+    if (w == m) out else java.util.Arrays.copyOf(out, w)
+  }
+
+  /** Intersection size of two SORTED distinct long arrays — one merge
+    * pass, no allocation. With `packedNgrams` inputs this equals
+    * `size(array_intersect(shingles_a, shingles_b))` exactly.
+    */
+  def sortedInterCount(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                       b: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
 }

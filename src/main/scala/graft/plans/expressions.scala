@@ -136,6 +136,81 @@ case class ByteStride(child: Expression, targetBytes: Int) extends UnaryExpressi
   override def prettyName: String = "byte_stride"
 }
 
+/** Sorted distinct char n-grams packed into longs
+  * (`HashKernels.packedNgrams`): the primitive-array form of
+  * `TextFunctions.charShingles` for n ≤ 3, exact by injective
+  * code-point packing (21 bits each). Pairs with `SortedInterCount`
+  * for allocation-free jaccard.
+  */
+case class CharNgramSet(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1 && n <= 3, s"char_ngram_set supports n in 1..3, got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"char_ngram_set expects string, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      HashKernels.packedNgrams(input.asInstanceOf[UTF8String].toString, n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = HashKernels.getClass.getName.stripSuffix("$") // mirror-class static forwarders — Janino cannot resolve MODULE$
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"$kernel.packedNgrams($c.toString(), $n))")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgramSet =
+    copy(child = newChild)
+  override def prettyName: String = "char_ngram_set"
+}
+
+/** Intersection size of two sorted distinct long arrays — one fused
+  * merge pass (`HashKernels.sortedInterCount`); the jaccard numerator
+  * for `CharNgramSet` shingle sets (union size follows from
+  * |a| + |b| − |a∩b|, so no union array is ever built).
+  */
+case class SortedInterCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sorted_inter_count expects array<bigint> inputs, got " +
+          s"${left.dataType} and ${right.dataType}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.sortedInterCount(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = HashKernels.getClass.getName.stripSuffix("$") // static forwarders
+    defineCodeGen(ctx, ev, (a, b) => s"$kernel.sortedInterCount($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedInterCount =
+    copy(left = l, right = r)
+  override def prettyName: String = "sorted_inter_count"
+}
+
 /** Column-API wrappers. */
 object GraftFunctions {
   def minhash_sig(text: Column, numHashes: Int = 64, shingleSize: Int = 3,
@@ -151,6 +226,12 @@ object GraftFunctions {
 
   def sig_agreement(a: Column, b: Column): Column =
     GraftBridge.column(SigAgreement(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def char_ngram_set(text: Column, n: Int): Column =
+    GraftBridge.column(CharNgramSet(GraftBridge.expression(text), n))
+
+  def sorted_inter_count(a: Column, b: Column): Column =
+    GraftBridge.column(SortedInterCount(GraftBridge.expression(a), GraftBridge.expression(b)))
 }
 
 /** SQL-surface registration: `spark.sql.extensions=graft.plans.GraftExtensions`
