@@ -176,16 +176,33 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, maxOffset: Int = 5): DataFrame = {
+    // n <= 3: shingle sets as SORTED packed-code-point long arrays
+    // (codegen `CharNgramSet`, injective packing — the packed set IS the
+    // string n-gram set), so the jaccard numerator is one allocation-free
+    // merge pass (`SortedInterCount`) and the union size follows from
+    // |a| + |b| - |a∩b| without ever building a union array. ~an order
+    // of magnitude less work per pair than the array<string>
+    // intersect/union formulation, which the n > 3 fallback keeps
+    // (NgramPathParitySpec pins the two paths to identical results).
+    val shingleCol: Column => Column =
+      if (n <= 3) t => graft.plans.GraftFunctions.char_ngram_set(t, n)
+      else t => TextFunctions.charShingles(t, n)
     val sh = df.select(col(idCol).cast("long").as("id"),
-                       TextFunctions.charShingles(col(textCol), n).as("sh"))
+                       shingleCol(col(textCol)).as("sh"))
     val left = sh.select(col("id"), col("sh"),
         explode(sequence(lit(1), lit(maxOffset))).as("off"))
       .withColumn("id_b", col("id") + col("off"))
     val right = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
-    left.join(right, "id_b")
-      .select(col("id").as("id_a"), col("id_b"),
+    val joined = left.join(right, "id_b")
+    val jaccard =
+      if (n <= 3) {
+        val inter = graft.plans.GraftFunctions.sorted_inter_count(col("sh"), col("sh_b"))
+        round(inter.cast("double") /
+          greatest(size(col("sh")) + size(col("sh_b")) - inter, lit(1)), 6)
+      } else
         round(size(array_intersect(col("sh"), col("sh_b"))).cast("double") /
-          greatest(size(array_union(col("sh"), col("sh_b"))), lit(1)), 6).as("jaccard"))
+          greatest(size(array_union(col("sh"), col("sh_b"))), lit(1)), 6)
+    joined.select(col("id").as("id_a"), col("id_b"), jaccard.as("jaccard"))
   }
 
   /** Resolve near-duplicate candidate pairs into clusters: each id adopts
@@ -193,12 +210,15 @@ object Dedup {
     * components as hash-join rounds, no driver-side graph. Each round
     * combines neighbor-min propagation with pointer jumping
     * (label <- label-of-label), so a chain of diameter d converges in
-    * O(log d) rounds rather than O(d); maxIters=16 covers any diameter
-    * up to 2^16. Returns (id, keep_id); throws if the fixpoint is not
-    * reached (partial clusters must never look authoritative).
+    * O(log d) rounds rather than O(d); each round composes the label map
+    * ~3x (neighbor-min + two pointer jumps) and the sum-based fixpoint
+    * check consumes one extra no-change round, so maxIters rounds cover
+    * any component diameter up to ~3^(maxIters-1) — maxIters=16 is
+    * ~14M. Returns (id, keep_id); throws if the fixpoint is not reached
+    * (partial clusters must never look authoritative).
     */
   def resolveDuplicateClusters(pairs: DataFrame, maxIters: Int = 16): DataFrame = {
-    val spark = pairs.sparkSession
+    val session0 = pairs.sparkSession
     // symmetrize with ONE pass over the candidate pairs (explode of a
     // 2-struct array) — a union of two selects would evaluate the
     // upstream candidate plan twice when it isn't cached
@@ -212,23 +232,33 @@ object Dedup {
     // the candidate graph is orders of magnitude smaller than the corpus
     // it came from, and a full task wave per tiny 32-partition shuffle
     // dominates the wall clock (measured 3x on a 9k-edge graph). The
-    // session conf is restored in the finally below; it never grows past
-    // the configured default, so 100 TB-scale graphs keep full
-    // parallelism.
+    // override never grows past the caller's default, so 100 TB-scale
+    // graphs keep full parallelism.
     val nEdges = edges.count()
-    val defaultP = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val defaultP = session0.conf.get("spark.sql.shuffle.partitions").toInt
     val p = math.max(1L, math.min(defaultP.toLong, nEdges / 2000000L + 1L)).toInt
+    // Conf isolation: the overrides live on a CHILD session (same
+    // SparkContext, same SharedState — so the edge cache above is still
+    // hit), never on the caller's. Concurrent queries on the caller's
+    // session are unaffected, and two concurrent resolves cannot swap
+    // each other's "defaults". The child inherits every modifiable conf
+    // of the parent so plan semantics (ANSI, session timezone, legacy
+    // parquet flags, ...) are identical.
+    val spark = session0.newSession()
+    session0.conf.getAll.foreach { case (k, v) =>
+      if (spark.conf.isModifiable(k)) spark.conf.set(k, v)
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", p)
+    // AQE's per-shuffle stage barriers add several driver round-trips
+    // per round; with partitions already sized to the graph there is
+    // nothing left for it to adapt — skip the overhead inside the loop
+    if (nEdges <= 2000000L) spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val edgesChild = org.apache.spark.sql.GraftBridge.withSession(edges, spark)
     // small graphs: also shrink the SCAN side — re-reading a tiny cached
     // edge set with a full task wave per round costs more than the work
-    val edgesIn = if (nEdges <= 2000000L) edges.coalesce(p) else edges
+    val edgesIn = if (nEdges <= 2000000L) edgesChild.coalesce(p) else edgesChild
     var labels: DataFrame = null
-    val defaultAqe = spark.conf.get("spark.sql.adaptive.enabled")
     try {
-      spark.conf.set("spark.sql.shuffle.partitions", p)
-      // AQE's per-shuffle stage barriers add several driver round-trips
-      // per round; with partitions already sized to the graph there is
-      // nothing left for it to adapt — skip the overhead inside the loop
-      if (nEdges <= 2000000L) spark.conf.set("spark.sql.adaptive.enabled", "false")
       // localCheckpoint per round: each round references the previous
       // labels several times, so without lineage truncation the logical
       // plan grows exponentially and the optimizer itself becomes the
@@ -239,12 +269,16 @@ object Dedup {
         .localCheckpoint(true)
       // labels only ever decrease, so sum(keep_id) strictly decreases
       // iff any label changed — an exact DECIMAL(38,0) sum is the
-      // convergence check. The sum runs on the LAZY checkpoint of each
-      // round's labels, so one job both materializes the round and
-      // checks the fixpoint (an eager checkpoint + separate check
-      // costs two jobs per round).
+      // convergence check. The cast happens BEFORE the aggregate so the
+      // sum itself runs in decimal: a long-typed sum over hash-derived
+      // ids near 2^63 (or ~1e9 rows of ~1e10 ids — the 100 TB regime)
+      // overflows 64 bits, throwing under ANSI and silently wrapping —
+      // breaking the strict-decrease invariant — without it. The sum
+      // runs on the LAZY checkpoint of each round's labels, so one job
+      // both materializes the round and checks the fixpoint (an eager
+      // checkpoint + separate check costs two jobs per round).
       def labelSum(df: DataFrame): BigInt = {
-        val d = df.agg(sum(col("keep_id")).cast("decimal(38,0)")).head.getDecimal(0)
+        val d = df.agg(sum(col("keep_id").cast("decimal(38,0)"))).head.getDecimal(0)
         if (d == null) BigInt(0) else BigInt(d.toBigInteger)
       }
       var prevSum = labelSum(labels)
@@ -289,12 +323,15 @@ object Dedup {
         org.apache.spark.sql.GraftBridge.freeCheckpoint(labels)
         throw new IllegalStateException(
           s"resolveDuplicateClusters did not converge in $maxIters rounds " +
-            "(component diameter exceeds 2^maxIters); raise maxIters")
+            "(component diameter exceeds ~3^(maxIters-1) — each round " +
+            "composes the label map ~3x and the fixpoint check consumes " +
+            "one no-change round); raise maxIters")
       }
-      labels
+      // hand the result back on the CALLER's session: the labels plan is
+      // a checkpointed LogicalRDD at this point, so the transplant is a
+      // plan-node rebind, not a recomputation
+      org.apache.spark.sql.GraftBridge.withSession(labels, session0)
     } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", defaultP)
-      spark.conf.set("spark.sql.adaptive.enabled", defaultAqe)
       edges.unpersist(blocking = false)
     }
   }

@@ -25,4 +25,16 @@ object GraftBridge {
       case l: execution.LogicalRDD => l.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Re-bind a DataFrame's logical plan to another session of the same
+    * SparkContext. Used to scope per-query SQLConf overrides (shuffle
+    * partitions, AQE) to a child `newSession()` instead of mutating the
+    * caller's session conf: the plan is transplanted into the child,
+    * planned under the child's conf, and the result transplanted back.
+    * Cached/persisted upstream frames keep working — the CacheManager
+    * lives in SharedState, which `newSession()` shares.
+    */
+  def withSession(df: DataFrame, s: SparkSession): DataFrame =
+    classic.Dataset.ofRows(s.asInstanceOf[classic.SparkSession],
+      df.queryExecution.logical)
 }

@@ -249,6 +249,22 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("cluster resolution never touches the caller's session conf") {
+    // the loop's shuffle-partition/AQE overrides live on a child session;
+    // the caller's conf must be byte-identical before, DURING (observed
+    // by a convergence-sized graph that guarantees multiple rounds), and
+    // after — including the exception path
+    val before = spark.conf.getAll
+    val pairs = (0L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val r = Dedup.resolveDuplicateClusters(pairs)
+    assert(r.sparkSession eq spark) // result lives on the caller's session
+    assert(r.count() == 65)
+    intercept[IllegalStateException] {
+      Dedup.resolveDuplicateClusters(pairs, maxIters = 1)
+    }
+    assert(spark.conf.getAll == before)
+  }
+
   test("hash sampling: deterministic, partition-invariant, nested rates") {
     val ids = (0L until 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     def sample(df: org.apache.spark.sql.DataFrame, r: Double) =

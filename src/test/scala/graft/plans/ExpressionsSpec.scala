@@ -100,6 +100,62 @@ class ExpressionsSpec extends SparkSpec {
     assert(est == 0.5)
   }
 
+  test("char_ngram_set + sorted_inter_count reproduce the string-shingle jaccard exactly") {
+    import graft.functions.TextFunctions.charShingles
+    // adversarial corpus: exact dups, near dups, empty, shorter-than-n,
+    // multibyte code points, surrogate pairs, repeats (dedup), null
+    val corpus = Seq(
+      (0L, "the quick brown fox"),
+      (1L, "the quick brown fix"),
+      (2L, ""),
+      (3L, "ab"),
+      (4L, "日本語のテキストです"),
+      (5L, "emoji 😀😀 pair 𝔘nicode"),
+      (6L, null.asInstanceOf[String]),
+      (7L, "aaaaaa"),
+      (8L, "the quick brown fox")
+    ).toDF("id", "text")
+    for (n <- 1 to 3) {
+      val sh = corpus.select(col("id"),
+        GraftFunctions.char_ngram_set(col("text"), n).as("p"),
+        charShingles(col("text"), n).as("s"))
+      val pairs = sh.alias("a").crossJoin(sh.alias("b"))
+      val inter = GraftFunctions.sorted_inter_count(col("a.p"), col("b.p"))
+      val rows = pairs.select(
+        col("a.id"), col("b.id"),
+        round(inter.cast("double") /
+          greatest(size(col("a.p")) + size(col("b.p")) - inter, lit(1)), 6).as("packed"),
+        round(size(array_intersect(col("a.s"), col("b.s"))).cast("double") /
+          greatest(size(array_union(col("a.s"), col("b.s"))), lit(1)), 6).as("str"))
+        .collect()
+      assert(rows.length == 81)
+      rows.foreach { r =>
+        val msg = s"n=$n pair (${r.getLong(0)}, ${r.getLong(1)})"
+        assert(r.isNullAt(2) == r.isNullAt(3), msg)
+        if (!r.isNullAt(2)) assert(r.getDouble(2) == r.getDouble(3), msg)
+      }
+      // packed sets are sorted+distinct and injective: identical texts
+      // produce identical sets, self-jaccard of non-degenerate text is 1
+      val self = rows.filter(r => r.getLong(0) == 0L && r.getLong(1) == 8L).head
+      assert(self.getDouble(2) == 1.0)
+    }
+    // ngramJaccardPairs: packed fast path (n<=3) == string fallback (same
+    // pairs via the n>3 branch is a different shingle size, so instead
+    // pin the operator's n=3 output against the inline string formula)
+    val op = graft.operators.Dedup.ngramJaccardPairs(corpus, "text", "id", n = 3, maxOffset = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    val shs = corpus.select(col("id"), charShingles(col("text"), 3).as("s"))
+    val ref = shs.alias("a").crossJoin(shs.alias("b"))
+      .where(col("b.id") > col("a.id") && col("b.id") <= col("a.id") + 3)
+      .select(col("a.id"), col("b.id"),
+        round(size(array_intersect(col("a.s"), col("b.s"))).cast("double") /
+          greatest(size(array_union(col("a.s"), col("b.s"))), lit(1)), 6))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    assert(op == ref)
+  }
+
   test("GraftExtensions SQL builders construct and evaluate the expressions") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.unsafe.types.UTF8String
