@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
@@ -207,17 +207,22 @@ object Dedup {
 
   /** Resolve near-duplicate candidate pairs into clusters: each id adopts
     * the smallest id reachable through candidate edges — connected
-    * components as hash-join rounds, no driver-side graph. Each round
-    * combines neighbor-min propagation with pointer jumping
-    * (label <- label-of-label), so a chain of diameter d converges in
-    * O(log d) rounds rather than O(d); each round composes the label map
-    * ~3x (neighbor-min + two pointer jumps) and the sum-based fixpoint
-    * check consumes one extra no-change round, so maxIters rounds cover
-    * any component diameter up to ~3^(maxIters-1) — maxIters=16 is
-    * ~14M. Returns (id, keep_id); throws if the fixpoint is not reached
-    * (partial clusters must never look authoritative).
+    * components, no driver-side graph. Graphs of at most
+    * `localEdgeThreshold` edges run as exact union-find in ONE
+    * executor task (a single shuffle-free job); larger graphs run as
+    * hash-join rounds combining neighbor-min propagation with pointer
+    * jumping (label <- label-of-label), so a chain of diameter d
+    * converges in O(log d) rounds rather than O(d). Each round composes
+    * the label map ~3x (neighbor-min + two pointer jumps) and the
+    * sum-based fixpoint check consumes one extra no-change round, so
+    * maxIters rounds cover any component diameter up to ~3^(maxIters-1)
+    * — maxIters=16 is ~14M (maxIters only applies to the iterative
+    * path; union-find is exact in one pass). Returns (id, keep_id);
+    * the iterative path throws if the fixpoint is not reached (partial
+    * clusters must never look authoritative).
     */
-  def resolveDuplicateClusters(pairs: DataFrame, maxIters: Int = 16): DataFrame = {
+  def resolveDuplicateClusters(pairs: DataFrame, maxIters: Int = 16,
+                               localEdgeThreshold: Long = 2000000L): DataFrame = {
     val session0 = pairs.sparkSession
     // symmetrize with ONE pass over the candidate pairs (explode of a
     // 2-struct array) — a union of two selects would evaluate the
@@ -228,13 +233,43 @@ object Dedup {
         .as("e"))
       .select(col("e.id").as("id"), col("e.nbr").as("nbr"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Size the per-round shuffles to the GRAPH, not the session default:
-    // the candidate graph is orders of magnitude smaller than the corpus
-    // it came from, and a full task wave per tiny 32-partition shuffle
-    // dominates the wall clock (measured 3x on a 9k-edge graph). The
-    // override never grows past the caller's default, so 100 TB-scale
-    // graphs keep full parallelism.
     val nEdges = edges.count()
+    // Candidate graphs are orders of magnitude smaller than the corpus
+    // they index (near-dup candidates, not documents). When the whole
+    // graph fits ONE task partition, exact union-find inside a single
+    // mapPartitions stage replaces the multi-round join loop: one job,
+    // no shuffles, no per-round driver synchronization — measured ~10x
+    // on the sf0.1 candidate graphs, where the loop's wall time is pure
+    // scheduler round-trips. The work still runs on an executor (never
+    // the driver); the threshold bounds task memory (~130 MB at 2M
+    // edges, see UnionFind). Larger graphs take the iterative
+    // pointer-jumping path below, which shuffles only graph-sized data
+    // — that is the 100 TB route, and both paths compute the identical
+    // (id, min-reachable-id) fixpoint (parity-tested in PipelineSpec).
+    if (nEdges <= localEdgeThreshold) {
+      import session0.implicits._
+      try {
+        edges.as[(Long, Long)].coalesce(1)
+          .mapPartitions(UnionFind.minLabels)
+          .toDF("id", "keep_id")
+          .localCheckpoint(eager = true)
+      } finally {
+        edges.unpersist(blocking = false)
+      }
+    } else resolveClustersIterative(edges, nEdges, maxIters, session0)
+  }
+
+  /** Iterative pointer-jumping label propagation for graphs too large for
+    * the single-task path: O(log d) join rounds, shuffles sized to the
+    * graph. See [[resolveDuplicateClusters]] for the dispatch contract.
+    */
+  private def resolveClustersIterative(edges: DataFrame, nEdges: Long,
+      maxIters: Int, session0: SparkSession): DataFrame = {
+    // Size the per-round shuffles to the GRAPH, not the session default:
+    // a full task wave per tiny 32-partition shuffle dominates the wall
+    // clock (measured 3x on a 9k-edge graph). The override never grows
+    // past the caller's default, so 100 TB-scale graphs keep full
+    // parallelism.
     val defaultP = session0.conf.get("spark.sql.shuffle.partitions").toInt
     val p = math.max(1L, math.min(defaultP.toLong, nEdges / 2000000L + 1L)).toInt
     // Conf isolation: the overrides live on a CHILD session (same
@@ -288,25 +323,30 @@ object Dedup {
       while (i < maxIters && !converged) {
         val t0 = System.nanoTime()
         // one fused round: each node adopts the min of (its label, its
-        // neighbors' labels, its label's label, and its label's label's
-        // label). The neighbor-min term propagates one hop; the two
+        // neighbors' labels), then that min's label, then THAT min's
+        // label. The neighbor-min term propagates one hop; the two
         // label-composition terms are pointer jumping — label depth
-        // divides by ~3 per round (l <- l∘l∘l composes to l^(3^k) after
-        // k rounds), so diameter d needs ~log3(d) rounds. All terms
-        // reference the same checkpointed frame (cached RDD scans, not
-        // recomputation), and the round costs ONE checkpoint.
-        val nbrMin = edgesIn
-          .join(labels.select(col("id").as("nbr"), col("keep_id").as("nbr_keep")), "nbr")
-          .groupBy("id").agg(min("nbr_keep").as("nbr_keep"))
+        // divides by ~3 per round, so diameter d needs ~log3(d) rounds.
+        // The neighbor-min is a union + ONE hash aggregate (not a
+        // groupBy followed by a re-join of the labels — that costs one
+        // more shuffle per round for the same result), and jumping off
+        // the already-lowered min `m` is at least as strong as jumping
+        // off the old label. All terms reference the same checkpointed
+        // frame (cached RDD scans, not recomputation), and the round
+        // costs ONE checkpoint.
+        val merged = labels
+          .union(edgesIn
+            .join(labels.select(col("id").as("nbr"), col("keep_id")), "nbr")
+            .select(col("id"), col("keep_id")))
+          .groupBy("id").agg(min("keep_id").as("m"))
         val hop1 = labels.select(col("id").as("j1"), col("keep_id").as("k1"))
         val hop2 = labels.select(col("id").as("j2"), col("keep_id").as("k2"))
-        val next = labels.join(nbrMin, Seq("id"), "left")
-          .join(hop1, col("keep_id") === col("j1"), "left")
+        val next = merged
+          .join(hop1, col("m") === col("j1"), "left")
           .join(hop2, col("k1") === col("j2"), "left")
-          .select(col("id"), least(col("keep_id"),
-              coalesce(col("nbr_keep"), col("keep_id")),
-              coalesce(col("k1"), col("keep_id")),
-              coalesce(col("k2"), col("keep_id"))).as("keep_id"))
+          .select(col("id"), least(col("m"),
+              coalesce(col("k1"), col("m")),
+              coalesce(col("k2"), col("m"))).as("keep_id"))
           .localCheckpoint(eager = false)
         val s = labelSum(next) // materializes next's checkpoint
         // NB plain Dataset.unpersist is a NO-OP for checkpoints (it only

@@ -235,32 +235,90 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("cluster resolution converges on a chain longer than 10 hops") {
-    // 40-node path: min-label needs O(diameter) rounds without pointer
-    // jumping; with jumping it converges well inside maxIters=16
+    // 40-node path, forced onto the ITERATIVE path (threshold 0):
+    // min-label needs O(diameter) rounds without pointer jumping; with
+    // jumping it converges well inside maxIters=16
     val pairs = (0L until 39L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val r = Dedup.resolveDuplicateClusters(pairs).collect()
+    val r = Dedup.resolveDuplicateClusters(pairs, localEdgeThreshold = 0).collect()
       .map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(r.size == 40)
     assert(r.values.forall(_ == 0L), r.toString)
     // a genuinely-unconverged run fails loudly instead of returning
     // partially-merged clusters
     intercept[IllegalStateException] {
-      Dedup.resolveDuplicateClusters(pairs, maxIters = 1)
+      Dedup.resolveDuplicateClusters(pairs, maxIters = 1, localEdgeThreshold = 0)
     }
+  }
+
+  test("single-task and iterative cluster resolution agree on a random graph") {
+    // seeded random graph with chains, cliques, bridges and singleton
+    // pairs: the union-find fast path and the pointer-jumping join loop
+    // must compute the identical (id, min-reachable-id) fixpoint
+    val rnd = new scala.util.Random(42)
+    val chains = (0L until 200L).map(i => (i, i + 1))
+    val rand = (1 to 300).map(_ => (rnd.nextInt(400).toLong, 500L + rnd.nextInt(200)))
+    val pairs = (chains ++ rand).toDF("id_a", "id_b")
+    val local = Dedup.resolveDuplicateClusters(pairs)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val iter = Dedup.resolveDuplicateClusters(pairs, localEdgeThreshold = -1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(local == iter)
+  }
+
+  test("cluster resolution is exact for ids near Long.MaxValue under ANSI") {
+    // hash-derived ids near 2^63: a long-typed convergence sum would
+    // overflow (throwing under ANSI, silently wrapping otherwise) — the
+    // decimal(38,0) pre-aggregation cast keeps the fixpoint check exact.
+    // Runs the ITERATIVE path under ansi.enabled=true to pin exactly that.
+    val top = Long.MaxValue
+    val pairs = (0L until 24L).map(i => (top - i - 1, top - i)).toDF("id_a", "id_b")
+    val before = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      for (thr <- Seq(0L, Long.MaxValue)) {
+        val r = Dedup.resolveDuplicateClusters(pairs, localEdgeThreshold = thr)
+          .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+        assert(r.size == 25)
+        assert(r.values.forall(_ == top - 24), r.toString)
+      }
+    } finally spark.conf.set("spark.sql.ansi.enabled", before)
   }
 
   test("cluster resolution never touches the caller's session conf") {
     // the loop's shuffle-partition/AQE overrides live on a child session;
-    // the caller's conf must be byte-identical before, DURING (observed
-    // by a convergence-sized graph that guarantees multiple rounds), and
-    // after — including the exception path
+    // the caller's conf must be byte-identical before, DURING, and after
+    // — including the exception path. "During" is observed by a genuinely
+    // concurrent query on the caller's session: its shuffle must run at
+    // the caller's partition count while the resolve loop (forced
+    // iterative, multi-round) runs with its graph-sized override.
     val before = spark.conf.getAll
+    val defaultP = spark.conf.get("spark.sql.shuffle.partitions")
+    val defaultAqe = spark.conf.get("spark.sql.adaptive.enabled")
     val pairs = (0L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val r = Dedup.resolveDuplicateClusters(pairs)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    @volatile var stop = false
+    val probe = Future {
+      var seen = Vector.empty[(String, String)]
+      while (!stop) {
+        // a real shuffle on the caller's session, concurrent with the
+        // resolve loop, then a snapshot of the conf it planned under
+        assert(spark.range(1000).groupBy(col("id") % 7).count().count() == 7)
+        seen :+= ((spark.conf.get("spark.sql.shuffle.partitions"),
+                   spark.conf.get("spark.sql.adaptive.enabled")))
+      }
+      seen
+    }
+    val r = Dedup.resolveDuplicateClusters(pairs, localEdgeThreshold = 0)
+    stop = true
+    val observed = Await.result(probe, 60.seconds)
+    assert(observed.nonEmpty && observed.forall(_ == ((defaultP, defaultAqe))),
+      s"concurrent query saw conf ${observed.distinct}")
     assert(r.sparkSession eq spark) // result lives on the caller's session
     assert(r.count() == 65)
     intercept[IllegalStateException] {
-      Dedup.resolveDuplicateClusters(pairs, maxIters = 1)
+      Dedup.resolveDuplicateClusters(pairs, maxIters = 1, localEdgeThreshold = 0)
     }
     assert(spark.conf.getAll == before)
   }
@@ -309,7 +367,8 @@ class PipelineSpec extends SparkSpec {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.size
     val pairs = (0L until 39L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val labels = Dedup.resolveDuplicateClusters(pairs)
+    // forced iterative: the per-round checkpoint lifecycle under test
+    val labels = Dedup.resolveDuplicateClusters(pairs, localEdgeThreshold = 0)
     labels.count()
     val afterRun = sc.getPersistentRDDs.size
     // ~6 rounds ran; only the returned labels' checkpoint may remain
