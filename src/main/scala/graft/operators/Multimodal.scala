@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: image/audio/video payloads ride as opaque
   * `binary` columns next to typed metadata; decode / feature-extraction /
@@ -21,40 +20,27 @@ object Multimodal {
 
   /** STUB decoder: 16-bin byte-value histogram, L1-normalized. Replace
     * with a real image/audio decoder; the signature (bytes -> fixed-size
-    * float feature) is the production contract.
+    * float feature) is the production contract. Delegates to the same
+    * kernel the codegen `ByteHistogram` expression calls, so the scalar
+    * and columnar paths cannot drift.
     */
-  def decodeStub(payload: Array[Byte]): Array[Double] = {
-    val h = new Array[Double](featureDim)
-    if (payload == null || payload.isEmpty) return h
-    var i = 0
-    while (i < payload.length) { h((payload(i) & 0xFF) / featureDim) += 1.0; i += 1 }
-    var s = 0.0
-    i = 0
-    while (i < featureDim) { s += h(i); i += 1 }
-    i = 0
-    if (s > 0) while (i < featureDim) { h(i) /= s; i += 1 }
-    h
-  }
+  def decodeStub(payload: Array[Byte]): Array[Double] =
+    if (payload == null) new Array[Double](featureDim)
+    else graft.plans.HashKernels.byteHistogram(payload, featureDim)
 
   /** Attach payload metadata + decoded feature vector. Narrow map, no
-    * shuffle; binary stays columnar through the scan.
+    * shuffle; the decode is a codegen Catalyst expression
+    * (`graft.plans.ByteHistogram`), so the whole projection stays inside
+    * whole-stage codegen and sibling columns keep their columnar scan —
+    * no RDD Row round-trip. Null payloads keep the stub's semantics:
+    * n_bytes 0 and the all-zero feature vector.
     */
-  def decodeFeatures(df: DataFrame, payloadCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val idx = df.schema.fieldIndex(payloadCol)
-    val schema = StructType(df.schema.fields ++ Seq(
-      StructField("n_bytes", LongType, nullable = false),
-      StructField("feature", ArrayType(DoubleType, containsNull = false))))
-    val rdd = df.rdd.mapPartitions { it =>
-      it.map { r =>
-        val payload = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
-        val feat = decodeStub(payload)
-        val n = if (payload == null) 0L else payload.length.toLong
-        Row.fromSeq(r.toSeq ++ Seq(n, feat.toSeq))
-      }
-    }
-    spark.createDataFrame(rdd, schema)
-  }
+  def decodeFeatures(df: DataFrame, payloadCol: String): DataFrame =
+    df.withColumn("n_bytes",
+        coalesce(length(col(payloadCol)).cast("long"), lit(0L)))
+      .withColumn("feature",
+        coalesce(graft.plans.GraftFunctions.byte_histogram(col(payloadCol), featureDim),
+          array((0 until featureDim).map(_ => lit(0.0)): _*)))
 
   /** Resize (STUB semantics, real plumbing): stride-sample the payload
     * bytes down to ~`targetBytes` — the deterministic stand-in for an

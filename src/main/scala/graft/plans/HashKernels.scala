@@ -124,6 +124,22 @@ object HashKernels {
     out
   }
 
+  /** `bins`-bin byte-value histogram of a payload, L1-normalized; the
+    * deterministic stand-in for a media feature extractor
+    * (`Multimodal.decodeFeatures`). Single pass; empty payloads yield
+    * the all-zero vector (no normalization by zero).
+    */
+  def byteHistogram(payload: Array[Byte], bins: Int): Array[Double] = {
+    val h = new Array[Double](bins)
+    val len = payload.length
+    if (len == 0) return h
+    var i = 0
+    while (i < len) { h(((payload(i) & 0xFF) * bins) >>> 8) += 1.0; i += 1 }
+    i = 0
+    while (i < bins) { h(i) /= len; i += 1 }
+    h
+  }
+
   /** 64-bit SimHash: per-bit majority vote over whitespace-token hashes.
     * Returns 0 for empty docs.
     */

@@ -136,6 +136,43 @@ case class ByteStride(child: Expression, targetBytes: Int) extends UnaryExpressi
   override def prettyName: String = "byte_stride"
 }
 
+/** L1-normalized `bins`-bin byte-value histogram of a binary payload
+  * (`HashKernels.byteHistogram`): the codegen feature-extraction stub for
+  * multimodal columns — keeps `Multimodal.decodeFeatures` inside
+  * whole-stage codegen instead of an RDD Row round-trip that
+  * deserializes every sibling column.
+  */
+case class ByteHistogram(child: Expression, bins: Int) extends UnaryExpression {
+  require(bins > 0 && bins <= 256, s"bins must be in 1..256, got $bins")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"byte_histogram expects binary, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      HashKernels.byteHistogram(input.asInstanceOf[Array[Byte]], bins))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = HashKernels.getClass.getName.stripSuffix("$") // mirror-class static forwarders — Janino cannot resolve MODULE$
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"$kernel.byteHistogram($c, $bins))")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ByteHistogram =
+    copy(child = newChild)
+  override def prettyName: String = "byte_histogram"
+}
+
 /** Sorted distinct char n-grams packed into longs
   * (`HashKernels.packedNgrams`): the primitive-array form of
   * `TextFunctions.charShingles` for n ≤ 3, exact by injective
@@ -232,6 +269,9 @@ object GraftFunctions {
 
   def sorted_inter_count(a: Column, b: Column): Column =
     GraftBridge.column(SortedInterCount(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def byte_histogram(payload: Column, bins: Int = 16): Column =
+    GraftBridge.column(ByteHistogram(GraftBridge.expression(payload), bins))
 }
 
 /** SQL-surface registration: `spark.sql.extensions=graft.plans.GraftExtensions`
@@ -252,6 +292,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("byte_stride"),
       new ExpressionInfo(classOf[ByteStride].getName, "byte_stride"),
       GraftExtensions.byteStrideBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("byte_histogram"),
+      new ExpressionInfo(classOf[ByteHistogram].getName, "byte_histogram"),
+      GraftExtensions.byteHistogramBuilder))
   }
 }
 
@@ -300,5 +344,9 @@ object GraftExtensions {
   val byteStrideBuilder: Seq[Expression] => Expression = { args =>
     require(args.nonEmpty, "byte_stride requires a payload argument")
     ByteStride(args.head, checkedInt("byte_stride", args, 1, None))
+  }
+  val byteHistogramBuilder: Seq[Expression] => Expression = { args =>
+    require(args.nonEmpty, "byte_histogram requires a payload argument")
+    ByteHistogram(args.head, checkedInt("byte_histogram", args, 1, Some(16)))
   }
 }

@@ -33,7 +33,16 @@ class CodegenGuardSpec extends SparkSpec {
         col("id"),
         GraftFunctions.minhash_sig(col("text"), 16, 2).as("sig"),
         GraftFunctions.simhash64(col("text")).as("fp"),
-        GraftFunctions.byte_stride(col("payload"), 2).as("bs"))
+        GraftFunctions.byte_stride(col("payload"), 2).as("bs"),
+        GraftFunctions.byte_histogram(col("payload")).as("bh"),
+        GraftFunctions.char_ngram_set(col("text"), 3).as("ng"))
+      val ngr = sigged.alias("a").join(sigged.alias("b"),
+          col("a.id") < col("b.id"))
+        .select(GraftFunctions.sorted_inter_count(col("a.ng"), col("b.ng")).as("inter"),
+          element_at(col("a.bh"), 1).as("h0"))
+        .collect()
+      assert(ngr.length == 1 && ngr.head.getInt(0) > 0)
+      assert(ngr.head.getDouble(1) >= 0.0)
       val r = sigged.alias("a").join(sigged.alias("b"),
           col("a.id") < col("b.id"))
         .select(GraftFunctions.sig_agreement(col("a.sig"), col("b.sig")).as("est"))

@@ -156,6 +156,29 @@ class ExpressionsSpec extends SparkSpec {
     assert(op == ref)
   }
 
+  test("byte_histogram matches the scalar decode stub bin-for-bin") {
+    val rnd = new scala.util.Random(7)
+    val payloads = Seq(
+      Array.emptyByteArray,
+      Array[Byte](0, -1, 127, -128), // full byte range incl. sign wrap
+      Array.fill(257)(rnd.nextInt(256).toByte),
+      Array.fill(3)(0.toByte)) // degenerate single-bin mass
+    val df = payloads.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("id", "payload")
+    val rows = df.select(col("id"),
+        GraftFunctions.byte_histogram(col("payload"), 16).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    payloads.zipWithIndex.foreach { case (p, i) =>
+      val expect = graft.operators.Multimodal.decodeStub(p).toSeq
+      assert(rows(i.toLong) == expect, s"payload $i")
+      if (p.nonEmpty) assert(math.abs(rows(i.toLong).sum - 1.0) < 1e-9)
+    }
+    // null payload -> null (the operator coalesces to the zero vector)
+    val withNull = Seq((0L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload")
+    assert(withNull.select(GraftFunctions.byte_histogram(col("payload")))
+      .collect().head.isNullAt(0))
+  }
+
   test("GraftExtensions SQL builders construct and evaluate the expressions") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.unsafe.types.UTF8String
