@@ -31,11 +31,8 @@ object MinhashProbe {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tSig = time { sigs.count(); () }
       val banded = sigs.select(col("id"),
-        explode(transform(sequence(lit(0), lit(7)),
-          b => struct(b.as("band"),
-            slice(col("sig"), b * 8 + 1, lit(8)).as("bucket"))))
-          .as("bb"))
-        .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        posexplode(graft.plans.GraftFunctions.band_folds(col("sig"), 8)))
+        .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
       val a = banded.alias("a")
       val b = banded.hint("shuffle_hash").alias("b")
       val rawPairs = a.join(b, col("a.band") === col("b.band") &&
@@ -49,12 +46,18 @@ object MinhashProbe {
       val est = pairs
         .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")).hint("shuffle_hash"), "id_a")
         .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")).hint("shuffle_hash"), "id_b")
+        .where(graft.plans.GraftFunctions.band_agree(col("sig_a"), col("sig_b"), 8))
         .select(col("id_a"), col("id_b"),
           graft.plans.GraftFunctions.sig_agreement(col("sig_a"), col("sig_b")).as("est_jaccard"))
       val tEst = time { est.count(); () }
       println(f"[minhash rep $rep] sig $tSig%.2f  bandjoin $tJoin%.2f  distinct $tDistinct%.2f  estimate $tEst%.2f")
       pairs.unpersist(blocking = true)
       sigs.unpersist(blocking = true)
+      val tFull = time {
+        val r = operators.Dedup.minhashCandidates(bigDocs, "text", "doc_id")
+        r.count(); r.unpersist(blocking = true); ()
+      }
+      println(f"[minhash rep $rep] full operator $tFull%.2f s")
     }
     spark.stop()
   }

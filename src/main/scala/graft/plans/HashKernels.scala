@@ -108,6 +108,49 @@ object HashKernels {
     eq.toDouble / n
   }
 
+  /** 64-bit fold of each `rowsPerBand`-long band slice of a minhash
+    * signature (splitmix chain, FNV offset basis): the compact LSH join
+    * key. A fold collision can only ADD a candidate pair, and callers
+    * re-verify true band agreement with [[bandAgree]] after re-attaching
+    * full signatures — so the candidate set stays exactly "pairs
+    * agreeing on a full band" while the banding join shuffles one long
+    * per band instead of `rowsPerBand`.
+    */
+  def bandFolds(sig: org.apache.spark.sql.catalyst.util.ArrayData,
+                rowsPerBand: Int): Array[Long] = {
+    val n = sig.numElements()
+    val nBands = n / rowsPerBand
+    val out = new Array[Long](nBands)
+    var b = 0
+    var i = 0
+    while (b < nBands) {
+      var h = 0xcbf29ce484222325L
+      var q = 0
+      while (q < rowsPerBand) { h = splitmix64(h ^ sig.getLong(i)); q += 1; i += 1 }
+      out(b) = h
+      b += 1
+    }
+    out
+  }
+
+  /** True iff the two signatures agree on at least one full
+    * `rowsPerBand`-long band slice — the exact LSH banding predicate,
+    * used to discard fold-collision pairs from [[bandFolds]] joins.
+    */
+  def bandAgree(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                b: org.apache.spark.sql.catalyst.util.ArrayData,
+                rowsPerBand: Int): Boolean = {
+    val n = math.min(a.numElements(), b.numElements())
+    var base = 0
+    while (base + rowsPerBand <= n) {
+      var q = 0
+      while (q < rowsPerBand && a.getLong(base + q) == b.getLong(base + q)) q += 1
+      if (q == rowsPerBand) return true
+      base += rowsPerBand
+    }
+    false
+  }
+
   /** Stride-sample a byte payload down to ~`targetBytes`: keep bytes at
     * indices 0, stride, 2·stride, … with stride = ceil(len/target).
     * Single pass, one output allocation — the deterministic stand-in for

@@ -136,6 +136,82 @@ case class ByteStride(child: Expression, targetBytes: Int) extends UnaryExpressi
   override def prettyName: String = "byte_stride"
 }
 
+/** Per-band 64-bit folds of a minhash signature
+  * (`HashKernels.bandFolds`): the compact LSH banding join key — one
+  * long per band rides the shuffle instead of the `rowsPerBand`-long
+  * raw slice. Pairs with `BandAgree` for the exact post-join check.
+  */
+case class BandFolds(child: Expression, rowsPerBand: Int) extends UnaryExpression {
+  require(rowsPerBand > 0, s"rowsPerBand must be positive, got $rowsPerBand")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"band_folds expects array<bigint>, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(HashKernels.bandFolds(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], rowsPerBand))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = HashKernels.getClass.getName.stripSuffix("$") // mirror-class static forwarders — Janino cannot resolve MODULE$
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"$kernel.bandFolds($c, $rowsPerBand))")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BandFolds =
+    copy(child = newChild)
+  override def prettyName: String = "band_folds"
+}
+
+/** Exact LSH banding predicate (`HashKernels.bandAgree`): true iff two
+  * signatures agree on at least one full `rowsPerBand` slice. Filters
+  * fold-collision pairs after a `BandFolds` join, keeping the candidate
+  * set bit-identical to a raw-slice join.
+  */
+case class BandAgree(left: Expression, right: Expression, rowsPerBand: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(rowsPerBand > 0, s"rowsPerBand must be positive, got $rowsPerBand")
+
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"band_agree expects array<bigint> inputs, got " +
+          s"${left.dataType} and ${right.dataType}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.bandAgree(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = HashKernels.getClass.getName.stripSuffix("$") // static forwarders
+    defineCodeGen(ctx, ev, (a, b) => s"$kernel.bandAgree($a, $b, $rowsPerBand)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BandAgree =
+    copy(left = l, right = r)
+  override def prettyName: String = "band_agree"
+}
+
 /** L1-normalized `bins`-bin byte-value histogram of a binary payload
   * (`HashKernels.byteHistogram`): the codegen feature-extraction stub for
   * multimodal columns — keeps `Multimodal.decodeFeatures` inside
@@ -272,6 +348,13 @@ object GraftFunctions {
 
   def byte_histogram(payload: Column, bins: Int = 16): Column =
     GraftBridge.column(ByteHistogram(GraftBridge.expression(payload), bins))
+
+  def band_folds(sig: Column, rowsPerBand: Int): Column =
+    GraftBridge.column(BandFolds(GraftBridge.expression(sig), rowsPerBand))
+
+  def band_agree(a: Column, b: Column, rowsPerBand: Int): Column =
+    GraftBridge.column(BandAgree(GraftBridge.expression(a),
+      GraftBridge.expression(b), rowsPerBand))
 }
 
 /** SQL-surface registration: `spark.sql.extensions=graft.plans.GraftExtensions`

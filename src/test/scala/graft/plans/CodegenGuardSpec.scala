@@ -39,10 +39,13 @@ class CodegenGuardSpec extends SparkSpec {
       val ngr = sigged.alias("a").join(sigged.alias("b"),
           col("a.id") < col("b.id"))
         .select(GraftFunctions.sorted_inter_count(col("a.ng"), col("b.ng")).as("inter"),
-          element_at(col("a.bh"), 1).as("h0"))
+          element_at(col("a.bh"), 1).as("h0"),
+          size(GraftFunctions.band_folds(col("a.sig"), 4)).as("nb"),
+          GraftFunctions.band_agree(col("a.sig"), col("b.sig"), 4).as("ba"))
         .collect()
       assert(ngr.length == 1 && ngr.head.getInt(0) > 0)
       assert(ngr.head.getDouble(1) >= 0.0)
+      assert(ngr.head.getInt(2) == 4) // 16 hashes / 4 per band
       val r = sigged.alias("a").join(sigged.alias("b"),
           col("a.id") < col("b.id"))
         .select(GraftFunctions.sig_agreement(col("a.sig"), col("b.sig")).as("est"))

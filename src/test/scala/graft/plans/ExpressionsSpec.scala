@@ -156,6 +156,47 @@ class ExpressionsSpec extends SparkSpec {
     assert(op == ref)
   }
 
+  test("folded LSH banding reproduces raw-slice candidate pairs exactly") {
+    // corpus with real duplicate structure: groups of 3 consecutive ids
+    // share a text (every band agrees), plus unique docs (no band agrees)
+    val docs = (0L until 120L).map(i =>
+        (i, s"tok${i / 3} alpha beta gamma delta ep${i / 3} zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.minhashCandidates(docs, "text", "doc_id",
+        numHashes = 16, rowsPerBand = 4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force reference: collect signatures, pairs agreeing on at
+    // least one full raw band slice
+    val sigs = docs.select(col("doc_id"),
+        GraftFunctions.minhash_sig(col("text"), 16, 3).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val expect = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      if (0 until 4).exists(band =>
+        sigs(a).slice(band * 4, band * 4 + 4) == sigs(b).slice(band * 4, band * 4 + 4))
+    } yield (a, b)).toSet
+    assert(got == expect)
+    assert(expect.nonEmpty && expect.size < 120 * 119 / 2) // non-trivial both ways
+    // kernel-level: bandAgree is exactly "some raw slice equal", and a
+    // fold difference implies a slice difference (fold is a function of
+    // the slice alone)
+    for ((a, sa) <- sigs; (b, sb) <- sigs) {
+      val ad = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(sa.toArray)
+      val bd = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(sb.toArray)
+      val agree = HashKernels.bandAgree(ad, bd, 4)
+      val slices = (0 until 4).exists(k =>
+        sa.slice(k * 4, k * 4 + 4) == sb.slice(k * 4, k * 4 + 4))
+      assert(agree == slices, s"pair ($a,$b)")
+      val fa = HashKernels.bandFolds(ad, 4)
+      val fb = HashKernels.bandFolds(bd, 4)
+      (0 until 4).foreach { k =>
+        if (sa.slice(k * 4, k * 4 + 4) == sb.slice(k * 4, k * 4 + 4))
+          assert(fa(k) == fb(k), s"fold must match on equal slice ($a,$b,$k)")
+      }
+    }
+  }
+
   test("byte_histogram matches the scalar decode stub bin-for-bin") {
     val rnd = new scala.util.Random(7)
     val payloads = Seq(
