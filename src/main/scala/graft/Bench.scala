@@ -154,6 +154,28 @@ object Bench {
       bigDocs.unpersist(blocking = false)
     }
 
+    // --- iterative-resolver scale bench: the union-find fast path
+    // absorbs every sf0.1 candidate graph, so force the iterative
+    // pointer-jumping path (the 100 TB route) with localEdgeThreshold=0
+    // on a 200k-edge graph of 1000-node chains — the worst case for
+    // label propagation (diameter 1000 needs ~7 fused rounds), unlike
+    // the bushy near-dup clusters the query suite resolves.
+    {
+      val chains = spark.range(200000)
+        .where(pmod(col("id"), lit(1000)) =!= lit(999))
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      chains.count()
+      results("bench_resolve_iter_200k") = time2 {
+        val r = graft.operators.Dedup.resolveDuplicateClusters(
+          chains, localEdgeThreshold = 0L)
+        r.count()
+        org.apache.spark.sql.GraftBridge.freeCheckpoint(r)
+        ()
+      }
+      chains.unpersist(blocking = false)
+    }
+
     // --- full query suite: 1 warmup + 1 timed rep each (the reference
     // bench methodology, bench_utils.py:56-78) — steady-state numbers,
     // not JIT/classload noise.

@@ -367,6 +367,33 @@ object Queries {
         docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
                             qualityScore(col("text")).as("q"))),
 
+      // intra-document repetition ratios (duplicate n-gram fraction —
+      // the boilerplate/looping-text curation signal)
+      "repetition_stats" -> ((s, dir) =>
+        docs(s, dir).select(
+          col("doc_id").cast("long").as("doc_id"),
+          repetitionRatio(col("text"), 1).as("rep1"),
+          repetitionRatio(col("text"), 2).as("rep2"),
+          repetitionRatio(col("text"), 3).as("rep3"))),
+
+      // PII-ish pattern counts (emails / URLs / long digit runs). The
+      // corpus is synthetic word-soup, so a deterministic enrichment
+      // derived from doc_id plants findable patterns in every 7th doc;
+      // the detector expressions are the operator under test.
+      "pattern_counts" -> ((s, dir) => {
+        val id = col("doc_id").cast("long")
+        val enriched = when(pmod(id, lit(7)) === 0,
+          concat(col("text"), lit(" contact user"), id.cast("string"),
+            lit("@example.com or https://ex.org/p/"), id.cast("string"),
+            lit(" ref 123456789")))
+          .otherwise(col("text"))
+        docs(s, dir).select(
+          id.as("doc_id"),
+          emailCount(enriched).cast("long").as("n_email"),
+          urlCount(enriched).cast("long").as("n_url"),
+          longDigitRunCount(enriched).cast("long").as("n_digit_run"))
+      }),
+
       // multimodal: binary payload decode — the stub's byte-histogram
       // feature is DuckDB-expressible (hex-digit arithmetic), full oracle
       "multimodal_decode" -> ((s, dir) => {
@@ -1067,6 +1094,38 @@ object Queries {
          |            ELSE 'zh' END AS lang_pred
          |FROM s""".stripMargin
     },
+
+    "repetition_stats" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents WHERE text IS NOT NULL),
+         |g AS (SELECT doc_id,
+         |        CAST(len(toks) AS DOUBLE) AS t1,
+         |        CAST(len(toks) - 1 AS DOUBLE) AS t2,
+         |        CAST(len(toks) - 2 AS DOUBLE) AS t3,
+         |        CAST(len(list_distinct(toks)) AS DOUBLE) AS d1,
+         |        CAST(len(list_distinct(list_transform(generate_series(1, len(toks) - 1),
+         |             i -> array_to_string(toks[i:i+1], ' ')))) AS DOUBLE) AS d2,
+         |        CAST(len(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+         |             i -> array_to_string(toks[i:i+2], ' ')))) AS DOUBLE) AS d3
+         |      FROM t)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |       CAST(CASE WHEN t1 <= 0 THEN 0 ELSE round(1 - d1 / t1, 6) END AS DOUBLE) AS rep1,
+         |       CAST(CASE WHEN t2 <= 0 THEN 0 ELSE round(1 - d2 / t2, 6) END AS DOUBLE) AS rep2,
+         |       CAST(CASE WHEN t3 <= 0 THEN 0 ELSE round(1 - d3 / t3, 6) END AS DOUBLE) AS rep3
+         |FROM g""".stripMargin,
+
+    "pattern_counts" ->
+      """WITH t AS (SELECT doc_id,
+        |        CASE WHEN doc_id % 7 = 0
+        |             THEN text || ' contact user' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)
+        |                  || '@example.com or https://ex.org/p/' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)
+        |                  || ' ref 123456789'
+        |             ELSE text END AS text2
+        |      FROM documents WHERE text IS NOT NULL)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       CAST(len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |       CAST(len(regexp_extract_all(text2, 'https?://[^\s]+')) AS BIGINT) AS n_url,
+        |       CAST(len(regexp_extract_all(text2, '[0-9]{7,}')) AS BIGINT) AS n_digit_run
+        |FROM t""".stripMargin,
 
     "quality_score" ->
       s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents WHERE text IS NOT NULL),

@@ -121,6 +121,36 @@ object TextFunctions {
     round((lengthTerm * 0.4 + punctTerm * 0.2 + digitTerm * 0.2 + stopTerm * 0.2), 6)
   }
 
+  /** Intra-document repetition: the fraction of word n-grams that are
+    * repeats of an earlier n-gram in the same document
+    * (`1 - distinct/total`; 0 for docs shorter than n tokens). The
+    * duplicate-n-gram fraction is the standard boilerplate/looping-text
+    * quality signal in large-corpus curation (Gopher/C4-style rules);
+    * n=1 gives the repeated-token fraction.
+    */
+  def repetitionRatio(text: Column, n: Int): Column = {
+    val total = (size(tokens(text)) - (n - 1)).cast("double")
+    when(total <= 0, 0.0).otherwise(
+      round(lit(1.0) - size(wordShingles(text, n)).cast("double") / total, 6))
+  }
+
+  /** Email-address-shaped substring count — the redaction/quality signal
+    * a curation pipeline keys PII rules off.
+    */
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text,
+      lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0)))
+
+  /** URL-shaped substring count. */
+  def urlCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("https?://[^\\s]+"), lit(0)))
+
+  /** Long (>= 7 digits) digit-run count — phone/account-number-shaped
+    * content.
+    */
+  def longDigitRunCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[0-9]{7,}"), lit(0)))
+
   /** Deterministic document fingerprint: md5 of the token-normalized
     * text (cross-engine checkable, unlike xxhash64).
     */

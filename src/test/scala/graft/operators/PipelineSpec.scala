@@ -37,6 +37,37 @@ class PipelineSpec extends SparkSpec {
     assert(r(4L) == "de") // all-zero scores: alphabetically first wins
   }
 
+  test("repetition ratio: duplicate n-gram fraction, hand-computed") {
+    val d = Seq((0L, "the quick brown fox jumps over the lazy dog"),
+                (1L, "a a a a"), (2L, ""), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val r = d.select(col("doc_id"),
+        repetitionRatio(col("text"), 1).as("r1"),
+        repetitionRatio(col("text"), 2).as("r2"),
+        repetitionRatio(col("text"), 3).as("r3"))
+      .collect().map(x => x.getLong(0) ->
+        ((x.getDouble(1), x.getDouble(2), x.getDouble(3)))).toMap
+    // 9 tokens, 8 distinct ("the" twice); all 8 bigrams distinct
+    assert(r(0L) == ((0.111111, 0.0, 0.0)))
+    // "a a a a": 1 - 1/4, 1 - 1/3, 1 - 1/2
+    assert(r(1L) == ((0.75, 0.666667, 0.5)))
+    assert(r(2L) == ((0.0, 0.0, 0.0))) // empty doc
+    assert(r(3L)._3 == 0.0) // shorter than n -> 0, not negative
+  }
+
+  test("pattern counts: emails, urls, long digit runs") {
+    val d = Seq((0L, "mail a@b.co and c.d@e.org now https://x.y/z " +
+                     "and http://q.r 12345678 123456 99999999999"),
+                (1L, "no patterns here")).toDF("doc_id", "text")
+    val r = d.select(col("doc_id"),
+        emailCount(col("text")).as("e"),
+        urlCount(col("text")).as("u"),
+        longDigitRunCount(col("text")).as("g"))
+      .collect().map(x => x.getLong(0) -> ((x.getInt(1), x.getInt(2), x.getInt(3)))).toMap
+    assert(r(0L) == ((2, 2, 2))) // 123456 is only 6 digits -> not counted
+    assert(r(1L) == ((0, 0, 0)))
+  }
+
   test("exact dedup groups duplicates and keeps min id") {
     val g = Dedup.exactGroups(docs, "text", "doc_id")
       .where(col("n") > 1).collect()
