@@ -176,6 +176,31 @@ object Bench {
       chains.unpersist(blocking = false)
     }
 
+    // --- contraction-hybrid resolver bench: duplicate groups of 4
+    // bridged into one 100k-node chain — 200k symmetrized edges, forced
+    // past the single-task fast path (threshold 50k < 200k). One
+    // neighbor-min round contracts the graph to ~25k label-space edges,
+    // which finish exactly in a single union-find task; pure pointer
+    // jumping would need ~10 full-size rounds for the 25k-group diameter.
+    {
+      val intra = spark.range(100000)
+        .where(pmod(col("id"), lit(4)) =!= 0)
+        .select((col("id") - pmod(col("id"), lit(4))).as("id_a"), col("id").as("id_b"))
+      val bridges = spark.range(24999)
+        .select((col("id") * 4).as("id_a"), (col("id") * 4 + 4).as("id_b"))
+      val bridged = intra.union(bridges)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      bridged.count()
+      results("bench_resolve_hybrid_200k") = time2 {
+        val r = graft.operators.Dedup.resolveDuplicateClusters(
+          bridged, localEdgeThreshold = 50000L)
+        r.count()
+        org.apache.spark.sql.GraftBridge.freeCheckpoint(r)
+        ()
+      }
+      bridged.unpersist(blocking = false)
+    }
+
     // --- full query suite: 1 warmup + 1 timed rep each (the reference
     // bench methodology, bench_utils.py:56-78) — steady-state numbers,
     // not JIT/classload noise.

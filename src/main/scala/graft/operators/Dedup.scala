@@ -255,7 +255,7 @@ object Dedup {
       } finally {
         edges.unpersist(blocking = false)
       }
-    } else resolveClustersIterative(edges, nEdges, maxIters, session0)
+    } else resolveClustersIterative(edges, nEdges, maxIters, session0, localEdgeThreshold)
   }
 
   /** Iterative pointer-jumping label propagation for graphs too large for
@@ -263,14 +263,15 @@ object Dedup {
     * graph. See [[resolveDuplicateClusters]] for the dispatch contract.
     */
   private def resolveClustersIterative(edges: DataFrame, nEdges: Long,
-      maxIters: Int, session0: SparkSession): DataFrame = {
+      maxIters: Int, session0: SparkSession,
+      localEdgeThreshold: Long): DataFrame = {
     // Size the per-round shuffles to the GRAPH, not the session default:
     // a full task wave per tiny 32-partition shuffle dominates the wall
     // clock (measured 3x on a 9k-edge graph). The override never grows
     // past the caller's default, so 100 TB-scale graphs keep full
     // parallelism.
     val defaultP = session0.conf.get("spark.sql.shuffle.partitions").toInt
-    val p = math.max(1L, math.min(defaultP.toLong, nEdges / 2000000L + 1L)).toInt
+    val p = math.max(1L, math.min(defaultP.toLong, nEdges / 50000L + 1L)).toInt
     // Conf isolation: the overrides live on a CHILD session (same
     // SparkContext, same SharedState — so the edge cache above is still
     // hit), never on the caller's. Concurrent queries on the caller's
@@ -301,6 +302,55 @@ object Dedup {
       labels = edgesIn.groupBy("id")
         .agg(least(min("nbr"), min("id")).as("keep_id"))
         .localCheckpoint(true)
+      // Contraction exit: one neighbor-min pass collapses each clique-ish
+      // near-dup cluster onto its min id, so the label-space graph
+      // (distinct (label(id), label(nbr)) pairs, self-loops dropped) is
+      // usually orders of magnitude smaller than the input — bushy
+      // graphs contract to almost nothing even when the EDGE set is far
+      // over the single-task threshold. If the contracted graph fits one
+      // task, finish it exactly with union-find and compose the two
+      // label maps: final(id) = root(label(id)). Contraction preserves
+      // components, and the component minimum labels itself, so the
+      // composed map is the same (id, min-reachable-id) fixpoint the
+      // loop would reach. Path-shaped graphs contract only linearly, so
+      // this is checked ONCE — when it does not pay, the pointer-jump
+      // loop below takes over without re-checking every round.
+      // localEdgeThreshold=0 (the bench's forced-iterative mode) skips
+      // the exit entirely.
+      if (localEdgeThreshold > 0L) {
+        val la = labels.select(col("id"), col("keep_id").as("ka"))
+        val lb = labels.select(col("id").as("nbr"), col("keep_id").as("kb"))
+        val contracted = edgesIn.join(la, "id").join(lb, "nbr")
+          .where(col("ka") =!= col("kb"))
+          .select(col("ka").as("id_a"), col("kb").as("id_b"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n2 = contracted.count()
+        if (n2 == 0L) {
+          // every edge already joins two same-labeled nodes: done
+          contracted.unpersist(blocking = false)
+          return org.apache.spark.sql.GraftBridge.withSession(labels, session0)
+        }
+        if (n2 <= localEdgeThreshold) {
+          import spark.implicits._
+          val roots = contracted
+            .select(explode(array(
+              struct(col("id_a").as("id"), col("id_b").as("nbr")),
+              struct(col("id_b").as("id"), col("id_a").as("nbr")))).as("e"))
+            .select(col("e.id"), col("e.nbr"))
+            .as[(Long, Long)].coalesce(1)
+            .mapPartitions(UnionFind.minLabels)
+            .toDF("lbl", "root")
+          val composed = labels
+            .join(roots, col("keep_id") === col("lbl"), "left")
+            .select(col("id"), coalesce(col("root"), col("keep_id")).as("keep_id"))
+            .localCheckpoint(eager = true)
+          contracted.unpersist(blocking = false)
+          org.apache.spark.sql.GraftBridge.freeCheckpoint(labels)
+          return org.apache.spark.sql.GraftBridge.withSession(composed, session0)
+        }
+        contracted.unpersist(blocking = false)
+      }
       // labels only ever decrease, so sum(keep_id) strictly decreases
       // iff any label changed — an exact DECIMAL(38,0) sum is the
       // convergence check. The cast happens BEFORE the aggregate so the

@@ -296,6 +296,28 @@ class PipelineSpec extends SparkSpec {
     assert(local == iter)
   }
 
+  test("contraction exit: bridged cliques resolve via label-space union-find") {
+    // groups of 4 bridged into one long chain: the edge set (606 rows
+    // symmetrized) exceeds the forced threshold of 120, but one
+    // neighbor-min round contracts it to ~100 label-space edges <= 120,
+    // so the iterative path exits through the contraction + union-find
+    // compose — and must agree with the default fast path exactly.
+    val intra = (0L until 400L).filter(_ % 4 != 0).map(i => (i - i % 4, i))
+    val bridges = (0L until 99L).map(g => (g * 4, g * 4 + 4))
+    val pairs = (intra ++ bridges).toDF("id_a", "id_b")
+    val viaContraction = Dedup.resolveDuplicateClusters(pairs, localEdgeThreshold = 120)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val viaFastPath = Dedup.resolveDuplicateClusters(pairs)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(viaContraction == viaFastPath)
+    assert(viaContraction.size == 400 && viaContraction.values.forall(_ == 0L))
+    // uniform-label exit: a pure clique contracts to ZERO label edges
+    val clique = (for (i <- 0L until 8L; j <- i + 1 until 8L) yield (i, j)).toDF("id_a", "id_b")
+    val r = Dedup.resolveDuplicateClusters(clique, localEdgeThreshold = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.size == 8 && r.values.forall(_ == 0L))
+  }
+
   test("cluster resolution is exact for ids near Long.MaxValue under ANSI") {
     // hash-derived ids near 2^63: a long-typed convergence sum would
     // overflow (throwing under ANSI, silently wrapping otherwise) — the
