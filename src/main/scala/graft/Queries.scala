@@ -253,7 +253,7 @@ object Queries {
 
   private lazy val pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = {
     import graft.functions.TextFunctions._
-    import graft.operators.{Dedup, Multimodal, Similarity}
+    import graft.operators.{Corpus, Dedup, Multimodal, Similarity}
     Map(
       // exact dedup groups by content fingerprint
       "dedup_exact" -> ((s, dir) => Dedup.exactGroups(docs(s, dir), "text", "doc_id")),
@@ -393,6 +393,19 @@ object Queries {
           urlCount(enriched).cast("long").as("n_url"),
           longDigitRunCount(enriched).cast("long").as("n_digit_run"))
       }),
+
+      // corpus-level token frequency (vocabulary build): explode +
+      // partial-agg groupBy + per-partition top-k, total order under ties
+      "token_freq_topk" -> ((s, dir) =>
+        Corpus.tokenFrequencies(docs(s, dir), "text", 20)
+          .select(col("token"), col("n").cast("long").as("n"))),
+
+      // context-window chunking (64-token windows, 8-token overlap)
+      "doc_chunks" -> ((s, dir) =>
+        Corpus.chunkByTokens(docs(s, dir), "text", "doc_id",
+            chunkSize = 64, overlap = 8)
+          .select(col("id").as("doc_id"), col("chunk_id"),
+                  col("n_tok"), col("chunk_text"))),
 
       // multimodal: binary payload decode — the stub's byte-histogram
       // feature is DuckDB-expressible (hex-digit arithmetic), full oracle
@@ -1094,6 +1107,23 @@ object Queries {
          |            ELSE 'zh' END AS lang_pred
          |FROM s""".stripMargin
     },
+
+    "token_freq_topk" ->
+      s"""WITH t AS (SELECT unnest($duckToks) AS token FROM documents WHERE text IS NOT NULL)
+         |SELECT token, CAST(count(*) AS BIGINT) AS n
+         |FROM t GROUP BY token
+         |ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "doc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents WHERE text IS NOT NULL),
+         |c AS (SELECT doc_id, toks,
+         |        greatest(1, (len(toks) - 8 + 55) // 56) AS nc
+         |      FROM t WHERE len(toks) > 0)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |       CAST(u.i AS BIGINT) AS chunk_id,
+         |       CAST(least(64, len(toks) - u.i * 56) AS BIGINT) AS n_tok,
+         |       array_to_string(toks[(u.i * 56 + 1):(u.i * 56 + 64)], ' ') AS chunk_text
+         |FROM c, LATERAL (SELECT unnest(generate_series(0, nc - 1)) AS i) u""".stripMargin,
 
     "repetition_stats" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents WHERE text IS NOT NULL),

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Corpus-level operators for training-data preparation: global token
+  * statistics (vocabulary building) and context-window chunking. Both
+  * are pure `org.apache.spark.sql.functions` compositions — fully
+  * codegen'd, no UDFs — and keep their heavy stages scale-shaped:
+  * token frequency is one explode + partial-aggregated groupBy with a
+  * per-partition top-k (`TakeOrderedAndProject`, no global sort), and
+  * chunking is a narrow per-row posexplode that never shuffles.
+  */
+object Corpus {
+
+  /** Top-k most frequent whitespace tokens across the corpus with a
+    * total (count desc, token asc) order, so the cut is deterministic
+    * under ties. The plan is the canonical vocabulary-build shape: the
+    * exploded tokens combine map-side, the groupBy shuffles only
+    * (token, partial-count) pairs, and the limit is a per-partition
+    * top-k merged on the driver — no global sort of the vocabulary.
+    */
+  def tokenFrequencies(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
+  /** Context-window chunking: split each document into windows of
+    * `chunkSize` whitespace tokens advancing by `chunkSize - overlap`
+    * tokens, re-joined with single spaces (token-normalized, like
+    * `docFingerprint`). Every document yields at least one chunk (the
+    * whole document when shorter than a window); the last window is
+    * allowed to be short rather than re-reading earlier tokens, so
+    * chunk count = max(1, ceil((n_tokens - overlap) / step)).
+    * Output: (id, chunk_id, n_tok, chunk_text), one row per window —
+    * a narrow per-row explode, embarrassingly parallel at any scale.
+    */
+  def chunkByTokens(df: DataFrame, textCol: String, idCol: String,
+                    chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap ($overlap) < chunkSize ($chunkSize)")
+    val step = chunkSize - overlap
+    val ts: Column = TextFunctions.tokens(col(textCol))
+    val n = size(ts)
+    val nChunks = greatest(lit(1L),
+      floor((n - lit(overlap) + lit(step - 1)).cast("double") / step).cast("long"))
+    df.where(n > 0)
+      .select(col(idCol).cast("long").as("id"), ts.as("__ts"),
+              explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"))
+      .select(col("id"), col("chunk_id"),
+        least(lit(chunkSize).cast("long"),
+          size(col("__ts")) - col("chunk_id") * step).as("n_tok"),
+        concat_ws(" ",
+          slice(col("__ts"), (col("chunk_id") * step + 1).cast("int"),
+                lit(chunkSize))).as("chunk_text"))
+  }
+}

@@ -68,6 +68,30 @@ class PipelineSpec extends SparkSpec {
     assert(r(1L) == ((0, 0, 0)))
   }
 
+  test("token frequencies: deterministic top-k with tie-break") {
+    val d = Seq((0L, "b a a c b a"), (1L, "c d d")).toDF("doc_id", "text")
+    val r = Corpus.tokenFrequencies(d, "text", 3)
+      .collect().map(x => (x.getString(0), x.getLong(1))).toSeq
+    // a:3, then count-2 ties broken alphabetically: b before c before d
+    assert(r == Seq(("a", 3L), ("b", 2L), ("c", 2L)))
+  }
+
+  test("chunking: window arithmetic, overlap, short-doc and edge cases") {
+    val text10 = (1 to 10).map(i => s"t$i").mkString(" ")
+    val d = Seq((0L, text10), (1L, "one two"), (2L, "   ")).toDF("doc_id", "text")
+    val r = Corpus.chunkByTokens(d, "text", "doc_id", chunkSize = 8, overlap = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> ((x.getLong(2), x.getString(3)))).toMap
+    // 10 tokens, step 6 -> ceil(8/6) = 2 chunks; second starts at token 7
+    assert(r((0L, 0L)) == ((8L, (1 to 8).map(i => s"t$i").mkString(" "))))
+    assert(r((0L, 1L)) == ((4L, (7 to 10).map(i => s"t$i").mkString(" "))))
+    // short doc: one whole-document chunk; blank doc: no chunks
+    assert(r((1L, 0L)) == ((2L, "one two")))
+    assert(r.size == 3)
+    intercept[IllegalArgumentException] {
+      Corpus.chunkByTokens(d, "text", "doc_id", chunkSize = 4, overlap = 4)
+    }
+  }
+
   test("exact dedup groups duplicates and keeps min id") {
     val g = Dedup.exactGroups(docs, "text", "doc_id")
       .where(col("n") > 1).collect()
