@@ -20,7 +20,8 @@ object Explain {
     Seq("q1_lineitem_agg", "q3_revenue_by_order", "som_winner_expr",
         "dedup_exact", "ann_cosine_topk", "dedup_minhash", "events_hourly",
         "multimodal_resize", "multimodal_frames", "multimodal_decode",
-        "dedup_simhash", "text_stats").foreach(show)
+        "dedup_simhash", "text_stats", "token_freq_topk", "doc_chunks",
+        "repetition_stats", "pattern_counts").foreach(show)
     spark.stop()
   }
 }
