@@ -178,10 +178,12 @@ object Bench {
 
     // --- contraction-hybrid resolver bench: duplicate groups of 4
     // bridged into one 100k-node chain — 200k symmetrized edges, forced
-    // past the single-task fast path (threshold 50k < 200k). One
-    // neighbor-min round contracts the graph to ~25k label-space edges,
-    // which finish exactly in a single union-find task; pure pointer
-    // jumping would need ~10 full-size rounds for the 25k-group diameter.
+    // past the single-task fast path (threshold 100k < 200k). One
+    // neighbor-min round contracts the graph to ~50k directed
+    // label-space edges (comfortably under the 100k threshold — a
+    // generator tweak must not silently flip the benched path), which
+    // finish exactly in a single union-find task; pure pointer jumping
+    // would need ~10 full-size rounds for the 25k-group diameter.
     {
       val intra = spark.range(100000)
         .where(pmod(col("id"), lit(4)) =!= 0)
@@ -193,7 +195,7 @@ object Bench {
       bridged.count()
       results("bench_resolve_hybrid_200k") = time2 {
         val r = graft.operators.Dedup.resolveDuplicateClusters(
-          bridged, localEdgeThreshold = 50000L)
+          bridged, localEdgeThreshold = 100000L)
         r.count()
         org.apache.spark.sql.GraftBridge.freeCheckpoint(r)
         ()

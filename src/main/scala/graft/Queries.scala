@@ -935,11 +935,13 @@ object Queries {
     // candidate edges. NOT a recursive reachability CTE — that computes
     // the transitive closure (O(component^2) rows, O(diameter)
     // iterations; a 3k-node duplicate chain took >30 CPU-min in DuckDB).
-    // Instead the engine's own algorithm is unrolled: 16 levels of
-    // neighbor-min + pointer jumping, each level a pair of O(E) joins,
-    // covering any diameter up to 2^16 — exactly the rounds
-    // resolveDuplicateClusters runs (it throws past 16, so both sides
-    // agree or the query loudly has no output).
+    // Instead 16 unrolled levels of neighbor-min + pointer jumping, each
+    // level a pair of O(E) joins, covering any component diameter up to
+    // 2^16. The engine side (union-find fast path, or the iterative
+    // loop's ~3^15 coverage) is exact for any diameter, so on a corpus
+    // whose components exceed 2^16 hops the ORACLE would under-resolve
+    // and the gate would flag a mismatch — the test corpora top out at
+    // diameter ~10^3, far inside the bound.
     "dedup_resolve_clusters" -> resolveClustersOracle,
 
     // the MinHash/SimHash signature pipelines replayed bit-for-bit in

@@ -182,7 +182,7 @@ object Dedup {
     // |a| + |b| - |a∩b| without ever building a union array. ~an order
     // of magnitude less work per pair than the array<string>
     // intersect/union formulation, which the n > 3 fallback keeps
-    // (NgramPathParitySpec pins the two paths to identical results).
+    // (ExpressionsSpec pins the two paths to identical jaccards).
     val shingleCol: Column => Column =
       if (n <= 3) t => graft.plans.GraftFunctions.char_ngram_set(t, n)
       else t => TextFunctions.charShingles(t, n)
@@ -225,8 +225,13 @@ object Dedup {
     val session0 = pairs.sparkSession
     // symmetrize with ONE pass over the candidate pairs (explode of a
     // 2-struct array) — a union of two selects would evaluate the
-    // upstream candidate plan twice when it isn't cached
-    val edges = pairs.select(explode(array(
+    // upstream candidate plan twice when it isn't cached. Pairs with a
+    // null id carry no node identity and are dropped HERE, explicitly:
+    // otherwise the two paths would diverge (the union-find tuple
+    // encoder rejects nulls, the join loop would silently thread them).
+    val edges = pairs
+      .where(col("id_a").isNotNull && col("id_b").isNotNull)
+      .select(explode(array(
         struct(col("id_a").cast("long").as("id"), col("id_b").cast("long").as("nbr")),
         struct(col("id_b").cast("long").as("id"), col("id_a").cast("long").as("nbr"))))
         .as("e"))
@@ -333,11 +338,11 @@ object Dedup {
         }
         if (n2 <= localEdgeThreshold) {
           import spark.implicits._
+          // contracted is already symmetric (edgesIn carries both edge
+          // directions and the label join preserves them) — feed it to
+          // union-find as-is rather than re-symmetrizing, which would
+          // double the one bounded-memory task's input for no effect
           val roots = contracted
-            .select(explode(array(
-              struct(col("id_a").as("id"), col("id_b").as("nbr")),
-              struct(col("id_b").as("id"), col("id_a").as("nbr")))).as("e"))
-            .select(col("e.id"), col("e.nbr"))
             .as[(Long, Long)].coalesce(1)
             .mapPartitions(UnionFind.minLabels)
             .toDF("lbl", "root")

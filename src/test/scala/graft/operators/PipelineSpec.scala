@@ -320,6 +320,19 @@ class PipelineSpec extends SparkSpec {
     assert(local == iter)
   }
 
+  test("cluster resolution drops null-id pairs identically on both paths") {
+    // a null id carries no node identity: dropped at the symmetrize
+    // step, so the union-find fast path (whose tuple encoder rejects
+    // nulls) and the join loop agree instead of diverging by graph size
+    val pairs = Seq((Some(0L), Some(1L)), (Some(1L), Some(2L)),
+        (None, Some(5L)), (Some(6L), None)).toDF("id_a", "id_b")
+    for (thr <- Seq(Long.MaxValue, 0L)) {
+      val r = Dedup.resolveDuplicateClusters(pairs, localEdgeThreshold = thr)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(r == Map(0L -> 0L, 1L -> 0L, 2L -> 0L), s"thr=$thr")
+    }
+  }
+
   test("contraction exit: bridged cliques resolve via label-space union-find") {
     // groups of 4 bridged into one long chain: the edge set (606 rows
     // symmetrized) exceeds the forced threshold of 120, but one
