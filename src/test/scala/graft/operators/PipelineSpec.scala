@@ -68,6 +68,46 @@ class PipelineSpec extends SparkSpec {
     assert(r(1L) == ((0, 0, 0)))
   }
 
+  test("driver contract: every query oracled or a documented exception") {
+    // the correctness gate only checks queries that HAVE oracle SQL —
+    // a query added without one silently downgrades to a rows-only
+    // check. Pin the no-oracle set to exactly the two documented
+    // exceptions (seeded takeSample, eigendecomposition).
+    val qs = graft.SparkEntry.queries.keySet
+    val oracled = graft.SparkEntry.oracleSql.keySet
+    assert(oracled.subsetOf(qs),
+      s"oracles without queries: ${oracled -- qs}")
+    assert((qs -- oracled) == Set("som_sample_init", "som_pca_init"),
+      s"queries missing an oracle: ${qs -- oracled -- Set("som_sample_init", "som_pca_init")}")
+  }
+
+  test("chunking reconstructs the token stream (seeded random docs)") {
+    val rnd = new scala.util.Random(7)
+    val docsR = (0L until 20L).map { i =>
+      val n = rnd.nextInt(40) // includes 0-token docs
+      (i, (0 until n).map(_ => s"w${rnd.nextInt(9)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val chunkSize = 7; val overlap = 3; val step = chunkSize - overlap
+    val chunks = Corpus.chunkByTokens(docsR, "text", "doc_id", chunkSize, overlap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    for ((id, text) <- docsR.collect().map(r => (r.getLong(0), r.getString(1)))) {
+      val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.isEmpty) assert(!chunks.contains(id))
+      else {
+        // dropping the first `overlap` tokens of every chunk after the
+        // first must reconstruct the original token stream exactly
+        val rebuilt = chunks(id).zipWithIndex.flatMap { case (c, ci) =>
+          val t = c.split(" ").toSeq
+          if (ci == 0) t else t.drop(overlap)
+        }
+        assert(rebuilt == toks, s"doc $id")
+        // every chunk except the last is full-size
+        assert(chunks(id).init.forall(_.split(" ").length == chunkSize), s"doc $id sizes")
+      }
+    }
+  }
+
   test("token frequencies: deterministic top-k with tie-break") {
     val d = Seq((0L, "b a a c b a"), (1L, "c d d")).toDF("doc_id", "text")
     val r = Corpus.tokenFrequencies(d, "text", 3)
