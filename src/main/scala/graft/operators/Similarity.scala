@@ -132,11 +132,17 @@ object Similarity {
         posexplode(col("__b")).as(Seq("table", "bucket")))
 
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    // rerank BEFORE deduplicating: the multi-table candidate dedup then
+    // shuffles only (qid, nid, sim) — 24 bytes — instead of dragging the
+    // full embedding through the distinct (3 KB+ per row at 768-dim
+    // scale). Cosine is deterministic per (qid, nid), so distinct on the
+    // scored rows yields the identical candidate set; the re-scored
+    // duplicates are bounded by numTables and cost CPU, not shuffle.
     bucketed.join(broadcast(probeDf), Seq("table", "bucket"))
       .where(col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"), col("__v")).distinct()
       .join(broadcast(qDf), "qid")
       .select(col("qid"), col("nid"), cosine(col("__v"), col("qv")).as("sim"))
+      .distinct()
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
@@ -146,8 +152,11 @@ object Similarity {
   /** IVF-style ANN: train a small SOM as the coarse quantizer, assign
     * every row to its BMU cell, and scan only the `nProbe` cells whose
     * centroids are closest to each query. Returns (qid, rank, nid, sim).
-    * Recall < 1 by construction; the bucketed scan is the 100 TB path
-    * (cells are read via a partition-pruned equi-join, not a full scan).
+    * Recall < 1 by construction. This one-shot form computes the cell
+    * assignment inline (one scan); the 100 TB deployment writes the
+    * assigned table out partitioned/bucketed by `bmu_id` once, after
+    * which the broadcast probe equi-join prunes to the nProbe cells'
+    * files and repeated queries never rescan the corpus.
     */
   def somTopK(df: DataFrame, vecCol: String, idCol: String,
               queries: Seq[(Long, Array[Double])], k: Int,
