@@ -225,7 +225,11 @@ object HashOracleSql {
     * same unrolled min-label + pointer-jump fixpoint used for
     * `dedup_resolve_clusters`.
     */
-  lazy val resolveMinhash: String = {
+  /** Shared WITH-clause: minhash signatures -> banding -> candidate
+    * edges at >= 32/64 agreement (est_jaccard >= 0.5) -> 16 unrolled
+    * neighbor-min + pointer-jump levels ending in `lab16`.
+    */
+  private lazy val minhashClusterWith: String = {
     val rounds = 16
     val levels = (1 to rounds).map { i =>
       s"""nbr$i AS (
@@ -250,7 +254,20 @@ object HashOracleSql {
       "edges AS (SELECT id_a AS id, id_b AS nbr FROM e UNION ALL SELECT id_b AS id, id_a AS nbr FROM e)",
       "lab0 AS (SELECT id, least(id, min(nbr)) AS keep_id FROM edges GROUP BY id)",
       levels)
-    "WITH " + ctes.mkString(",\n") + "\n" +
-      s"SELECT CAST(id AS BIGINT) AS id, CAST(keep_id AS BIGINT) AS keep_id FROM lab$rounds"
+    "WITH " + ctes.mkString(",\n") + "\n"
   }
+
+  lazy val resolveMinhash: String =
+    minhashClusterWith +
+      "SELECT CAST(id AS BIGINT) AS id, CAST(keep_id AS BIGINT) AS keep_id FROM lab16"
+
+  /** Survivors of the one-call near-dedup: every non-null-text document
+    * whose id is not a dropped (id != keep_id) cluster member.
+    */
+  lazy val dropNearMinhash: String =
+    minhashClusterWith +
+      """SELECT CAST(d.doc_id AS BIGINT) AS doc_id
+        |FROM documents d
+        |WHERE d.text IS NOT NULL
+        |  AND d.doc_id NOT IN (SELECT id FROM lab16 WHERE id != keep_id)""".stripMargin
 }

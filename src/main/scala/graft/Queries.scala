@@ -302,6 +302,14 @@ object Queries {
                   col("keep_id").cast("long").as("keep_id"))
       }),
 
+      // the one-call near-dedup end to end (candidates -> clusters ->
+      // anti-join): survivors hash-checked against the same signature
+      // replay + unrolled connected components the resolve oracle uses
+      "dedup_drop_near" -> ((s, dir) =>
+        Dedup.dropNearDuplicates(docs(s, dir), "text", "doc_id",
+            minEstJaccard = 0.5)
+          .select(col("doc_id").cast("long").as("doc_id"))),
+
       // embedding-cosine near-dups in a bounded id window
       "dedup_embedding" -> ((s, dir) =>
         Dedup.embeddingNearDups(emb(s, dir), "embedding", "vec_id",
@@ -949,6 +957,7 @@ object Queries {
     "dedup_minhash" -> HashOracleSql.minhashCandidates,
     "dedup_simhash" -> HashOracleSql.simhashCandidates,
     "dedup_resolve_minhash" -> HashOracleSql.resolveMinhash,
+    "dedup_drop_near" -> HashOracleSql.dropNearMinhash,
     // seeded-plane replay: the hyperplane tensor is regenerated from
     // the same seed and embedded as literals
     "ann_lsh_topk" -> HashOracleSql.lshTopK,

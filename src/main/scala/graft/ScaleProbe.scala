@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Headroom probe: the bench workloads at ~10x their usual scale, run
+  * manually per round to confirm the scaling story stays linear and
+  * nothing hits a memory cliff on this machine:
+  *  - MinHash LSH candidates over 2M synthetic docs (10x bench);
+  *  - iterative cluster resolution on a 4M-edge chain graph — ABOVE the
+  *    2M-edge union-find threshold, i.e. the regime the pointer-jumping
+  *    path actually serves in production (the forced bench entry covers
+  *    the same code path at 200k edges).
+  * Results are recorded in COVERAGE.md's scale notes, not BENCH json.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    // 2M docs, same generator as bench_minhash_200k (dup groups of 4)
+    val docs2m = spark.range(2000000).select(col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(49)),
+        i => concat(lit("w"), pmod(xxhash64(expr("id DIV 4"), i), lit(10000))
+          .cast("string")))).as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs2m.count()
+    val tMinhash = time {
+      val r = operators.Dedup.minhashCandidates(docs2m, "text", "doc_id")
+      println("  candidate pairs: " + r.count())
+      r.unpersist(blocking = true)
+    }
+    println(f"[scale] minhash 2M docs: $tMinhash%.1f s")
+    docs2m.unpersist(blocking = false)
+
+    // 4M-edge chain graph (2000 chains of length 2000): nEdges (8M
+    // symmetrized) > 2M threshold, so this takes the REAL dispatch into
+    // the iterative path — contraction check included
+    val chains = spark.range(4000000)
+      .where(pmod(col("id"), lit(2000)) =!= lit(1999))
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    chains.count()
+    val tResolve = time {
+      val r = operators.Dedup.resolveDuplicateClusters(chains)
+      println("  labeled nodes: " + r.count())
+      org.apache.spark.sql.GraftBridge.freeCheckpoint(r)
+    }
+    println(f"[scale] resolve 8M-edge chains (iterative dispatch): $tResolve%.1f s")
+    chains.unpersist(blocking = false)
+    spark.stop()
+  }
+}
