@@ -408,6 +408,18 @@ object Queries {
         Corpus.tokenFrequencies(docs(s, dir), "text", 20)
           .select(col("token"), col("n").cast("long").as("n"))),
 
+      // benchmark decontamination: trigram overlap of every doc against
+      // a deterministic "eval set" (doc_id % 97 == 0), eval vocabulary
+      // broadcast, corpus side single-scan
+      "contamination" -> ((s, dir) => {
+        val d = docs(s, dir)
+        val eval_ = d.where(pmod(col("doc_id").cast("long"), lit(97)) === 0)
+        Corpus.contamination(d.where(pmod(col("doc_id").cast("long"), lit(97)) =!= 0),
+            "text", "doc_id", eval_, "text", n = 3)
+          .select(col("id").as("doc_id"), col("n_shingles"),
+                  col("n_contaminated"), col("ratio"))
+      }),
+
       // context-window chunking (64-token windows, 8-token overlap)
       "doc_chunks" -> ((s, dir) =>
         Corpus.chunkByTokens(docs(s, dir), "text", "doc_id",
@@ -1124,6 +1136,20 @@ object Queries {
          |SELECT token, CAST(count(*) AS BIGINT) AS n
          |FROM t GROUP BY token
          |ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "contamination" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents WHERE text IS NOT NULL),
+         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+         |         i -> array_to_string(toks[i:i+2], ' ')))) AS sh
+         |       FROM t WHERE len(toks) >= 3),
+         |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+         |d AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0)
+         |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_shingles,
+         |       CAST(count(e.sh) AS BIGINT) AS n_contaminated,
+         |       CAST(round(CAST(count(e.sh) AS DOUBLE) / count(*), 6) AS DOUBLE) AS ratio
+         |FROM d LEFT JOIN ev e ON e.sh = d.sh
+         |GROUP BY d.doc_id""".stripMargin,
 
     "doc_chunks" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents WHERE text IS NOT NULL),

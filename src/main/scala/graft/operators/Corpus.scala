@@ -28,6 +28,32 @@ object Corpus {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Benchmark decontamination: per-document overlap of distinct word
+    * n-grams against an evaluation set's n-gram vocabulary. The eval
+    * set is tiny next to the corpus (benchmarks are KBs, corpora are
+    * TBs), so its distinct shingles broadcast and the corpus side stays
+    * a single scan + narrow explode — no shuffle touches corpus text.
+    * Returns (id, n_shingles, n_contaminated, ratio); documents with
+    * fewer than n tokens have no shingles and are omitted (nothing to
+    * test for contamination).
+    */
+  def contamination(df: DataFrame, textCol: String, idCol: String,
+                    evalDf: DataFrame, evalTextCol: String,
+                    n: Int): DataFrame = {
+    val evalSh = evalDf
+      .select(explode(TextFunctions.wordShingles(col(evalTextCol), n)).as("sh"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    df.select(col(idCol).cast("long").as("id"),
+        explode(TextFunctions.wordShingles(col(textCol), n)).as("sh"))
+      .join(broadcast(evalSh), Seq("sh"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+           sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("ratio",
+        round(col("n_contaminated").cast("double") / col("n_shingles"), 6))
+  }
+
   /** Context-window chunking: split each document into windows of
     * `chunkSize` whitespace tokens advancing by `chunkSize - overlap`
     * tokens, re-joined with single spaces (token-normalized, like

@@ -108,6 +108,21 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("contamination: trigram overlap against a broadcast eval set") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta"),        // shares "alpha beta gamma" with eval
+      (1L, "zeta eta theta iota kappa"),     // disjoint
+      (2L, "to sh")                          // < 3 tokens: no shingles, omitted
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "alpha beta gamma epsilon")).toDF("doc_id", "text")
+    val r = Corpus.contamination(corpus, "text", "doc_id", eval_, "text", n = 3)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    // doc 0: trigrams {alpha beta gamma, beta gamma delta} -> 1 of 2 hit
+    assert(r(0L) == ((2L, 1L, 0.5)))
+    assert(r(1L) == ((3L, 0L, 0.0)))
+    assert(!r.contains(2L))
+  }
+
   test("token frequencies: deterministic top-k with tie-break") {
     val d = Seq((0L, "b a a c b a"), (1L, "c d d")).toDF("doc_id", "text")
     val r = Corpus.tokenFrequencies(d, "text", 3)
