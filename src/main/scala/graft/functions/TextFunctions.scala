@@ -35,14 +35,26 @@ object TextFunctions {
         sequence(lit(1), length(text) - (n - 1)),
         i => text.substr(i, lit(n)))))
 
-  /** Word n-gram shingles (distinct) over whitespace tokens. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val ts = tokens(text)
+  /** Word n-gram shingles (distinct) over whitespace tokens.
+    *
+    * PERFORMANCE: `ts` is referenced inside the `transform` lambda, and
+    * higher-order functions evaluate interpreted (no codegen, no
+    * caching of lambda-independent subtrees) — so pass a MATERIALIZED
+    * token-array column (project `tokens(text)` first, then call
+    * `wordShinglesOfTokens` on the attribute) whenever the shingles
+    * feed an explode/join. Calling the text-based overload inlines the
+    * regex tokenizer into the lambda and re-splits the document once
+    * per shingle — O(tokens²) regex work per row (measured ~10× on the
+    * contamination scan).
+    */
+  def wordShinglesOfTokens(ts: Column, n: Int): Column =
     when(size(ts) < n, array().cast("array<string>"))
       .otherwise(array_distinct(transform(
         sequence(lit(1), size(ts) - (n - 1)),
         i => concat_ws(" ", slice(ts, i, lit(n))))))
-  }
+
+  def wordShingles(text: Column, n: Int): Column =
+    wordShinglesOfTokens(tokens(text), n)
 
   /** Punctuation character count / ratio over total characters. */
   def punctCount(text: Column): Column =

@@ -40,12 +40,18 @@ object Corpus {
   def contamination(df: DataFrame, textCol: String, idCol: String,
                     evalDf: DataFrame, evalTextCol: String,
                     n: Int): DataFrame = {
+    // materialize the token arrays in a child projection: shingling over
+    // the attribute keeps the regex tokenizer at one evaluation per row
+    // (see TextFunctions.wordShinglesOfTokens)
     val evalSh = evalDf
-      .select(explode(TextFunctions.wordShingles(col(evalTextCol), n)).as("sh"))
+      .select(TextFunctions.tokens(col(evalTextCol)).as("__t"))
+      .select(explode(TextFunctions.wordShinglesOfTokens(col("__t"), n)).as("sh"))
       .distinct()
       .withColumn("__hit", lit(1L))
     df.select(col(idCol).cast("long").as("id"),
-        explode(TextFunctions.wordShingles(col(textCol), n)).as("sh"))
+        TextFunctions.tokens(col(textCol)).as("__t"))
+      .select(col("id"),
+        explode(TextFunctions.wordShinglesOfTokens(col("__t"), n)).as("sh"))
       .join(broadcast(evalSh), Seq("sh"), "left")
       .groupBy("id")
       .agg(count(lit(1)).as("n_shingles"),
