@@ -21,7 +21,8 @@ object Explain {
         "dedup_exact", "ann_cosine_topk", "dedup_minhash", "events_hourly",
         "multimodal_resize", "multimodal_frames", "multimodal_decode",
         "dedup_simhash", "text_stats", "token_freq_topk", "doc_chunks",
-        "repetition_stats", "pattern_counts", "ann_lsh_topk").foreach(show)
+        "repetition_stats", "pattern_counts", "ann_lsh_topk",
+        "contamination", "dedup_drop_near").foreach(show)
     spark.stop()
   }
 }
