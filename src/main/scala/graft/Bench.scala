@@ -16,6 +16,30 @@ import graft.som._
   *  - bench_inference: transform + groupBy(bmu).count() on embeddings;
   *  - every SparkEntry query once (end-to-end wall time each).
   */
+/** Synthetic-data generators shared by Bench and ScaleProbe — one
+  * definition, so a tweak cannot silently diverge the 10x headroom
+  * probe from the bench workloads it scales up.
+  */
+object BenchData {
+  /** nDocs synthetic docs, 50 tokens each from a 10k-word vocab; groups
+    * of 4 consecutive ids share a text, so LSH banding sees real
+    * duplicate structure.
+    */
+  def dupGroupDocs(spark: SparkSession, nDocs: Long) =
+    spark.range(nDocs).select(col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(49)),
+        i => concat(lit("w"), pmod(xxhash64(expr("id DIV 4"), i), lit(10000))
+          .cast("string")))).as("text"))
+
+  /** Edge list of nNodes split into chains of chainLen — the worst case
+    * (maximum diameter) for label propagation.
+    */
+  def chainGraph(spark: SparkSession, nNodes: Long, chainLen: Long) =
+    spark.range(nNodes)
+      .where(pmod(col("id"), lit(chainLen)) =!= lit(chainLen - 1))
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -130,10 +154,7 @@ object Bench {
     // expressions — measures the minhash signature kernel + LSH banding
     // join at a scale the parquet corpus (5k docs) can't exercise.
     {
-      val bigDocs = spark.range(200000).select(col("id").as("doc_id"),
-        concat_ws(" ", transform(sequence(lit(0), lit(49)),
-          i => concat(lit("w"), pmod(xxhash64(expr("id DIV 4"), i), lit(10000))
-            .cast("string")))).as("text"))
+      val bigDocs = BenchData.dupGroupDocs(spark, 200000)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       bigDocs.count()
       // unpersist the returned candidate cache after each rep — the
@@ -161,9 +182,7 @@ object Bench {
     // label propagation (diameter 1000 needs ~7 fused rounds), unlike
     // the bushy near-dup clusters the query suite resolves.
     {
-      val chains = spark.range(200000)
-        .where(pmod(col("id"), lit(1000)) =!= lit(999))
-        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      val chains = BenchData.chainGraph(spark, 200000, 1000)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       chains.count()
       results("bench_resolve_iter_200k") = time2 {

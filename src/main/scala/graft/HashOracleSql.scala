@@ -225,12 +225,18 @@ object HashOracleSql {
     * same unrolled min-label + pointer-jump fixpoint used for
     * `dedup_resolve_clusters`.
     */
+  /** Unrolled pointer-jump depth of the cluster oracles; the final CTE
+    * is `lab$clusterRounds` — interpolated in every consumer so raising
+    * the depth cannot silently leave a SELECT on an intermediate level.
+    */
+  private val clusterRounds = 16
+
   /** Shared WITH-clause: minhash signatures -> banding -> candidate
-    * edges at >= 32/64 agreement (est_jaccard >= 0.5) -> 16 unrolled
-    * neighbor-min + pointer-jump levels ending in `lab16`.
+    * edges at >= 32/64 agreement (est_jaccard >= 0.5) -> `clusterRounds`
+    * unrolled neighbor-min + pointer-jump levels.
     */
   private lazy val minhashClusterWith: String = {
-    val rounds = 16
+    val rounds = clusterRounds
     val levels = (1 to rounds).map { i =>
       s"""nbr$i AS (
          |  SELECT e.id, min(l.keep_id) AS nk
@@ -259,15 +265,19 @@ object HashOracleSql {
 
   lazy val resolveMinhash: String =
     minhashClusterWith +
-      "SELECT CAST(id AS BIGINT) AS id, CAST(keep_id AS BIGINT) AS keep_id FROM lab16"
+      s"SELECT CAST(id AS BIGINT) AS id, CAST(keep_id AS BIGINT) AS keep_id FROM lab$clusterRounds"
 
   /** Survivors of the one-call near-dedup: every non-null-text document
-    * whose id is not a dropped (id != keep_id) cluster member.
+    * whose id is not a dropped (id != keep_id) cluster member. NOT
+    * EXISTS, not NOT IN: a NULL doc_id never matches the engine's
+    * left_anti equi-join (row kept), and NOT EXISTS agrees by
+    * construction where NOT IN would return NULL and silently drop it.
     */
   lazy val dropNearMinhash: String =
     minhashClusterWith +
-      """SELECT CAST(d.doc_id AS BIGINT) AS doc_id
-        |FROM documents d
-        |WHERE d.text IS NOT NULL
-        |  AND d.doc_id NOT IN (SELECT id FROM lab16 WHERE id != keep_id)""".stripMargin
+      s"""SELECT CAST(d.doc_id AS BIGINT) AS doc_id
+         |FROM documents d
+         |WHERE d.text IS NOT NULL
+         |  AND NOT EXISTS (SELECT 1 FROM lab$clusterRounds l
+         |                  WHERE l.id != l.keep_id AND l.id = d.doc_id)""".stripMargin
 }

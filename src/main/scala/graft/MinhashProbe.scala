@@ -18,10 +18,7 @@ object MinhashProbe {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val bigDocs = spark.range(200000).select(col("id").as("doc_id"),
-      concat_ws(" ", transform(sequence(lit(0), lit(49)),
-        i => concat(lit("w"), pmod(xxhash64(expr("id DIV 4"), i), lit(10000))
-          .cast("string")))).as("text"))
+    val bigDocs = BenchData.dupGroupDocs(spark, 200000)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bigDocs.count()
     for (rep <- 1 to 2) {

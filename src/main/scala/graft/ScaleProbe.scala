@@ -26,10 +26,7 @@ object ScaleProbe {
     }
 
     // 2M docs, same generator as bench_minhash_200k (dup groups of 4)
-    val docs2m = spark.range(2000000).select(col("id").as("doc_id"),
-      concat_ws(" ", transform(sequence(lit(0), lit(49)),
-        i => concat(lit("w"), pmod(xxhash64(expr("id DIV 4"), i), lit(10000))
-          .cast("string")))).as("text"))
+    val docs2m = BenchData.dupGroupDocs(spark, 2000000)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docs2m.count()
     val tMinhash = time {
@@ -43,9 +40,7 @@ object ScaleProbe {
     // 4M-edge chain graph (2000 chains of length 2000): nEdges (8M
     // symmetrized) > 2M threshold, so this takes the REAL dispatch into
     // the iterative path — contraction check included
-    val chains = spark.range(4000000)
-      .where(pmod(col("id"), lit(2000)) =!= lit(1999))
-      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val chains = BenchData.chainGraph(spark, 4000000, 2000)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     chains.count()
     val tResolve = time {

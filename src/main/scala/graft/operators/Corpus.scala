@@ -47,7 +47,7 @@ object Corpus {
       .select(TextFunctions.tokens(col(evalTextCol)).as("__t"))
       .select(explode(TextFunctions.wordShinglesOfTokens(col("__t"), n)).as("sh"))
       .distinct()
-      .withColumn("__hit", lit(1L))
+      .select(col("sh"), col("sh").as("__hit"))
     df.select(col(idCol).cast("long").as("id"),
         TextFunctions.tokens(col(textCol)).as("__t"))
       .select(col("id"),
@@ -55,7 +55,7 @@ object Corpus {
       .join(broadcast(evalSh), Seq("sh"), "left")
       .groupBy("id")
       .agg(count(lit(1)).as("n_shingles"),
-           sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+           count(col("__hit")).as("n_contaminated"))
       .withColumn("ratio",
         round(col("n_contaminated").cast("double") / col("n_shingles"), 6))
   }

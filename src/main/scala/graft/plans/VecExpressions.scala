@@ -177,6 +177,12 @@ case class LshBuckets(child: Expression, planes: Array[Double], numTables: Int,
   require(planes.length == numTables * numPlanes * dim,
     s"planes length ${planes.length} != $numTables*$numPlanes*$dim")
 
+  // the default case-class rendering prints the plane array's JVM
+  // identity ([D@...), which changes every run and churns committed
+  // plan snapshots — render a stable shape token instead
+  override def toString: String =
+    s"lsh_buckets($child, planes[${planes.length}], $numTables, $numPlanes, $dim)"
+
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullIntolerant: Boolean = true
 

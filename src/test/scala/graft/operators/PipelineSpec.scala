@@ -78,7 +78,7 @@ class PipelineSpec extends SparkSpec {
     assert(oracled.subsetOf(qs),
       s"oracles without queries: ${oracled -- qs}")
     assert((qs -- oracled) == Set("som_sample_init", "som_pca_init"),
-      s"queries missing an oracle: ${qs -- oracled -- Set("som_sample_init", "som_pca_init")}")
+      s"no-oracle set drifted from the documented pair: ${qs -- oracled}")
   }
 
   test("chunking reconstructs the token stream (seeded random docs)") {
