@@ -55,6 +55,26 @@ object StreamingSom {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Windowed token frequencies over a document stream — the streaming
+    * face of `Corpus.tokenFrequencies` (vocabulary drift monitoring,
+    * per-window token counts). The token array is materialized in a
+    * child projection (one tokenizer evaluation per row — see
+    * `TextFunctions.wordShinglesOfTokens`), the explode is narrow, and
+    * the windowed groupBy keeps watermark-bounded state: one entry per
+    * (window, token) until the watermark closes the window. Top-k
+    * selection is left to the consumer — a global rank inside an
+    * unbounded stream would need unbounded state; rank per closed
+    * window downstream instead.
+    */
+  def tokenFrequenciesStream(stream: DataFrame, textCol: String, tsCol: String,
+                             windowDur: String, watermarkDur: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDur)
+      .select(col(tsCol), graft.functions.TextFunctions.tokens(col(textCol)).as("__t"))
+      .select(col(tsCol), explode(col("__t")).as("token"))
+      .groupBy(window(col(tsCol), windowDur), col("token"))
+      .agg(count(lit(1)).as("n"))
+
   /** Streaming near-duplicate candidate pairs: SimHash-band each
     * document (codegen `SimHash64`), then a watermarked stream-stream
     * self-join on (band, chunk) with a bounded event-time gap — the

@@ -108,6 +108,27 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("tokenizer differential: Spark expression vs naive Scala on adversarial strings") {
+    // tokens() is the foundation of a dozen queries and is mirrored in
+    // DuckDB SQL — pin the Spark expression against an independent
+    // in-JVM reimplementation on strings exercising every boundary:
+    // leading/trailing/multiple/unicode whitespace, tabs/newlines,
+    // empty/blank, punctuation-only, multibyte letters, mixed case
+    val cases = Seq(
+      "", "   ", "\t\n ", "a", " a ", "a  b", "a\tb\nc", "A Mixed CASE",
+      "über café naïve", "字 字字 字", "a,b.c", "  !  ?  ", "x" * 500,
+      ("w1 " * 200).trim, " nbsp", "end\n", "\ttab-start", "a\r\nb")
+    val df = cases.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), tokens(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    def naive(s: String): List[String] =
+      // mirror: lower-cased, trimmed, split on \s+ runs, empties dropped.
+      // Java's \s is ASCII [ \t\n\x0B\f\r] —   is NOT whitespace
+      s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toList
+    for ((s, i) <- cases.zipWithIndex)
+      assert(got(i.toLong) == naive(s), s"case $i: ${s.take(30).replace("\n", "\\n")}")
+  }
+
   test("contamination: trigram overlap against a broadcast eval set") {
     val corpus = Seq(
       (0L, "alpha beta gamma delta"),        // shares "alpha beta gamma" with eval

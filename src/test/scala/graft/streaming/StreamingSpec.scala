@@ -111,6 +111,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed token frequencies match batch counts per closed window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val freqs = StreamingSom.tokenFrequenciesStream(
+      input.toDF().toDF("ts", "text"), "text", "ts", "1 hour", "2 hours")
+    val q = freqs.writeStream.format("memory").queryName("tokfreq_out")
+      .outputMode("complete").start()
+    try {
+      val t10 = java.sql.Timestamp.valueOf("2026-01-01 10:10:00")
+      val t11 = java.sql.Timestamp.valueOf("2026-01-01 11:10:00")
+      input.addData(
+        (t10, "a b a"),
+        (t10, "b c"),
+        (t11, "a a"))
+      q.processAllAvailable()
+      val rows = spark.table("tokfreq_out").collect()
+        .map(r => (r.getStruct(0).getTimestamp(0).toString.take(13),
+                   r.getString(1)) -> r.getLong(2)).toMap
+      // 10:00 window: a->2, b->2, c->1; 11:00 window: a->2
+      assert(rows(("2026-01-01 10", "a")) == 2L)
+      assert(rows(("2026-01-01 10", "b")) == 2L)
+      assert(rows(("2026-01-01 10", "c")) == 1L)
+      assert(rows(("2026-01-01 11", "a")) == 2L)
+      assert(rows.size == 4)
+    } finally q.stop()
+  }
+
   test("streaming near-dup candidates: banded self-join finds in-window pairs") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, java.sql.Timestamp, String)]
