@@ -350,6 +350,16 @@ object Queries {
             rate = 0.25, salt = "graft")
           .select(col("doc_id").cast("long").as("doc_id"))),
 
+      // stratified hash sampling: language-balanced downsampling with
+      // per-stratum deterministic rates (strata from the langId
+      // heuristic, itself oracle-pinned by lang_id)
+      "stratified_sample" -> ((s, dir) => {
+        val d = docs(s, dir).withColumn("lang", langId(col("text")))
+        graft.operators.Sampling.sampleByHashStratified(d, "doc_id", "lang",
+            Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1, salt = "graft")
+          .select(col("doc_id").cast("long").as("doc_id"), col("lang"))
+      }),
+
       // deterministic train/val/test split assignment
       "split_by_hash" -> ((s, dir) =>
         graft.operators.Sampling.splitByHash(docs(s, dir), "doc_id",
@@ -597,6 +607,24 @@ object Queries {
   private val allMarkers: String =
     graft.functions.TextFunctions.langMarkers.flatMap(_._2).distinct
       .map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Per-language marker-hit scores over `toks` (shared by the lang_id
+    * and stratified_sample oracles — one definition so they cannot
+    * drift).
+    */
+  private lazy val langScoresSql: String =
+    graft.functions.TextFunctions.langMarkers.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"length(list_filter(toks, t -> list_contains($lst, t))) AS s_$lang"
+    }.mkString(",\n       ")
+
+  /** Argmax with the alphabetical tie-break, mirroring `langId`. */
+  private val langCaseSql: String =
+    """CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+      |            WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+      |            WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+      |            WHEN s_fr >= s_zh THEN 'fr'
+      |            ELSE 'zh' END""".stripMargin
 
   val oracles: Map[String, String] = pipelineOracles ++ relationalOracles ++ Map(
     "som_winner" ->
@@ -1113,23 +1141,27 @@ object Queries {
          |                       / length(toks), 6) END AS DOUBLE) AS mean_tok_len
          |FROM t""".stripMargin,
 
-    "lang_id" -> {
-      val scores = graft.functions.TextFunctions.langMarkers.map { case (lang, words) =>
-        val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
-        s"length(list_filter(toks, t -> list_contains($lst, t))) AS s_$lang"
-      }.mkString(",\n       ")
+    "lang_id" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents WHERE text IS NOT NULL),
          |s AS (SELECT doc_id,
-         |       $scores
+         |       $langScoresSql
          |FROM t)
          |SELECT CAST(doc_id AS BIGINT) AS doc_id,
-         |       CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-         |            WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-         |            WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
-         |            WHEN s_fr >= s_zh THEN 'fr'
-         |            ELSE 'zh' END AS lang_pred
-         |FROM s""".stripMargin
-    },
+         |       $langCaseSql AS lang_pred
+         |FROM s""".stripMargin,
+
+    "stratified_sample" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents WHERE text IS NOT NULL),
+         |s AS (SELECT doc_id,
+         |       $langScoresSql
+         |FROM t),
+         |l AS (SELECT doc_id, $langCaseSql AS lang FROM s)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+         |FROM l
+         |WHERE substr(md5(concat('graft', CAST(doc_id AS VARCHAR))), 1, 8) <
+         |      CASE lang WHEN 'en' THEN '80000000'
+         |                WHEN 'de' THEN '40000000'
+         |                ELSE '1999999a' END""".stripMargin,
 
     "token_freq_topk" ->
       s"""WITH t AS (SELECT unnest($duckToks) AS token FROM documents WHERE text IS NOT NULL)

@@ -42,6 +42,31 @@ object Sampling {
     else df.where(bucket(col(keyCol), salt) < lit(hexThreshold(rate)))
   }
 
+  /** Stratified hash sampling: keep ~`rates(stratum)` of each stratum's
+    * rows (e.g. language- or domain-balanced corpus downsampling),
+    * decided per row from md5(salt || key) exactly like `sampleByHash` —
+    * deterministic across runs, engines, partitionings and retries, and
+    * a row's fate never changes when other strata grow. Strata absent
+    * from `rates` keep `defaultRate`. The stratum column participates
+    * only in threshold selection — one scan, no shuffle, no per-stratum
+    * passes.
+    */
+  def sampleByHashStratified(df: DataFrame, keyCol: String, strataCol: String,
+                             rates: Map[String, Double],
+                             defaultRate: Double = 0.0,
+                             salt: String = ""): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
+      s"rates must be in [0,1]: $rates default=$defaultRate")
+    val b = bucket(col(keyCol), salt)
+    def keep(rate: Double): Column =
+      if (rate >= 1.0) lit(true) else b < lit(hexThreshold(rate))
+    val pred = rates.toSeq.sortBy(_._1).foldRight(keep(defaultRate)) {
+      case ((stratum, rate), rest) =>
+        when(col(strataCol) === stratum, keep(rate)).otherwise(rest)
+    }
+    df.where(pred)
+  }
+
   /** Assign every row to a named split with the given weights (need not
     * sum to 1 — they are normalized). Returns the input plus a `split`
     * column; the same (key, salt, weights) always yields the same

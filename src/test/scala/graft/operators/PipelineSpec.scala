@@ -108,6 +108,34 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("stratified sampling: per-stratum rates, determinism, nesting") {
+    val d = (0L until 4000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val kept = Sampling.sampleByHashStratified(d, "id", "lang",
+        Map("en" -> 0.5, "de" -> 0.1), salt = "s")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val en = kept.count(_._2 == "en"); val de = kept.count(_._2 == "de")
+    // 2000 rows per stratum: binomial mean 1000 / 200
+    assert(math.abs(en - 1000) < 100, s"en=$en")
+    assert(math.abs(de - 200) < 60, s"de=$de")
+    // deterministic: same call, same set
+    val again = Sampling.sampleByHashStratified(d, "id", "lang",
+        Map("en" -> 0.5, "de" -> 0.1), salt = "s")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.toSet == again.toSet)
+    // a row's draw ignores its stratum's rate changes elsewhere: raising
+    // de's rate never evicts a previously-kept en row (subset property)
+    val wider = Sampling.sampleByHashStratified(d, "id", "lang",
+        Map("en" -> 0.5, "de" -> 0.4), salt = "s")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(kept.toSet.subsetOf(wider))
+    // unknown strata fall to defaultRate 0 -> dropped
+    val d2 = Seq((1L, "fr"), (2L, "en")).toDF("id", "lang")
+    val k2 = Sampling.sampleByHashStratified(d2, "id", "lang",
+        Map("en" -> 1.0), salt = "s").collect().map(_.getLong(0)).toSet
+    assert(k2 == Set(2L))
+  }
+
   test("tokenizer differential: Spark expression vs naive Scala on adversarial strings") {
     // tokens() is the foundation of a dozen queries and is mirrored in
     // DuckDB SQL — pin the Spark expression against an independent
