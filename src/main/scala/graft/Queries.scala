@@ -418,6 +418,12 @@ object Queries {
         Corpus.tokenFrequencies(docs(s, dir), "text", 20)
           .select(col("token"), col("n").cast("long").as("n"))),
 
+      // document frequencies (TF-IDF building block); the exact integer
+      // df is hash-checked, idf stays API-side (see Corpus scaladoc)
+      "doc_freq" -> ((s, dir) =>
+        Corpus.documentFrequencies(docs(s, dir), "text")
+          .select(col("token"), col("df").cast("long").as("df"))),
+
       // benchmark decontamination: trigram overlap of every doc against
       // a deterministic "eval set" (doc_id % 97 == 0), eval vocabulary
       // broadcast, corpus side single-scan
@@ -1168,6 +1174,12 @@ object Queries {
          |SELECT token, CAST(count(*) AS BIGINT) AS n
          |FROM t GROUP BY token
          |ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "doc_freq" ->
+      s"""WITH t AS (SELECT list_distinct($duckToks) AS toks FROM documents WHERE text IS NOT NULL)
+         |SELECT token, CAST(count(*) AS BIGINT) AS df
+         |FROM (SELECT unnest(toks) AS token FROM t)
+         |GROUP BY token""".stripMargin,
 
     "contamination" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents WHERE text IS NOT NULL),

@@ -28,6 +28,24 @@ object Corpus {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Document frequencies and inverse document frequency per token:
+    * how many documents contain each token at least once, plus
+    * idf = ln(nDocs / df) for TF-IDF-style weighting. Same scale shape
+    * as `tokenFrequencies` (per-doc distinct explode, map-side-combined
+    * groupBy on (token, count)); the corpus row count is one cheap
+    * count job. The idf column is computed for API consumers — the
+    * driver query hash-checks the exact integer `df` and leaves the
+    * transcendental out of the cross-engine hash (libm vs JVM `ln` can
+    * differ in the last ulp).
+    */
+  def documentFrequencies(df: DataFrame, textCol: String): DataFrame = {
+    val nDocs = df.count()
+    df.select(TextFunctions.tokens(col(textCol)).as("__t"))
+      .select(explode(array_distinct(col("__t"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .withColumn("idf", round(log(lit(nDocs.toDouble) / col("df")), 6))
+  }
+
   /** Benchmark decontamination: per-document overlap of distinct word
     * n-grams against an evaluation set's n-gram vocabulary. The eval
     * set is tiny next to the corpus (benchmarks are KBs, corpora are

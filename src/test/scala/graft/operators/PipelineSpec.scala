@@ -180,6 +180,16 @@ class PipelineSpec extends SparkSpec {
     assert(r == Seq(("a", 3L), ("b", 2L), ("c", 2L)))
   }
 
+  test("document frequencies: per-doc distinct counts and idf") {
+    val d = Seq((0L, "a b a"), (1L, "a c"), (2L, "c c c")).toDF("doc_id", "text")
+    val r = Corpus.documentFrequencies(d, "text")
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    // a in docs {0,1}; b in {0}; c in {1,2} — duplicates within a doc count once
+    assert(r("a") == ((2L, math.round(math.log(3.0 / 2) * 1e6) / 1e6)))
+    assert(r("b") == ((1L, math.round(math.log(3.0) * 1e6) / 1e6)))
+    assert(r("c")._1 == 2L)
+  }
+
   test("chunking: window arithmetic, overlap, short-doc and edge cases") {
     val text10 = (1 to 10).map(i => s"t$i").mkString(" ")
     val d = Seq((0L, text10), (1L, "one two"), (2L, "   ")).toDF("doc_id", "text")
