@@ -624,13 +624,18 @@ object Queries {
       s"length(list_filter(toks, t -> list_contains($lst, t))) AS s_$lang"
     }.mkString(",\n       ")
 
-  /** Argmax with the alphabetical tie-break, mirroring `langId`. */
-  private val langCaseSql: String =
-    """CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-      |            WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-      |            WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
-      |            WHEN s_fr >= s_zh THEN 'fr'
-      |            ELSE 'zh' END""".stripMargin
+  /** Argmax with the alphabetical tie-break, mirroring `langId`.
+    * Derived from `langMarkers` like `langScoresSql`, so adding a
+    * language updates engine and oracle together.
+    */
+  private lazy val langCaseSql: String = {
+    val langs = graft.functions.TextFunctions.langMarkers.map(_._1)
+    val whens = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1)
+      s"WHEN ${rest.map(r => s"s_$l >= s_$r").mkString(" AND ")} THEN '$l'"
+    }
+    s"CASE ${whens.mkString("\n            ")}\n            ELSE '${langs.last}' END"
+  }
 
   val oracles: Map[String, String] = pipelineOracles ++ relationalOracles ++ Map(
     "som_winner" ->

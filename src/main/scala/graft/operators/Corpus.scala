@@ -39,7 +39,12 @@ object Corpus {
     * differ in the last ulp).
     */
   def documentFrequencies(df: DataFrame, textCol: String): DataFrame = {
-    val nDocs = df.count()
+    // count the same document population df is measured over: null-text
+    // rows contribute no tokens (explode drops them), so including them
+    // in nDocs would inflate idf inconsistently. Empty-but-non-null
+    // docs count — they are real documents that happen to contain no
+    // token.
+    val nDocs = df.where(col(textCol).isNotNull).count()
     df.select(TextFunctions.tokens(col(textCol)).as("__t"))
       .select(explode(array_distinct(col("__t"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("df"))

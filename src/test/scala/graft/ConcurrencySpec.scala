@@ -24,11 +24,15 @@ class ConcurrencySpec extends SparkSpec {
       .where(col("text").isNotNull)
     Seq(
       "minhash_resolve" -> (() => {
-        val cands = operators.Dedup.minhashCandidates(docs(), "text", "doc_id")
-          .where(col("est_jaccard") >= 0.5)
-        val r = operators.Dedup.resolveDuplicateClusters(cands)
+        // unpersist the frame minhashCandidates actually persisted (its
+        // return value) — unpersisting a filtered derivative is a no-op
+        // and would leak a cached candidate set per run into the
+        // suite-shared session
+        val all = operators.Dedup.minhashCandidates(docs(), "text", "doc_id")
+        val r = operators.Dedup
+          .resolveDuplicateClusters(all.where(col("est_jaccard") >= 0.5))
           .collect().map(_.toString).toSet
-        cands.unpersist(blocking = false)
+        all.unpersist(blocking = false)
         r
       }),
       "token_freq" -> (() =>

@@ -111,30 +111,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("windowed token frequencies match batch counts per closed window") {
+  test("windowed token frequencies: append mode emits exactly the watermark-closed window") {
+    // append mode is the production shape and the one that actually
+    // exercises the operator's watermark: without it an append-mode
+    // windowed aggregation cannot even start, and rows are emitted
+    // only when the watermark closes their window (bounded state)
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
     val freqs = StreamingSom.tokenFrequenciesStream(
       input.toDF().toDF("ts", "text"), "text", "ts", "1 hour", "2 hours")
     val q = freqs.writeStream.format("memory").queryName("tokfreq_out")
-      .outputMode("complete").start()
+      .outputMode("append").start()
     try {
       val t10 = java.sql.Timestamp.valueOf("2026-01-01 10:10:00")
-      val t11 = java.sql.Timestamp.valueOf("2026-01-01 11:10:00")
-      input.addData(
-        (t10, "a b a"),
-        (t10, "b c"),
-        (t11, "a a"))
+      input.addData((t10, "a b a"), (t10, "b c"))
       q.processAllAvailable()
+      // watermark has not passed the window end yet: nothing emitted
+      assert(spark.table("tokfreq_out").count() == 0)
+      // event time 14:00 -> watermark 12:00 > 11:00 closes the 10:00
+      // window; the 14:00 window stays open and must NOT be emitted
+      input.addData((java.sql.Timestamp.valueOf("2026-01-01 14:00:00"), "z"))
+      q.processAllAvailable()
+      q.processAllAvailable() // one extra batch so the new watermark takes effect
       val rows = spark.table("tokfreq_out").collect()
         .map(r => (r.getStruct(0).getTimestamp(0).toString.take(13),
                    r.getString(1)) -> r.getLong(2)).toMap
-      // 10:00 window: a->2, b->2, c->1; 11:00 window: a->2
-      assert(rows(("2026-01-01 10", "a")) == 2L)
-      assert(rows(("2026-01-01 10", "b")) == 2L)
-      assert(rows(("2026-01-01 10", "c")) == 1L)
-      assert(rows(("2026-01-01 11", "a")) == 2L)
-      assert(rows.size == 4)
+      assert(rows == Map(
+        ("2026-01-01 10", "a") -> 2L,
+        ("2026-01-01 10", "b") -> 2L,
+        ("2026-01-01 10", "c") -> 1L), rows.toString)
     } finally q.stop()
   }
 
