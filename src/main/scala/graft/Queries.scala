@@ -424,6 +424,14 @@ object Queries {
         Corpus.documentFrequencies(docs(s, dir), "text")
           .select(col("token"), col("df").cast("long").as("df"))),
 
+      // per-document TF-IDF terms (featurization); exact integer tf/df
+      // hash-checked, the transcendental weight stays API-side
+      "tfidf_terms" -> ((s, dir) =>
+        Corpus.tfidfTerms(docs(s, dir), "text", "doc_id")
+          .select(col("id").as("doc_id"), col("token"),
+                  col("tf").cast("long").as("tf"),
+                  col("df").cast("long").as("df"))),
+
       // benchmark decontamination: trigram overlap of every doc against
       // a deterministic "eval set" (doc_id % 97 == 0), eval vocabulary
       // broadcast, corpus side single-scan
@@ -1185,6 +1193,16 @@ object Queries {
          |SELECT token, CAST(count(*) AS BIGINT) AS df
          |FROM (SELECT unnest(toks) AS token FROM t)
          |GROUP BY token""".stripMargin,
+
+    "tfidf_terms" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents WHERE text IS NOT NULL),
+         |tf AS (SELECT doc_id, token, count(*) AS tf
+         |       FROM (SELECT doc_id, unnest(toks) AS token FROM t) GROUP BY doc_id, token),
+         |dfs AS (SELECT token, count(*) AS df
+         |        FROM (SELECT unnest(list_distinct(toks)) AS token FROM t) GROUP BY token)
+         |SELECT CAST(tf.doc_id AS BIGINT) AS doc_id, tf.token,
+         |       CAST(tf.tf AS BIGINT) AS tf, CAST(dfs.df AS BIGINT) AS df
+         |FROM tf JOIN dfs ON dfs.token = tf.token""".stripMargin,
 
     "contamination" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents WHERE text IS NOT NULL),

@@ -51,6 +51,27 @@ object Corpus {
       .withColumn("idf", round(log(lit(nDocs.toDouble) / col("df")), 6))
   }
 
+  /** Per-document TF-IDF terms: (id, token, tf, df, tfidf) with
+    * tf = in-document occurrences and tfidf = tf * ln(nDocs / df).
+    * Both sides are token-keyed aggregations of the same scan; the join
+    * is an equi-join on the token — at small vocabularies AQE
+    * broadcasts the df side, at web-corpus vocabularies it degrades
+    * gracefully to a hash join that shuffles only (token, counts)
+    * pairs, never documents. Like `documentFrequencies`, the
+    * transcendental tfidf column is for API consumers; the driver
+    * query hash-checks the exact integer tf/df.
+    */
+  def tfidfTerms(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tf = df.select(col(idCol).cast("long").as("id"),
+        TextFunctions.tokens(col(textCol)).as("__t"))
+      .select(col("id"), explode(col("__t")).as("token"))
+      .groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val dfs = documentFrequencies(df, textCol)
+    tf.join(dfs, "token")
+      .select(col("id"), col("token"), col("tf"), col("df"),
+        round(col("tf") * col("idf"), 6).as("tfidf"))
+  }
+
   /** Benchmark decontamination: per-document overlap of distinct word
     * n-grams against an evaluation set's n-gram vocabulary. The eval
     * set is tiny next to the corpus (benchmarks are KBs, corpora are

@@ -190,6 +190,19 @@ class PipelineSpec extends SparkSpec {
     assert(r("c")._1 == 2L)
   }
 
+  test("tfidf terms: tf, df, and weight on a hand-computed corpus") {
+    val d = Seq((0L, "a b a"), (1L, "a c"), (2L, "c c c")).toDF("doc_id", "text")
+    val r = Corpus.tfidfTerms(d, "text", "doc_id")
+      .collect().map(x => (x.getLong(0), x.getString(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getDouble(4)))).toMap
+    // doc 0: a twice (df 2), b once (df 1)
+    assert(r((0L, "a"))._1 == 2L && r((0L, "a"))._2 == 2L)
+    assert(r((0L, "a"))._3 == math.round(2 * math.log(3.0 / 2) * 1e6) / 1e6)
+    assert(r((0L, "b")) == ((1L, 1L, math.round(math.log(3.0) * 1e6) / 1e6)))
+    assert(r((2L, "c"))._1 == 3L && r((2L, "c"))._2 == 2L)
+    assert(r.size == 5) // (0,a) (0,b) (1,a) (1,c) (2,c)
+  }
+
   test("chunking: window arithmetic, overlap, short-doc and edge cases") {
     val text10 = (1 to 10).map(i => s"t$i").mkString(" ")
     val d = Seq((0L, text10), (1L, "one two"), (2L, "   ")).toDF("doc_id", "text")
