@@ -15,14 +15,18 @@ object Explain {
         org.apache.spark.sql.execution.ExtendedMode).split("\n")
         .filter(l => l.contains("Scan") || l.contains("Join") || l.contains("Exchange")
           || l.contains("Filter") || l.contains("Codegen") || l.contains("Physical Plan")
-          || l.contains("PushedFilters") || l.contains("ReadSchema")).take(25).mkString("\n"))
+          || l.contains("PushedFilters") || l.contains("ReadSchema")).take(25).mkString("\n")
+        // the Sampling null-key sentinel is a literal NUL in plan text;
+        // escape control chars so the committed audit stays a text file
+        .flatMap(c => if (c < ' ' && c != '\n') f"\\u${c.toInt}%04x" else c.toString))
     }
     Seq("q1_lineitem_agg", "q3_revenue_by_order", "som_winner_expr",
         "dedup_exact", "ann_cosine_topk", "dedup_minhash", "events_hourly",
         "multimodal_resize", "multimodal_frames", "multimodal_decode",
         "dedup_simhash", "text_stats", "token_freq_topk", "doc_chunks",
         "repetition_stats", "pattern_counts", "ann_lsh_topk",
-        "contamination", "dedup_drop_near").foreach(show)
+        "contamination", "dedup_drop_near", "stratified_sample",
+        "doc_freq", "tfidf_terms").foreach(show)
     spark.stop()
   }
 }
