@@ -386,13 +386,19 @@ object Queries {
                             qualityScore(col("text")).as("q"))),
 
       // intra-document repetition ratios (duplicate n-gram fraction —
-      // the boilerplate/looping-text curation signal)
+      // the boilerplate/looping-text curation signal). Tokenize ONCE
+      // into a materialized column: the text-based repetitionRatio
+      // would inline the regex tokenizer into each of the three shingle
+      // lambdas (the O(tokens^2) interpreted-transform trap — see
+      // wordShinglesOfTokens) plus a fourth denominator tokenization.
       "repetition_stats" -> ((s, dir) =>
-        docs(s, dir).select(
-          col("doc_id").cast("long").as("doc_id"),
-          repetitionRatio(col("text"), 1).as("rep1"),
-          repetitionRatio(col("text"), 2).as("rep2"),
-          repetitionRatio(col("text"), 3).as("rep3"))),
+        docs(s, dir)
+          .select(col("doc_id").cast("long").as("doc_id"),
+                  tokens(col("text")).as("__ts"))
+          .select(col("doc_id"),
+                  repetitionRatioOfTokens(col("__ts"), 1).as("rep1"),
+                  repetitionRatioOfTokens(col("__ts"), 2).as("rep2"),
+                  repetitionRatioOfTokens(col("__ts"), 3).as("rep3"))),
 
       // PII-ish pattern counts (emails / URLs / long digit runs). The
       // corpus is synthetic word-soup, so a deterministic enrichment
@@ -418,19 +424,26 @@ object Queries {
         Corpus.tokenFrequencies(docs(s, dir), "text", 20)
           .select(col("token"), col("n").cast("long").as("n"))),
 
-      // document frequencies (TF-IDF building block); the exact integer
-      // df is hash-checked, idf stays API-side (see Corpus scaladoc)
+      // document frequencies (TF-IDF building block). The transcendental
+      // idf IS hash-checked since round 6: JVM Math.log and DuckDB's
+      // libm ln agree bit-for-bit on these inputs at round(., 6) —
+      // verified empirically at sf0.01/sf0.1 — so a wrong formula now
+      // breaks CORRECTNESS, not just a spec. (Residual risk: a value
+      // within 1 ulp of a 0.5e-6 rounding boundary could flip; measure-
+      // zero for transcendental outputs, accepted.)
       "doc_freq" -> ((s, dir) =>
         Corpus.documentFrequencies(docs(s, dir), "text")
-          .select(col("token"), col("df").cast("long").as("df"))),
+          .select(col("token"), col("df").cast("long").as("df"),
+                  col("idf"))),
 
-      // per-document TF-IDF terms (featurization); exact integer tf/df
-      // hash-checked, the transcendental weight stays API-side
+      // per-document TF-IDF terms (featurization); tf/df exact integers,
+      // tfidf = round(tf * idf, 6) hash-checked like doc_freq's idf
       "tfidf_terms" -> ((s, dir) =>
         Corpus.tfidfTerms(docs(s, dir), "text", "doc_id")
           .select(col("id").as("doc_id"), col("token"),
                   col("tf").cast("long").as("tf"),
-                  col("df").cast("long").as("df"))),
+                  col("df").cast("long").as("df"),
+                  col("tfidf"))),
 
       // benchmark decontamination: trigram overlap of every doc against
       // a deterministic "eval set" (doc_id % 97 == 0), eval vocabulary
@@ -1188,21 +1201,29 @@ object Queries {
          |FROM t GROUP BY token
          |ORDER BY n DESC, token LIMIT 20""".stripMargin,
 
+    // idf = round(ln(nDocs / df), 6) — nDocs counts non-null-text docs
+    // (empty docs included), mirroring Corpus.documentFrequencies
     "doc_freq" ->
-      s"""WITH t AS (SELECT list_distinct($duckToks) AS toks FROM documents WHERE text IS NOT NULL)
-         |SELECT token, CAST(count(*) AS BIGINT) AS df
+      s"""WITH t AS (SELECT list_distinct($duckToks) AS toks FROM documents WHERE text IS NOT NULL),
+         |nd AS (SELECT count(*) AS n FROM t)
+         |SELECT token, CAST(count(*) AS BIGINT) AS df,
+         |       CAST(round(ln(CAST((SELECT n FROM nd) AS DOUBLE) / count(*)), 6) AS DOUBLE) AS idf
          |FROM (SELECT unnest(toks) AS token FROM t)
          |GROUP BY token""".stripMargin,
 
+    // tfidf multiplies the ALREADY-ROUNDED idf (the engine joins the
+    // documentFrequencies output), hence round(tf * round(ln(...),6), 6)
     "tfidf_terms" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents WHERE text IS NOT NULL),
+         |nd AS (SELECT count(*) AS n FROM t),
          |tf AS (SELECT doc_id, token, count(*) AS tf
          |       FROM (SELECT doc_id, unnest(toks) AS token FROM t) GROUP BY doc_id, token),
-         |dfs AS (SELECT token, count(*) AS df
+         |dfs AS (SELECT token AS tok2, count(*) AS df
          |        FROM (SELECT unnest(list_distinct(toks)) AS token FROM t) GROUP BY token)
          |SELECT CAST(tf.doc_id AS BIGINT) AS doc_id, tf.token,
-         |       CAST(tf.tf AS BIGINT) AS tf, CAST(dfs.df AS BIGINT) AS df
-         |FROM tf JOIN dfs ON dfs.token = tf.token""".stripMargin,
+         |       CAST(tf.tf AS BIGINT) AS tf, CAST(dfs.df AS BIGINT) AS df,
+         |       CAST(round(tf.tf * round(ln(CAST((SELECT n FROM nd) AS DOUBLE) / dfs.df), 6), 6) AS DOUBLE) AS tfidf
+         |FROM tf JOIN dfs ON dfs.tok2 = tf.token""".stripMargin,
 
     "contamination" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents WHERE text IS NOT NULL),

@@ -101,20 +101,42 @@ object TextFunctions {
     "zh" -> Seq("de", "shi", "bu", "le", "wo", "zai", "you", "he"))
 
   /** Predicted language: argmax of marker-word hits, ties broken by
-    * alphabetical language code (greatest-struct trick keeps this a
-    * single codegen'd expression).
+    * alphabetical language code.
+    *
+    * Single-pass: all five marker scores accumulate in ONE `aggregate`
+    * over the token array, so the expensive regex tokenization runs once
+    * per evaluation. (The previous greatest-of-structs form called
+    * `wordSetCount` per language — five `tokens(text)` inlines per
+    * evaluation, and Catalyst's alias substitution multiplied that again
+    * wherever a `langId` alias was referenced more than once; measured
+    * ~9x on the stratified-sampling query.) The argmax runs in the
+    * aggregate's finish lambda where the score struct is a bound
+    * variable, not a re-inlined expression.
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column = langIdOfTokens(tokens(text))
+
+  /** `langId` over an already-tokenized column (see the materialization
+    * note on `wordShinglesOfTokens` — pass an attribute when possible).
+    */
+  def langIdOfTokens(ts: Column): Column = {
+    val zero = struct(langMarkers.map { case (lang, _) =>
+      lit(0).as(s"s_$lang") }: _*)
+    val step = (acc: Column, t: Column) => struct(langMarkers.map {
+      case (lang, words) =>
+        (acc.getField(s"s_$lang") +
+          when(array_contains(array(words.map(lit): _*), t), 1).otherwise(0))
+          .as(s"s_$lang")
+    }: _*)
     // struct ordering compares fields in order: (score, tie) — langMarkers
     // is alphabetical, so a DESCENDING tie value makes the
     // alphabetically-first language win equal scores.
-    val scored = langMarkers.zipWithIndex.map { case ((lang, words), idx) =>
-      struct(
-        wordSetCount(text, words).as("score"),
-        lit(langMarkers.length - idx).as("tie"),
-        lit(lang).as("lang"))
-    }
-    greatest(scored: _*).getField("lang")
+    val finish = (acc: Column) => greatest(
+      langMarkers.zipWithIndex.map { case ((lang, _), idx) =>
+        struct(acc.getField(s"s_$lang").as("score"),
+               lit(langMarkers.length - idx).as("tie"),
+               lit(lang).as("lang"))
+      }: _*).getField("lang")
+    aggregate(ts, zero, step, finish)
   }
 
   /** Marker-hit score for one language (exposed for oracle parity). */
@@ -140,10 +162,19 @@ object TextFunctions {
     * quality signal in large-corpus curation (Gopher/C4-style rules);
     * n=1 gives the repeated-token fraction.
     */
-  def repetitionRatio(text: Column, n: Int): Column = {
-    val total = (size(tokens(text)) - (n - 1)).cast("double")
+  def repetitionRatio(text: Column, n: Int): Column =
+    repetitionRatioOfTokens(tokens(text), n)
+
+  /** `repetitionRatio` over an already-tokenized column. Prefer this with
+    * a MATERIALIZED token-array attribute when computing several ratios
+    * per row (see the performance note on `wordShinglesOfTokens`): the
+    * text-based form inlines the regex tokenizer into both the shingle
+    * lambda and the denominator, once per ratio.
+    */
+  def repetitionRatioOfTokens(ts: Column, n: Int): Column = {
+    val total = (size(ts) - (n - 1)).cast("double")
     when(total <= 0, 0.0).otherwise(
-      round(lit(1.0) - size(wordShingles(text, n)).cast("double") / total, 6))
+      round(lit(1.0) - size(wordShinglesOfTokens(ts, n)).cast("double") / total, 6))
   }
 
   /** Email-address-shaped substring count — the redaction/quality signal

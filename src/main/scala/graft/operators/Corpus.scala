@@ -32,23 +32,47 @@ object Corpus {
     * how many documents contain each token at least once, plus
     * idf = ln(nDocs / df) for TF-IDF-style weighting. Same scale shape
     * as `tokenFrequencies` (per-doc distinct explode, map-side-combined
-    * groupBy on (token, count)); the corpus row count is one cheap
-    * count job. The idf column is computed for API consumers — the
-    * driver query hash-checks the exact integer `df` and leaves the
-    * transcendental out of the cross-engine hash (libm vs JVM `ln` can
-    * differ in the last ulp).
+    * groupBy on (token, count)).
+    *
+    * nDocs is computed INSIDE the plan from the same scan as the token
+    * counts: every document emits one NULL sentinel alongside its
+    * distinct tokens, so the aggregation's NULL group is exactly the
+    * document count — no separate count() job (an extra full corpus
+    * scan at 100 TB), no eager job at plan-construction time, and no
+    * snapshot skew (the old eager count froze nDocs at call time, so a
+    * source that changed before execution yielded idf inconsistent with
+    * the df column). The two consumers of the aggregation (token rows,
+    * sentinel row) share one shuffle via exchange reuse — `explain`
+    * shows a single `Scan parquet` under `ReusedExchange`.
+    *
+    * Population semantics (spec-pinned): nDocs counts documents with
+    * non-null text — null-text rows contribute no tokens, so counting
+    * them would inflate idf; empty-but-non-null docs count (real
+    * documents that happen to contain no token).
     */
   def documentFrequencies(df: DataFrame, textCol: String): DataFrame = {
-    // count the same document population df is measured over: null-text
-    // rows contribute no tokens (explode drops them), so including them
-    // in nDocs would inflate idf inconsistently. Empty-but-non-null
-    // docs count — they are real documents that happen to contain no
-    // token.
-    val nDocs = df.where(col(textCol).isNotNull).count()
-    df.select(TextFunctions.tokens(col(textCol)).as("__t"))
-      .select(explode(array_distinct(col("__t"))).as("token"))
+    val grouped = df.where(col(textCol).isNotNull)
+      .select(explode(concat(
+        array(lit(null).cast("string")),
+        array_distinct(TextFunctions.tokens(col(textCol))))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("df"))
-      .withColumn("idf", round(log(lit(nDocs.toDouble) / col("df")), 6))
+    // Both consumers filter through ONE predicate that references the
+    // AGGREGATED df column: a pure group-key predicate would be pushed
+    // below the aggregation (an AND's key conjunct gets split off and
+    // pushed too), making the two subtrees non-identical and defeating
+    // exchange reuse (two full corpus scans — verified via explain).
+    // CASE WHEN <key test> THEN df ELSE -1 END > 0 is equivalent to the
+    // key test (df is a count >= 1) but can't be split or folded
+    // without value-range analysis, so it stays above the shared
+    // Exchange.
+    def keyGate(keyTest: Column): Column =
+      when(keyTest, col("df")).otherwise(lit(-1L)) > 0
+    val nDocs = grouped.where(keyGate(col("token").isNull))
+      .select(col("df").cast("double").as("__ndocs"))
+    grouped.where(keyGate(col("token").isNotNull))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf", round(log(col("__ndocs") / col("df")), 6))
+      .drop("__ndocs")
   }
 
   /** Per-document TF-IDF terms: (id, token, tf, df, tfidf) with
@@ -107,10 +131,11 @@ object Corpus {
   /** Context-window chunking: split each document into windows of
     * `chunkSize` whitespace tokens advancing by `chunkSize - overlap`
     * tokens, re-joined with single spaces (token-normalized, like
-    * `docFingerprint`). Every document yields at least one chunk (the
-    * whole document when shorter than a window); the last window is
-    * allowed to be short rather than re-reading earlier tokens, so
-    * chunk count = max(1, ceil((n_tokens - overlap) / step)).
+    * `docFingerprint`). Every document with at least one token yields at
+    * least one chunk (the whole document when shorter than a window);
+    * token-less documents are omitted. The last window is allowed to be
+    * short rather than re-reading earlier tokens, so chunk count =
+    * max(1, ceil((n_tokens - overlap) / step)).
     * Output: (id, chunk_id, n_tok, chunk_text), one row per window —
     * a narrow per-row explode, embarrassingly parallel at any scale.
     */

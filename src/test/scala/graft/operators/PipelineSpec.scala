@@ -190,6 +190,19 @@ class PipelineSpec extends SparkSpec {
     assert(r("c")._1 == 2L)
   }
 
+  test("document frequencies: nDocs counts empty docs but not null text") {
+    // the idf denominator population: null-text rows contribute no
+    // tokens and must not inflate nDocs; empty-but-non-null docs are
+    // real documents and count. nDocs here = 3 (not 4, not 2).
+    val d = Seq((0L, "a b"), (1L, ""), (2L, null), (3L, "a"))
+      .toDF("doc_id", "text")
+    val r = Corpus.documentFrequencies(d, "text")
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(r("a") == ((2L, math.round(math.log(3.0 / 2) * 1e6) / 1e6)))
+    assert(r("b") == ((1L, math.round(math.log(3.0) * 1e6) / 1e6)))
+    assert(r.size == 2) // no sentinel/null token row leaks into the output
+  }
+
   test("tfidf terms: tf, df, and weight on a hand-computed corpus") {
     val d = Seq((0L, "a b a"), (1L, "a c"), (2L, "c c c")).toDF("doc_id", "text")
     val r = Corpus.tfidfTerms(d, "text", "doc_id")
