@@ -193,21 +193,85 @@ object Queries {
         .select(col("vec_id").cast("long").as("vec_id"),
                 col("bmu_id").cast("long").as("bmu_id"))),
 
-    // distributed PCA init (xpysom.py:762-785) — eig not SQL-expressible;
-    // rows-only check (golden fixture pinned in SomInitSpec)
+    // distributed PCA init (xpysom.py:762-785). The eigendecomposition
+    // itself is not SQL-expressible, but every link of the derivation
+    // IS checkable as an invariant: data -> sample covariance C (its
+    // trace recomputed INDEPENDENTLY by the DuckDB oracle as the sum of
+    // per-dimension var_samp), C -> verified eigen basis (residual
+    // max|C*V - V*Lambda| = 0 over ALL pairs, descending eigenvalues,
+    // sum(lambda) = trace(C), sign convention), basis -> codebook
+    // (w(2,1)/w(1,2) equal ROWS 0/1 of V — the reference's row quirk —
+    // which are unit-norm because V is orthogonal), and the grid
+    // structure (antisymmetric, separable, zero center — i.e.
+    // w(i,j) = c1(i)*pc0 + c2(j)*pc1 over linspace(-1,1)). Exact weight
+    // values are additionally golden-pinned in SomInitSpec.
     "som_pca_init" -> ((s, dir) => {
-      val cb = new Som(SomConfig(3, 3)).pcaInit(emb(s, dir), "embedding")
-      val rows = for (n <- 0 until 9; c <- 0 until cb.dim)
-        yield (n.toLong, c.toLong, r6(cb.weights(n * cb.dim + c)))
-      s.createDataFrame(rows).toDF("nid", "dim", "w")
+      val som = new Som(SomConfig(3, 3))
+      val cb = som.pcaInit(emb(s, dir), "embedding")
+      val (cov, _) = som.sampleCovariance(emb(s, dir), "embedding")
+      val (v, lam) = Codebook.eigenBasis(cov)
+      val d = cb.dim
+      def w(i: Int, j: Int): Array[Double] =
+        cb.weights.slice((i * 3 + j) * d, (i * 3 + j + 1) * d)
+      def maxAbs(a: Array[Double]): Double = a.map(math.abs).max
+      def norm(a: Array[Double]): Double = math.sqrt(a.map(x => x * x).sum)
+      val pc0 = w(2, 1); val pc1 = w(1, 2)
+      // residual of the full diagonalization: C * col_k - lambda_k * col_k
+      val eigResid = (0 until d).map { k =>
+        val colK = Array.tabulate(d)(r => v(r)(k))
+        maxAbs(Array.tabulate(d)(r =>
+          (0 until d).map(c => cov(r)(c) * colK(c)).sum - lam(k) * colK(r)))
+      }.max
+      val grid = for (i <- 0 to 2; j <- 0 to 2) yield (i, j)
+      val antisym = grid.map { case (i, j) =>
+        maxAbs(w(i, j).zip(w(2 - i, 2 - j)).map { case (a, b) => a + b }) }.max
+      val separable = (for ((i, j) <- grid; (k, l) <- grid) yield maxAbs(
+        Array.tabulate(d)(c => w(i, j)(c) + w(k, l)(c) - w(i, l)(c) - w(k, j)(c)))).max
+      def flag(b: Boolean): Double = if (b) 1.0 else 0.0
+      val checks = Seq(
+        "n_rows" -> 9.0,
+        "n_dims" -> d.toDouble,
+        "center_zero" -> r6(maxAbs(w(1, 1))),
+        "antisym" -> r6(antisym),
+        "separable" -> r6(separable),
+        "unit_pc0" -> r6(norm(pc0)),
+        "unit_pc1" -> r6(norm(pc1)),
+        "ortho_pc01" -> r6(math.abs(pc0.zip(pc1).map { case (a, b) => a * b }.sum)),
+        "eig_resid" -> r6(eigResid),
+        "eig_desc" -> flag(lam.zip(lam.tail).forall { case (a, b) => a >= b - 1e-12 }),
+        "lam_sum_is_trace" -> flag(
+          math.abs(lam.sum - (0 until d).map(i => cov(i)(i)).sum) < 1e-9),
+        "pc_rows_match" -> r6(math.max(
+          maxAbs(pc0.zip(v(0)).map { case (a, b) => a - b }),
+          maxAbs(pc1.zip(v(1)).map { case (a, b) => a - b }))),
+        // no sign_pc* check: the sign convention normalizes COLUMNS of V
+        // (first nonzero positive), which rows 0/1 alone cannot witness —
+        // it is golden-pinned in SomInitSpec instead
+        "cov_trace" -> r4((0 until d).map(i => cov(i)(i)).sum))
+      s.createDataFrame(checks).toDF("chk", "v")
     }),
 
-    // sample init (xpysom.py:749-759) — seeded takeSample; rows-only check
+    // sample init (xpysom.py:749-759): the seeded takeSample stream is
+    // Spark-internal (not replayable cross-engine), but the DRAW
+    // CONTRACT is: exactly x*y rows, each a member of the dataset —
+    // checked by joining every codebook row against the distinct
+    // dataset vectors on exact array<double> equality. A wrong sampler
+    // (out-of-dataset vector, wrong count, wrong dim) flips a flag and
+    // fails the hash. Seed determinism is golden-pinned in SomInitSpec.
     "som_sample_init" -> ((s, dir) => {
       val cb = new Som(SomConfig(3, 3, seed = 7)).sampleInit(emb(s, dir), "embedding")
-      val rows = for (n <- 0 until 9; c <- 0 until cb.dim)
-        yield (n.toLong, c.toLong, r6(cb.weights(n * cb.dim + c)))
-      s.createDataFrame(rows).toDF("nid", "dim", "w")
+      val rows = (0 until cb.numNeurons).map(n =>
+        (n.toLong, cb.weights.slice(n * cb.dim, (n + 1) * cb.dim).toSeq))
+      val cbDf = s.createDataFrame(rows).toDF("nid", "w")
+      // scale note: at 100 TB the 9-row codebook side broadcasts and the
+      // dataset side stays a single scan — written join-order-agnostic
+      // here, AQE picks the broadcast
+      val members = emb(s, dir)
+        .select(col("embedding").cast("array<double>").as("w")).distinct()
+        .withColumn("__hit", lit(1L))
+      cbDf.join(members, Seq("w"), "left")
+        .select(col("nid"), coalesce(col("__hit"), lit(0L)).as("is_member"),
+                lit(cb.dim.toLong).as("dim"))
     }),
 
     // save/load round-trip driven end-to-end: persist the fixed
@@ -596,6 +660,13 @@ object Queries {
   private def r6(v: Double): Double =
     BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** 4-decimal variant for cross-engine SUMS (the covariance trace):
+    * different accumulation orders leave ~1e-11 absolute noise, far
+    * inside 4 decimals but not guaranteed inside 6.
+    */
+  private def r4(v: Double): Double =
+    BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** Exploded per-(sample, neuron) distances through the model's
     * activation path (`activate`, xpysom.py:323-354).
     */
@@ -842,7 +913,47 @@ object Queries {
       """SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
         |       CAST(CASE WHEN (5 - 1 - j) % 2 = 0 THEN i - 0.5 ELSE CAST(i AS DOUBLE) END AS DOUBLE) AS ex,
         |       CAST(j AS DOUBLE) AS ey
-        |FROM generate_series(0, 4) a(i), generate_series(0, 4) b(j)""".stripMargin
+        |FROM generate_series(0, 4) a(i), generate_series(0, 4) b(j)""".stripMargin,
+
+    // derived-invariant oracle: every codebook row is a dataset member,
+    // exactly x*y = 9 rows, dim = the data's dim (data-derived, not a
+    // constant). The engine side joins the actual sampled codebook
+    // against the dataset — a non-member draw flips is_member to 0.
+    "som_sample_init" ->
+      """SELECT CAST(t AS BIGINT) AS nid, CAST(1 AS BIGINT) AS is_member,
+        |       (SELECT CAST(len(embedding) AS BIGINT) FROM embeddings
+        |        ORDER BY vec_id LIMIT 1) AS dim
+        |FROM generate_series(0, 8) s(t)""".stripMargin,
+
+    // derived-invariant oracle for the pca init: the expected check
+    // values are structural constants EXCEPT n_dims and cov_trace,
+    // which DuckDB derives from the embeddings independently (trace of
+    // the sample covariance = sum of per-dimension var_samp) — pinning
+    // the covariance the engine diagonalizes to the actual data. All
+    // float literals CAST AS DOUBLE (bare literals parse as DECIMAL).
+    "som_pca_init" ->
+      """WITH tr AS (
+        |  SELECT CAST(round(sum(vv), 4) AS DOUBLE) AS t FROM (
+        |    SELECT var_samp(CAST(u.v AS DOUBLE)) AS vv
+        |    FROM embeddings e,
+        |         LATERAL (SELECT unnest(e.embedding) AS v,
+        |                         generate_subscripts(e.embedding, 1) AS i) u
+        |    GROUP BY u.i))
+        |SELECT chk, v FROM (VALUES
+        |  ('n_rows', CAST(9 AS DOUBLE)),
+        |  ('n_dims', (SELECT CAST(len(embedding) AS DOUBLE) FROM embeddings
+        |              ORDER BY vec_id LIMIT 1)),
+        |  ('center_zero', CAST(0 AS DOUBLE)),
+        |  ('antisym', CAST(0 AS DOUBLE)),
+        |  ('separable', CAST(0 AS DOUBLE)),
+        |  ('unit_pc0', CAST(1 AS DOUBLE)),
+        |  ('unit_pc1', CAST(1 AS DOUBLE)),
+        |  ('ortho_pc01', CAST(0 AS DOUBLE)),
+        |  ('eig_resid', CAST(0 AS DOUBLE)),
+        |  ('eig_desc', CAST(1 AS DOUBLE)),
+        |  ('lam_sum_is_trace', CAST(1 AS DOUBLE)),
+        |  ('pc_rows_match', CAST(0 AS DOUBLE)),
+        |  ('cov_trace', (SELECT t FROM tr))) AS c(chk, v)""".stripMargin
   )
 
   /** Unrolled min-label propagation + pointer jumping over the n-gram

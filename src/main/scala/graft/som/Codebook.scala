@@ -154,16 +154,18 @@ object Codebook {
     * sign normalized first-nonzero-positive — which reproduces the
     * reference's pinned 2x2 fixture (`tests.py:129-134`).
     */
-  def pcaFromCov(x: Int, y: Int, cov: Array[Array[Double]]): Codebook = {
+  /** The eigen basis `pcaFromCov` builds on, exposed for the pca-init
+    * invariant oracle: (V, eigenvalues) with V's COLUMNS the
+    * eigenvectors of `cov` in descending-eigenvalue order, each
+    * sign-normalized first-nonzero-positive. V is row-major
+    * (`v(row)(col)`); `pcaFromCov` combines ROWS 0 and 1 of V (the
+    * reference's quirk).
+    */
+  def eigenBasis(cov: Array[Array[Double]]): (Array[Array[Double]], Array[Double]) = {
     val d = cov.length
-    if (d < 2)
-      throw new IllegalArgumentException(
-        "The data needs at least 2 features for pca initialization")
     val m = breeze.linalg.DenseMatrix.tabulate(d, d)((r, c) => cov(r)(c))
     val es = breeze.linalg.eigSym(m)
     val order = (0 until d).sortBy(idx => -es.eigenvalues(idx))
-    // V with columns = eigenvectors in descending-eigenvalue order,
-    // sign-normalized; pc(k) = row k of V (the reference's quirk).
     val v = Array.ofDim[Double](d, d)
     for ((srcCol, dstCol) <- order.zipWithIndex) {
       var sign = 1.0
@@ -177,6 +179,17 @@ object Codebook {
       r = 0
       while (r < d) { v(r)(dstCol) = es.eigenvectors(r, srcCol) * sign; r += 1 }
     }
+    (v, order.map(es.eigenvalues(_)).toArray)
+  }
+
+  def pcaFromCov(x: Int, y: Int, cov: Array[Array[Double]]): Codebook = {
+    val d = cov.length
+    if (d < 2)
+      throw new IllegalArgumentException(
+        "The data needs at least 2 features for pca initialization")
+    // V with columns = eigenvectors in descending-eigenvalue order,
+    // sign-normalized; pc(k) = row k of V (the reference's quirk).
+    val (v, _) = eigenBasis(cov)
     def linspace(n: Int): Array[Double] =
       if (n == 1) Array(-1.0)
       else Array.tabulate(n)(idx => -1.0 + 2.0 * idx / (n - 1))

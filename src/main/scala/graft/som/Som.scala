@@ -171,18 +171,18 @@ final class Som(val config: SomConfig) extends Serializable {
     Codebook.fromRows(config.x, config.y, rows.toSeq)
   }
 
-  /** PCA init (`pca_weights_init`, `xpysom.py:762-785`): sample
-    * covariance via a single distributed pass (treeAggregate of
-    * (x xᵀ, Σx, n)), then the reference's eigen-combination on the
-    * driver (including its row-indexing quirk — see Codebook.pcaFromCov).
+  /** Sample covariance (N-1 normalization) of the feature column via a
+    * single distributed pass (deterministic tree-reduce of
+    * (x xᵀ, Σx, n) partials — bit-reproducible across runs like the
+    * training path). Public: the pca-init invariant oracle recomputes
+    * eigen-residuals against it.
     */
-  def pcaInit(df: DataFrame, featuresCol: String = "features"): Codebook = {
+  def sampleCovariance(df: DataFrame,
+                       featuresCol: String = "features"): (Array[Array[Double]], Long) = {
     val data = SomData.toVectors(df, featuresCol)
     val first = data.take(1)
-    require(first.nonEmpty, "cannot pca-init on an empty dataset")
+    require(first.nonEmpty, "cannot compute covariance of an empty dataset")
     val d = first.head.length
-    // deterministic fan-in (see SomKernels.reduceDeterministic): pca init
-    // stays bit-reproducible across runs like the training path
     val partials = data.mapPartitionsWithIndex { (pid, it) =>
       val m = new Array[Double](d * d)
       val s = new Array[Double](d)
@@ -206,12 +206,19 @@ final class Som(val config: SomConfig) extends Serializable {
         SomKernels.addInPlace(m1, m2); SomKernels.addInPlace(s1, s2)
         (m1, s1, c1 + c2)
     }
-    require(n > 1, "pca init needs at least 2 samples")
-    val cov = Array.tabulate(d, d) { (i, j) =>
+    require(n > 1, "covariance needs at least 2 samples")
+    (Array.tabulate(d, d) { (i, j) =>
       (xtx(i * d + j) - sums(i) * sums(j) / n) / (n - 1)
-    }
-    Codebook.pcaFromCov(config.x, config.y, cov)
+    }, n)
   }
+
+  /** PCA init (`pca_weights_init`, `xpysom.py:762-785`): sample
+    * covariance via `sampleCovariance`, then the reference's
+    * eigen-combination on the driver (including its row-indexing quirk —
+    * see Codebook.pcaFromCov).
+    */
+  def pcaInit(df: DataFrame, featuresCol: String = "features"): Codebook =
+    Codebook.pcaFromCov(config.x, config.y, sampleCovariance(df, featuresCol)._1)
 
   /** MiniSom-compat aliases (`xpysom.py:597-605`). */
   def trainBatch(df: DataFrame, featuresCol: String, numEpochs: Int): SomModel =
