@@ -167,7 +167,16 @@ object HashOracleSql {
     * numTables=8, seed=31)` over 64-dim embeddings with the first 5
     * vec_ids as queries.
     */
-  lazy val lshTopK: String = {
+  lazy val lshTopK: String =
+    lshRankedWith + "\n" +
+      """SELECT CAST(qid AS BIGINT) AS qid, CAST(rn AS BIGINT) AS rank,
+        |       CAST(nid AS BIGINT) AS nid, CAST(round(sim, 6) AS DOUBLE) AS sim
+        |FROM ranked WHERE rn <= 5""".stripMargin
+
+  /** Shared WITH-chain ending at the LSH `ranked` CTE (plus `ex`,
+    * `norms`, `qids` reused by the recall oracle's brute-force leg).
+    */
+  private lazy val lshRankedWith: String = {
     val numPlanes = 6; val numTables = 8; val maxDim = 64
     val rnd = new scala.util.Random(31)
     // the engine sizes its plane tensor from the RUNTIME embedding dim
@@ -213,11 +222,38 @@ object HashOracleSql {
        |                          ELSE d.dot / sqrt(nq.nrm * nn.nrm) END) DESC,
        |                    d.nid ASC) AS rn
        |  FROM dots d JOIN norms nq ON nq.vec_id = d.qid
-       |              JOIN norms nn ON nn.vec_id = d.nid)
-       |SELECT CAST(qid AS BIGINT) AS qid, CAST(rn AS BIGINT) AS rank,
-       |       CAST(nid AS BIGINT) AS nid, CAST(round(sim, 6) AS DOUBLE) AS sim
-       |FROM ranked WHERE rn <= 5""".stripMargin
+       |              JOIN norms nn ON nn.vec_id = d.nid)""".stripMargin
   }
+
+  /** Oracle for `ann_recall`: per-query |LSH top-k ∩ brute-force top-k|
+    * / k. Replays the full LSH pipeline (same CTE chain as `lshTopK`)
+    * AND an exhaustive cosine ranking, intersects the two top-5 id sets,
+    * and emits recall per query — a qid with no surviving candidates
+    * still appears with recall 0 (LEFT JOIN from `qids`).
+    */
+  lazy val annRecall: String =
+    lshRankedWith + ",\n" +
+      """bdots AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.v * b.v) AS dot
+        |  FROM ex a JOIN ex b ON a.i = b.i AND b.vec_id <> a.vec_id
+        |  WHERE a.vec_id IN (SELECT qid FROM qids)
+        |  GROUP BY a.vec_id, b.vec_id
+        |), branked AS (
+        |  SELECT d.qid, d.nid,
+        |         row_number() OVER (PARTITION BY d.qid
+        |           ORDER BY (CASE WHEN sqrt(nq.nrm * nn.nrm) = 0 THEN 0
+        |                          ELSE d.dot / sqrt(nq.nrm * nn.nrm) END) DESC,
+        |                    d.nid ASC) AS rn
+        |  FROM bdots d JOIN norms nq ON nq.vec_id = d.qid
+        |               JOIN norms nn ON nn.vec_id = d.nid
+        |), hits AS (
+        |  SELECT qid, count(*) AS n FROM (
+        |    SELECT qid, nid FROM ranked WHERE rn <= 5
+        |    INTERSECT
+        |    SELECT qid, nid FROM branked WHERE rn <= 5) GROUP BY qid)
+        |SELECT CAST(q.qid AS BIGINT) AS qid,
+        |       CAST(round(COALESCE(h.n, 0) / 5.0, 6) AS DOUBLE) AS recall
+        |FROM qids q LEFT JOIN hits h ON h.qid = q.qid""".stripMargin
 
   /** Oracle for `dedup_resolve_minhash`: minhash candidates with
     * est_jaccard >= 0.5 (signature agreement >= 32/64 — compared in

@@ -397,6 +397,27 @@ object Queries {
           numPlanes = 6, numTables = 8)
       }),
 
+      // ANN recall@k: per-query |LSH top-k ∩ brute-force top-k| / k.
+      // Both sides are deterministic (seeded planes, exact rerank, total
+      // tie order), so recall is a REPLAYABLE number — the oracle
+      // recomputes both rankings in SQL and intersects them. This pins
+      // recall REGRESSIONS (a bucketing bug that silently drops true
+      // neighbors) in CORRECTNESS, not just in the sbt suite.
+      "ann_recall" -> ((s, dir) => {
+        val qs = emb(s, dir).orderBy("vec_id").limit(5).collect()
+          .map(r => (r.getLong(r.fieldIndex("vec_id")),
+            r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)).toSeq
+        val lsh = Similarity.lshCosineTopK(emb(s, dir), "embedding", "vec_id", qs,
+          k = 5, numPlanes = 6, numTables = 8)
+        val bf = Similarity.bruteForceTopK(emb(s, dir), "embedding", "vec_id", qs, k = 5)
+        val hits = lsh.select("qid", "nid").intersect(bf.select("qid", "nid"))
+          .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+        val qidsDf = s.createDataFrame(qs.map(q => Tuple1(q._1))).toDF("qid")
+        qidsDf.join(hits, Seq("qid"), "left")
+          .select(col("qid"),
+            round(coalesce(col("n_hit"), lit(0L)).cast("double") / 5.0, 6).as("recall"))
+      }),
+
       // SOM-bucketed (IVF-style) ANN — oracled by replaying the seeded
       // quantizer training in SQL (TrainOracleSql.annSomTopK)
       "ann_som_topk" -> ((s, dir) => {
@@ -1144,6 +1165,8 @@ object Queries {
     // seeded-plane replay: the hyperplane tensor is regenerated from
     // the same seed and embedded as literals
     "ann_lsh_topk" -> HashOracleSql.lshTopK,
+    // LSH replay + exhaustive ranking, intersected per query
+    "ann_recall" -> HashOracleSql.annRecall,
 
     // full seeded-training replay (init stream + 3 unrolled epochs) —
     // see TrainOracleSql for the scope and the documented edge-corpus

@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Headroom probe: the bench workloads at ~10x their usual scale, run
   * manually per round to confirm the scaling story stays linear and
@@ -11,10 +10,20 @@ import org.apache.spark.sql.functions._
   *    2M-edge union-find threshold, i.e. the regime the pointer-jumping
   *    path actually serves in production (the forced bench entry covers
   *    the same code path at 200k edges).
-  * Results are recorded in COVERAGE.md's scale notes, not BENCH json.
+  *
+  * Usage: `runMain graft.ScaleProbe [minhash|resolve|all] [repeats]`.
+  * Run each phase in its OWN JVM (`all` exists for convenience only):
+  * round 5 recorded a 103 s resolve outlier that was same-JVM memory
+  * pressure from the preceding 2M-doc minhash phase, not resolver
+  * behavior — phase isolation is what makes the headroom numbers
+  * attributable. Results go in COVERAGE.md's scale notes, not BENCH json.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
+    val phase = args.headOption.getOrElse("all")
+    val repeats = args.lift(1).map(_.toInt).getOrElse(1)
+    require(Set("minhash", "resolve", "all")(phase),
+      s"unknown phase '$phase' (want minhash|resolve|all)")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -24,32 +33,43 @@ object ScaleProbe {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    // between repeats: drop everything and let the heap settle so run N
+    // does not inherit run N-1's old-gen pressure
+    def settle(): Unit = { System.gc(); Thread.sleep(500) }
 
-    // 2M docs, same generator as bench_minhash_200k (dup groups of 4)
-    val docs2m = BenchData.dupGroupDocs(spark, 2000000)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    docs2m.count()
-    val tMinhash = time {
-      val r = operators.Dedup.minhashCandidates(docs2m, "text", "doc_id")
-      println("  candidate pairs: " + r.count())
-      r.unpersist(blocking = true)
-    }
-    println(f"[scale] minhash 2M docs: $tMinhash%.1f s")
-    docs2m.unpersist(blocking = false)
+    for (rep <- 1 to repeats) {
+      if (phase == "minhash" || phase == "all") {
+        // 2M docs, same generator as bench_minhash_200k (dup groups of 4)
+        val docs2m = BenchData.dupGroupDocs(spark, 2000000)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        docs2m.count()
+        val tMinhash = time {
+          val r = operators.Dedup.minhashCandidates(docs2m, "text", "doc_id")
+          println("  candidate pairs: " + r.count())
+          r.unpersist(blocking = true)
+        }
+        println(f"[scale] minhash 2M docs (run $rep/$repeats): $tMinhash%.1f s")
+        docs2m.unpersist(blocking = true)
+        settle()
+      }
 
-    // 4M-edge chain graph (2000 chains of length 2000): nEdges (8M
-    // symmetrized) > 2M threshold, so this takes the REAL dispatch into
-    // the iterative path — contraction check included
-    val chains = BenchData.chainGraph(spark, 4000000, 2000)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    chains.count()
-    val tResolve = time {
-      val r = operators.Dedup.resolveDuplicateClusters(chains)
-      println("  labeled nodes: " + r.count())
-      org.apache.spark.sql.GraftBridge.freeCheckpoint(r)
+      if (phase == "resolve" || phase == "all") {
+        // 4M-edge chain graph (2000 chains of length 2000): nEdges (8M
+        // symmetrized) > 2M threshold, so this takes the REAL dispatch
+        // into the iterative path — contraction check included
+        val chains = BenchData.chainGraph(spark, 4000000, 2000)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        chains.count()
+        val tResolve = time {
+          val r = operators.Dedup.resolveDuplicateClusters(chains)
+          println("  labeled nodes: " + r.count())
+          org.apache.spark.sql.GraftBridge.freeCheckpoint(r)
+        }
+        println(f"[scale] resolve 8M-edge chains (iterative dispatch, run $rep/$repeats): $tResolve%.1f s")
+        chains.unpersist(blocking = true)
+        settle()
+      }
     }
-    println(f"[scale] resolve 8M-edge chains (iterative dispatch): $tResolve%.1f s")
-    chains.unpersist(blocking = false)
     spark.stop()
   }
 }

@@ -43,6 +43,13 @@ object Dedup {
     * `rowsPerBand` values -> explode band buckets -> self-equi-join on
     * (band, bucket). Returns candidate (id_a, id_b) with id_a < id_b and
     * the estimated jaccard from full-signature agreement.
+    *
+    * Cache contract: the returned DataFrame is PERSISTED (already
+    * materialized — the signature cache it depended on is freed before
+    * returning). The caller owns the cache and must call `.unpersist()`
+    * when done with it; in a long-lived session, forgetting to do so
+    * leaks one bounded candidate-set cache per call.
+    * `dropNearDuplicates` and `Bench` both release it.
     */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         numHashes: Int = 64, rowsPerBand: Int = 8,
@@ -143,6 +150,11 @@ object Dedup {
     * width: 4 bands (16-bit chunks, radius <= 3) hold to ~10^7, and a
     * billion-doc corpus wants 2 bands (32-bit chunks, radius <= 1) or a
     * multi-index scheme over permuted fingerprints.
+    *
+    * Cache contract: the returned DataFrame is PERSISTED (already
+    * materialized — the fingerprint cache it depended on is freed before
+    * returning). The caller owns the cache and must `.unpersist()` it
+    * when done, mirroring [[minhashCandidates]].
     */
   def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         maxHamming: Int = 7, numBands: Int = 8): DataFrame = {

@@ -71,14 +71,14 @@ class PipelineSpec extends SparkSpec {
   test("driver contract: every query oracled or a documented exception") {
     // the correctness gate only checks queries that HAVE oracle SQL —
     // a query added without one silently downgrades to a rows-only
-    // check. Pin the no-oracle set to exactly the two documented
-    // exceptions (seeded takeSample, eigendecomposition).
+    // check. Every query has an oracle since the init queries gained
+    // derived-invariant oracles (membership / rank-2-span checks).
     val qs = graft.SparkEntry.queries.keySet
     val oracled = graft.SparkEntry.oracleSql.keySet
     assert(oracled.subsetOf(qs),
       s"oracles without queries: ${oracled -- qs}")
-    assert((qs -- oracled) == Set("som_sample_init", "som_pca_init"),
-      s"no-oracle set drifted from the documented pair: ${qs -- oracled}")
+    assert((qs -- oracled).isEmpty,
+      s"queries without oracle SQL: ${qs -- oracled}")
   }
 
   test("chunking reconstructs the token stream (seeded random docs)") {
@@ -607,6 +607,34 @@ class PipelineSpec extends SparkSpec {
     assert(afterRun - before <= 3,
       s"leaked checkpoint RDDs: $before -> $afterRun")
     org.apache.spark.sql.GraftBridge.freeCheckpoint(labels)
+  }
+
+  test("candidate caches: repeated calls + caller unpersist leave no blocks") {
+    // pins the documented cache contract on minhashCandidates /
+    // simhashCandidates: each call returns ONE persisted DataFrame (its
+    // internal signature/fingerprint cache already freed); a caller that
+    // unpersists the result leaves the session's block store untouched.
+    // Fresh input data: Spark's CacheManager keys entries by PLAN, so
+    // reusing `docs` here would alias cache entries persisted (and never
+    // released) by other tests in this suite and skew the delta.
+    val sc = spark.sparkContext
+    val cacheDocs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (12L, "iota kappa lambda mu nu xi omicron pi rho sigma")
+    ).toDF("doc_id", "text")
+    val before = sc.getPersistentRDDs.size
+    (1 to 3).foreach { _ =>
+      val mh = Dedup.minhashCandidates(cacheDocs, "text", "doc_id")
+      mh.count()
+      mh.unpersist(blocking = true)
+      val sh = Dedup.simhashCandidates(cacheDocs, "text", "doc_id", maxHamming = 7)
+      sh.count()
+      sh.unpersist(blocking = true)
+    }
+    val after = sc.getPersistentRDDs.size
+    assert(after == before,
+      s"candidate cache leak across repeated calls: $before -> $after persistent RDDs")
   }
 
   test("quality score is in [0,1] and favors clean prose") {
