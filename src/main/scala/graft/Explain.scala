@@ -24,7 +24,7 @@ object Explain {
         "dedup_exact", "ann_cosine_topk", "dedup_minhash", "events_hourly",
         "multimodal_resize", "multimodal_frames", "multimodal_decode",
         "dedup_simhash", "text_stats", "token_freq_topk", "doc_chunks",
-        "repetition_stats", "pattern_counts", "ann_lsh_topk",
+        "repetition_stats", "pattern_counts", "ann_lsh_topk", "ann_recall",
         "contamination", "dedup_drop_near", "stratified_sample",
         "doc_freq", "tfidf_terms").foreach(show)
     spark.stop()

@@ -413,7 +413,7 @@ object Queries {
         val hits = lsh.select("qid", "nid").intersect(bf.select("qid", "nid"))
           .groupBy("qid").agg(count(lit(1)).as("n_hit"))
         val qidsDf = s.createDataFrame(qs.map(q => Tuple1(q._1))).toDF("qid")
-        qidsDf.join(hits, Seq("qid"), "left")
+        qidsDf.join(broadcast(hits), Seq("qid"), "left")
           .select(col("qid"),
             round(coalesce(col("n_hit"), lit(0L)).cast("double") / 5.0, 6).as("recall"))
       }),
