@@ -542,6 +542,32 @@ object Queries {
                   col("n_contaminated"), col("ratio"))
       }),
 
+      // intra-corpus duplicate spans: per-doc count of 16-token disjoint
+      // windows occurring >= 2 times corpus-wide (C4-style span-dedup
+      // signal); spans ride the count shuffle as md5 hashes
+      "dup_spans" -> ((s, dir) =>
+        Corpus.duplicateSpans(docs(s, dir), "text", "doc_id", spanTokens = 16)
+          .select(col("id").as("doc_id"), col("n_spans"),
+                  col("n_dup_spans"), col("dup_ratio"))),
+
+      // per-(source, lang) corpus report card: doc/token/char volumes
+      // and exact-sum averages for mixing/weighting decisions. Reads the
+      // UNFILTERED table (not the docs() non-null-text view): the
+      // n_docs/n_with_text split is the operator's null-text contract,
+      // and the oracle exercises it
+      "corpus_stats" -> ((s, dir) =>
+        Corpus.corpusStats(s.read.parquet(s"$dir/documents.parquet"),
+          "text", Seq("source", "lang"))),
+
+      // Gopher-style composite filter; thresholds chosen to SPLIT this
+      // corpus (token counts 10-99, median stop hits 1) so the verdict
+      // column actually varies — signals + verdict per doc
+      "gopher_filter" -> ((s, dir) =>
+        Corpus.gopherFilter(docs(s, dir), "text", "doc_id",
+            minTok = 30, maxTok = 100000, minStopHits = 1)
+          .select(col("id").as("doc_id"), col("n_tok"), col("mean_tok_len"),
+                  col("alpha_ratio"), col("n_stop"), col("pass"))),
+
       // context-window chunking (64-token windows, 8-token overlap)
       "doc_chunks" -> ((s, dir) =>
         Corpus.chunkByTokens(docs(s, dir), "text", "doc_id",
@@ -1372,6 +1398,63 @@ object Queries {
          |       CAST(round(CAST(count(e.sh) AS DOUBLE) / count(*), 6) AS DOUBLE) AS ratio
          |FROM d LEFT JOIN ev e ON e.sh = d.sh
          |GROUP BY d.doc_id""".stripMargin,
+
+    // same chunking arithmetic as doc_chunks at (16, 0); dup = identical
+    // normalized span text >= 2 occurrences corpus-wide (the engine
+    // groups md5(span), equality classes identical modulo md5 collision)
+    "dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents WHERE text IS NOT NULL),
+         |c AS (SELECT doc_id, toks, greatest(1, (len(toks) + 15) // 16) AS nc
+         |      FROM t WHERE len(toks) > 0),
+         |sp AS MATERIALIZED (
+         |  SELECT doc_id, array_to_string(toks[(u.i * 16 + 1):(u.i * 16 + 16)], ' ') AS span
+         |  FROM c, LATERAL (SELECT unnest(generate_series(0, nc - 1)) AS i) u),
+         |tot AS (SELECT span, count(*) AS cnt FROM sp GROUP BY span)
+         |SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_spans,
+         |       CAST(sum(CASE WHEN t.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+         |       CAST(round(CAST(sum(CASE WHEN t.cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |                  / count(*), 6) AS DOUBLE) AS dup_ratio
+         |FROM sp s JOIN tot t ON s.span = t.span GROUP BY s.doc_id""".stripMargin,
+
+    // exact integer sums divided in double precision — no avg(), whose
+    // incremental mean is association-order-dependent cross-engine
+    "corpus_stats" ->
+      s"""WITH t AS (SELECT source, lang, text, $duckToks AS toks FROM documents)
+         |SELECT source, lang,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(count(text) AS BIGINT) AS n_with_text,
+         |       CAST(COALESCE(sum(len(toks)), 0) AS BIGINT) AS n_tokens,
+         |       CAST(COALESCE(sum(length(text)), 0) AS BIGINT) AS n_chars,
+         |       CAST(CASE WHEN count(text) = 0 THEN 0
+         |            ELSE round(CAST(COALESCE(sum(len(toks)), 0) AS DOUBLE)
+         |                       / count(text), 6) END AS DOUBLE) AS avg_tokens,
+         |       CAST(CASE WHEN count(text) = 0 THEN 0
+         |            ELSE round(CAST(COALESCE(sum(length(text)), 0) AS DOUBLE)
+         |                       / count(text), 6) END AS DOUBLE) AS avg_chars
+         |FROM t GROUP BY source, lang""".stripMargin,
+
+    // thresholds mirror the gopher_filter query: tok in [30, 100000],
+    // mean len in [3, 10] (on the ROUNDED value, like the engine),
+    // alpha ratio >= 0.8, stop hits >= 1
+    "gopher_filter" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents WHERE text IS NOT NULL),
+         |g AS (SELECT doc_id, len(toks) AS n_tok,
+         |        CASE WHEN len(toks) = 0 THEN 0
+         |             ELSE round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+         |                        / len(toks), 6) END AS mean_tok_len,
+         |        CASE WHEN len(toks) = 0 THEN 0
+         |             ELSE round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+         |                        / len(toks), 6) END AS alpha_ratio,
+         |        len(list_filter(toks, x -> list_contains(['the', 'and', 'of', 'to', 'is', 'in', 'that', 'it'], x))) AS n_stop
+         |      FROM t)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         |       CAST(mean_tok_len AS DOUBLE) AS mean_tok_len,
+         |       CAST(alpha_ratio AS DOUBLE) AS alpha_ratio,
+         |       CAST(n_stop AS BIGINT) AS n_stop,
+         |       (n_tok BETWEEN 30 AND 100000 AND mean_tok_len BETWEEN 3 AND 10
+         |        AND alpha_ratio >= 0.8 AND n_stop >= 1) AS pass
+         |FROM g""".stripMargin,
 
     "doc_chunks" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents WHERE text IS NOT NULL),

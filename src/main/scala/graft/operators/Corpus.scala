@@ -158,4 +158,110 @@ object Corpus {
           slice(col("__ts"), (col("chunk_id") * step + 1).cast("int"),
                 lit(chunkSize))).as("chunk_text"))
   }
+
+  /** Intra-corpus duplicate-span statistics: chunk each document into
+    * disjoint `spanTokens`-token windows (`chunkByTokens` with overlap
+    * 0, so the same normalization and trailing-window rules apply) and
+    * count, per document, how many of its spans occur at least twice
+    * corpus-wide — the C4/Dolma-style span-dedup signal: boilerplate
+    * and templated text surface as cross-document span collisions even
+    * when no two whole documents match. Within-document repeats count
+    * too (intra-doc boilerplate is duplication; both occurrences are
+    * flagged). Token-less documents are omitted, like `chunkByTokens`.
+    * Returns (id, n_spans, n_dup_spans, dup_ratio).
+    *
+    * Scale shape: spans ride the occurrence-count shuffle as
+    * md5(span_text) — 32 opaque hex chars instead of span text — then
+    * one windowed count per hash partition and one per-document rollup.
+    * Two shuffles total (hash, id); no joins, nothing all-pairs, and
+    * the span volume is ~1/spanTokens of the exploded-token volume.
+    */
+  def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
+                     spanTokens: Int = 16): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__fp")
+    chunkByTokens(df, textCol, idCol, spanTokens, 0)
+      .select(col("id"), md5(col("chunk_text")).as("__fp"))
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_spans"),
+           sum(when(col("__cnt") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_ratio",
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 6))
+  }
+
+  /** Per-group corpus report card: document/token/character volumes by
+    * the given metadata columns (e.g. source x language) — the standard
+    * curation dashboard for weighting and mixing decisions. One scan,
+    * one map-side-combined aggregation on the (small) group keys; NULL
+    * group keys form their own group, exactly as SQL GROUP BY does.
+    *
+    * Token/char sums cover documents with non-null text (a NULL text
+    * contributes no tokens); `n_docs` counts every row, `n_with_text`
+    * the non-null ones. Averages are exact integer sums divided in
+    * double precision (never an incremental mean — those are
+    * association-order-dependent and break cross-engine equality),
+    * over the non-null-text population, 0 when it is empty.
+    */
+  def corpusStats(df: DataFrame, textCol: String,
+                  groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "corpusStats needs at least one group column")
+    val nTok = size(TextFunctions.tokens(col(textCol)))
+    val withText = count(col(textCol))
+    def ratio(sum: Column): Column =
+      when(withText === 0, 0.0)
+        .otherwise(sum.cast("double") / withText.cast("double"))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+           withText.as("n_with_text"),
+           coalesce(sum(nTok), lit(0L)).as("n_tokens"),
+           coalesce(sum(length(col(textCol))), lit(0L)).as("n_chars"),
+           round(ratio(coalesce(sum(nTok), lit(0L))), 6).as("avg_tokens"),
+           round(ratio(coalesce(sum(length(col(textCol))), lit(0L))), 6)
+             .as("avg_chars"))
+  }
+
+  /** Gopher-style composite document filter (Rae et al. 2021, table A1
+    * — re-derived thresholds, not a reproduction): token count within
+    * [minTok, maxTok], mean token length within [minMeanLen,
+    * maxMeanLen], at least `minAlphaRatio` of tokens containing an
+    * ASCII letter, and at least `minStopHits` stop-word occurrences.
+    * Returns every signal plus the composite verdict — curation
+    * pipelines log WHY a document fails, so the signals are first-class
+    * output, not internals: (id, n_tok, mean_tok_len, alpha_ratio,
+    * n_stop, pass).
+    *
+    * Documents with NULL text are omitted (no signals to compute);
+    * empty docs yield zero signals and fail. Single scan, one
+    * tokenization per row (materialized token attribute feeds every
+    * signal), embarrassingly parallel.
+    */
+  def gopherFilter(df: DataFrame, textCol: String, idCol: String,
+                   minTok: Int = 50, maxTok: Int = 100000,
+                   minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                   minAlphaRatio: Double = 0.8, minStopHits: Int = 2,
+                   stopWords: Seq[String] =
+                     TextFunctions.langMarkers.toMap.apply("en")): DataFrame = {
+    require(minTok >= 0 && minTok <= maxTok && minMeanLen <= maxMeanLen,
+      s"inconsistent gopher thresholds: tok [$minTok,$maxTok] len [$minMeanLen,$maxMeanLen]")
+    val stopSet = array(stopWords.map(lit): _*)
+    val ts = col("__ts")
+    val n = size(ts)
+    val meanLen = when(n === 0, 0.0).otherwise(
+      round(aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") / n, 6))
+    val alphaRatio = when(n === 0, 0.0).otherwise(
+      round(size(filter(ts, t => t.rlike("[a-z]"))).cast("double") / n, 6))
+    // occurrences, not distinct hits: a doc saying "the the the" has 3
+    val nStop = size(filter(ts, t => array_contains(stopSet, t)))
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+              TextFunctions.tokens(col(textCol)).as("__ts"))
+      .select(col("id"), n.cast("long").as("n_tok"),
+              meanLen.as("mean_tok_len"), alphaRatio.as("alpha_ratio"),
+              nStop.cast("long").as("n_stop"))
+      .withColumn("pass",
+        col("n_tok").between(minTok, maxTok) &&
+        col("mean_tok_len").between(minMeanLen, maxMeanLen) &&
+        col("alpha_ratio") >= minAlphaRatio &&
+        col("n_stop") >= minStopHits)
+  }
 }

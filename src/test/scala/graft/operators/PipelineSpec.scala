@@ -232,6 +232,53 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("duplicate spans: cross-doc span collisions counted per doc") {
+    // 4-token spans over the 9-token docs: docs 0/1 are identical (all
+    // 3 spans duplicated), doc 2 shares its first span AND its "dog"
+    // tail span with them, docs 3/5 are unique, doc 4 is token-less
+    val r = Corpus.duplicateSpans(docs, "text", "doc_id", spanTokens = 4)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r(0L) == ((3L, 3L)) && r(1L) == ((3L, 3L)))
+    assert(r(2L) == ((3L, 2L)))
+    assert(r(3L)._2 == 0L && r(5L)._2 == 0L)
+    assert(!r.contains(4L)) // empty doc omitted, like chunkByTokens
+  }
+
+  test("corpus stats: exact sums, null-text and null-key handling") {
+    val d = Seq(
+      (0L, Option("one two three"), Option("a"), Option("en")),
+      (1L, Option("four five"), Option("a"), Option("en")),
+      (2L, None, Option("a"), Option("en")), // null text: counted, no tokens
+      (3L, Option("six"), None, Option("de")) // null source is its own group
+    ).toDF("doc_id", "text", "source", "lang")
+    val r = Corpus.corpusStats(d, "text", Seq("source", "lang"))
+      .collect().map(x => (Option(x.getString(0)), x.getString(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4), x.getDouble(6)))).toMap
+    assert(r((Some("a"), "en")) == ((3L, 2L, 5L, 2.5))) // avg over docs WITH text
+    assert(r((None, "de")) == ((1L, 1L, 1L, 1.0)))
+    intercept[IllegalArgumentException] { Corpus.corpusStats(d, "text", Seq()) }
+  }
+
+  test("gopher filter: signals and composite verdict, hand-computed") {
+    val d = Seq(
+      (0L, "the cat sat on the mat today fine"), // 8 tokens, 2 stop hits
+      (1L, "x1 9 22 33 44 55 66 77"),            // digits: alpha ratio 1/8
+      (2L, ""),                                   // empty: all-zero, fails
+      (3L, "supercalifragilistic expialidocious antidisestablishmentarianism the")
+    ).toDF("doc_id", "text")
+    val r = Corpus.gopherFilter(d, "text", "doc_id",
+        minTok = 5, maxTok = 100, minStopHits = 1)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getDouble(2), x.getDouble(3), x.getLong(4), x.getBoolean(5)))).toMap
+    assert(r(0L) == ((8L, 3.25, 1.0, 2L, true))) // 26 chars / 8 tokens
+    assert(r(1L)._3 == 0.125 && !r(1L)._5)       // alpha ratio kills it
+    assert(r(2L) == ((0L, 0.0, 0.0, 0L, false)))
+    assert(!r(3L)._5 && r(3L)._2 > 10.0)          // mean token length kills it
+    intercept[IllegalArgumentException] {
+      Corpus.gopherFilter(d, "text", "doc_id", minTok = 10, maxTok = 5)
+    }
+  }
+
   test("exact dedup groups duplicates and keeps min id") {
     val g = Dedup.exactGroups(docs, "text", "doc_id")
       .where(col("n") > 1).collect()
