@@ -26,7 +26,8 @@ object Explain {
         "dedup_simhash", "text_stats", "token_freq_topk", "doc_chunks",
         "repetition_stats", "pattern_counts", "ann_lsh_topk", "ann_recall",
         "contamination", "dedup_drop_near", "stratified_sample",
-        "doc_freq", "tfidf_terms").foreach(show)
+        "doc_freq", "tfidf_terms", "dup_spans", "span_dedup",
+        "corpus_stats", "gopher_filter").foreach(show)
     spark.stop()
   }
 }

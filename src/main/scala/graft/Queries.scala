@@ -550,6 +550,15 @@ object Queries {
           .select(col("id").as("doc_id"), col("n_spans"),
                   col("n_dup_spans"), col("dup_ratio"))),
 
+      // span-level duplicate removal (C4 rule at span granularity):
+      // keep the globally-first occurrence of each 16-token span,
+      // reassemble documents from survivors
+      "span_dedup" -> ((s, dir) =>
+        Corpus.removeDuplicateSpans(docs(s, dir), "text", "doc_id",
+            spanTokens = 16)
+          .select(col("id").as("doc_id"), col("n_spans"),
+                  col("n_kept"), col("clean_text"))),
+
       // per-(source, lang) corpus report card: doc/token/char volumes
       // and exact-sum averages for mixing/weighting decisions. Reads the
       // UNFILTERED table (not the docs() non-null-text view): the
@@ -1416,6 +1425,26 @@ object Queries {
          |       CAST(round(CAST(sum(CASE WHEN t.cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
          |                  / count(*), 6) AS DOUBLE) AS dup_ratio
          |FROM sp s JOIN tot t ON s.span = t.span GROUP BY s.doc_id""".stripMargin,
+
+    // first-occurrence rank over (doc_id, chunk_id) mirrors the engine's
+    // window; reassembly via ordered string_agg of surviving spans
+    "span_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents WHERE text IS NOT NULL),
+         |c AS (SELECT doc_id, toks, greatest(1, (len(toks) + 15) // 16) AS nc
+         |      FROM t WHERE len(toks) > 0),
+         |sp AS MATERIALIZED (
+         |  SELECT doc_id, u.i AS chunk_id,
+         |         array_to_string(toks[(u.i * 16 + 1):(u.i * 16 + 16)], ' ') AS span
+         |  FROM c, LATERAL (SELECT unnest(generate_series(0, nc - 1)) AS i) u),
+         |rk AS (SELECT doc_id, chunk_id, span,
+         |         row_number() OVER (PARTITION BY span ORDER BY doc_id, chunk_id) AS rn
+         |       FROM sp)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_spans,
+         |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       COALESCE(string_agg(span, ' ' ORDER BY chunk_id)
+         |                  FILTER (WHERE rn = 1), '') AS clean_text
+         |FROM rk GROUP BY doc_id""".stripMargin,
 
     // exact integer sums divided in double precision — no avg(), whose
     // incremental mean is association-order-dependent cross-engine

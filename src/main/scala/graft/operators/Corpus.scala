@@ -189,6 +189,39 @@ object Corpus {
         round(col("n_dup_spans").cast("double") / col("n_spans"), 6))
   }
 
+  /** Span-level duplicate REMOVAL (the C4 rule at span granularity):
+    * chunk each document into disjoint `spanTokens`-token windows,
+    * keep the globally-first occurrence of every span (ordered by
+    * (id, chunk_id) — deterministic under any partitioning), drop the
+    * rest, and reassemble each document from its surviving spans in
+    * order. Documents reassemble token-normalized (single spaces, like
+    * `chunkByTokens`); a document whose every span was seen earlier
+    * comes back as an empty string — callers typically filter those.
+    * Returns (id, n_spans, n_kept, clean_text).
+    *
+    * Scale shape: one shuffle on md5(span) for the first-occurrence
+    * rank (window `row_number`, no self-join), one shuffle on id for
+    * reassembly; span order is restored by sorting the (chunk_id,
+    * span) structs inside each document's collected array — bounded by
+    * document size, never a global sort.
+    */
+  def removeDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
+                           spanTokens: Int = 16): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__fp").orderBy(col("id"), col("chunk_id"))
+    chunkByTokens(df, textCol, idCol, spanTokens, 0)
+      .select(col("id"), col("chunk_id"), col("chunk_text"),
+              md5(col("chunk_text")).as("__fp"))
+      .withColumn("__keep", row_number().over(w) === 1)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_spans"),
+           sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+           concat_ws(" ", transform(
+             array_sort(collect_list(when(col("__keep"),
+               struct(col("chunk_id"), col("chunk_text"))))),
+             s => s.getField("chunk_text"))).as("clean_text"))
+  }
+
   /** Per-group corpus report card: document/token/character volumes by
     * the given metadata columns (e.g. source x language) — the standard
     * curation dashboard for weighting and mixing decisions. One scan,

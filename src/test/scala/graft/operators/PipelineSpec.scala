@@ -244,6 +244,20 @@ class PipelineSpec extends SparkSpec {
     assert(!r.contains(4L)) // empty doc omitted, like chunkByTokens
   }
 
+  test("span dedup removal: first occurrence survives, docs reassemble in order") {
+    // 4-token spans: doc 0 keeps everything (first occurrence of all its
+    // spans), its exact dup doc 1 loses everything, near-dup doc 2 keeps
+    // only its middle span ("the quick brown fox" and "dog" were doc 0's)
+    val r = Corpus.removeDuplicateSpans(docs, "text", "doc_id", spanTokens = 4)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r(0L) == ((3L, 3L, "the quick brown fox jumps over the lazy dog")))
+    assert(r(1L) == ((3L, 0L, "")))
+    assert(r(2L) == ((3L, 1L, "jumped over the lazy")))
+    assert(r(3L)._1 == 2L && r(3L)._2 == 2L) // unique content untouched (7 tokens = 2 spans)
+    assert(!r.contains(4L))
+  }
+
   test("corpus stats: exact sums, null-text and null-key handling") {
     val d = Seq(
       (0L, Option("one two three"), Option("a"), Option("en")),
