@@ -170,18 +170,22 @@ object Corpus {
     * flagged). Token-less documents are omitted, like `chunkByTokens`.
     * Returns (id, n_spans, n_dup_spans, dup_ratio).
     *
-    * Scale shape: spans ride the occurrence-count shuffle as
-    * md5(span_text) — 32 opaque hex chars instead of span text — then
-    * one windowed count per hash partition and one per-document rollup.
-    * Two shuffles total (hash, id); no joins, nothing all-pairs, and
-    * the span volume is ~1/spanTokens of the exploded-token volume.
+    * Scale shape: spans ride the shuffles as md5(span_text) — 32 opaque
+    * hex chars instead of span text. Occurrence counts come from a
+    * partial-aggregated groupBy (map-side combine collapses hot spans
+    * BEFORE the shuffle) re-attached by an equi-join on the hash, NOT
+    * from a `count over (partition by fp)` window: a window partition
+    * cannot be split when one span is pathologically hot (boilerplate
+    * repeated across millions of docs), while the join form gives AQE
+    * a skew-splittable join and the aggregation a combiner. The span
+    * volume is ~1/spanTokens of the exploded-token volume.
     */
   def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
                      spanTokens: Int = 16): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("__fp")
-    chunkByTokens(df, textCol, idCol, spanTokens, 0)
+    val spans = chunkByTokens(df, textCol, idCol, spanTokens, 0)
       .select(col("id"), md5(col("chunk_text")).as("__fp"))
-      .withColumn("__cnt", count(lit(1)).over(w))
+    val counts = spans.groupBy("__fp").agg(count(lit(1)).as("__cnt"))
+    spans.join(counts, "__fp")
       .groupBy("id")
       .agg(count(lit(1)).as("n_spans"),
            sum(when(col("__cnt") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
@@ -199,20 +203,26 @@ object Corpus {
     * comes back as an empty string — callers typically filter those.
     * Returns (id, n_spans, n_kept, clean_text).
     *
-    * Scale shape: one shuffle on md5(span) for the first-occurrence
-    * rank (window `row_number`, no self-join), one shuffle on id for
-    * reassembly; span order is restored by sorting the (chunk_id,
-    * span) structs inside each document's collected array — bounded by
-    * document size, never a global sort.
+    * Scale shape: the first occurrence per span is `min(struct(id,
+    * chunk_id))` from a partial-aggregated groupBy on md5(span) —
+    * map-side combine collapses hot spans before the shuffle, and the
+    * re-attach equi-join is AQE-skew-splittable, neither of which a
+    * `row_number over (partition by fp)` window allows (a hot
+    * boilerplate span would pin one unsplittable window partition).
+    * Reassembly shuffles once on id; span order is restored by sorting
+    * the (chunk_id, span) structs inside each document's collected
+    * array — bounded by document size, never a global sort.
     */
   def removeDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
                            spanTokens: Int = 16): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__fp").orderBy(col("id"), col("chunk_id"))
-    chunkByTokens(df, textCol, idCol, spanTokens, 0)
+    val spans = chunkByTokens(df, textCol, idCol, spanTokens, 0)
       .select(col("id"), col("chunk_id"), col("chunk_text"),
               md5(col("chunk_text")).as("__fp"))
-      .withColumn("__keep", row_number().over(w) === 1)
+    val firsts = spans.groupBy("__fp")
+      .agg(min(struct(col("id"), col("chunk_id"))).as("__first"))
+    spans.join(firsts, "__fp")
+      .withColumn("__keep",
+        struct(col("id"), col("chunk_id")) === col("__first"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_spans"),
            sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
