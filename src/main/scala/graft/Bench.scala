@@ -172,6 +172,17 @@ object Bench {
           maxHamming = 3, numBands = 4)
         r.count(); r.unpersist(blocking = true); ()
       }
+      // span operators at the same 200k-doc scale: dup groups of 4 mean
+      // ~75% of spans are corpus-wide duplicates — the counts/firsts
+      // aggregations and skew-splittable re-attach joins do real work
+      results("bench_dup_spans_200k") = time2 {
+        graft.operators.Corpus.duplicateSpans(bigDocs, "text", "doc_id")
+          .agg(sum("n_dup_spans")).collect(); ()
+      }
+      results("bench_span_dedup_200k") = time2 {
+        graft.operators.Corpus.removeDuplicateSpans(bigDocs, "text", "doc_id")
+          .agg(sum("n_kept")).collect(); ()
+      }
       bigDocs.unpersist(blocking = false)
     }
 
