@@ -164,7 +164,31 @@ object Similarity {
               epochs: Int = 3, seed: Long = 42): DataFrame = {
     val model = new Som(SomConfig(gridX, gridY, seed = seed))
       .fit(df, vecCol, numEpochs = epochs)
-    val assigned = model.withBmu(df, vecCol)
+    somTopKAssigned(model.withBmu(df, vecCol), model, vecCol, idCol,
+      queries, k, nProbe)
+  }
+
+  /** The repeated-query half of the IVF path: build the index ONCE with
+    * [[writeAssignedIndex]] (corpus partitioned on disk by BMU cell),
+    * then serve each query batch from `spark.read.parquet(indexPath)` —
+    * the probe filter becomes a PARTITION filter, so only the nProbe
+    * cells' directories are listed and scanned; the other
+    * (gridX*gridY - nProbe) partitions are never read. At 100 TB that
+    * is the difference between scanning ~nProbe/cells of the corpus per
+    * query batch and rescanning all of it.
+    */
+  def writeAssignedIndex(df: DataFrame, vecCol: String,
+                         model: graft.som.SomModel, path: String): Unit =
+    model.withBmu(df, vecCol).write.partitionBy("bmu_id").parquet(path)
+
+  /** ANN over a pre-assigned corpus (either `model.withBmu(...)` inline
+    * or a partitioned index read back from [[writeAssignedIndex]] —
+    * with the latter, the `bmu_id` probe equi-join prunes partitions).
+    */
+  def somTopKAssigned(assigned: DataFrame, model: graft.som.SomModel,
+                      vecCol: String, idCol: String,
+                      queries: Seq[(Long, Array[Double])], k: Int,
+                      nProbe: Int): DataFrame = {
     // nProbe nearest cells per query, by centroid distance (driver-local)
     val cb = model.codebook
     val probe = queries.flatMap { case (qid, q) =>
@@ -177,11 +201,20 @@ object Similarity {
       }
       dists.sortBy(t => (t._2, t._1)).take(nProbe).map { case (n, _) => (qid, n) }
     }
-    val probeDf = df.sparkSession.createDataFrame(probe).toDF("qid", "bmu_id")
-    val qDf = df.sparkSession.createDataFrame(
+    val spark = assigned.sparkSession
+    val probeDf = spark.createDataFrame(probe).toDF("qid", "bmu_id")
+    val qDf = spark.createDataFrame(
       queries.map { case (qid, v) => (qid, v.toSeq) }).toDF("qid", "qv")
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
-    assigned.join(broadcast(probeDf), "bmu_id")
+    // the probed cell set is driver-known and tiny, so pruning is an
+    // EXPLICIT isin on the partition column — static partition pruning,
+    // guaranteed on a [[writeAssignedIndex]] read (PartitionFilters in
+    // the scan; only probed directories are listed), rather than
+    // relying on the optimizer's dynamic-pruning heuristics to derive
+    // it from the probe join
+    val probedCells = probe.map(_._2).distinct
+    assigned.where(col("bmu_id").isin(probedCells: _*))
+      .join(broadcast(probeDf), "bmu_id")
       .join(broadcast(qDf), "qid")
       .where(col(idCol) =!= col("qid"))
       .select(col("qid"), col(idCol).cast("long").as("nid"),

@@ -428,6 +428,54 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("IVF index: partitioned write serves queries and PRUNES to probed cells") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 300L).map(i => (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val qs = vecs.take(2).map { case (i, v) => (i, v.map(_.toDouble).toArray) }
+    val model = new graft.som.Som(
+      graft.som.SomConfig(3, 3, seed = 42)).fit(df, "embedding", numEpochs = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivfindex").toFile
+    val path = new java.io.File(dir, "index").getAbsolutePath
+    try {
+      Similarity.writeAssignedIndex(df, "embedding", model, path)
+      val index = spark.read.parquet(path)
+      val got = Similarity.somTopKAssigned(index, model, "embedding", "vec_id",
+        qs, k = 5, nProbe = 2)
+      // identical results to the inline (train-and-scan) path
+      val inline = Similarity.somTopK(df, "embedding", "vec_id", qs, k = 5,
+        gridX = 3, gridY = 3, nProbe = 2, epochs = 2)
+      assert(got.collect().map(_.toString).sorted
+        .sameElements(inline.collect().map(_.toString).sorted))
+      // and the scan must be PARTITION-PRUNED: the explicit isin on the
+      // partition column statically prunes to <= nProbe*queries of the 9
+      // bmu_id directories — the whole index is never listed
+      def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        p.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scansOf(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            scansOf(q.plan)
+        }.flatten
+      val scans = scansOf(got.queryExecution.executedPlan)
+      assert(scans.nonEmpty, "expected a file scan over the index")
+      val scan = scans.head
+      assert(scan.partitionFilters.exists(_.references.exists(_.name == "bmu_id")),
+        s"no partition filter on bmu_id: ${scan.metadata.get("PartitionFilters")}")
+      val partsRead = scan.relation.location
+        .listFiles(scan.partitionFilters, scan.dataFilters).length
+      assert(partsRead <= 4, // 2 queries x nProbe=2, minus shared cells
+        s"index scan read $partsRead partitions, expected <= 4 of 9")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("multimodal decode stub: histogram is normalized, frames sampled") {
     val df = docs.where(length(col("text")) > 0)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
