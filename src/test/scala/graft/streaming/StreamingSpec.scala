@@ -36,6 +36,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curation filters run stateless on a stream, matching batch") {
+    // gopherFilter / quality scoring are pure expression pipelines, so
+    // they apply to a streaming DataFrame unchanged (no state, append
+    // mode) — the filter-at-ingest shape of a production corpus pipeline
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (0L, "the cat sat on the mat today fine and it was the best of days"),
+      (1L, "x x x"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"))
+    val input = MemoryStream[(Long, String)]
+    val filtered = graft.operators.Corpus.gopherFilter(
+      input.toDF().toDF("doc_id", "text"), "text", "doc_id",
+      minTok = 5, maxTok = 100, minStopHits = 1)
+    val q = filtered.writeStream.format("memory").queryName("gopher_out")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("gopher_out").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+      val batch = graft.operators.Corpus.gopherFilter(
+        rows.toDF("doc_id", "text"), "text", "doc_id",
+        minTok = 5, maxTok = 100, minStopHits = 1)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+      assert(streamed == batch)
+      assert(streamed(0L) && !streamed(1L) && streamed(2L))
+    } finally q.stop()
+  }
+
   test("windowed activation response with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Seq[Float])]
