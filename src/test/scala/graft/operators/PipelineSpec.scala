@@ -258,6 +258,42 @@ class PipelineSpec extends SparkSpec {
     assert(!r.contains(4L))
   }
 
+  test("span operators: conservation invariants and partitioning invariance") {
+    // seeded random docs over a 12-word vocab so 4-token spans genuinely
+    // collide across documents
+    val rnd = new scala.util.Random(21)
+    val rdocs = (0L until 60L).map { i =>
+      (i, Seq.fill(12 + rnd.nextInt(12))("w" + rnd.nextInt(12)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val chunks = Corpus.chunkByTokens(rdocs, "text", "doc_id", 4, 0)
+      .collect().map(r => (r.getLong(0), r.getString(3)))
+    val globalCount = chunks.groupBy(_._2).view.mapValues(_.length).toMap
+
+    val dup = Corpus.duplicateSpans(rdocs, "text", "doc_id", spanTokens = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // conservation: per-doc span counts match chunking; dup spans are
+    // exactly the spans whose global occurrence count exceeds 1
+    for ((id, docChunks) <- chunks.groupBy(_._1)) {
+      assert(dup(id)._1 == docChunks.length.toLong)
+      assert(dup(id)._2 == docChunks.count(c => globalCount(c._2) > 1).toLong)
+    }
+
+    val kept = Corpus.removeDuplicateSpans(rdocs, "text", "doc_id", spanTokens = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // every distinct span survives exactly once corpus-wide
+    assert(kept.values.sum == globalCount.size.toLong)
+
+    // content-hash operators must not care how the input is partitioned
+    val dup7 = Corpus.duplicateSpans(rdocs.repartition(7), "text", "doc_id",
+        spanTokens = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(dup7 == dup)
+    val kept7 = Corpus.removeDuplicateSpans(rdocs.repartition(7), "text",
+        "doc_id", spanTokens = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(kept7 == kept)
+  }
+
   test("corpus stats: exact sums, null-text and null-key handling") {
     val d = Seq(
       (0L, Option("one two three"), Option("a"), Option("en")),
