@@ -542,6 +542,14 @@ object Queries {
                   col("n_contaminated"), col("ratio"))
       }),
 
+      // corpus-unigram cross-entropy / perplexity (CCNet-style quality
+      // signal, self-scored); per-term round-to-9 + DECIMAL summation
+      // makes the transcendental sum order-independent cross-engine
+      "unigram_ce" -> ((s, dir) =>
+        Corpus.unigramCrossEntropy(docs(s, dir), "text", "doc_id")
+          .select(col("id").as("doc_id"), col("n_tok"),
+                  col("ce"), col("ppl"))),
+
       // intra-corpus duplicate spans: per-doc count of 16-token disjoint
       // windows occurring >= 2 times corpus-wide (C4-style span-dedup
       // signal); spans ride the count shuffle as md5 hashes
@@ -1407,6 +1415,27 @@ object Queries {
          |       CAST(round(CAST(count(e.sh) AS DOUBLE) / count(*), 6) AS DOUBLE) AS ratio
          |FROM d LEFT JOIN ev e ON e.sh = d.sh
          |GROUP BY d.doc_id""".stripMargin,
+
+    // per-term round(.,9) then DECIMAL(28,9) summation on BOTH sides:
+    // ln values agree bit-for-bit (the idf precedent), and the decimal
+    // sum is exact/associative, so hash-agg order cannot move ce
+    "unigram_ce" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents WHERE text IS NOT NULL),
+         |tf AS MATERIALIZED (
+         |  SELECT doc_id, u.t AS token, count(*) AS tf
+         |  FROM t, LATERAL (SELECT unnest(toks) AS t) u GROUP BY doc_id, u.t),
+         |cnt AS MATERIALIZED (SELECT token, sum(tf) AS c FROM tf GROUP BY token),
+         |tot AS (SELECT sum(c) AS n FROM cnt),
+         |terms AS (
+         |  SELECT f.doc_id, f.tf,
+         |         CAST(round(f.tf * -ln(CAST(c.c AS DOUBLE) / CAST(tt.n AS DOUBLE)), 9)
+         |              AS DECIMAL(28, 9)) AS term
+         |  FROM tf f JOIN cnt c ON c.token = f.token, tot tt)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |       CAST(sum(tf) AS BIGINT) AS n_tok,
+         |       CAST(round(CAST(sum(term) AS DOUBLE) / sum(tf), 6) AS DOUBLE) AS ce,
+         |       CAST(round(exp(round(CAST(sum(term) AS DOUBLE) / sum(tf), 6)), 6) AS DOUBLE) AS ppl
+         |FROM terms GROUP BY doc_id""".stripMargin,
 
     // same chunking arithmetic as doc_chunks at (16, 0); dup = identical
     // normalized span text >= 2 occurrences corpus-wide (the engine

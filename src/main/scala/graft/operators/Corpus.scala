@@ -159,6 +159,45 @@ object Corpus {
                 lit(chunkSize))).as("chunk_text"))
   }
 
+  /** Corpus-unigram cross-entropy per document (the CCNet-style
+    * perplexity filtering signal, self-scored): ce = mean over the
+    * document's tokens of -ln(count(token) / total_tokens) under the
+    * corpus's own unigram distribution, ppl = exp(ce). Low-entropy docs
+    * are templated/repetitive, high-entropy docs are rare-token noise;
+    * curation keeps the middle band. Self-scoring means every token is
+    * in-vocabulary — no smoothing parameter to pick. Documents with no
+    * tokens (or NULL text) are omitted. Returns (id, n_tok, ce, ppl).
+    *
+    * Scale shape: same as `tfidfTerms` — per-(doc, token) counts and
+    * global token counts are two aggregations of one scan joined on the
+    * token (AQE broadcasts small vocabularies); the total-token count
+    * aggregates the ALREADY-reduced vocabulary, not the corpus. The
+    * per-document sum of transcendental terms is order-independent by
+    * construction: each term rounds to 9 decimals and sums in DECIMAL
+    * (exact, associative), so hash-agg accumulation order — which
+    * differs between engines and across partitionings — cannot move the
+    * result (same convention as the revenue aggregates).
+    */
+  def unigramCrossEntropy(df: DataFrame, textCol: String,
+                          idCol: String): DataFrame = {
+    val tf = df.select(col(idCol).cast("long").as("id"),
+        TextFunctions.tokens(col(textCol)).as("__t"))
+      .select(col("id"), explode(col("__t")).as("token"))
+      .groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val counts = tf.groupBy("token").agg(sum(col("tf")).as("__c"))
+    val total = counts.agg(sum(col("__c")).as("__n"))
+    val term = round(col("tf") * -log(col("__c").cast("double") /
+        col("__n").cast("double")), 9)
+      .cast(org.apache.spark.sql.types.DecimalType(28, 9))
+    tf.join(counts, "token")
+      .crossJoin(broadcast(total))
+      .groupBy("id")
+      .agg(sum(col("tf")).as("n_tok"), sum(term).as("__s"))
+      .select(col("id"), col("n_tok"),
+        round(col("__s").cast("double") / col("n_tok"), 6).as("ce"))
+      .withColumn("ppl", round(exp(col("ce")), 6))
+  }
+
   /** Intra-corpus duplicate-span statistics: chunk each document into
     * disjoint `spanTokens`-token windows (`chunkByTokens` with overlap
     * 0, so the same normalization and trailing-window rules apply) and

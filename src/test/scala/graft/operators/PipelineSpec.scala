@@ -258,6 +258,27 @@ class PipelineSpec extends SparkSpec {
     assert(!r.contains(4L))
   }
 
+  test("unigram cross-entropy: hand-computed distribution, self-scored") {
+    // corpus of 8 tokens total: a x4, b x2, c x1, d x1
+    // p(a)=1/2, p(b)=1/4, p(c)=p(d)=1/8
+    val d = Seq((0L, "a a a a"), (1L, "b b c d"), (2L, ""), (3L, null))
+      .map { case (i, t) => (i, Option(t)) }.toDF("doc_id", "text")
+    val r = Corpus.unigramCrossEntropy(d, "text", "doc_id")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    val ln2 = math.log(2.0)
+    // doc 0: 4 tokens of a -> ce = ln 2
+    assert(r(0L)._1 == 4L && math.abs(r(0L)._2 - ln2) < 1e-6)
+    // doc 1: (2*2ln2 + 3ln2 + 3ln2) / 4 = 2.5 ln 2
+    assert(r(1L)._1 == 4L && math.abs(r(1L)._2 - 2.5 * ln2) < 1e-6)
+    assert(!r.contains(2L) && !r.contains(3L)) // token-less docs omitted
+
+    // partitioning invariance: decimal term summation is exact, so the
+    // hash-agg accumulation order cannot move ce even in the last ulp
+    val r7 = Corpus.unigramCrossEntropy(d.repartition(5), "text", "doc_id")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(r7 == r)
+  }
+
   test("span operators: conservation invariants and partitioning invariance") {
     // seeded random docs over a 12-word vocab so 4-token spans genuinely
     // collide across documents
