@@ -172,6 +172,9 @@ object Corpus {
     * global token counts are two aggregations of one scan joined on the
     * token (AQE broadcasts small vocabularies); the total-token count
     * aggregates the ALREADY-reduced vocabulary, not the corpus. The
+    * STATIC plan prints the tf subtree once per reference; execution
+    * collapses them via AQE stage reuse on the canonicalized exchange
+    * (one corpus scan — spec-pinned in `PipelineSpec`). The
     * per-document sum of transcendental terms is order-independent by
     * construction: each term rounds to 9 decimals and sums in DECIMAL
     * (exact, associative), so hash-agg accumulation order — which

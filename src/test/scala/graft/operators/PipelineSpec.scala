@@ -279,6 +279,24 @@ class PipelineSpec extends SparkSpec {
     assert(r7 == r)
   }
 
+  test("multi-consumer aggregation plans reuse exchanges at runtime (one scan)") {
+    // documentFrequencies and unigramCrossEntropy both reference shared
+    // aggregation subtrees from several plan branches; the static plan
+    // prints one scan per reference, but execution must collapse them —
+    // AQE stage reuse (or ReuseExchange) keyed on the canonicalized
+    // exchange. A regression here multiplies full corpus scans at 100 TB.
+    val d = Seq((0L, "a b a"), (1L, "b c"), (2L, "a")).toDF("doc_id", "text")
+    for ((name, plan) <- Seq(
+        "documentFrequencies" -> Corpus.documentFrequencies(d, "text"),
+        "unigramCrossEntropy" -> Corpus.unigramCrossEntropy(d, "text", "doc_id"))) {
+      plan.collect()
+      val executed = plan.queryExecution.executedPlan.toString
+      val reuses = "ReusedExchange|ReusedQueryStage".r.findAllIn(executed).length
+      assert(reuses >= 1,
+        s"$name executed with no exchange/stage reuse:\n${executed.take(2000)}")
+    }
+  }
+
   test("span operators: conservation invariants and partitioning invariance") {
     // seeded random docs over a 12-word vocab so 4-token spans genuinely
     // collide across documents
