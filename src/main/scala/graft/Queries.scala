@@ -542,6 +542,21 @@ object Queries {
                   col("n_contaminated"), col("ratio"))
       }),
 
+      // END-TO-END curation pipeline: Gopher filter -> exact dedup ->
+      // language-stratified sampling, composed as one lineage (each
+      // stage a single pass). Pins that the operators COMPOSE — the
+      // oracle replays all three stages sequentially in SQL
+      "curation_e2e" -> ((s, dir) => {
+        val kept = Corpus.gopherKeep(docs(s, dir), "text",
+          minTok = 30, maxTok = 100000, minStopHits = 1)
+        val deduped = Dedup.dropExactDuplicates(kept, "text", "doc_id")
+        graft.operators.Sampling.sampleByHashStratified(
+            deduped.withColumn("lang", langId(col("text"))),
+            "doc_id", "lang", Map("en" -> 0.6), defaultRate = 0.15,
+            salt = "cur")
+          .select(col("doc_id").cast("long").as("doc_id"), col("lang"))
+      }),
+
       // corpus-unigram cross-entropy / perplexity (CCNet-style quality
       // signal, self-scored); per-term round-to-9 + DECIMAL summation
       // makes the transcendental sum order-independent cross-engine
@@ -1415,6 +1430,38 @@ object Queries {
          |       CAST(round(CAST(count(e.sh) AS DOUBLE) / count(*), 6) AS DOUBLE) AS ratio
          |FROM d LEFT JOIN ev e ON e.sh = d.sh
          |GROUP BY d.doc_id""".stripMargin,
+
+    // three-stage sequential replay: Gopher verdict (gopher_filter's
+    // thresholds at 30/1), exact-dedup min-id per fingerprint AMONG
+    // SURVIVORS, then the stratified md5 threshold (en 0.6 -> 9999999a,
+    // default 0.15 -> 26666666, salt 'cur')
+    "curation_e2e" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents WHERE text IS NOT NULL),
+         |g AS (SELECT doc_id, toks, len(toks) AS n_tok,
+         |        CASE WHEN len(toks) = 0 THEN 0
+         |             ELSE round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+         |                        / len(toks), 6) END AS mean_tok_len,
+         |        CASE WHEN len(toks) = 0 THEN 0
+         |             ELSE round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+         |                        / len(toks), 6) END AS alpha_ratio,
+         |        len(list_filter(toks, x -> list_contains(['the', 'and', 'of', 'to', 'is', 'in', 'that', 'it'], x))) AS n_stop
+         |      FROM t),
+         |k AS (SELECT doc_id, toks FROM g
+         |      WHERE n_tok BETWEEN 30 AND 100000 AND mean_tok_len BETWEEN 3 AND 10
+         |        AND alpha_ratio >= 0.8 AND n_stop >= 1),
+         |d AS (SELECT doc_id, toks,
+         |        row_number() OVER (
+         |          PARTITION BY md5(COALESCE(array_to_string(toks, ' '), ''))
+         |          ORDER BY doc_id) AS rn
+         |      FROM k),
+         |s AS (SELECT doc_id, toks,
+         |       $langScoresSql
+         |FROM d WHERE rn = 1),
+         |l AS (SELECT doc_id, $langCaseSql AS lang FROM s)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+         |FROM l
+         |WHERE substr(md5(concat('cur', CAST(doc_id AS VARCHAR))), 1, 8) <
+         |      CASE lang WHEN 'en' THEN '9999999a' ELSE '26666666' END""".stripMargin,
 
     // per-term round(.,9) then DECIMAL(28,9) summation on BOTH sides:
     // ln values agree bit-for-bit (the idf precedent), and the decimal

@@ -320,6 +320,61 @@ object Corpus {
     * tokenization per row (materialized token attribute feeds every
     * signal), embarrassingly parallel.
     */
+  /** The Gopher verdict as ONE column expression over a token array —
+    * all four signals accumulate in a single `aggregate` pass (token
+    * count, total length, alphabetic hits, stop hits), and the verdict
+    * is computed in the finish lambda where they are bound variables.
+    * This keeps the expensive tokenization at ONE evaluation even when
+    * the expression sits in a filter (Catalyst's alias substitution
+    * would re-inline a materialized column once per signal — the same
+    * trap `langIdOfTokens` documents). Agreement with [[gopherFilter]]'s
+    * per-signal columns is spec-pinned.
+    */
+  def gopherPassOfTokens(ts: Column,
+                         minTok: Int = 50, maxTok: Int = 100000,
+                         minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                         minAlphaRatio: Double = 0.8, minStopHits: Int = 2,
+                         stopWords: Seq[String] =
+                           TextFunctions.langMarkers.toMap.apply("en")): Column = {
+    val stopSet = array(stopWords.map(lit): _*)
+    val zero = struct(lit(0L).as("n"), lit(0L).as("len"),
+                      lit(0L).as("alpha"), lit(0L).as("stop"))
+    val step = (a: Column, t: Column) => struct(
+      (a.getField("n") + 1).as("n"),
+      (a.getField("len") + length(t)).as("len"),
+      (a.getField("alpha") + when(t.rlike("[a-z]"), 1L).otherwise(0L)).as("alpha"),
+      (a.getField("stop") + when(array_contains(stopSet, t), 1L).otherwise(0L)).as("stop"))
+    val finish = (a: Column) => {
+      val n = a.getField("n")
+      // thresholds apply to the ROUNDED ratios, exactly like the
+      // gopherFilter columns (and the DuckDB oracle)
+      val meanLen = round(a.getField("len").cast("double") / n, 6)
+      val alphaRatio = round(a.getField("alpha").cast("double") / n, 6)
+      when(n === 0, lit(false)).otherwise(
+        n.between(minTok, maxTok) &&
+        meanLen.between(minMeanLen, maxMeanLen) &&
+        alphaRatio >= minAlphaRatio &&
+        a.getField("stop") >= minStopHits)
+    }
+    aggregate(ts, zero, step, finish)
+  }
+
+  /** The filtering form of [[gopherFilter]]: returns the input rows
+    * (ALL original columns) that pass the Gopher rules, for pipeline
+    * composition — one scan, one tokenization per row (see
+    * [[gopherPassOfTokens]]). NULL-text rows fail (no signals).
+    */
+  def gopherKeep(df: DataFrame, textCol: String,
+                 minTok: Int = 50, maxTok: Int = 100000,
+                 minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                 minAlphaRatio: Double = 0.8, minStopHits: Int = 2,
+                 stopWords: Seq[String] =
+                   TextFunctions.langMarkers.toMap.apply("en")): DataFrame =
+    df.where(col(textCol).isNotNull &&
+      gopherPassOfTokens(TextFunctions.tokens(col(textCol)),
+        minTok, maxTok, minMeanLen, maxMeanLen, minAlphaRatio,
+        minStopHits, stopWords))
+
   def gopherFilter(df: DataFrame, textCol: String, idCol: String,
                    minTok: Int = 50, maxTok: Int = 100000,
                    minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,

@@ -258,6 +258,33 @@ class PipelineSpec extends SparkSpec {
     assert(!r.contains(4L))
   }
 
+  test("gopherKeep agrees with gopherFilter's verdict and keeps all columns") {
+    // the single-aggregate pass expression and the per-signal columns
+    // are two implementations of the same rules — pin their agreement
+    // on a fixture exercising every threshold (short, long-token,
+    // digit-heavy, empty, null, stop-word-free)
+    val rnd = new scala.util.Random(5)
+    val d = ((0L until 40L).map { i =>
+      (i, Option(Seq.fill(3 + rnd.nextInt(12))(
+        rnd.nextInt(4) match {
+          case 0 => "the"
+          case 1 => "99" + rnd.nextInt(100)
+          case 2 => "antidisestablishmentarianism"
+          case _ => "cat" + rnd.nextInt(10)
+        }).mkString(" ")))
+    } ++ Seq((40L, Option("")), (41L, Option.empty[String]))).toDF("doc_id", "text")
+    val viaFilter = Corpus.gopherFilter(d, "text", "doc_id",
+        minTok = 5, maxTok = 100, minAlphaRatio = 0.5, minStopHits = 1)
+      .where(col("pass")).collect().map(_.getLong(0)).toSet
+    val viaKeep = Corpus.gopherKeep(d, "text",
+        minTok = 5, maxTok = 100, minAlphaRatio = 0.5, minStopHits = 1)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(viaKeep == viaFilter, s"keep/filter disagree: ${viaKeep} vs ${viaFilter}")
+    assert(viaKeep.nonEmpty && viaKeep.size < 40) // thresholds actually split
+    // gopherKeep preserves the full input schema for composition
+    assert(Corpus.gopherKeep(d, "text").columns.toSeq == Seq("doc_id", "text"))
+  }
+
   test("unigram cross-entropy: hand-computed distribution, self-scored") {
     // corpus of 8 tokens total: a x4, b x2, c x1, d x1
     // p(a)=1/2, p(b)=1/4, p(c)=p(d)=1/8
@@ -817,7 +844,9 @@ class PipelineSpec extends SparkSpec {
       sh.unpersist(blocking = true)
     }
     val after = sc.getPersistentRDDs.size
-    assert(after == before,
+    // <= not ==: earlier tests' NON-BLOCKING unpersists can complete
+    // between the two reads and shrink the count; only GROWTH is a leak
+    assert(after <= before,
       s"candidate cache leak across repeated calls: $before -> $after persistent RDDs")
   }
 
