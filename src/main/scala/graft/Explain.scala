@@ -27,7 +27,8 @@ object Explain {
         "repetition_stats", "pattern_counts", "ann_lsh_topk", "ann_recall",
         "contamination", "dedup_drop_near", "stratified_sample",
         "doc_freq", "tfidf_terms", "dup_spans", "span_dedup",
-        "corpus_stats", "gopher_filter", "unigram_ce").foreach(show)
+        "corpus_stats", "gopher_filter", "unigram_ce",
+        "curation_e2e").foreach(show)
     spark.stop()
   }
 }

@@ -207,8 +207,12 @@ object Queries {
     // values are additionally golden-pinned in SomInitSpec.
     "som_pca_init" -> ((s, dir) => {
       val som = new Som(SomConfig(3, 3))
-      val cb = som.pcaInit(emb(s, dir), "embedding")
+      // ONE distributed covariance pass feeds both the init (pcaFromCov,
+      // as pcaInit composes it) and the invariant checks — calling
+      // pcaInit AND sampleCovariance would scan the data twice for
+      // bit-identical matrices
       val (cov, _) = som.sampleCovariance(emb(s, dir), "embedding")
+      val cb = Codebook.pcaFromCov(3, 3, cov)
       val (v, lam) = Codebook.eigenBasis(cov)
       val d = cb.dim
       def w(i: Int, j: Int): Array[Double] =

@@ -346,15 +346,21 @@ object Corpus {
       (a.getField("stop") + when(array_contains(stopSet, t), 1L).otherwise(0L)).as("stop"))
     val finish = (a: Column) => {
       val n = a.getField("n")
-      // thresholds apply to the ROUNDED ratios, exactly like the
-      // gopherFilter columns (and the DuckDB oracle)
-      val meanLen = round(a.getField("len").cast("double") / n, 6)
-      val alphaRatio = round(a.getField("alpha").cast("double") / n, 6)
-      when(n === 0, lit(false)).otherwise(
-        n.between(minTok, maxTok) &&
+      // thresholds apply to the ROUNDED ratios, with token-less docs
+      // scoring 0.0 — EXACTLY like the gopherFilter columns (and the
+      // DuckDB oracle), so the two forms agree under every threshold
+      // choice, including degenerate all-zero ones (a `when(n === 0,
+      // false)` shortcut would diverge there). The when-guards also
+      // keep 0/0 NaN out of the comparisons — Spark orders NaN larger
+      // than every number, so NaN >= minAlphaRatio would PASS.
+      val meanLen = when(n === 0, 0.0)
+        .otherwise(round(a.getField("len").cast("double") / n, 6))
+      val alphaRatio = when(n === 0, 0.0)
+        .otherwise(round(a.getField("alpha").cast("double") / n, 6))
+      n.between(minTok, maxTok) &&
         meanLen.between(minMeanLen, maxMeanLen) &&
         alphaRatio >= minAlphaRatio &&
-        a.getField("stop") >= minStopHits)
+        a.getField("stop") >= minStopHits
     }
     aggregate(ts, zero, step, finish)
   }
@@ -369,11 +375,14 @@ object Corpus {
                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
                  minAlphaRatio: Double = 0.8, minStopHits: Int = 2,
                  stopWords: Seq[String] =
-                   TextFunctions.langMarkers.toMap.apply("en")): DataFrame =
+                   TextFunctions.langMarkers.toMap.apply("en")): DataFrame = {
+    require(minTok >= 0 && minTok <= maxTok && minMeanLen <= maxMeanLen,
+      s"inconsistent gopher thresholds: tok [$minTok,$maxTok] len [$minMeanLen,$maxMeanLen]")
     df.where(col(textCol).isNotNull &&
       gopherPassOfTokens(TextFunctions.tokens(col(textCol)),
         minTok, maxTok, minMeanLen, maxMeanLen, minAlphaRatio,
         minStopHits, stopWords))
+  }
 
   def gopherFilter(df: DataFrame, textCol: String, idCol: String,
                    minTok: Int = 50, maxTok: Int = 100000,

@@ -140,20 +140,6 @@ object Codebook {
     new Codebook(x, y, dim, w)
   }
 
-  /** PCA init (`xpysom.py:762-785`): weights span linear combos of the
-    * first two ROWS of the eigenvector matrix (sic — the reference
-    * indexes rows, a documented MiniSom quirk), over a linspace(−1,1)
-    * grid. `cov` is the D x D sample covariance (N−1 normalization).
-    *
-    * NOTE on exactness: numpy's `eig` returns eigenpairs in an
-    * UNSPECIFIED order with arbitrary signs, and the reference's result
-    * depends on that order (it takes rows `pc_order[0/1]` of the
-    * natively-ordered matrix). Bit-parity with the reference is
-    * therefore unattainable in general; this implementation fixes a
-    * deterministic convention — columns sorted by descending eigenvalue,
-    * sign normalized first-nonzero-positive — which reproduces the
-    * reference's pinned 2x2 fixture (`tests.py:129-134`).
-    */
   /** The eigen basis `pcaFromCov` builds on, exposed for the pca-init
     * invariant oracle: (V, eigenvalues) with V's COLUMNS the
     * eigenvectors of `cov` in descending-eigenvalue order, each
@@ -182,6 +168,20 @@ object Codebook {
     (v, order.map(es.eigenvalues(_)).toArray)
   }
 
+  /** PCA init (`xpysom.py:762-785`): weights span linear combos of the
+    * first two ROWS of the eigenvector matrix (sic — the reference
+    * indexes rows, a documented MiniSom quirk), over a linspace(−1,1)
+    * grid. `cov` is the D x D sample covariance (N−1 normalization).
+    *
+    * NOTE on exactness: numpy's `eig` returns eigenpairs in an
+    * UNSPECIFIED order with arbitrary signs, and the reference's result
+    * depends on that order (it takes rows `pc_order[0/1]` of the
+    * natively-ordered matrix). Bit-parity with the reference is
+    * therefore unattainable in general; this implementation fixes a
+    * deterministic convention — columns sorted by descending eigenvalue,
+    * sign normalized first-nonzero-positive — which reproduces the
+    * reference's pinned 2x2 fixture (`tests.py:129-134`).
+    */
   def pcaFromCov(x: Int, y: Int, cov: Array[Array[Double]]): Codebook = {
     val d = cov.length
     if (d < 2)

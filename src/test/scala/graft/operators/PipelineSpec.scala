@@ -283,6 +283,19 @@ class PipelineSpec extends SparkSpec {
     assert(viaKeep.nonEmpty && viaKeep.size < 40) // thresholds actually split
     // gopherKeep preserves the full input schema for composition
     assert(Corpus.gopherKeep(d, "text").columns.toSeq == Seq("doc_id", "text"))
+    // degenerate all-zero thresholds: BOTH forms pass the empty doc
+    // (zero signals satisfy zero minimums) and fail only the null row
+    val lax = Corpus.gopherKeep(d, "text", minTok = 0, minMeanLen = 0.0,
+        minAlphaRatio = 0.0, minStopHits = 0)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val laxFilter = Corpus.gopherFilter(d, "text", "doc_id", minTok = 0,
+        minMeanLen = 0.0, minAlphaRatio = 0.0, minStopHits = 0)
+      .where(col("pass")).collect().map(_.getLong(0)).toSet
+    assert(lax == laxFilter && lax.contains(40L) && !lax.contains(41L))
+    // inconsistent thresholds fail fast in BOTH forms
+    intercept[IllegalArgumentException] {
+      Corpus.gopherKeep(d, "text", minTok = 10, maxTok = 5)
+    }
   }
 
   test("unigram cross-entropy: hand-computed distribution, self-scored") {
