@@ -22,8 +22,8 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val phase = args.headOption.getOrElse("all")
     val repeats = args.lift(1).map(_.toInt).getOrElse(1)
-    require(Set("minhash", "resolve", "all")(phase),
-      s"unknown phase '$phase' (want minhash|resolve|all)")
+    require(Set("minhash", "resolve", "spans", "all")(phase),
+      s"unknown phase '$phase' (want minhash|resolve|spans|all)")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -49,6 +49,31 @@ object ScaleProbe {
           r.unpersist(blocking = true)
         }
         println(f"[scale] minhash 2M docs (run $rep/$repeats): $tMinhash%.1f s")
+        docs2m.unpersist(blocking = true)
+        settle()
+      }
+
+      if (phase == "spans" || phase == "all") {
+        // span operators at 2M docs (10x their bench entries): ~6.2M
+        // spans, ~75% duplicated (groups of 4) — the count/firsts
+        // aggregations and re-attach joins at real reduction ratios
+        val docs2m = BenchData.dupGroupDocs(spark, 2000000)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        docs2m.count()
+        val tDup = time {
+          println("  dup spans: " + operators.Corpus
+            .duplicateSpans(docs2m, "text", "doc_id")
+            .agg(org.apache.spark.sql.functions.sum("n_dup_spans"))
+            .collect().head.get(0))
+        }
+        println(f"[scale] dup_spans 2M docs (run $rep/$repeats): $tDup%.1f s")
+        val tDedup = time {
+          println("  spans kept: " + operators.Corpus
+            .removeDuplicateSpans(docs2m, "text", "doc_id")
+            .agg(org.apache.spark.sql.functions.sum("n_kept"))
+            .collect().head.get(0))
+        }
+        println(f"[scale] span_dedup 2M docs (run $rep/$repeats): $tDedup%.1f s")
         docs2m.unpersist(blocking = true)
         settle()
       }
