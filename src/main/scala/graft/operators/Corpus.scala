@@ -336,14 +336,20 @@ object Corpus {
                          minAlphaRatio: Double = 0.8, minStopHits: Int = 2,
                          stopWords: Seq[String] =
                            TextFunctions.langMarkers.toMap.apply("en")): Column = {
-    val stopSet = array(stopWords.map(lit): _*)
+    // stop-word membership is a map-literal hash probe (O(1) per token);
+    // array_contains over a literal array is a linear scan — fine at the
+    // 8-marker default, quadratic pain at real Gopher-scale lists
+    // (hundreds of words). See TextFunctions.memberOf.
+    val stopHit: Column => Column =
+      if (stopWords.isEmpty) _ => lit(0L)
+      else t => when(TextFunctions.memberOf(stopWords)(t), 1L).otherwise(0L)
     val zero = struct(lit(0L).as("n"), lit(0L).as("len"),
                       lit(0L).as("alpha"), lit(0L).as("stop"))
     val step = (a: Column, t: Column) => struct(
       (a.getField("n") + 1).as("n"),
       (a.getField("len") + length(t)).as("len"),
       (a.getField("alpha") + when(t.rlike("[a-z]"), 1L).otherwise(0L)).as("alpha"),
-      (a.getField("stop") + when(array_contains(stopSet, t), 1L).otherwise(0L)).as("stop"))
+      (a.getField("stop") + stopHit(t)).as("stop"))
     val finish = (a: Column) => {
       val n = a.getField("n")
       // thresholds apply to the ROUNDED ratios, with token-less docs
@@ -392,15 +398,17 @@ object Corpus {
                      TextFunctions.langMarkers.toMap.apply("en")): DataFrame = {
     require(minTok >= 0 && minTok <= maxTok && minMeanLen <= maxMeanLen,
       s"inconsistent gopher thresholds: tok [$minTok,$maxTok] len [$minMeanLen,$maxMeanLen]")
-    val stopSet = array(stopWords.map(lit): _*)
     val ts = col("__ts")
     val n = size(ts)
     val meanLen = when(n === 0, 0.0).otherwise(
       round(aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") / n, 6))
     val alphaRatio = when(n === 0, 0.0).otherwise(
       round(size(filter(ts, t => t.rlike("[a-z]"))).cast("double") / n, 6))
-    // occurrences, not distinct hits: a doc saying "the the the" has 3
-    val nStop = size(filter(ts, t => array_contains(stopSet, t)))
+    // occurrences, not distinct hits: a doc saying "the the the" has 3;
+    // membership is the same map-literal hash probe as gopherPassOfTokens
+    val nStop =
+      if (stopWords.isEmpty) lit(0)
+      else size(filter(ts, TextFunctions.memberOf(stopWords)))
     df.where(col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("id"),
               TextFunctions.tokens(col(textCol)).as("__ts"))

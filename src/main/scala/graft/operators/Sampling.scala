@@ -82,8 +82,11 @@ object Sampling {
         val thresholds = map(rates.toSeq.sortBy(_._1).flatMap {
           case (stratum, rate) => Seq(lit(stratum), lit(hexThresholdOrAll(rate)))
         }: _*)
-        // element_at on a missing or NULL key yields NULL -> default rate
-        coalesce(element_at(thresholds, col(strataCol)), default)
+        // try_element_at on a missing or NULL key yields NULL -> default
+        // rate. (Plain element_at only guarantees null-on-missing-key
+        // since Spark 3.4 / SPARK-40066 — under earlier ANSI modes it
+        // threw; the try_ form pins the contract version-proof.)
+        coalesce(try_element_at(thresholds, col(strataCol)), default)
       }
     df.where(bucket(col(keyCol), salt) < thr)
   }

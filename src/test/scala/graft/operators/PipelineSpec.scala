@@ -337,6 +337,52 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("Materialize.once: values match withColumn, expression evaluated once") {
+    // an expensive computed column consumed by BOTH a filter and the
+    // output projection: plain withColumn lets Catalyst inline the
+    // expression into each consumer (two evaluations per row); the
+    // EvalOnce barrier must keep exactly ONE copy in the optimized plan
+    // while producing identical rows.
+    // the exact consumer shape of the stratified sampler: the computed
+    // stratum feeds BOTH the sampler's per-stratum threshold filter and
+    // the output projection. The duplication only triggers over a FILE
+    // source (predicate pushdown toward the scan substitutes the alias
+    // into the pushed filter; over a LocalRelation the same query stays
+    // single-copy), so this spec reads the real parquet table.
+    val expensive = when(
+      aggregate(split(col("text"), " "), lit(0),
+        (acc, t) => acc + when(t === "the", 1).otherwise(0)) >= 1,
+      "hot").otherwise("cold")
+    def shaped(d: org.apache.spark.sql.DataFrame) =
+      Sampling.sampleByHashStratified(d, "doc_id", "score",
+          Map("hot" -> 0.9, "cold" -> 0.8), defaultRate = 0.7, salt = "g")
+        .select(col("doc_id"), col("score"))
+
+    val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where(col("text").isNotNull)
+    val viaAlias = shaped(src.withColumn("score", expensive))
+    val viaOnce = shaped(Materialize.once(src, "score", expensive))
+    assert(viaOnce.collect().map(_.toString).sorted
+      .sameElements(viaAlias.collect().map(_.toString).sorted))
+
+    def aggCount(d: org.apache.spark.sql.DataFrame): Int =
+      "lambdafunction".r.findAllIn(
+        d.queryExecution.optimizedPlan.toString).length
+    // per-occurrence lambda count, measured on a single-consumer plan
+    val per = aggCount(src.select(expensive.as("score")))
+    assert(per >= 1)
+    assert(aggCount(viaAlias) == 2 * per,
+      "control: alias form should inline the expression twice")
+    assert(aggCount(viaOnce) == per,
+      s"EvalOnce barrier leaked:\n${viaOnce.queryExecution.optimizedPlan}")
+
+    // withColumn replacement semantics: an existing column of the same
+    // name is replaced, not duplicated (documents has a `lang` column)
+    val replaced = Materialize.once(docs.withColumn("score", lit(9)),
+      "score", expensive)
+    assert(replaced.columns.count(_ == "score") == 1)
+  }
+
   test("span operators: conservation invariants and partitioning invariance") {
     // seeded random docs over a 12-word vocab so 4-token spans genuinely
     // collide across documents
