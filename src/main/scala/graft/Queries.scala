@@ -19,6 +19,19 @@ import graft.som._
   */
 object Queries {
 
+  /** Ingest contract for the two corpus tables.
+    *
+    * `docs` is the NON-NULL-TEXT view of `documents.parquet`: every
+    * text operator (dedup, gopher, sampling, tf-idf, chunking, spans,
+    * …) reads it, and each oracle mirrors the contract with
+    * `WHERE text IS NOT NULL`. The one deliberate exception is
+    * `corpus_stats`, which reads the UNFILTERED table via its own
+    * `s.read.parquet` — the report card's null-text accounting
+    * (`n_null_text`, `count(text)` vs `count(*)`) is part of its
+    * output and would vanish under this view. `emb` is the embeddings
+    * table as-is (`vec_id`, `embedding: array<float>`, no nulls by
+    * construction — see TESTDATA.md).
+    */
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -560,7 +573,8 @@ object Queries {
           minTok = 30, maxTok = 100000, minStopHits = 1)
         val deduped = Dedup.dropExactDuplicates(kept, "text", "doc_id")
         graft.operators.Sampling.sampleByHashStratified(
-            deduped.withColumn("lang", langId(col("text"))),
+            graft.operators.Materialize.once(deduped, "lang",
+              langId(col("text"))),
             "doc_id", "lang", Map("en" -> 0.6), defaultRate = 0.15,
             salt = "cur")
           .select(col("doc_id").cast("long").as("doc_id"), col("lang"))

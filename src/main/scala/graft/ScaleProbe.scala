@@ -11,19 +11,20 @@ import org.apache.spark.sql.SparkSession
   *    path actually serves in production (the forced bench entry covers
   *    the same code path at 200k edges).
   *
-  * Usage: `runMain graft.ScaleProbe [minhash|resolve|all] [repeats]`.
-  * Run each phase in its OWN JVM (`all` exists for convenience only):
-  * round 5 recorded a 103 s resolve outlier that was same-JVM memory
-  * pressure from the preceding 2M-doc minhash phase, not resolver
-  * behavior — phase isolation is what makes the headroom numbers
-  * attributable. Results go in COVERAGE.md's scale notes, not BENCH json.
+  * Usage: `runMain graft.ScaleProbe [minhash|resolve|spans|curation|all]
+  * [repeats]`. Run each phase in its OWN JVM (`all` exists for
+  * convenience only): round 5 recorded a 103 s resolve outlier that was
+  * same-JVM memory pressure from the preceding 2M-doc minhash phase, not
+  * resolver behavior — phase isolation is what makes the headroom
+  * numbers attributable. Results go in COVERAGE.md's scale notes, not
+  * BENCH json.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val phase = args.headOption.getOrElse("all")
     val repeats = args.lift(1).map(_.toInt).getOrElse(1)
-    require(Set("minhash", "resolve", "spans", "all")(phase),
-      s"unknown phase '$phase' (want minhash|resolve|spans|all)")
+    require(Set("minhash", "resolve", "spans", "curation", "all")(phase),
+      s"unknown phase '$phase' (want minhash|resolve|spans|curation|all)")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -74,6 +75,39 @@ object ScaleProbe {
             .collect().head.get(0))
         }
         println(f"[scale] span_dedup 2M docs (run $rep/$repeats): $tDedup%.1f s")
+        docs2m.unpersist(blocking = true)
+        settle()
+      }
+
+      if (phase == "curation" || phase == "all") {
+        // the two round-6 heavyweights at 2M docs (400x the sf0.1 rows
+        // their suite entries run on): the full curation lineage and the
+        // corpus cross-entropy. The generator's tokens are synthetic
+        // (`w<hash>`), so the Gopher stop-hits gate is set to 0 — with
+        // the default >=1 every doc fails and the downstream dedup/
+        // sampling stages would probe nothing.
+        import org.apache.spark.sql.functions._
+        val docs2m = BenchData.dupGroupDocs(spark, 2000000)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        docs2m.count()
+        val tCur = time {
+          val kept = operators.Corpus.gopherKeep(docs2m, "text",
+            minTok = 30, maxTok = 100000, minStopHits = 0)
+          val deduped = operators.Dedup.dropExactDuplicates(kept, "text", "doc_id")
+          val sampled = operators.Sampling.sampleByHashStratified(
+            operators.Materialize.once(deduped, "lang",
+              functions.TextFunctions.langId(col("text"))),
+            "doc_id", "lang", Map("en" -> 0.6), defaultRate = 0.15,
+            salt = "cur")
+          println("  curated rows: " + sampled.count())
+        }
+        println(f"[scale] curation_e2e 2M docs (run $rep/$repeats): $tCur%.1f s")
+        val tCe = time {
+          val ce = operators.Corpus.unigramCrossEntropy(docs2m, "text", "doc_id")
+            .agg(sum("n_tok"), avg("ce"))
+          println("  ce agg: " + ce.collect().head)
+        }
+        println(f"[scale] unigram_ce 2M docs (run $rep/$repeats): $tCe%.1f s")
         docs2m.unpersist(blocking = true)
         settle()
       }

@@ -81,9 +81,10 @@ object Corpus {
     * is an equi-join on the token — at small vocabularies AQE
     * broadcasts the df side, at web-corpus vocabularies it degrades
     * gracefully to a hash join that shuffles only (token, counts)
-    * pairs, never documents. Like `documentFrequencies`, the
-    * transcendental tfidf column is for API consumers; the driver
-    * query hash-checks the exact integer tf/df.
+    * pairs, never documents. Since round 6 the driver query hash-checks
+    * the tfidf column too (like `documentFrequencies`' idf): the
+    * oracle reproduces `round(tf * ln(nDocs/df), 6)` bit-for-bit, so
+    * the transcendental column is exact cross-engine, not API-only.
     */
   def tfidfTerms(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val tf = df.select(col(idCol).cast("long").as("id"),

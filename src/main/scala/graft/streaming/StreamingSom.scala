@@ -55,6 +55,37 @@ object StreamingSom {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** End-to-end streaming curation: the append-mode composition of the
+    * batch `curation_e2e` lineage's quality + dedup stages, finished
+    * with a per-window curated-document count.
+    *
+    *   1. Gopher quality gate — `Corpus.gopherKeep`, a pure expression
+    *      filter, stateless on a stream;
+    *   2. watermarked exact-dedup — [[dropDuplicatesStream]], one state
+    *      entry per distinct fingerprint inside the watermark;
+    *   3. windowed count of curated documents — the ingest-rate signal
+    *      a production corpus pipeline alarms on.
+    *
+    * Two stateful operators chained in one query (dedup feeding a
+    * windowed aggregation) is the Spark-4 multiple-stateful-operator
+    * shape; both states are watermark-bounded. Spec-pinned against the
+    * equivalent batch pipeline (`StreamingSpec`).
+    */
+  def curationStream(stream: DataFrame, textCol: String, tsCol: String,
+                     windowDur: String, watermarkDur: String,
+                     minTok: Int = 50, maxTok: Int = 100000,
+                     minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                     minAlphaRatio: Double = 0.8, minStopHits: Int = 2,
+                     stopWords: Seq[String] =
+                       graft.functions.TextFunctions.langMarkers.toMap.apply("en")): DataFrame = {
+    val kept = graft.operators.Corpus.gopherKeep(stream, textCol,
+      minTok, maxTok, minMeanLen, maxMeanLen, minAlphaRatio,
+      minStopHits, stopWords)
+    dropDuplicatesStream(kept, textCol, tsCol, watermarkDur)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Windowed token frequencies over a document stream — the streaming
     * face of `Corpus.tokenFrequencies` (vocabulary drift monitoring,
     * per-window token counts). The token array is materialized in a

@@ -172,6 +172,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("composed curation pipeline (filter -> dedup -> windowed counts) matches batch") {
+    // the full curation lineage as ONE append-mode query with two
+    // chained stateful operators (watermarked dedup feeding a windowed
+    // aggregation) — pins that the batch curation_e2e semantics survive
+    // append mode end to end, micro-batch boundaries included
+    implicit val sqlCtx = spark.sqlContext
+    val t10 = java.sql.Timestamp.valueOf("2026-01-01 10:10:00")
+    val t11 = java.sql.Timestamp.valueOf("2026-01-01 10:40:00")
+    val goodA = "the cat sat on the mat today and it was the best of days"
+    val goodB = "the quick brown fox jumps over the lazy dog again and again today"
+    val rows = Seq(
+      (0L, t10, goodA),
+      (1L, t10, "x x x"),       // fails gopher gate (too short)
+      (2L, t11, goodA),         // dup of 0 -> dropped by dedup
+      (3L, t11, goodB))
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val curated = StreamingSom.curationStream(
+      input.toDF().toDF("doc_id", "ts", "text"), "text", "ts",
+      windowDur = "1 hour", watermarkDur = "2 hours",
+      minTok = 5, maxTok = 100, minStopHits = 1)
+    val q = curated.writeStream.format("memory").queryName("curated_out")
+      .outputMode("append").start()
+    try {
+      // split across micro-batches so the dedup state crosses batches
+      input.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      assert(spark.table("curated_out").count() == 0) // window still open
+      // advance event time far enough to close the 10:00 window
+      input.addData((99L, java.sql.Timestamp.valueOf("2026-01-01 14:00:00"),
+        goodB + " closing tick"))
+      q.processAllAvailable()
+      q.processAllAvailable() // one extra batch so the new watermark takes effect
+      val streamed = spark.table("curated_out").collect()
+        .map(r => r.getStruct(0).getTimestamp(0).toString.take(13) -> r.getLong(1))
+        .toMap
+      // batch equivalent of the closed window: gopher gate -> exact
+      // dedup -> count, over the same rows
+      val kept = graft.operators.Corpus.gopherKeep(
+        rows.toDF("doc_id", "ts", "text"), "text",
+        minTok = 5, maxTok = 100, minStopHits = 1)
+      val batchN = graft.operators.Dedup
+        .dropExactDuplicates(kept, "text", "doc_id").count()
+      assert(streamed == Map("2026-01-01 10" -> batchN), streamed.toString)
+      assert(batchN == 2L) // goodA once (dup dropped), goodB; "x x x" gated
+    } finally q.stop()
+  }
+
   test("streaming near-dup candidates: banded self-join finds in-window pairs") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, java.sql.Timestamp, String)]
