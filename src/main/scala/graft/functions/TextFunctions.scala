@@ -121,20 +121,22 @@ object TextFunctions {
   /** Predicted language: argmax of marker-word hits, ties broken by
     * alphabetical language code.
     *
-    * Single-pass: all five marker scores accumulate in ONE `aggregate`
-    * over the token array, so the expensive regex tokenization runs once
-    * per evaluation. (The previous greatest-of-structs form called
-    * `wordSetCount` per language — five `tokens(text)` inlines per
-    * evaluation, and Catalyst's alias substitution multiplied that again
-    * wherever a `langId` alias was referenced more than once; measured
-    * ~9x on the stratified-sampling query.) The argmax runs in the
-    * aggregate's finish lambda where the score struct is a bound
-    * variable, not a re-inlined expression.
+    * One codegen'd kernel call (`graft.plans.LangIdOf` →
+    * `TextKernels.langIdText`): tokenize + marker scoring + argmax fused
+    * in a single JVM pass. The Column-only predecessor — a higher-order
+    * `aggregate` over `tokens(text)` — was interpreted per token
+    * (HigherOrderFunction is CodegenFallback); the kernel's semantics
+    * are pinned to it by an `ExpressionsSpec` differential test on
+    * adversarial inputs and by the DuckDB oracle cross-engine.
     */
-  def langId(text: Column): Column = langIdOfTokens(tokens(text))
+  def langId(text: Column): Column =
+    graft.plans.GraftFunctions.lang_id_of(text, langMarkers)
 
-  /** `langId` over an already-tokenized column (see the materialization
-    * note on `wordShinglesOfTokens` — pass an attribute when possible).
+  /** `langId` over an already-tokenized column — the composable
+    * array-input form, and the Column-land REFERENCE SEMANTICS the
+    * `LangIdOf` kernel is differential-tested against (single `aggregate`
+    * pass; argmax in the finish lambda where the score struct is a bound
+    * variable, not a re-inlined expression).
     */
   def langIdOfTokens(ts: Column): Column = {
     // Per-language membership stays the |words|=8 sequential `In`

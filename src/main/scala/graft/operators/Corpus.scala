@@ -317,60 +317,63 @@ object Corpus {
     * n_stop, pass).
     *
     * Documents with NULL text are omitted (no signals to compute);
-    * empty docs yield zero signals and fail. Single scan, one
-    * tokenization per row (materialized token attribute feeds every
-    * signal), embarrassingly parallel.
+    * empty docs yield zero signals and fail. Single scan, one fused
+    * tokenize+score kernel pass per row (r7: `graft.plans.GopherStats`
+    * codegen expression — the prior higher-order `aggregate` form was
+    * interpreted per token), embarrassingly parallel. Agreement between
+    * the verdict-only form ([[gopherPass]]) and the signal columns here
+    * is spec-pinned.
     */
-  /** The Gopher verdict as ONE column expression over a token array —
-    * all four signals accumulate in a single `aggregate` pass (token
-    * count, total length, alphabetic hits, stop hits), and the verdict
-    * is computed in the finish lambda where they are bound variables.
-    * This keeps the expensive tokenization at ONE evaluation even when
-    * the expression sits in a filter (Catalyst's alias substitution
-    * would re-inline a materialized column once per signal — the same
-    * trap `langIdOfTokens` documents). Agreement with [[gopherFilter]]'s
-    * per-signal columns is spec-pinned.
+  /** Verdict from a `GopherStats` signal array `[n, len, alpha, stop]`.
+    * The stats value is BOUND once via `Materialize.bind1`, so the four
+    * references below are variable reads, not re-evaluations of the
+    * kernel. Thresholds apply to the ROUNDED ratios, with token-less
+    * docs scoring 0.0 — EXACTLY like the gopherFilter columns (and the
+    * DuckDB oracle), so the two forms agree under every threshold
+    * choice, including degenerate all-zero ones (a `when(n === 0,
+    * false)` shortcut would diverge there). The when-guards also keep
+    * 0/0 NaN out of the comparisons — Spark orders NaN larger than
+    * every number, so NaN >= minAlphaRatio would PASS.
     */
+  private def gopherVerdictOfStats(stats: Column,
+                                   minTok: Int, maxTok: Int,
+                                   minMeanLen: Double, maxMeanLen: Double,
+                                   minAlphaRatio: Double, minStopHits: Int): Column =
+    Materialize.bind1(stats) { a =>
+      val n = a.getItem(0)
+      val meanLen = when(n === 0, 0.0)
+        .otherwise(round(a.getItem(1).cast("double") / n, 6))
+      val alphaRatio = when(n === 0, 0.0)
+        .otherwise(round(a.getItem(2).cast("double") / n, 6))
+      n.between(minTok, maxTok) &&
+        meanLen.between(minMeanLen, maxMeanLen) &&
+        alphaRatio >= minAlphaRatio &&
+        a.getItem(3) >= minStopHits
+    }
+
   def gopherPassOfTokens(ts: Column,
                          minTok: Int = 50, maxTok: Int = 100000,
                          minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
                          minAlphaRatio: Double = 0.8, minStopHits: Int = 2,
                          stopWords: Seq[String] =
-                           TextFunctions.langMarkers.toMap.apply("en")): Column = {
-    // stop-word membership is a map-literal hash probe (O(1) per token);
-    // array_contains over a literal array is a linear scan — fine at the
-    // 8-marker default, quadratic pain at real Gopher-scale lists
-    // (hundreds of words). See TextFunctions.memberOf.
-    val stopHit: Column => Column =
-      if (stopWords.isEmpty) _ => lit(0L)
-      else t => when(TextFunctions.memberOf(stopWords)(t), 1L).otherwise(0L)
-    val zero = struct(lit(0L).as("n"), lit(0L).as("len"),
-                      lit(0L).as("alpha"), lit(0L).as("stop"))
-    val step = (a: Column, t: Column) => struct(
-      (a.getField("n") + 1).as("n"),
-      (a.getField("len") + length(t)).as("len"),
-      (a.getField("alpha") + when(t.rlike("[a-z]"), 1L).otherwise(0L)).as("alpha"),
-      (a.getField("stop") + stopHit(t)).as("stop"))
-    val finish = (a: Column) => {
-      val n = a.getField("n")
-      // thresholds apply to the ROUNDED ratios, with token-less docs
-      // scoring 0.0 — EXACTLY like the gopherFilter columns (and the
-      // DuckDB oracle), so the two forms agree under every threshold
-      // choice, including degenerate all-zero ones (a `when(n === 0,
-      // false)` shortcut would diverge there). The when-guards also
-      // keep 0/0 NaN out of the comparisons — Spark orders NaN larger
-      // than every number, so NaN >= minAlphaRatio would PASS.
-      val meanLen = when(n === 0, 0.0)
-        .otherwise(round(a.getField("len").cast("double") / n, 6))
-      val alphaRatio = when(n === 0, 0.0)
-        .otherwise(round(a.getField("alpha").cast("double") / n, 6))
-      n.between(minTok, maxTok) &&
-        meanLen.between(minMeanLen, maxMeanLen) &&
-        alphaRatio >= minAlphaRatio &&
-        a.getField("stop") >= minStopHits
-    }
-    aggregate(ts, zero, step, finish)
-  }
+                           TextFunctions.langMarkers.toMap.apply("en")): Column =
+    gopherVerdictOfStats(
+      graft.plans.GraftFunctions.gopher_stats(ts, stopWords),
+      minTok, maxTok, minMeanLen, maxMeanLen, minAlphaRatio, minStopHits)
+
+  /** The raw-text form of [[gopherPassOfTokens]]: tokenization happens
+    * INSIDE the codegen'd `gopher_stats` kernel (one fused pass — no
+    * intermediate token array is ever materialized).
+    */
+  def gopherPass(text: Column,
+                 minTok: Int = 50, maxTok: Int = 100000,
+                 minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                 minAlphaRatio: Double = 0.8, minStopHits: Int = 2,
+                 stopWords: Seq[String] =
+                   TextFunctions.langMarkers.toMap.apply("en")): Column =
+    gopherVerdictOfStats(
+      graft.plans.GraftFunctions.gopher_stats(text, stopWords),
+      minTok, maxTok, minMeanLen, maxMeanLen, minAlphaRatio, minStopHits)
 
   /** The filtering form of [[gopherFilter]]: returns the input rows
     * (ALL original columns) that pass the Gopher rules, for pipeline
@@ -386,7 +389,7 @@ object Corpus {
     require(minTok >= 0 && minTok <= maxTok && minMeanLen <= maxMeanLen,
       s"inconsistent gopher thresholds: tok [$minTok,$maxTok] len [$minMeanLen,$maxMeanLen]")
     df.where(col(textCol).isNotNull &&
-      gopherPassOfTokens(TextFunctions.tokens(col(textCol)),
+      gopherPass(col(textCol),
         minTok, maxTok, minMeanLen, maxMeanLen, minAlphaRatio,
         minStopHits, stopWords))
   }
@@ -399,23 +402,25 @@ object Corpus {
                      TextFunctions.langMarkers.toMap.apply("en")): DataFrame = {
     require(minTok >= 0 && minTok <= maxTok && minMeanLen <= maxMeanLen,
       s"inconsistent gopher thresholds: tok [$minTok,$maxTok] len [$minMeanLen,$maxMeanLen]")
-    val ts = col("__ts")
-    val n = size(ts)
-    val meanLen = when(n === 0, 0.0).otherwise(
-      round(aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") / n, 6))
-    val alphaRatio = when(n === 0, 0.0).otherwise(
-      round(size(filter(ts, t => t.rlike("[a-z]"))).cast("double") / n, 6))
-    // occurrences, not distinct hits: a doc saying "the the the" has 3;
-    // membership is the same map-literal hash probe as gopherPassOfTokens
-    val nStop =
-      if (stopWords.isEmpty) lit(0)
-      else size(filter(ts, TextFunctions.memberOf(stopWords)))
-    df.where(col(textCol).isNotNull)
-      .select(col(idCol).cast("long").as("id"),
-              TextFunctions.tokens(col(textCol)).as("__ts"))
+    // one kernel pass per row; Materialize.once pins single evaluation
+    // (the signal projection below references the stats attribute four
+    // times — as a plain alias, CollapseProject would inline the kernel
+    // once per reference). n_stop counts occurrences, not distinct
+    // hits: a doc saying "the the the" has 3.
+    val st = col("__st")
+    val n = st.getItem(0)
+    Materialize.once(
+        df.where(col(textCol).isNotNull)
+          .select(col(idCol).cast("long").as("id"), col(textCol)),
+        "__st", graft.plans.GraftFunctions.gopher_stats(col(textCol), stopWords))
       .select(col("id"), n.cast("long").as("n_tok"),
-              meanLen.as("mean_tok_len"), alphaRatio.as("alpha_ratio"),
-              nStop.cast("long").as("n_stop"))
+              when(n === 0, 0.0)
+                .otherwise(round(st.getItem(1).cast("double") / n, 6))
+                .as("mean_tok_len"),
+              when(n === 0, 0.0)
+                .otherwise(round(st.getItem(2).cast("double") / n, 6))
+                .as("alpha_ratio"),
+              st.getItem(3).cast("long").as("n_stop"))
       .withColumn("pass",
         col("n_tok").between(minTok, maxTok) &&
         col("mean_tok_len").between(minMeanLen, maxMeanLen) &&

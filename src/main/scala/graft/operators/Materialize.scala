@@ -32,4 +32,17 @@ object Materialize {
   def once(df: DataFrame, name: String, e: Column): DataFrame =
     df.withColumn(name,
       GraftBridge.column(graft.plans.EvalOnce(GraftBridge.expression(e))))
+
+  /** WITHIN-expression single evaluation: `f` sees `e` as a BOUND lambda
+    * variable, so however many times the body references it, `e` is
+    * computed once. (`transform` over a one-element array binds its
+    * element; the wrapper is a single interpreted hop per row, the body
+    * references are plain variable reads.) The expression-level
+    * complement of [[once]] — use it when the shared value and its
+    * consumers must live inside ONE column (e.g. a filter condition).
+    */
+  def bind1(e: Column)(f: Column => Column): Column =
+    org.apache.spark.sql.functions.element_at(
+      org.apache.spark.sql.functions.transform(
+        org.apache.spark.sql.functions.array(e), f), 1)
 }

@@ -1,0 +1,147 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass JVM kernels for the text-curation signals (language-ID
+  * marker scores, Gopher quality stats). The Column-only forms of these
+  * operators are higher-order `aggregate`/`filter` expressions, which
+  * Spark evaluates INTERPRETED per element (HigherOrderFunction is
+  * CodegenFallback); these kernels fuse tokenize + score into one
+  * codegen'd static call, like `HashKernels` does for signatures.
+  *
+  * Tokenization parity contract (shared with `TextFunctions.tokens`,
+  * `HashKernels`, and the DuckDB oracles): lower-case the whole text
+  * with `UTF8String.toLowerCase` (the exact function Spark's `lower()`
+  * uses), then maximal runs of non-whitespace, where whitespace is the
+  * ASCII `\s` class (space + TAB..CR) — `trim` in the Column form only
+  * strips spaces, but the empty tokens that leading/trailing/tab
+  * whitespace produce under `split` are filtered there, so both forms
+  * yield identical token sequences. Token LENGTH counts Unicode code
+  * points (`length()` semantics), not UTF-16 units — low surrogates are
+  * skipped when counting.
+  */
+object TextKernels {
+
+  /** ASCII whitespace (Java-regex/RE2 `\s`): space + TAB..CR. */
+  @inline private def isWs(c: Char): Boolean = c == ' ' || (c >= '\t' && c <= '\r')
+
+  /** token -> bitmask of marker lists containing it (bit i = lang i). */
+  def buildMarkerBits(langWords: Array[Array[String]]): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    var i = 0
+    while (i < langWords.length) {
+      langWords(i).foreach { w =>
+        val prev = m.get(w)
+        m.put(w, Integer.valueOf(if (prev == null) 1 << i else prev.intValue() | (1 << i)))
+      }
+      i += 1
+    }
+    m
+  }
+
+  /** Language-ID over raw text: one pass, marker hits accumulated via
+    * the token->bitmask map, argmax with ties to the EARLIEST language
+    * (exactly the `greatest(struct(score, tie, lang))` order of the
+    * aggregate form — larger tie rank = earlier list index wins).
+    */
+  def langIdText(text: UTF8String,
+                 bits: java.util.HashMap[String, Integer],
+                 langs: Array[String]): UTF8String = {
+    val lowered = text.toLowerCase.toString
+    val scores = new Array[Int](langs.length)
+    val n = lowered.length
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(lowered.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isWs(lowered.charAt(i))) i += 1
+      if (i > start) {
+        val b = bits.get(lowered.substring(start, i))
+        if (b != null) {
+          var bm = b.intValue()
+          var l = 0
+          while (bm != 0) {
+            if ((bm & 1) != 0) scores(l) += 1
+            bm >>>= 1
+            l += 1
+          }
+        }
+      }
+    }
+    var best = 0
+    var l = 1
+    while (l < langs.length) {
+      if (scores(l) > scores(best)) best = l
+      l += 1
+    }
+    UTF8String.fromString(langs(best))
+  }
+
+  /** Gopher quality signals over raw text in ONE pass:
+    * [n_tok, total token length (code points), alphabetic-token count
+    * (contains ASCII a-z after lowering), stop-word occurrences].
+    * Ratio rounding and thresholds stay in Column land so the verdict
+    * arithmetic is byte-identical to the signal-column form.
+    */
+  def gopherStatsText(text: UTF8String,
+                      stop: java.util.HashSet[String]): Array[Long] = {
+    val lowered = text.toLowerCase.toString
+    var n = 0L; var len = 0L; var alpha = 0L; var hits = 0L
+    val N = lowered.length
+    var i = 0
+    while (i < N) {
+      while (i < N && isWs(lowered.charAt(i))) i += 1
+      val start = i
+      var cp = 0L
+      var hasAlpha = false
+      while (i < N && !isWs(lowered.charAt(i))) {
+        val c = lowered.charAt(i)
+        if (!Character.isLowSurrogate(c)) cp += 1 // code points, not UTF-16 units
+        if (c >= 'a' && c <= 'z') hasAlpha = true
+        i += 1
+      }
+      if (i > start) {
+        n += 1
+        len += cp
+        if (hasAlpha) alpha += 1
+        if (!stop.isEmpty && stop.contains(lowered.substring(start, i))) hits += 1
+      }
+    }
+    Array(n, len, alpha, hits)
+  }
+
+  /** Same signals over a pre-tokenized array (the composable form —
+    * `gopherPassOfTokens` accepts any token column). Elements are
+    * scored as-is (no lowering: `tokens()` already lowers, and the
+    * aggregate form this replaces probed raw elements too). NULL
+    * elements are counted in n_tok with zero length/flags — the
+    * aggregate form poisoned the whole row to NULL there; `tokens()`
+    * never produces null elements, so the difference is unobservable
+    * through the public operators.
+    */
+  def gopherStatsTokens(arr: ArrayData,
+                        stop: java.util.HashSet[String]): Array[Long] = {
+    var len = 0L; var alpha = 0L; var hits = 0L
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i)
+        len += t.numChars()
+        val bytes = t.getBytes
+        var j = 0
+        var hasAlpha = false
+        while (j < bytes.length && !hasAlpha) {
+          val b = bytes(j)
+          if (b >= 'a'.toByte && b <= 'z'.toByte) hasAlpha = true
+          j += 1
+        }
+        if (hasAlpha) alpha += 1
+        if (!stop.isEmpty && stop.contains(t.toString)) hits += 1
+      }
+      i += 1
+    }
+    Array(n.toLong, len, alpha, hits)
+  }
+}

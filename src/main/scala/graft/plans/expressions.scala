@@ -324,6 +324,88 @@ case class SortedInterCount(left: Expression, right: Expression)
   override def prettyName: String = "sorted_inter_count"
 }
 
+/** Language-ID of raw text as ONE codegen'd kernel call
+  * (`TextKernels.langIdText`): tokenize + marker-scoring + argmax fused,
+  * replacing the interpreted higher-order `aggregate` form (Spark
+  * evaluates lambda expressions per element with no codegen). Exact
+  * semantic parity with `TextFunctions.langIdOfTokens(tokens(text))` is
+  * spec-pinned (`ExpressionsSpec`), and the DuckDB oracle pins it
+  * cross-engine.
+  */
+case class LangIdOf(child: Expression, markers: Seq[(String, Seq[String])])
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val bitsMap: java.util.HashMap[String, Integer] =
+    TextKernels.buildMarkerBits(markers.map(_._2.toArray).toArray)
+  @transient private lazy val langsArr: Array[String] = markers.map(_._1).toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.langIdText(input.asInstanceOf[UTF8String], bitsMap, langsArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = TextKernels.getClass.getName.stripSuffix("$") // mirror-class static forwarders
+    val bitsRef = ctx.addReferenceObj("markerBits", bitsMap, "java.util.HashMap")
+    val langsRef = ctx.addReferenceObj("langs", langsArr, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c => s"$kernel.langIdText($c, $bitsRef, $langsRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangIdOf =
+    copy(child = newChild)
+  override def prettyName: String = "lang_id_of"
+}
+
+/** Gopher quality signals `[n_tok, total_len, n_alpha, n_stop]` as one
+  * codegen'd kernel pass (`TextKernels.gopherStatsText/Tokens`). Accepts
+  * raw text (StringType — tokenizes internally, the fast path) or a
+  * pre-tokenized `array<string>` (the composable form). The ratio
+  * rounding and verdict thresholds deliberately stay OUTSIDE in Column
+  * land so the filtering and signal-column forms share arithmetic.
+  */
+case class GopherStats(child: Expression, stopWords: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  private def isText = child.dataType == StringType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType | ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"gopher_stats expects string or array<string>, got $dt")
+    }
+
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    stopWords.foreach(s.add)
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val stats =
+      if (isText) TextKernels.gopherStatsText(input.asInstanceOf[UTF8String], stopSet)
+      else TextKernels.gopherStatsTokens(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], stopSet)
+    new GenericArrayData(stats)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = TextKernels.getClass.getName.stripSuffix("$") // mirror-class static forwarders
+    val stopRef = ctx.addReferenceObj("stopSet", stopSet, "java.util.HashSet")
+    val fn = if (isText) "gopherStatsText" else "gopherStatsTokens"
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData($kernel.$fn($c, $stopRef))")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GopherStats =
+    copy(child = newChild)
+  override def prettyName: String = "gopher_stats"
+}
+
 /** Optimizer barrier: evaluates `child` exactly once per row.
   *
   * A `withColumn` alias is substituted back into every downstream
@@ -397,6 +479,12 @@ object GraftFunctions {
   def band_agree(a: Column, b: Column, rowsPerBand: Int): Column =
     GraftBridge.column(BandAgree(GraftBridge.expression(a),
       GraftBridge.expression(b), rowsPerBand))
+
+  def lang_id_of(text: Column, markers: Seq[(String, Seq[String])]): Column =
+    GraftBridge.column(LangIdOf(GraftBridge.expression(text), markers))
+
+  def gopher_stats(textOrTokens: Column, stopWords: Seq[String]): Column =
+    GraftBridge.column(GopherStats(GraftBridge.expression(textOrTokens), stopWords))
 }
 
 /** SQL-surface registration: `spark.sql.extensions=graft.plans.GraftExtensions`

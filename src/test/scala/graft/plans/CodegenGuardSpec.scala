@@ -36,6 +36,17 @@ class CodegenGuardSpec extends SparkSpec {
         GraftFunctions.byte_stride(col("payload"), 2).as("bs"),
         GraftFunctions.byte_histogram(col("payload")).as("bh"),
         GraftFunctions.char_ngram_set(col("text"), 3).as("ng"))
+      // text-curation kernels: both input paths + the reference-object
+      // wiring (HashMap / HashSet / String[] refs must survive codegen)
+      val tk = docs.select(
+          GraftFunctions.lang_id_of(col("text"),
+            graft.functions.TextFunctions.langMarkers).as("lang"),
+          GraftFunctions.gopher_stats(col("text"), Seq("alpha", "beta")).as("st"),
+          GraftFunctions.gopher_stats(split(col("text"), " "), Seq("alpha")).as("st2"))
+        .collect()
+      assert(tk.forall(_.getString(0).nonEmpty))
+      assert(tk.head.getSeq[Long](1) == Seq(4L, 19L, 4L, 2L), tk.head.getSeq[Long](1))
+      assert(tk.head.getSeq[Long](2).head == 4L)
       val ngr = sigged.alias("a").join(sigged.alias("b"),
           col("a.id") < col("b.id"))
         .select(GraftFunctions.sorted_inter_count(col("a.ng"), col("b.ng")).as("inter"),

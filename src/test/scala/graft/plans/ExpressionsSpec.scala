@@ -17,6 +17,77 @@ class ExpressionsSpec extends SparkSpec {
     (4L, "")
   ).toDF("id", "text")
 
+  /** Adversarial corpus for the text-kernel differential tests: the
+    * kernels must agree with the Column-land reference semantics
+    * (tokens() + higher-order aggregate) on every edge the tokenizer
+    * contract covers.
+    */
+  private lazy val nastyTexts = Seq(
+    "the cat sat on the mat and it was fine",  // plain English w/ stops
+    "der hund UND die katze sind nicht das",   // German + case folding
+    "", " ", "\t\n\r ",                        // empty / all-whitespace
+    "  leading and trailing  ",
+    "tabs\tbetween\ttokens\nand\nnewlines",
+    " nbsp is not split",  // NBSP is NOT \s: one token
+    "emoji 😀😀 and CJK 世界 tokens", // surrogates + CJK
+    "UPPER Case MiXeD the AND of",
+    "123 456 !!! ??? a1b2",                    // digits / punct / mixed
+    "x " * 2000,                               // long doc
+    "le la et les des est une dans",           // French markers
+    "de shi bu le wo zai you he")              // zh-pinyin (tie traps)
+  private lazy val nastyDf =
+    nastyTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+
+  test("lang_id_of kernel == aggregate reference semantics on adversarial inputs") {
+    import graft.functions.TextFunctions
+    val both = nastyDf.select(col("id"),
+        TextFunctions.langId(col("text")).as("kernel"),
+        TextFunctions.langIdOfTokens(TextFunctions.tokens(col("text"))).as("ref"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"lang mismatch on id=${r.getLong(0)}: kernel=${r.getString(1)} ref=${r.getString(2)}")
+    }
+  }
+
+  test("gopher_stats kernel (text and token paths) == aggregate reference on adversarial inputs") {
+    import graft.functions.TextFunctions
+    val stop = TextFunctions.langMarkers.toMap.apply("en")
+    // reference semantics: the pre-r7 higher-order aggregate
+    val ts = TextFunctions.tokens(col("text"))
+    val zero = struct(lit(0L).as("n"), lit(0L).as("len"),
+                      lit(0L).as("alpha"), lit(0L).as("stop"))
+    val step = (a: org.apache.spark.sql.Column, t: org.apache.spark.sql.Column) => struct(
+      (a.getField("n") + 1).as("n"),
+      (a.getField("len") + length(t)).as("len"),
+      (a.getField("alpha") + when(t.rlike("[a-z]"), 1L).otherwise(0L)).as("alpha"),
+      (a.getField("stop") + when(TextFunctions.memberOf(stop)(t), 1L).otherwise(0L)).as("stop"))
+    val ref = aggregate(ts, zero, step, a => array(
+      a.getField("n"), a.getField("len"), a.getField("alpha"), a.getField("stop")))
+    val rows = nastyDf.select(col("id"),
+        GraftFunctions.gopher_stats(col("text"), stop).as("ktext"),
+        GraftFunctions.gopher_stats(ts, stop).as("ktok"),
+        ref.as("ref"))
+      .collect()
+    rows.foreach { r =>
+      val (kt, kk, rf) = (r.getSeq[Long](1), r.getSeq[Long](2), r.getSeq[Long](3))
+      assert(kt == rf, s"text-path mismatch on id=${r.getLong(0)}: $kt vs $rf")
+      assert(kk == rf, s"token-path mismatch on id=${r.getLong(0)}: $kk vs $rf")
+    }
+  }
+
+  test("gopher_stats counts code points, not UTF-16 units, for token length") {
+    // "😀😀" is 2 code points / 4 UTF-16 chars; length() counts code points
+    val r = Seq((0L, "😀😀 ab")).toDF("id", "text")
+      .select(GraftFunctions.gopher_stats(col("text"), Nil).as("st"),
+              aggregate(graft.functions.TextFunctions.tokens(col("text")),
+                lit(0L), (a, t) => a + length(t)).as("len_ref"))
+      .collect().head
+    assert(r.getSeq[Long](0) == Seq(2L, 4L, 1L, 0L), r.getSeq[Long](0).toString)
+    assert(r.getLong(1) == 4L)
+  }
+
   test("minhash_sig: identical texts identical sigs; short docs null") {
     val r = df.select(col("id"), GraftFunctions.minhash_sig(col("text"), 16, 3).as("sig"))
       .collect().map(x => x.getLong(0) -> Option(x.getSeq[Long](1))).toMap
