@@ -11,9 +11,15 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens of lower-cased text (empty string -> empty array). */
+  /** Whitespace tokens of lower-cased text (empty string -> empty
+    * array). One codegen'd kernel pass (`graft.plans.TokensOf`) — the
+    * Column form `filter(split(lower(trim(text)), "\\s+"), length > 0)`
+    * leaves the `filter` interpreted per element; the kernel's parity
+    * with it is differential-tested in `ExpressionsSpec` and pinned by
+    * every tokenizing oracle.
+    */
   def tokens(text: Column): Column =
-    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+    graft.plans.GraftFunctions.tokens_of(text)
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))

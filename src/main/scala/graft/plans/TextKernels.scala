@@ -26,6 +26,32 @@ object TextKernels {
   /** ASCII whitespace (Java-regex/RE2 `\s`): space + TAB..CR. */
   @inline private def isWs(c: Char): Boolean = c == ' ' || (c >= '\t' && c <= '\r')
 
+  /** Whitespace tokens of lower-cased text as one byte-level pass —
+    * the kernel form of `TextFunctions.tokens` (= `filter(split(lower(
+    * trim(text)), "\\s+"), length > 0)`, whose `filter` Spark
+    * interprets per element). Lowering uses `UTF8String.toLowerCase`
+    * (the exact function behind `lower()`); the run scan then works on
+    * the RAW UTF-8 BYTES — the `\s` class is pure ASCII and UTF-8
+    * continuation/lead bytes are >= 0x80, so a multibyte character can
+    * never be mistaken for whitespace, and each token is sliced out
+    * with `UTF8String.fromBytes` without ever materializing a
+    * java.lang.String.
+    */
+  def tokensOf(text: UTF8String): ArrayData = {
+    val lowered = text.toLowerCase
+    val bytes = lowered.getBytes
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+    val n = bytes.length
+    var i = 0
+    while (i < n) {
+      while (i < n && { val b = bytes(i); b == 0x20 || (b >= 0x09 && b <= 0x0d) }) i += 1
+      val start = i
+      while (i < n && { val b = bytes(i); !(b == 0x20 || (b >= 0x09 && b <= 0x0d)) }) i += 1
+      if (i > start) out += UTF8String.fromBytes(bytes, start, i - start)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray[Any])
+  }
+
   /** token -> bitmask of marker lists containing it (bit i = lang i). */
   def buildMarkerBits(langWords: Array[Array[String]]): java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer]()

@@ -324,6 +324,29 @@ case class SortedInterCount(left: Expression, right: Expression)
   override def prettyName: String = "sorted_inter_count"
 }
 
+/** `TextFunctions.tokens` as a codegen'd kernel call
+  * (`TextKernels.tokensOf`): lower + ASCII-whitespace run scan over raw
+  * UTF-8 bytes, no interpreted `filter` lambda and no java.lang.String
+  * round-trip. Feeds every tokenizing operator; parity with the Column
+  * form is differential-tested (`ExpressionsSpec`) and oracle-pinned.
+  */
+case class TokensOf(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.tokensOf(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = TextKernels.getClass.getName.stripSuffix("$") // mirror-class static forwarders
+    defineCodeGen(ctx, ev, c => s"$kernel.tokensOf($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokensOf =
+    copy(child = newChild)
+  override def prettyName: String = "tokens_of"
+}
+
 /** Language-ID of raw text as ONE codegen'd kernel call
   * (`TextKernels.langIdText`): tokenize + marker-scoring + argmax fused,
   * replacing the interpreted higher-order `aggregate` form (Spark
@@ -479,6 +502,9 @@ object GraftFunctions {
   def band_agree(a: Column, b: Column, rowsPerBand: Int): Column =
     GraftBridge.column(BandAgree(GraftBridge.expression(a),
       GraftBridge.expression(b), rowsPerBand))
+
+  def tokens_of(text: Column): Column =
+    GraftBridge.column(TokensOf(GraftBridge.expression(text)))
 
   def lang_id_of(text: Column, markers: Seq[(String, Seq[String])]): Column =
     GraftBridge.column(LangIdOf(GraftBridge.expression(text), markers))

@@ -39,14 +39,16 @@ class CodegenGuardSpec extends SparkSpec {
       // text-curation kernels: both input paths + the reference-object
       // wiring (HashMap / HashSet / String[] refs must survive codegen)
       val tk = docs.select(
+          size(GraftFunctions.tokens_of(col("text"))).as("ntok"),
           GraftFunctions.lang_id_of(col("text"),
             graft.functions.TextFunctions.langMarkers).as("lang"),
           GraftFunctions.gopher_stats(col("text"), Seq("alpha", "beta")).as("st"),
           GraftFunctions.gopher_stats(split(col("text"), " "), Seq("alpha")).as("st2"))
         .collect()
-      assert(tk.forall(_.getString(0).nonEmpty))
-      assert(tk.head.getSeq[Long](1) == Seq(4L, 19L, 4L, 2L), tk.head.getSeq[Long](1))
-      assert(tk.head.getSeq[Long](2).head == 4L)
+      assert(tk.forall(_.getInt(0) == 4))
+      assert(tk.forall(_.getString(1).nonEmpty))
+      assert(tk.head.getSeq[Long](2) == Seq(4L, 19L, 4L, 2L), tk.head.getSeq[Long](2))
+      assert(tk.head.getSeq[Long](3).head == 4L)
       val ngr = sigged.alias("a").join(sigged.alias("b"),
           col("a.id") < col("b.id"))
         .select(GraftFunctions.sorted_inter_count(col("a.ng"), col("b.ng")).as("inter"),

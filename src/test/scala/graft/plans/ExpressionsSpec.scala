@@ -39,6 +39,17 @@ class ExpressionsSpec extends SparkSpec {
     nastyTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("id", "text")
 
+  test("tokens_of kernel == split+filter reference semantics on adversarial inputs") {
+    val ref = filter(split(lower(trim(col("text"))), "\\s+"), t => length(t) > 0)
+    val rows = nastyDf.select(col("id"),
+        GraftFunctions.tokens_of(col("text")).as("kernel"), ref.as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"token mismatch on id=${r.getLong(0)}: ${r.getSeq[String](1)} vs ${r.getSeq[String](2)}")
+    }
+  }
+
   test("lang_id_of kernel == aggregate reference semantics on adversarial inputs") {
     import graft.functions.TextFunctions
     val both = nastyDf.select(col("id"),
