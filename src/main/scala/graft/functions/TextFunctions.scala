@@ -31,36 +31,26 @@ object TextFunctions {
   def tokenCountBpeish(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
-  /** Character n-gram shingles (distinct), 1-based sliding window.
-    * NB: guard the short-text case explicitly — Spark's `sequence(1, 0)`
-    * would generate a DESCENDING sequence, not an empty one.
+  /** Character n-gram shingles (distinct), 1-based sliding window over
+    * code points — one codegen'd kernel pass
+    * (`graft.plans.CharShinglesOf`; parity with the Column-land
+    * `array_distinct(transform(sequence, substr))` form spec-pinned).
     */
   def charShingles(text: Column, n: Int): Column =
-    when(length(text) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), length(text) - (n - 1)),
-        i => text.substr(i, lit(n)))))
+    graft.plans.GraftFunctions.char_shingles(text, n)
 
-  /** Word n-gram shingles (distinct) over whitespace tokens.
-    *
-    * PERFORMANCE: `ts` is referenced inside the `transform` lambda, and
-    * higher-order functions evaluate interpreted (no codegen, no
-    * caching of lambda-independent subtrees) — so pass a MATERIALIZED
-    * token-array column (project `tokens(text)` first, then call
-    * `wordShinglesOfTokens` on the attribute) whenever the shingles
-    * feed an explode/join. Calling the text-based overload inlines the
-    * regex tokenizer into the lambda and re-splits the document once
-    * per shingle — O(tokens²) regex work per row (measured ~10× on the
-    * contamination scan).
+  /** Word n-gram shingles (distinct) over whitespace tokens — one
+    * codegen'd kernel pass (`graft.plans.WordShinglesOf`). Accepts a
+    * pre-tokenized attribute via [[wordShinglesOfTokens]] or raw text
+    * via [[wordShingles]] (which tokenizes INSIDE the kernel — the old
+    * O(tokens²) re-tokenize-per-shingle trap of the interpreted
+    * transform form is gone by construction).
     */
   def wordShinglesOfTokens(ts: Column, n: Int): Column =
-    when(size(ts) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(ts) - (n - 1)),
-        i => concat_ws(" ", slice(ts, i, lit(n))))))
+    graft.plans.GraftFunctions.word_shingles(ts, n)
 
   def wordShingles(text: Column, n: Int): Column =
-    wordShinglesOfTokens(tokens(text), n)
+    graft.plans.GraftFunctions.word_shingles(text, n)
 
   /** Punctuation character count / ratio over total characters. */
   def punctCount(text: Column): Column =
@@ -77,12 +67,15 @@ object TextFunctions {
     when(length(text) === 0, 0.0)
       .otherwise(size(regexp_extract_all(text, lit("[A-Za-z]"), lit(0))).cast("double") / length(text))
 
-  /** Mean token length (0 for empty docs). */
-  def meanTokenLen(text: Column): Column = {
-    val ts = tokens(text)
-    when(size(ts) === 0, 0.0).otherwise(
-      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(ts))
-  }
+  /** Mean token length (0 for empty docs) — reuses the `GopherStats`
+    * kernel ([n, len, alpha, stop] with an empty stop set), bound once.
+    */
+  def meanTokenLen(text: Column): Column =
+    graft.operators.Materialize.bind1(
+      graft.plans.GraftFunctions.gopher_stats(text, Nil)) { s =>
+      when(s.getItem(0) === 0, 0.0)
+        .otherwise(s.getItem(1).cast("double") / s.getItem(0))
+    }
 
   /** Membership test as a set probe. `array_contains` over a literal
     * array is a linear scan — O(|words|) string comparisons per token,
@@ -99,20 +92,23 @@ object TextFunctions {
   private[graft] def memberOf(words: Seq[String]): Column => Column =
     t => t.isInCollection(words.distinct.sorted)
 
-  /** Share of tokens found in `words` (e.g. a stopword list). */
+  /** Share of tokens found in `words` (e.g. a stopword list) — the
+    * `GopherStats` kernel's stop-hit count over its token count.
+    */
   def wordSetRatio(text: Column, words: Seq[String]): Column = {
     if (words.isEmpty) lit(0.0)
-    else {
-      val ts = tokens(text)
-      when(size(ts) === 0, 0.0).otherwise(
-        size(filter(ts, memberOf(words))).cast("double") / size(ts))
+    else graft.operators.Materialize.bind1(
+      graft.plans.GraftFunctions.gopher_stats(text, words)) { s =>
+      when(s.getItem(0) === 0, 0.0)
+        .otherwise(s.getItem(3).cast("double") / s.getItem(0))
     }
   }
 
-  /** Count of tokens found in `words`. */
+  /** Count of tokens found in `words` (occurrences, not distinct). */
   def wordSetCount(text: Column, words: Seq[String]): Column =
     if (words.isEmpty) lit(0)
-    else size(filter(tokens(text), memberOf(words)))
+    else graft.plans.GraftFunctions.gopher_stats(text, words)
+      .getItem(3).cast("int")
 
   /** Marker words per language for the n-gram/stopword language-ID
     * heuristic. Deterministic and mirrored 1:1 in the DuckDB oracle.

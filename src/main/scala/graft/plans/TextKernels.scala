@@ -52,6 +52,56 @@ object TextKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray[Any])
   }
 
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** Distinct word n-gram shingles of a token array, first-occurrence
+    * order — the kernel form of `array_distinct(transform(sequence(...),
+    * i => concat_ws(" ", slice(ts, i, n))))`, whose transform Spark
+    * interprets per shingle. Fewer than n tokens -> empty array.
+    */
+  def wordShingles(arr: ArrayData, n: Int): ArrayData = {
+    val total = arr.numElements()
+    if (total < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](total)
+    var i = 0
+    while (i < total) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    i = 0
+    while (i <= total - n) {
+      val parts = new Array[UTF8String](n)
+      System.arraycopy(toks, i, parts, 0, n)
+      seen.add(UTF8String.concatWs(SPACE, parts: _*))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray.asInstanceOf[Array[AnyRef]].asInstanceOf[Array[Any]])
+  }
+
+  /** [[wordShingles]] over raw text — tokenizes internally (one fused
+    * pass, no intermediate token array in the plan).
+    */
+  def wordShinglesText(text: UTF8String, n: Int): ArrayData =
+    wordShingles(tokensOf(text), n)
+
+  /** Distinct character n-gram shingles (code-point windows, like
+    * `substr`), first-occurrence order; shorter than n -> empty. Input
+    * is shingled AS-IS (no lowering), matching the Column form.
+    */
+  def charShingles(text: UTF8String, n: Int): ArrayData = {
+    val len = text.numChars()
+    if (len < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i <= len - n) {
+      seen.add(text.substringSQL(i + 1, n))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray.asInstanceOf[Array[AnyRef]].asInstanceOf[Array[Any]])
+  }
+
   /** token -> bitmask of marker lists containing it (bit i = lang i). */
   def buildMarkerBits(langWords: Array[Array[String]]): java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer]()

@@ -347,6 +347,66 @@ case class TokensOf(child: Expression) extends UnaryExpression {
   override def prettyName: String = "tokens_of"
 }
 
+/** Distinct word n-gram shingles as a codegen'd kernel call
+  * (`TextKernels.wordShingles`/`wordShinglesText`): accepts raw text
+  * (tokenizes internally) or a pre-tokenized `array<string>`. Replaces
+  * the interpreted `array_distinct(transform(sequence, slice,
+  * concat_ws))` pipeline; first-occurrence order preserved.
+  */
+case class WordShinglesOf(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, s"shingle size must be positive, got $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  private def isText = child.dataType == StringType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType | ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"word_shingles expects string or array<string>, got $dt")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    if (isText) TextKernels.wordShinglesText(input.asInstanceOf[UTF8String], n)
+    else TextKernels.wordShingles(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = TextKernels.getClass.getName.stripSuffix("$") // mirror-class static forwarders
+    val fn = if (isText) "wordShinglesText" else "wordShingles"
+    defineCodeGen(ctx, ev, c => s"$kernel.$fn($c, $n)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesOf =
+    copy(child = newChild)
+  override def prettyName: String = "word_shingles"
+}
+
+/** Distinct character n-gram shingles (code-point windows) as a
+  * codegen'd kernel call — the `array_distinct(transform(sequence,
+  * substr))` pipeline fused.
+  */
+case class CharShinglesOf(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, s"shingle size must be positive, got $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.charShingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = TextKernels.getClass.getName.stripSuffix("$") // mirror-class static forwarders
+    defineCodeGen(ctx, ev, c => s"$kernel.charShingles($c, $n)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharShinglesOf =
+    copy(child = newChild)
+  override def prettyName: String = "char_shingles"
+}
+
 /** Language-ID of raw text as ONE codegen'd kernel call
   * (`TextKernels.langIdText`): tokenize + marker-scoring + argmax fused,
   * replacing the interpreted higher-order `aggregate` form (Spark
@@ -505,6 +565,12 @@ object GraftFunctions {
 
   def tokens_of(text: Column): Column =
     GraftBridge.column(TokensOf(GraftBridge.expression(text)))
+
+  def word_shingles(textOrTokens: Column, n: Int): Column =
+    GraftBridge.column(WordShinglesOf(GraftBridge.expression(textOrTokens), n))
+
+  def char_shingles(text: Column, n: Int): Column =
+    GraftBridge.column(CharShinglesOf(GraftBridge.expression(text), n))
 
   def lang_id_of(text: Column, markers: Seq[(String, Seq[String])]): Column =
     GraftBridge.column(LangIdOf(GraftBridge.expression(text), markers))

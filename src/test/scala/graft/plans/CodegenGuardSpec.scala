@@ -40,15 +40,19 @@ class CodegenGuardSpec extends SparkSpec {
       // wiring (HashMap / HashSet / String[] refs must survive codegen)
       val tk = docs.select(
           size(GraftFunctions.tokens_of(col("text"))).as("ntok"),
+          size(GraftFunctions.word_shingles(col("text"), 2)).as("nwsh"),
+          size(GraftFunctions.char_shingles(col("text"), 3)).as("ncsh"),
           GraftFunctions.lang_id_of(col("text"),
             graft.functions.TextFunctions.langMarkers).as("lang"),
           GraftFunctions.gopher_stats(col("text"), Seq("alpha", "beta")).as("st"),
           GraftFunctions.gopher_stats(split(col("text"), " "), Seq("alpha")).as("st2"))
         .collect()
       assert(tk.forall(_.getInt(0) == 4))
-      assert(tk.forall(_.getString(1).nonEmpty))
-      assert(tk.head.getSeq[Long](2) == Seq(4L, 19L, 4L, 2L), tk.head.getSeq[Long](2))
-      assert(tk.head.getSeq[Long](3).head == 4L)
+      assert(tk.forall(_.getInt(1) == 3)) // 4 tokens -> 3 distinct bigrams
+      assert(tk.forall(_.getInt(2) > 0))
+      assert(tk.forall(_.getString(3).nonEmpty))
+      assert(tk.head.getSeq[Long](4) == Seq(4L, 19L, 4L, 2L), tk.head.getSeq[Long](4))
+      assert(tk.head.getSeq[Long](5).head == 4L)
       val ngr = sigged.alias("a").join(sigged.alias("b"),
           col("a.id") < col("b.id"))
         .select(GraftFunctions.sorted_inter_count(col("a.ng"), col("b.ng")).as("inter"),

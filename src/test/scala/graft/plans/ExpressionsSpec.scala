@@ -50,6 +50,37 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("word/char shingle kernels == transform reference semantics on adversarial inputs") {
+    val toks = filter(split(lower(trim(col("text"))), "\\s+"), t => length(t) > 0)
+    def wordRef(n: Int) =
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(array_distinct(transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
+    def charRef(n: Int) =
+      when(length(col("text")) < n, array().cast("array<string>"))
+        .otherwise(array_distinct(transform(
+          sequence(lit(1), length(col("text")) - (n - 1)),
+          i => col("text").substr(i, lit(n)))))
+    for (n <- Seq(1, 2, 3, 13)) {
+      val rows = nastyDf.select(col("id"),
+          GraftFunctions.word_shingles(col("text"), n).as("ktext"),
+          GraftFunctions.word_shingles(toks, n).as("ktok"),
+          wordRef(n).as("wref"),
+          GraftFunctions.char_shingles(col("text"), n).as("kchar"),
+          charRef(n).as("cref"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](3),
+          s"word text-path n=$n id=${r.getLong(0)}: ${r.getSeq[String](1)} vs ${r.getSeq[String](3)}")
+        assert(r.getSeq[String](2) == r.getSeq[String](3),
+          s"word token-path n=$n id=${r.getLong(0)}")
+        assert(r.getSeq[String](4) == r.getSeq[String](5),
+          s"char n=$n id=${r.getLong(0)}: ${r.getSeq[String](4)} vs ${r.getSeq[String](5)}")
+      }
+    }
+  }
+
   test("lang_id_of kernel == aggregate reference semantics on adversarial inputs") {
     import graft.functions.TextFunctions
     val both = nastyDf.select(col("id"),
