@@ -9,6 +9,87 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
   */
 object KernelProperties extends Properties("Kernels") {
 
+  import org.apache.spark.unsafe.types.UTF8String
+
+  // ---- text-kernel properties (r7): random unicode text vs independent
+  // reference implementations of the tokenizer contract ----------------
+
+  /** Characters stressing every tokenizer edge: ASCII letters/digits,
+    * all six \s whitespace chars, NBSP (NOT whitespace), CJK, an emoji
+    * (surrogate pair), punctuation, uppercase (case folding).
+    */
+  private val charGen: Gen[String] = Gen.frequency(
+    (8, Gen.alphaNumChar.map(_.toString)),
+    (4, Gen.oneOf(" ", "\t", "\n", "", "\f", "\r")),
+    (1, Gen.const(" ")),
+    (1, Gen.oneOf("世", "界", "ß", "É")),
+    (1, Gen.const("😀")), // 😀 as a surrogate pair
+    (2, Gen.oneOf(".", ",", "!", "the", "AND", "Der")))
+  private val textGen: Gen[String] =
+    Gen.choose(0, 60).flatMap(n => Gen.listOfN(n, charGen).map(_.mkString))
+
+  /** Independent tokenizer reference: same contract, different code path
+    * (regex split on the lowered string, not a byte scan).
+    */
+  private def refTokens(s: String): Seq[String] =
+    UTF8String.fromString(s).toLowerCase.toString
+      .split("\\s+").toSeq.filter(_.nonEmpty)
+
+  private def kernelTokens(s: String): Seq[String] = {
+    val arr = TextKernels.tokensOf(UTF8String.fromString(s))
+    (0 until arr.numElements()).map(arr.getUTF8String(_).toString)
+  }
+
+  property("tokensOf == regex-split reference on random unicode text") =
+    forAll(textGen) { s => kernelTokens(s) == refTokens(s) }
+
+  property("gopherStatsText == stats derived from reference tokens") =
+    forAll(textGen, Gen.someOf(Seq("the", "and", "der", "a1", "世"))) { (s, stops) =>
+      val set = new java.util.HashSet[String]()
+      stops.foreach(set.add)
+      val got = TextKernels.gopherStatsText(UTF8String.fromString(s), set).toSeq
+      val toks = refTokens(s)
+      val want = Seq(
+        toks.size.toLong,
+        toks.map(t => t.codePointCount(0, t.length).toLong).sum,
+        toks.count(_.exists(c => c >= 'a' && c <= 'z')).toLong,
+        toks.count(stops.contains).toLong)
+      got == want
+    }
+
+  property("langIdText == per-list scoring reference") =
+    forAll(textGen) { s =>
+      val markers = graft.functions.TextFunctions.langMarkers
+      val bits = TextKernels.buildMarkerBits(markers.map(_._2.toArray).toArray)
+      val got = TextKernels.langIdText(UTF8String.fromString(s), bits,
+        markers.map(_._1).toArray).toString
+      val toks = refTokens(s)
+      val scores = markers.map { case (lang, ws) => lang -> toks.count(ws.contains) }
+      val best = scores.maxBy(_._2)._2
+      val want = scores.find(_._2 == best).get._1 // first in order wins ties
+      got == want
+    }
+
+  property("wordShingles == distinct sliding windows of reference tokens") =
+    forAll(textGen, Gen.choose(1, 4)) { (s, n) =>
+      val toks = refTokens(s)
+      val want = toks.sliding(n).filter(_.size == n).map(_.mkString(" "))
+        .toSeq.distinct
+      val arr = TextKernels.wordShinglesText(UTF8String.fromString(s), n)
+      val got = (0 until arr.numElements()).map(arr.getUTF8String(_).toString)
+      got == want
+    }
+
+  property("charShingles == distinct code-point windows") =
+    forAll(textGen, Gen.choose(1, 4)) { (s, n) =>
+      val cps = s.codePoints().toArray
+      val want = cps.sliding(n).filter(_.length == n)
+        .map(w => new String(w, 0, w.length)).toSeq.distinct
+      val arr = TextKernels.charShingles(UTF8String.fromString(s), n)
+      val got = (0 until arr.numElements()).map(arr.getUTF8String(_).toString)
+      got == want
+    }
+
   private val payloadGen: Gen[Array[Byte]] =
     Gen.choose(0, 500).flatMap(n => Gen.listOfN(n, Gen.choose(-128, 127))
       .map(_.map(_.toByte).toArray))
