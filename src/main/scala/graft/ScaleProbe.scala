@@ -12,22 +12,35 @@ import org.apache.spark.sql.SparkSession
   *    the same code path at 200k edges).
   *
   * Usage: `runMain graft.ScaleProbe [minhash|resolve|spans|curation|all]
-  * [repeats]`. Run each phase in its OWN JVM (`all` exists for
+  * [repeats] [nDocs]`. Run each phase in its OWN JVM (`all` exists for
   * convenience only): round 5 recorded a 103 s resolve outlier that was
   * same-JVM memory pressure from the preceding 2M-doc minhash phase, not
   * resolver behavior — phase isolation is what makes the headroom
-  * numbers attributable. Results go in COVERAGE.md's scale notes, not
-  * BENCH json.
+  * numbers attributable. `nDocs` (default 2M) scales the document-count
+  * phases (curation/spans/minhash) — the 20M curation probe is the
+  * two-decades-above-suite data point. Results go in COVERAGE.md's
+  * scale notes, not BENCH json.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val phase = args.headOption.getOrElse("all")
     val repeats = args.lift(1).map(_.toInt).getOrElse(1)
+    val nDocs = args.lift(2).map(_.toLong).getOrElse(2000000L)
     require(Set("minhash", "resolve", "spans", "curation", "all")(phase),
       s"unknown phase '$phase' (want minhash|resolve|spans|curation|all)")
+    // partition count scales with the probed data volume, exactly as a
+    // cluster operator would size it: at 20M docs (1B token instances)
+    // 32 shuffle partitions put a ~31M-group hash aggregate in every
+    // task — with the default 8g probe heap that OOMs before spilling
+    // saves it. ~250k docs per partition keeps per-task state flat no
+    // matter the probe size. (Run the 20M probe with
+    // SPARK_DRIVER_MEM=64g+ — local[32] shares ONE driver heap across
+    // all 32 "executor" threads, where a real cluster gives each
+    // executor its own.)
+    val parts = math.max(32L, nDocs / 250000L)
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -41,7 +54,7 @@ object ScaleProbe {
     for (rep <- 1 to repeats) {
       if (phase == "minhash" || phase == "all") {
         // 2M docs, same generator as bench_minhash_200k (dup groups of 4)
-        val docs2m = BenchData.dupGroupDocs(spark, 2000000)
+        val docs2m = BenchData.dupGroupDocs(spark, nDocs)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         docs2m.count()
         val tMinhash = time {
@@ -49,7 +62,7 @@ object ScaleProbe {
           println("  candidate pairs: " + r.count())
           r.unpersist(blocking = true)
         }
-        println(f"[scale] minhash 2M docs (run $rep/$repeats): $tMinhash%.1f s")
+        println(f"[scale] minhash ${nDocs / 1000000}M docs (run $rep/$repeats): $tMinhash%.1f s")
         docs2m.unpersist(blocking = true)
         settle()
       }
@@ -58,7 +71,7 @@ object ScaleProbe {
         // span operators at 2M docs (10x their bench entries): ~6.2M
         // spans, ~75% duplicated (groups of 4) — the count/firsts
         // aggregations and re-attach joins at real reduction ratios
-        val docs2m = BenchData.dupGroupDocs(spark, 2000000)
+        val docs2m = BenchData.dupGroupDocs(spark, nDocs)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         docs2m.count()
         val tDup = time {
@@ -67,14 +80,14 @@ object ScaleProbe {
             .agg(org.apache.spark.sql.functions.sum("n_dup_spans"))
             .collect().head.get(0))
         }
-        println(f"[scale] dup_spans 2M docs (run $rep/$repeats): $tDup%.1f s")
+        println(f"[scale] dup_spans ${nDocs / 1000000}M docs (run $rep/$repeats): $tDup%.1f s")
         val tDedup = time {
           println("  spans kept: " + operators.Corpus
             .removeDuplicateSpans(docs2m, "text", "doc_id")
             .agg(org.apache.spark.sql.functions.sum("n_kept"))
             .collect().head.get(0))
         }
-        println(f"[scale] span_dedup 2M docs (run $rep/$repeats): $tDedup%.1f s")
+        println(f"[scale] span_dedup ${nDocs / 1000000}M docs (run $rep/$repeats): $tDedup%.1f s")
         docs2m.unpersist(blocking = true)
         settle()
       }
@@ -87,7 +100,7 @@ object ScaleProbe {
         // the default >=1 every doc fails and the downstream dedup/
         // sampling stages would probe nothing.
         import org.apache.spark.sql.functions._
-        val docs2m = BenchData.dupGroupDocs(spark, 2000000)
+        val docs2m = BenchData.dupGroupDocs(spark, nDocs)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         docs2m.count()
         val tCur = time {
@@ -101,13 +114,13 @@ object ScaleProbe {
             salt = "cur")
           println("  curated rows: " + sampled.count())
         }
-        println(f"[scale] curation_e2e 2M docs (run $rep/$repeats): $tCur%.1f s")
+        println(f"[scale] curation_e2e ${nDocs / 1000000}M docs (run $rep/$repeats): $tCur%.1f s")
         val tCe = time {
           val ce = operators.Corpus.unigramCrossEntropy(docs2m, "text", "doc_id")
             .agg(sum("n_tok"), avg("ce"))
           println("  ce agg: " + ce.collect().head)
         }
-        println(f"[scale] unigram_ce 2M docs (run $rep/$repeats): $tCe%.1f s")
+        println(f"[scale] unigram_ce ${nDocs / 1000000}M docs (run $rep/$repeats): $tCe%.1f s")
         docs2m.unpersist(blocking = true)
         settle()
       }
