@@ -26,8 +26,8 @@ object ScaleProbe {
     val phase = args.headOption.getOrElse("all")
     val repeats = args.lift(1).map(_.toInt).getOrElse(1)
     val nDocs = args.lift(2).map(_.toLong).getOrElse(2000000L)
-    require(Set("minhash", "resolve", "spans", "curation", "all")(phase),
-      s"unknown phase '$phase' (want minhash|resolve|spans|curation|all)")
+    require(Set("minhash", "resolve", "spans", "curation", "ann", "all")(phase),
+      s"unknown phase '$phase' (want minhash|resolve|spans|curation|ann|all)")
     // partition count scales with the probed data volume, exactly as a
     // cluster operator would size it: at 20M docs (1B token instances)
     // 32 shuffle partitions put a ~31M-group hash aggregate in every
@@ -122,6 +122,44 @@ object ScaleProbe {
         }
         println(f"[scale] unigram_ce ${nDocs / 1000000}M docs (run $rep/$repeats): $tCe%.1f s")
         docs2m.unpersist(blocking = true)
+        settle()
+      }
+
+      if (phase == "ann" || phase == "all") {
+        // IVF serving at nDocs embeddings (64-dim): build the partitioned
+        // index ONCE, then serve a 5-query batch from the read-back index
+        // — the repeated-query ANN story. Serve must stay flat-ish as the
+        // corpus grows (static partition pruning scans only the probed
+        // cells), while build scales with the corpus.
+        import org.apache.spark.sql.functions._
+        val big = spark.range(nDocs).select(col("id"),
+          transform(sequence(lit(1), lit(64)),
+            i => sin(col("id") * i * 0.7 + i * 1.3).cast("float").cast("double"))
+            .as("embedding"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        big.count()
+        val qvecs = big.where(col("id") < 5).collect().map { r =>
+          (r.getLong(0), r.getSeq[Double](1).toArray)
+        }.toSeq
+        val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_probe_").toString
+        var model: graft.som.SomModel = null
+        val tBuild = time {
+          model = new graft.som.Som(graft.som.SomConfig(4, 4, seed = 7))
+            .fit(big, "embedding", numEpochs = 2)
+          operators.Similarity.writeAssignedIndex(big, "embedding", model,
+            s"$idxDir/index")
+        }
+        println(f"[scale] ivf_build ${nDocs / 1000000}M vecs (run $rep/$repeats): $tBuild%.1f s")
+        val assigned = spark.read.parquet(s"$idxDir/index")
+        def serve(): Long = operators.Similarity.somTopKAssigned(
+          assigned, model, "embedding", "id", qvecs, k = 10, nProbe = 4).count()
+        val tCold = time { println("  top-k rows: " + serve()) }
+        val tWarm = time { serve(); () }
+        println(f"[scale] ivf_serve ${nDocs / 1000000}M vecs cold/warm (run $rep/$repeats): $tCold%.1f / $tWarm%.1f s")
+        big.unpersist(blocking = true)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(idxDir)).iterator().asScala
+          .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
         settle()
       }
 
