@@ -164,10 +164,12 @@ object ScaleProbe {
       }
 
       if (phase == "resolve" || phase == "all") {
-        // 4M-edge chain graph (2000 chains of length 2000): nEdges (8M
-        // symmetrized) > 2M threshold, so this takes the REAL dispatch
-        // into the iterative path — contraction check included
-        val chains = BenchData.chainGraph(spark, 4000000, 2000)
+        // chain graph at nDocs×2 nodes (default: 4M nodes → 8M
+        // symmetrized edges, 2000-length chains): above the 2M-edge
+        // union-find threshold, so this takes the REAL dispatch into
+        // the iterative path — contraction check included. Pass
+        // nDocs=20M for the 40M-node / 80M-edge two-decade probe.
+        val chains = BenchData.chainGraph(spark, nDocs * 2, 2000)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         chains.count()
         val tResolve = time {
@@ -175,7 +177,7 @@ object ScaleProbe {
           println("  labeled nodes: " + r.count())
           org.apache.spark.sql.GraftBridge.freeCheckpoint(r)
         }
-        println(f"[scale] resolve 8M-edge chains (iterative dispatch, run $rep/$repeats): $tResolve%.1f s")
+        println(f"[scale] resolve ${nDocs * 4 / 1000000}M-edge chains (iterative dispatch, run $rep/$repeats): $tResolve%.1f s")
         chains.unpersist(blocking = true)
         settle()
       }
