@@ -86,11 +86,22 @@ object Corpus {
     * oracle reproduces `round(tf * ln(nDocs/df), 6)` bit-for-bit, so
     * the transcendental column is exact cross-engine, not API-only.
     */
+  /** Per-document (id, token, tf) from the `token_tf` kernel: the pairs
+    * come pre-counted per document (the document IS the group, so no
+    * corpus-wide `groupBy(id, token)` is ever needed) and the explode
+    * volume is per-doc DISTINCT terms, not total token instances — at
+    * 1B token instances that is the difference between a 1B-row hash
+    * aggregate and a ~100M-row narrow explode (r7: unigram_ce at 20M
+    * docs 583 → ~210 s).
+    */
+  private def termFrequencies(df: DataFrame, textCol: String,
+                              idCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+        explode(graft.plans.GraftFunctions.token_tf(col(textCol))).as("kv"))
+      .select(col("id"), col("kv.token").as("token"), col("kv.tf").as("tf"))
+
   def tfidfTerms(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val tf = df.select(col(idCol).cast("long").as("id"),
-        TextFunctions.tokens(col(textCol)).as("__t"))
-      .select(col("id"), explode(col("__t")).as("token"))
-      .groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val tf = termFrequencies(df, textCol, idCol)
     val dfs = documentFrequencies(df, textCol)
     tf.join(dfs, "token")
       .select(col("id"), col("token"), col("tf"), col("df"),
@@ -184,10 +195,14 @@ object Corpus {
     */
   def unigramCrossEntropy(df: DataFrame, textCol: String,
                           idCol: String): DataFrame = {
-    val tf = df.select(col(idCol).cast("long").as("id"),
-        TextFunctions.tokens(col(textCol)).as("__t"))
-      .select(col("id"), explode(col("__t")).as("token"))
-      .groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    // token_tf kernel pairs, repartitioned ONCE on the token: both the
+    // vocabulary-count branch and the join branch consume this exchange
+    // (ReusedExchange/AQE stage reuse — spec-pinned), so the corpus is
+    // scanned once, the join is co-located, and there is no corpus-wide
+    // (id, token) aggregation anywhere. Without the explicit
+    // repartition, AQE would broadcast the small counts side and each
+    // branch would re-execute the scan subtree.
+    val tf = termFrequencies(df, textCol, idCol).repartition(col("token"))
     val counts = tf.groupBy("token").agg(sum(col("tf")).as("__c"))
     val total = counts.agg(sum(col("__c")).as("__n"))
     val term = round(col("tf") * -log(col("__c").cast("double") /

@@ -102,6 +102,37 @@ object TextKernels {
       seen.toArray.asInstanceOf[Array[AnyRef]].asInstanceOf[Array[Any]])
   }
 
+  /** Per-document term frequencies as (token, tf) struct pairs — one
+    * tokenize+count pass per row. Replaces the explode-every-token →
+    * corpus-wide `groupBy(id, token)` shape: per-document counting needs
+    * no shuffle at all (the document IS the group), so the downstream
+    * aggregation volume drops from total token instances to per-doc
+    * DISTINCT terms. Pair order is first-occurrence (deterministic);
+    * consumers aggregate or join, so order is semantically irrelevant.
+    */
+  def tokenTf(text: UTF8String): ArrayData = {
+    val toks = tokensOf(text)
+    val counts = new java.util.LinkedHashMap[UTF8String, Long]()
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      val prev = counts.get(t)
+      counts.put(t, if (prev == null) 1L else prev + 1L)
+      i += 1
+    }
+    val out = new Array[Any](counts.size())
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey, e.getValue))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** token -> bitmask of marker lists containing it (bit i = lang i). */
   def buildMarkerBits(langWords: Array[Array[String]]): java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer]()

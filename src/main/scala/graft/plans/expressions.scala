@@ -347,6 +347,33 @@ case class TokensOf(child: Expression) extends UnaryExpression {
   override def prettyName: String = "tokens_of"
 }
 
+/** Per-document `(token, tf)` pairs as a codegen'd kernel call
+  * (`TextKernels.tokenTf`): tokenize + per-doc count in one pass, no
+  * shuffle — the document is the group. Exploding this is the
+  * scale-correct input to corpus-frequency aggregations: volume is
+  * per-doc DISTINCT terms, not total token instances.
+  */
+case class TokenTfOf(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("token", StringType, nullable = false),
+      StructField("tf", LongType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.tokenTf(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = TextKernels.getClass.getName.stripSuffix("$") // mirror-class static forwarders
+    defineCodeGen(ctx, ev, c => s"$kernel.tokenTf($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenTfOf =
+    copy(child = newChild)
+  override def prettyName: String = "token_tf"
+}
+
 /** Distinct word n-gram shingles as a codegen'd kernel call
   * (`TextKernels.wordShingles`/`wordShinglesText`): accepts raw text
   * (tokenizes internally) or a pre-tokenized `array<string>`. Replaces
@@ -565,6 +592,9 @@ object GraftFunctions {
 
   def tokens_of(text: Column): Column =
     GraftBridge.column(TokensOf(GraftBridge.expression(text)))
+
+  def token_tf(text: Column): Column =
+    GraftBridge.column(TokenTfOf(GraftBridge.expression(text)))
 
   def word_shingles(textOrTokens: Column, n: Int): Column =
     GraftBridge.column(WordShinglesOf(GraftBridge.expression(textOrTokens), n))

@@ -70,6 +70,20 @@ object KernelProperties extends Properties("Kernels") {
       got == want
     }
 
+  property("tokenTf == reference token counts, first-occurrence order, tf sums to token count") =
+    forAll(textGen) { s =>
+      val arr = TextKernels.tokenTf(UTF8String.fromString(s))
+      val got = (0 until arr.numElements()).map { i =>
+        val r = arr.getStruct(i, 2)
+        (r.getUTF8String(0).toString, r.getLong(1))
+      }
+      val toks = refTokens(s)
+      val wantOrder = toks.distinct
+      got.map(_._1) == wantOrder &&
+        got.toMap == toks.groupBy(identity).map { case (t, xs) => (t, xs.size.toLong) } &&
+        got.map(_._2).sum == toks.size.toLong
+    }
+
   property("wordShingles == distinct sliding windows of reference tokens") =
     forAll(textGen, Gen.choose(1, 4)) { (s, n) =>
       val toks = refTokens(s)
