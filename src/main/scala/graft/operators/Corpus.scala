@@ -22,9 +22,13 @@ object Corpus {
     * top-k merged on the driver — no global sort of the vocabulary.
     */
   def tokenFrequencies(df: DataFrame, textCol: String, k: Int): DataFrame =
-    df.select(explode(TextFunctions.tokens(col(textCol))).as("token"))
-      .groupBy("token")
-      .agg(count(lit(1)).as("n"))
+    // token_tf kernel pairs: the rows entering the aggregation are
+    // per-doc DISTINCT terms with their in-doc counts, not raw token
+    // instances — the partial aggregate streams ~10x fewer rows on
+    // natural text (r7)
+    df.select(explode(graft.plans.GraftFunctions.token_tf(col(textCol))).as("kv"))
+      .groupBy(col("kv.token").as("token"))
+      .agg(sum(col("kv.tf")).as("n"))
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
