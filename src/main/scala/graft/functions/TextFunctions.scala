@@ -29,7 +29,7 @@ object TextFunctions {
     * deterministic stand-in for subword tokenizers.
     */
   def tokenCountBpeish(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+    graft.plans.GraftFunctions.regex_count(text, "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")
 
   /** Character n-gram shingles (distinct), 1-based sliding window over
     * code points — one codegen'd kernel pass
@@ -54,7 +54,7 @@ object TextFunctions {
 
   /** Punctuation character count / ratio over total characters. */
   def punctCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[.,!?;:'\"()\\[\\]{}-]"), lit(0)))
+    graft.plans.GraftFunctions.regex_count(text, "[.,!?;:'\"()\\[\\]{}-]")
   def punctRatio(text: Column): Column =
     when(length(text) === 0, 0.0)
       .otherwise(punctCount(text).cast("double") / length(text))
@@ -62,10 +62,10 @@ object TextFunctions {
   /** Digit / alpha character ratios. */
   def digitRatio(text: Column): Column =
     when(length(text) === 0, 0.0)
-      .otherwise(size(regexp_extract_all(text, lit("[0-9]"), lit(0))).cast("double") / length(text))
+      .otherwise(graft.plans.GraftFunctions.regex_count(text, "[0-9]").cast("double") / length(text))
   def alphaRatio(text: Column): Column =
     when(length(text) === 0, 0.0)
-      .otherwise(size(regexp_extract_all(text, lit("[A-Za-z]"), lit(0))).cast("double") / length(text))
+      .otherwise(graft.plans.GraftFunctions.regex_count(text, "[A-Za-z]").cast("double") / length(text))
 
   /** Mean token length (0 for empty docs) — reuses the `GopherStats`
     * kernel ([n, len, alpha, stop] with an empty stop set), bound once.
@@ -251,18 +251,18 @@ object TextFunctions {
     * a curation pipeline keys PII rules off.
     */
   def emailCount(text: Column): Column =
-    size(regexp_extract_all(text,
-      lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0)))
+    graft.plans.GraftFunctions.regex_count(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
 
   /** URL-shaped substring count. */
   def urlCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("https?://[^\\s]+"), lit(0)))
+    graft.plans.GraftFunctions.regex_count(text, "https?://[^\\s]+")
 
   /** Long (>= 7 digits) digit-run count — phone/account-number-shaped
     * content.
     */
   def longDigitRunCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[0-9]{7,}"), lit(0)))
+    graft.plans.GraftFunctions.regex_count(text, "[0-9]{7,}")
 
   /** Deterministic document fingerprint: md5 of the token-normalized
     * text (cross-engine checkable, unlike xxhash64).

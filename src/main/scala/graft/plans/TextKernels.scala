@@ -133,6 +133,19 @@ object TextKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Count of non-overlapping regex matches — `size(regexp_extract_all(
+    * text, pattern))` without materializing the match array. Uses the
+    * SAME `java.util.regex` engine and the same UTF8String→String
+    * conversion as Spark's `RegExpExtractAll`, so counts are identical
+    * by construction.
+    */
+  def regexCount(text: UTF8String, p: java.util.regex.Pattern): Int = {
+    val m = p.matcher(text.toString)
+    var n = 0
+    while (m.find()) n += 1
+    n
+  }
+
   /** token -> bitmask of marker lists containing it (bit i = lang i). */
   def buildMarkerBits(langWords: Array[Array[String]]): java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer]()

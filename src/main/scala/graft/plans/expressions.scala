@@ -347,6 +347,34 @@ case class TokensOf(child: Expression) extends UnaryExpression {
   override def prettyName: String = "tokens_of"
 }
 
+/** Count of non-overlapping matches of a constant regex — replaces
+  * `size(regexp_extract_all(text, pattern))`, which materializes the
+  * whole match array to read its length. Same `java.util.regex` engine
+  * as Spark's regexp functions (counts identical by construction); the
+  * compiled Pattern ships to codegen as a reference object.
+  */
+case class RegexCountOf(child: Expression, pattern: String)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val compiled: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(pattern)
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.regexCount(input.asInstanceOf[UTF8String], compiled)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = TextKernels.getClass.getName.stripSuffix("$") // mirror-class static forwarders
+    val pRef = ctx.addReferenceObj("pattern", compiled, "java.util.regex.Pattern")
+    defineCodeGen(ctx, ev, c => s"$kernel.regexCount($c, $pRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RegexCountOf =
+    copy(child = newChild)
+  override def prettyName: String = "regex_count"
+}
+
 /** Per-document `(token, tf)` pairs as a codegen'd kernel call
   * (`TextKernels.tokenTf`): tokenize + per-doc count in one pass, no
   * shuffle — the document is the group. Exploding this is the
@@ -595,6 +623,9 @@ object GraftFunctions {
 
   def token_tf(text: Column): Column =
     GraftBridge.column(TokenTfOf(GraftBridge.expression(text)))
+
+  def regex_count(text: Column, pattern: String): Column =
+    GraftBridge.column(RegexCountOf(GraftBridge.expression(text), pattern))
 
   def word_shingles(textOrTokens: Column, n: Int): Column =
     GraftBridge.column(WordShinglesOf(GraftBridge.expression(textOrTokens), n))

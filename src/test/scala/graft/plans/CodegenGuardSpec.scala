@@ -41,6 +41,8 @@ class CodegenGuardSpec extends SparkSpec {
       val tk = docs.select(
           size(GraftFunctions.tokens_of(col("text"))).as("ntok"),
           size(GraftFunctions.word_shingles(col("text"), 2)).as("nwsh"),
+          GraftFunctions.regex_count(col("text"), "[a-z]+").as("nrx"),
+          size(GraftFunctions.token_tf(col("text"))).as("ntf"),
           size(GraftFunctions.char_shingles(col("text"), 3)).as("ncsh"),
           GraftFunctions.lang_id_of(col("text"),
             graft.functions.TextFunctions.langMarkers).as("lang"),
@@ -49,10 +51,12 @@ class CodegenGuardSpec extends SparkSpec {
         .collect()
       assert(tk.forall(_.getInt(0) == 4))
       assert(tk.forall(_.getInt(1) == 3)) // 4 tokens -> 3 distinct bigrams
-      assert(tk.forall(_.getInt(2) > 0))
-      assert(tk.forall(_.getString(3).nonEmpty))
-      assert(tk.head.getSeq[Long](4) == Seq(4L, 19L, 4L, 2L), tk.head.getSeq[Long](4))
-      assert(tk.head.getSeq[Long](5).head == 4L)
+      assert(tk.forall(_.getInt(2) == 4)) // four lowercase-letter runs
+      assert(tk.forall(_.getInt(3) == 4)) // 4 distinct terms per doc
+      assert(tk.forall(_.getInt(4) > 0))
+      assert(tk.forall(_.getString(5).nonEmpty))
+      assert(tk.head.getSeq[Long](6) == Seq(4L, 19L, 4L, 2L), tk.head.getSeq[Long](6))
+      assert(tk.head.getSeq[Long](7).head == 4L)
       val ngr = sigged.alias("a").join(sigged.alias("b"),
           col("a.id") < col("b.id"))
         .select(GraftFunctions.sorted_inter_count(col("a.ng"), col("b.ng")).as("inter"),

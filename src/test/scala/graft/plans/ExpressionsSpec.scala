@@ -81,6 +81,27 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("regex_count == size(regexp_extract_all) for every production pattern") {
+    val patterns = Seq(
+      "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]",                  // bpe-ish
+      "[.,!?;:'\"()\\[\\]{}-]",                            // punct
+      "[0-9]", "[A-Za-z]",                                  // char classes
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",   // email
+      "https?://[^\\s]+", "[0-9]{7,}")                      // url, digit runs
+    val enriched = nastyDf.union(Seq(
+      (100L, "mail a@b.co and c.d@e-f.org see https://x.y/z?q=1 tel 12345678"),
+      (101L, "😀3.14!! [ok] {no} 9999999 http://a")
+    ).toDF("id", "text"))
+    patterns.zipWithIndex.foreach { case (pat, i) =>
+      val rows = enriched.select(
+          GraftFunctions.regex_count(col("text"), pat).as("kernel"),
+          size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("ref"))
+        .collect()
+      rows.foreach(r => assert(r.getInt(0) == r.getInt(1),
+        s"pattern #$i '$pat': kernel=${r.getInt(0)} ref=${r.getInt(1)}"))
+    }
+  }
+
   test("lang_id_of kernel == aggregate reference semantics on adversarial inputs") {
     import graft.functions.TextFunctions
     val both = nastyDf.select(col("id"),
