@@ -672,6 +672,29 @@ object Queries {
 
   // ---------------------------------------------- relational / events
 
+  /** `events` with `ts` normalized to LONG EPOCH NANOS regardless of the
+    * parquet physical type. Driver datasets have shipped ts BOTH ways:
+    * nanos-annotated INT64 (reads as LongType under the sessions'
+    * `nanosAsLong` flag) and `timestamp[us]` (reads as TIMESTAMP /
+    * TIMESTAMP_NTZ). Normalizing here keeps every downstream window /
+    * gap computation exact ns-long integer arithmetic — identical to
+    * the oracles' `epoch_ns(ts)` and valid under BOTH ANSI modes
+    * (timestamp-minus-bigint throws under ANSI; NTZ converts via the
+    * session timezone, which every entrypoint pins to UTC, matching
+    * DuckDB's naive-timestamp epoch).
+    */
+  private def eventsNs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case TimestampType =>
+        raw.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case TimestampNTZType =>
+        raw.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case _ => raw
+    }
+  }
+
   private lazy val relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-style scan + hash aggregate with pushed-down filter.
     // Money math in DECIMAL so partial-aggregation order can't move a
@@ -732,7 +755,7 @@ object Queries {
     // streaming activation/window aggregation; ns-long arithmetic keeps
     // the window boundary exact on both engines)
     "events_hourly" -> ((s, dir) =>
-      s.read.parquet(s"$dir/events.parquet")
+      eventsNs(s, dir)
         .withColumn("window_start_ns",
           col("ts") - pmod(col("ts"), lit(3600000000000L)))
         .groupBy("window_start_ns", "event_type")
@@ -745,9 +768,8 @@ object Queries {
     "events_sessionize" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
-      s.read.parquet(s"$dir/events.parquet")
+      eventsNs(s, dir) // ts: long epoch nanos whatever the file wrote
         .withColumn("prev_ts", lag("ts", 1).over(w))
-        // ts reads as LongType nanos (spark.sql.legacy.parquet.nanosAsLong)
         .withColumn("new_session",
           when(col("prev_ts").isNull ||
                col("ts") - col("prev_ts") > 1800000000000L, 1)
