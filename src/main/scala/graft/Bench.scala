@@ -38,6 +38,18 @@ object BenchData {
     spark.range(nNodes)
       .where(pmod(col("id"), lit(chainLen)) =!= lit(chainLen - 1))
       .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+
+  /** Edge list of a complete binary tree on nNodes (heap numbering:
+    * node i's parent is (i-1)/2) — the BUSHY hierarchical shape where
+    * the label space shrinks super-geometrically per pointer-jump round
+    * (labels climb ~2^(3^r) ancestor levels), unlike chains where it
+    * only shrinks linearly. Exercises the resolver's mid-loop
+    * contraction exit: the eager post-neighbor-min check sees ~nNodes
+    * label-space edges (too big), one round later it sees ~nNodes/8.
+    */
+  def treeGraph(spark: SparkSession, nNodes: Long) =
+    spark.range(1, nNodes)
+      .select(shiftright(col("id") - 1, 1).as("id_a"), col("id").as("id_b"))
 }
 
 object Bench {
@@ -204,6 +216,37 @@ object Bench {
         ()
       }
       chains.unpersist(blocking = false)
+    }
+
+    // --- mid-loop contraction-exit A/B on a 200k-node binary tree
+    // (~400k symmetrized edges, diameter ~34). The eager contraction
+    // check fails (~200k label-space edges > the 50k threshold), so
+    // only the MID-LOOP re-check can shortcut: after one pointer-jump
+    // round labels sit ~4 ancestor levels up (~16k distinct), the
+    // re-check fires and a single-task union-find finishes. The paired
+    // entry runs the identical graph with every exit disabled
+    // (threshold -1): the pure loop needs ~5 full-width rounds. The
+    // delta between the two entries is the exit's value on the bushy
+    // hierarchical shape real near-dup graphs have.
+    {
+      val tree = BenchData.treeGraph(spark, 200000)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      tree.count()
+      results("bench_resolve_midexit_200k") = time2 {
+        val r = graft.operators.Dedup.resolveDuplicateClusters(
+          tree, localEdgeThreshold = 50000L)
+        r.count()
+        org.apache.spark.sql.GraftBridge.freeCheckpoint(r)
+        ()
+      }
+      results("bench_resolve_treeloop_200k") = time2 {
+        val r = graft.operators.Dedup.resolveDuplicateClusters(
+          tree, localEdgeThreshold = -1L)
+        r.count()
+        org.apache.spark.sql.GraftBridge.freeCheckpoint(r)
+        ()
+      }
+      tree.unpersist(blocking = false)
     }
 
     // --- contraction-hybrid resolver bench: duplicate groups of 4

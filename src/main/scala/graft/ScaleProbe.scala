@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSession
   *    path actually serves in production (the forced bench entry covers
   *    the same code path at 200k edges).
   *
-  * Usage: `runMain graft.ScaleProbe [minhash|resolve|spans|curation|all]
+  * Usage: `runMain graft.ScaleProbe [minhash|resolve|bushy|spans|curation|ann|all]
   * [repeats] [nDocs]`. Run each phase in its OWN JVM (`all` exists for
   * convenience only): round 5 recorded a 103 s resolve outlier that was
   * same-JVM memory pressure from the preceding 2M-doc minhash phase, not
@@ -26,8 +26,8 @@ object ScaleProbe {
     val phase = args.headOption.getOrElse("all")
     val repeats = args.lift(1).map(_.toInt).getOrElse(1)
     val nDocs = args.lift(2).map(_.toLong).getOrElse(2000000L)
-    require(Set("minhash", "resolve", "spans", "curation", "ann", "all")(phase),
-      s"unknown phase '$phase' (want minhash|resolve|spans|curation|ann|all)")
+    require(Set("minhash", "resolve", "bushy", "spans", "curation", "ann", "all")(phase),
+      s"unknown phase '$phase' (want minhash|resolve|bushy|spans|curation|ann|all)")
     // partition count scales with the probed data volume, exactly as a
     // cluster operator would size it: at 20M docs (1B token instances)
     // 32 shuffle partitions put a ~31M-group hash aggregate in every
@@ -179,6 +179,36 @@ object ScaleProbe {
         }
         println(f"[scale] resolve ${nDocs * 4 / 1000000}M-edge chains (iterative dispatch, run $rep/$repeats): $tResolve%.1f s")
         chains.unpersist(blocking = true)
+        settle()
+      }
+
+      if (phase == "bushy" || phase == "all") {
+        // complete binary tree at nDocs×4 nodes (default 8M nodes → 16M
+        // symmetrized edges): the bushy hierarchical shape. Above the
+        // union-find threshold → real iterative dispatch; the eager
+        // contraction check sees ~8M label-space edges (> 2M, fails),
+        // one pointer-jump round later the label space is ~nNodes/16 →
+        // the MID-LOOP exit fires and union-find finishes. A/B against
+        // the identical graph with exits disabled (pure loop, ~5
+        // full-width rounds over 16M edges) isolates the exit's value
+        // on this shape.
+        val tree = BenchData.treeGraph(spark, nDocs * 4)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        tree.count()
+        val tExit = time {
+          val r = operators.Dedup.resolveDuplicateClusters(tree)
+          println("  labeled nodes (mid-loop exit): " + r.count())
+          org.apache.spark.sql.GraftBridge.freeCheckpoint(r)
+        }
+        println(f"[scale] bushy ${nDocs * 4 / 1000000}M-node tree, exits ON (run $rep/$repeats): $tExit%.1f s")
+        settle()
+        val tLoop = time {
+          val r = operators.Dedup.resolveDuplicateClusters(tree, localEdgeThreshold = -1L)
+          println("  labeled nodes (pure loop): " + r.count())
+          org.apache.spark.sql.GraftBridge.freeCheckpoint(r)
+        }
+        println(f"[scale] bushy ${nDocs * 4 / 1000000}M-node tree, exits OFF (run $rep/$repeats): $tLoop%.1f s")
+        tree.unpersist(blocking = true)
         settle()
       }
     }

@@ -223,7 +223,11 @@ object Dedup {
     * executor task (a single shuffle-free job); larger graphs run as
     * hash-join rounds combining neighbor-min propagation with pointer
     * jumping (label <- label-of-label), so a chain of diameter d
-    * converges in O(log d) rounds rather than O(d). Each round composes
+    * converges in O(log d) rounds rather than O(d). Whenever the label
+    * space shrinks enough for the CONTRACTED graph (distinct label-pair
+    * edges) to fit one task — eagerly for clique-ish graphs, a round or
+    * two in for bushy hierarchical ones — the loop exits early through
+    * an exact union-find finish over label space. Each round composes
     * the label map ~3x (neighbor-min + two pointer jumps) and the
     * sum-based fixpoint check consumes one extra no-change round, so
     * maxIters rounds cover any component diameter up to ~3^(maxIters-1)
@@ -329,44 +333,51 @@ object Dedup {
       // label maps: final(id) = root(label(id)). Contraction preserves
       // components, and the component minimum labels itself, so the
       // composed map is the same (id, min-reachable-id) fixpoint the
-      // loop would reach. Path-shaped graphs contract only linearly, so
-      // this is checked ONCE — when it does not pay, the pointer-jump
-      // loop below takes over without re-checking every round.
-      // localEdgeThreshold=0 (the bench's forced-iterative mode) skips
-      // the exit entirely.
-      if (localEdgeThreshold > 0L) {
-        val la = labels.select(col("id"), col("keep_id").as("ka"))
-        val lb = labels.select(col("id").as("nbr"), col("keep_id").as("kb"))
+      // loop would reach. Returns the finished child-session label map,
+      // or None when the contracted graph is still too large (the
+      // caller keeps looping; `cur` is never freed here).
+      def tryContractionExit(cur: DataFrame): Option[DataFrame] = {
+        val la = cur.select(col("id"), col("keep_id").as("ka"))
+        val lb = cur.select(col("id").as("nbr"), col("keep_id").as("kb"))
         val contracted = edgesIn.join(la, "id").join(lb, "nbr")
           .where(col("ka") =!= col("kb"))
           .select(col("ka").as("id_a"), col("kb").as("id_b"))
           .distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val n2 = contracted.count()
-        if (n2 == 0L) {
-          // every edge already joins two same-labeled nodes: done
-          contracted.unpersist(blocking = false)
-          return org.apache.spark.sql.GraftBridge.withSession(labels, session0)
+        try {
+          val n2 = contracted.count()
+          if (n2 == 0L) {
+            // every edge already joins two same-labeled nodes: done
+            Some(cur)
+          } else if (n2 <= localEdgeThreshold) {
+            import spark.implicits._
+            // contracted is already symmetric (edgesIn carries both edge
+            // directions and the label join preserves them) — feed it to
+            // union-find as-is rather than re-symmetrizing, which would
+            // double the one bounded-memory task's input for no effect
+            val roots = contracted
+              .as[(Long, Long)].coalesce(1)
+              .mapPartitions(UnionFind.minLabels)
+              .toDF("lbl", "root")
+            Some(cur
+              .join(roots, col("keep_id") === col("lbl"), "left")
+              .select(col("id"), coalesce(col("root"), col("keep_id")).as("keep_id"))
+              .localCheckpoint(eager = true))
+          } else None
+        } finally contracted.unpersist(blocking = false)
+      }
+      // The exit is checked eagerly once after the neighbor-min pass
+      // (bushy graphs contract immediately) and then RE-checked from
+      // inside the loop whenever the label space has shrunk enough to
+      // plausibly fit (see below). localEdgeThreshold=0 / negative (the
+      // bench's forced-iterative modes) skips every exit.
+      if (localEdgeThreshold > 0L) {
+        tryContractionExit(labels) match {
+          case Some(done) =>
+            if (!(done eq labels)) org.apache.spark.sql.GraftBridge.freeCheckpoint(labels)
+            return org.apache.spark.sql.GraftBridge.withSession(done, session0)
+          case None => ()
         }
-        if (n2 <= localEdgeThreshold) {
-          import spark.implicits._
-          // contracted is already symmetric (edgesIn carries both edge
-          // directions and the label join preserves them) — feed it to
-          // union-find as-is rather than re-symmetrizing, which would
-          // double the one bounded-memory task's input for no effect
-          val roots = contracted
-            .as[(Long, Long)].coalesce(1)
-            .mapPartitions(UnionFind.minLabels)
-            .toDF("lbl", "root")
-          val composed = labels
-            .join(roots, col("keep_id") === col("lbl"), "left")
-            .select(col("id"), coalesce(col("root"), col("keep_id")).as("keep_id"))
-            .localCheckpoint(eager = true)
-          contracted.unpersist(blocking = false)
-          org.apache.spark.sql.GraftBridge.freeCheckpoint(labels)
-          return org.apache.spark.sql.GraftBridge.withSession(composed, session0)
-        }
-        contracted.unpersist(blocking = false)
       }
       // labels only ever decrease, so sum(keep_id) strictly decreases
       // iff any label changed — an exact DECIMAL(38,0) sum is the
@@ -378,13 +389,31 @@ object Dedup {
       // runs on the LAZY checkpoint of each round's labels, so one job
       // both materializes the round and checks the fixpoint (an eager
       // checkpoint + separate check costs two jobs per round).
-      def labelSum(df: DataFrame): BigInt = {
-        val d = df.agg(sum(col("keep_id").cast("decimal(38,0)"))).head.getDecimal(0)
-        if (d == null) BigInt(0) else BigInt(d.toBigInteger)
+      // The same one-job aggregate also estimates the LABEL-SPACE size
+      // (HLL approx_count_distinct, ~2% default error) — it is the
+      // trigger for re-checking the contraction exit from inside the
+      // loop, and costs no extra pass or job over the sum alone.
+      def labelStats(df: DataFrame): (BigInt, Long) = {
+        val row = df.agg(
+          sum(col("keep_id").cast("decimal(38,0)")),
+          approx_count_distinct(col("keep_id"))).head
+        val d = row.getDecimal(0)
+        (if (d == null) BigInt(0) else BigInt(d.toBigInteger), row.getLong(1))
       }
-      var prevSum = labelSum(labels)
+      var prevSum = labelStats(labels)._1
       var i = 0
       var converged = false
+      // Mid-loop re-check gate: a failed contraction check costs about
+      // one round, so only re-try once the estimated label space has
+      // HALVED since the last failure (and could plausibly fit — the
+      // contracted graph carries both edge directions, hence the 2x).
+      // Bushy graphs shrink their label space super-geometrically per
+      // round (each node adopts the min of a radius-3^i neighborhood),
+      // so the graphs the eager check missed typically exit a round or
+      // two later; pure path graphs never trigger (their labels stay
+      // pairwise distinct until convergence, so approxL tracks n) and
+      // lose nothing.
+      var lastTriedL = if (localEdgeThreshold > 0L) Long.MaxValue else Long.MinValue
       val dbg = sys.env.contains("GRAFT_DEBUG_RESOLVE")
       while (i < maxIters && !converged) {
         val t0 = System.nanoTime()
@@ -414,7 +443,7 @@ object Dedup {
               coalesce(col("k1"), col("m")),
               coalesce(col("k2"), col("m"))).as("keep_id"))
           .localCheckpoint(eager = false)
-        val s = labelSum(next) // materializes next's checkpoint
+        val (s, approxL) = labelStats(next) // materializes next's checkpoint
         // NB plain Dataset.unpersist is a NO-OP for checkpoints (it only
         // clears CacheManager entries; the checkpoint RDD is cached
         // directly) — GraftBridge reaches the underlying RDD.
@@ -423,7 +452,20 @@ object Dedup {
         converged = s == prevSum
         prevSum = s
         i += 1
-        if (dbg) println(f"[resolve] round $i: ${(System.nanoTime() - t0) / 1e9}%.3f s (sum=$s)")
+        if (dbg) println(f"[resolve] round $i: ${(System.nanoTime() - t0) / 1e9}%.3f s (sum=$s, ~$approxL labels)")
+        if (!converged && localEdgeThreshold > 0L &&
+            approxL <= localEdgeThreshold / 2 && approxL <= lastTriedL / 2) {
+          lastTriedL = approxL
+          tryContractionExit(labels) match {
+            case Some(done) =>
+              if (!(done eq labels)) {
+                org.apache.spark.sql.GraftBridge.freeCheckpoint(labels)
+                labels = done
+              }
+              converged = true
+            case None => ()
+          }
+        }
       }
       if (!converged) {
         org.apache.spark.sql.GraftBridge.freeCheckpoint(labels)
