@@ -218,28 +218,19 @@ object Bench {
       chains.unpersist(blocking = false)
     }
 
-    // --- mid-loop contraction-exit A/B on a 200k-node binary tree
-    // (~400k symmetrized edges, diameter ~34). The eager contraction
-    // check fails (~200k label-space edges > the 50k threshold), so
-    // only the MID-LOOP re-check can shortcut: after one pointer-jump
-    // round labels sit ~4 ancestor levels up (~16k distinct), the
-    // re-check fires and a single-task union-find finishes. The paired
-    // entry runs the identical graph with every exit disabled
-    // (threshold -1): the pure loop needs ~5 full-width rounds. The
-    // delta between the two entries is the exit's value on the bushy
-    // hierarchical shape real near-dup graphs have.
+    // --- bushy-shape resolver bench: a 200k-node complete binary tree
+    // (~400k symmetrized edges, diameter ~34) forced onto the iterative
+    // path with the exit disabled. Trees collapse their label space
+    // super-geometrically (the opposite extreme from chains, whose
+    // labels stay pairwise distinct), and every node's label changes
+    // every round — the hash aggregates and hop joins see maximal churn
+    // per edge. Covers the round-loop cost profile the chain bench
+    // cannot.
     {
       val tree = BenchData.treeGraph(spark, 200000)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       tree.count()
-      results("bench_resolve_midexit_200k") = time2 {
-        val r = graft.operators.Dedup.resolveDuplicateClusters(
-          tree, localEdgeThreshold = 50000L)
-        r.count()
-        org.apache.spark.sql.GraftBridge.freeCheckpoint(r)
-        ()
-      }
-      results("bench_resolve_treeloop_200k") = time2 {
+      results("bench_resolve_tree_200k") = time2 {
         val r = graft.operators.Dedup.resolveDuplicateClusters(
           tree, localEdgeThreshold = -1L)
         r.count()

@@ -184,30 +184,22 @@ object ScaleProbe {
 
       if (phase == "bushy" || phase == "all") {
         // complete binary tree at nDocs×4 nodes (default 8M nodes → 16M
-        // symmetrized edges): the bushy hierarchical shape. Above the
-        // union-find threshold → real iterative dispatch; the eager
-        // contraction check sees ~8M label-space edges (> 2M, fails),
-        // one pointer-jump round later the label space is ~nNodes/16 →
-        // the MID-LOOP exit fires and union-find finishes. A/B against
-        // the identical graph with exits disabled (pure loop, ~5
-        // full-width rounds over 16M edges) isolates the exit's value
-        // on this shape.
+        // symmetrized edges): the bushy extreme. Every node's label
+        // changes every round (chains flip only a frontier), so the
+        // per-round aggregates and hop joins see maximal churn — the
+        // heavy-cost counterpart to the chain probe's max-diameter
+        // case. Real dispatch: above the union-find threshold, eager
+        // contraction check fails (~nNodes label-space edges), full
+        // iterative loop (~5 rounds at diameter ~46).
         val tree = BenchData.treeGraph(spark, nDocs * 4)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         tree.count()
-        val tExit = time {
+        val tTree = time {
           val r = operators.Dedup.resolveDuplicateClusters(tree)
-          println("  labeled nodes (mid-loop exit): " + r.count())
+          println("  labeled nodes: " + r.count())
           org.apache.spark.sql.GraftBridge.freeCheckpoint(r)
         }
-        println(f"[scale] bushy ${nDocs * 4 / 1000000}M-node tree, exits ON (run $rep/$repeats): $tExit%.1f s")
-        settle()
-        val tLoop = time {
-          val r = operators.Dedup.resolveDuplicateClusters(tree, localEdgeThreshold = -1L)
-          println("  labeled nodes (pure loop): " + r.count())
-          org.apache.spark.sql.GraftBridge.freeCheckpoint(r)
-        }
-        println(f"[scale] bushy ${nDocs * 4 / 1000000}M-node tree, exits OFF (run $rep/$repeats): $tLoop%.1f s")
+        println(f"[scale] bushy ${nDocs * 4 / 1000000}M-node tree (real dispatch, run $rep/$repeats): $tTree%.1f s")
         tree.unpersist(blocking = true)
         settle()
       }

@@ -223,13 +223,11 @@ object Dedup {
     * executor task (a single shuffle-free job); larger graphs run as
     * hash-join rounds combining neighbor-min propagation with pointer
     * jumping (label <- label-of-label), so a chain of diameter d
-    * converges in O(log d) rounds rather than O(d). Whenever the label
-    * space shrinks enough for the CONTRACTED graph (distinct label-pair
-    * edges) to fit one task — eagerly for clique-ish graphs, a round or
-    * two in for bushy hierarchical ones — the loop exits early through
-    * an exact union-find finish over label space. Each round composes
-    * the label map ~3x (neighbor-min + two pointer jumps) and the
-    * sum-based fixpoint check consumes one extra no-change round, so
+    * converges in O(log d) rounds rather than O(d). Clique-ish graphs
+    * whose post-neighbor-min contraction fits one task exit eagerly
+    * through an exact union-find finish over label space. Each round
+    * composes the label map ~3x (neighbor-min + two pointer jumps) and
+    * the sum-based fixpoint check consumes one extra no-change round, so
     * maxIters rounds cover any component diameter up to ~3^(maxIters-1)
     * — maxIters=16 is ~14M (maxIters only applies to the iterative
     * path; union-find is exact in one pass). Returns (id, keep_id);
@@ -276,7 +274,8 @@ object Dedup {
       } finally {
         edges.unpersist(blocking = false)
       }
-    } else resolveClustersIterative(edges, nEdges, maxIters, session0, localEdgeThreshold)
+    } else resolveClustersIterative(edges, nEdges, maxIters, session0,
+      localEdgeThreshold)
   }
 
   /** Iterative pointer-jumping label propagation for graphs too large for
@@ -366,11 +365,24 @@ object Dedup {
           } else None
         } finally contracted.unpersist(blocking = false)
       }
-      // The exit is checked eagerly once after the neighbor-min pass
-      // (bushy graphs contract immediately) and then RE-checked from
-      // inside the loop whenever the label space has shrunk enough to
-      // plausibly fit (see below). localEdgeThreshold=0 / negative (the
-      // bench's forced-iterative modes) skips every exit.
+      // The exit is checked ONCE, eagerly, after the neighbor-min pass
+      // (bushy graphs contract immediately). Two refinements were
+      // measured on binary-tree graphs and REVERTED, kept out on
+      // evidence: (a) re-checking this exit mid-loop when the HLL
+      // label-space estimate shrank — a contraction check costs a
+      // full-width join+distinct (~one round) and by the time the label
+      // space fits, the loop is 1-2 rounds from its own fixpoint
+      // (8M-node tree: 508 s with the re-check vs 368 s without;
+      // 1M-node: 68 vs 35 s); (b) switching the pointer jumps to
+      // broadcast lookups over the L-row label-composition map once L
+      // is small, to dodge hop-key skew — same-JVM A/B showed no win
+      // (113.6 vs 102.7 s on a 1M-node tree) because three extra
+      // broadcast-build jobs per round cost more than the skew they
+      // avoid, and the realistic 100 TB near-dup graph keeps MILLIONS
+      // of components (L stays large, hop keys stay spread) so the
+      // single-giant-component skew case is synthetic. localEdge-
+      // Threshold=0 / negative (the bench's forced-iterative modes)
+      // skips the exit.
       if (localEdgeThreshold > 0L) {
         tryContractionExit(labels) match {
           case Some(done) =>
@@ -389,31 +401,13 @@ object Dedup {
       // runs on the LAZY checkpoint of each round's labels, so one job
       // both materializes the round and checks the fixpoint (an eager
       // checkpoint + separate check costs two jobs per round).
-      // The same one-job aggregate also estimates the LABEL-SPACE size
-      // (HLL approx_count_distinct, ~2% default error) — it is the
-      // trigger for re-checking the contraction exit from inside the
-      // loop, and costs no extra pass or job over the sum alone.
-      def labelStats(df: DataFrame): (BigInt, Long) = {
-        val row = df.agg(
-          sum(col("keep_id").cast("decimal(38,0)")),
-          approx_count_distinct(col("keep_id"))).head
-        val d = row.getDecimal(0)
-        (if (d == null) BigInt(0) else BigInt(d.toBigInteger), row.getLong(1))
+      def labelSum(df: DataFrame): BigInt = {
+        val d = df.agg(sum(col("keep_id").cast("decimal(38,0)"))).head.getDecimal(0)
+        if (d == null) BigInt(0) else BigInt(d.toBigInteger)
       }
-      var prevSum = labelStats(labels)._1
+      var prevSum = labelSum(labels)
       var i = 0
       var converged = false
-      // Mid-loop re-check gate: a failed contraction check costs about
-      // one round, so only re-try once the estimated label space has
-      // HALVED since the last failure (and could plausibly fit — the
-      // contracted graph carries both edge directions, hence the 2x).
-      // Bushy graphs shrink their label space super-geometrically per
-      // round (each node adopts the min of a radius-3^i neighborhood),
-      // so the graphs the eager check missed typically exit a round or
-      // two later; pure path graphs never trigger (their labels stay
-      // pairwise distinct until convergence, so approxL tracks n) and
-      // lose nothing.
-      var lastTriedL = if (localEdgeThreshold > 0L) Long.MaxValue else Long.MinValue
       val dbg = sys.env.contains("GRAFT_DEBUG_RESOLVE")
       while (i < maxIters && !converged) {
         val t0 = System.nanoTime()
@@ -443,7 +437,7 @@ object Dedup {
               coalesce(col("k1"), col("m")),
               coalesce(col("k2"), col("m"))).as("keep_id"))
           .localCheckpoint(eager = false)
-        val (s, approxL) = labelStats(next) // materializes next's checkpoint
+        val s = labelSum(next) // materializes next's checkpoint
         // NB plain Dataset.unpersist is a NO-OP for checkpoints (it only
         // clears CacheManager entries; the checkpoint RDD is cached
         // directly) — GraftBridge reaches the underlying RDD.
@@ -452,19 +446,11 @@ object Dedup {
         converged = s == prevSum
         prevSum = s
         i += 1
-        if (dbg) println(f"[resolve] round $i: ${(System.nanoTime() - t0) / 1e9}%.3f s (sum=$s, ~$approxL labels)")
-        if (!converged && localEdgeThreshold > 0L &&
-            approxL <= localEdgeThreshold / 2 && approxL <= lastTriedL / 2) {
-          lastTriedL = approxL
-          tryContractionExit(labels) match {
-            case Some(done) =>
-              if (!(done eq labels)) {
-                org.apache.spark.sql.GraftBridge.freeCheckpoint(labels)
-                labels = done
-              }
-              converged = true
-            case None => ()
-          }
+        if (dbg) {
+          // debug-only label-space estimate: a separate tiny aggregate
+          // over the already-materialized checkpoint, zero cost when off
+          val l = next.agg(approx_count_distinct(col("keep_id"))).head.getLong(0)
+          println(f"[resolve] round $i: ${(System.nanoTime() - t0) / 1e9}%.3f s (sum=$s, ~$l labels)")
         }
       }
       if (!converged) {

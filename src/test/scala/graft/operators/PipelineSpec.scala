@@ -765,28 +765,19 @@ class PipelineSpec extends SparkSpec {
     assert(r.size == 8 && r.values.forall(_ == 0L))
   }
 
-  test("mid-loop contraction exit finishes graphs the eager check missed") {
-    // 400-node path, threshold 400: the 798-edge symmetrized set forces
-    // the iterative path, and the EAGER contraction check fails (~797
-    // label-space edges). Pointer jumping composes depth d_r = 3*d_{r-1}
-    // + 1 (1, 4, 13, 40, 121, 364, ...), so a pure loop needs 7 rounds
-    // (d >= 399 at round 6, plus the fixpoint-confirm round) — at
-    // maxIters = 5 it CANNOT converge. The label space is 401 - d_r
-    // distinct values, which first drops under threshold/2 = 200 at
-    // round 5 (37 labels): the mid-loop re-check must fire there,
-    // finish via label-space union-find, and produce the exact fixpoint.
-    val pairs = (0L until 399L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val viaMidLoop = Dedup.resolveDuplicateClusters(pairs,
-        maxIters = 5, localEdgeThreshold = 400)
+  test("tree-shaped graphs: iterative loop matches single-task union-find") {
+    // Complete binary tree — the bushy extreme (every node's label
+    // changes every round; the label space collapses super-
+    // geometrically, the opposite of chains). The forced iterative
+    // loop and the union-find fast path must agree exactly, and the
+    // component minimum (the root, id 0) must label every node.
+    val tree = (1L until 512L).map(i => ((i - 1) / 2, i)).toDF("id_a", "id_b")
+    val viaLoop = Dedup.resolveDuplicateClusters(tree, localEdgeThreshold = 0)
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
-    assert(viaMidLoop.size == 400 && viaMidLoop.values.forall(_ == 0L),
-      viaMidLoop.toString)
-    // counterfactual: the identical run with every exit disabled cannot
-    // reach the fixpoint in 5 rounds — this pins that the mid-loop exit
-    // (not the loop itself) produced the result above
-    intercept[IllegalStateException] {
-      Dedup.resolveDuplicateClusters(pairs, maxIters = 5, localEdgeThreshold = -1)
-    }
+    val viaUnionFind = Dedup.resolveDuplicateClusters(tree)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(viaLoop == viaUnionFind)
+    assert(viaLoop.size == 512 && viaLoop.values.forall(_ == 0L))
   }
 
   test("cluster resolution is exact for ids near Long.MaxValue under ANSI") {
