@@ -334,7 +334,7 @@ object Queries {
 
   private lazy val pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = {
     import graft.functions.TextFunctions._
-    import graft.operators.{Corpus, Dedup, Multimodal, Similarity}
+    import graft.operators.{Corpus, Dedup, Multimodal, Packing, Similarity}
     Map(
       // exact dedup groups by content fingerprint
       "dedup_exact" -> ((s, dir) => Dedup.exactGroups(docs(s, dir), "text", "doc_id")),
@@ -633,6 +633,21 @@ object Queries {
             chunkSize = 64, overlap = 8)
           .select(col("id").as("doc_id"), col("chunk_id"),
                   col("n_tok"), col("chunk_text"))),
+
+      // concat-then-chunk sequence packing: global token offset per doc
+      // in id order via a DISTRIBUTED prefix sum (per-partition totals +
+      // broadcast starts — never a single-partition global window), then
+      // the first/last 96-token training sequence each doc occupies
+      "pack_sequences" -> ((s, dir) =>
+        Packing.packSequences(docs(s, dir), "text", "doc_id", budget = 96)),
+
+      // per-sequence fill: docs touching each training sequence and the
+      // exact token count the id-ordered stream puts in it (every
+      // sequence but the last is exactly full — the trainer's invariant)
+      "pack_fill" -> ((s, dir) =>
+        Packing.sequenceFill(
+          Packing.packSequences(docs(s, dir), "text", "doc_id", budget = 96),
+          budget = 96)),
 
       // multimodal: binary payload decode — the stub's byte-histogram
       // feature is DuckDB-expressible (hex-digit arithmetic), full oracle
@@ -1629,6 +1644,39 @@ object Queries {
          |       CAST(least(64, len(toks) - u.i * 56) AS BIGINT) AS n_tok,
          |       array_to_string(toks[(u.i * 56 + 1):(u.i * 56 + 64)], ' ') AS chunk_text
          |FROM c, LATERAL (SELECT unnest(generate_series(0, nc - 1)) AS i) u""".stripMargin,
+
+    // the engine computes the prefix sum distributively (per-partition
+    // totals + broadcast starts); the oracle states the same quantity as
+    // the declarative window cumsum — exact integer agreement required
+    "pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, len($duckToks) AS n_tok
+         |           FROM documents WHERE text IS NOT NULL),
+         |p AS (SELECT doc_id, n_tok,
+         |        COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+         |      FROM t WHERE n_tok > 0)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |       CAST(n_tok AS BIGINT) AS n_tok,
+         |       CAST(tok_offset AS BIGINT) AS tok_offset,
+         |       CAST(tok_offset // 96 AS BIGINT) AS seq_first,
+         |       CAST((tok_offset + n_tok - 1) // 96 AS BIGINT) AS seq_last
+         |FROM p""".stripMargin,
+
+    "pack_fill" ->
+      s"""WITH t AS (SELECT doc_id, len($duckToks) AS n_tok
+         |           FROM documents WHERE text IS NOT NULL),
+         |p AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         |        CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+         |      FROM t WHERE n_tok > 0),
+         |e AS (SELECT doc_id, n_tok, tok_offset, u.s AS seq_id
+         |      FROM p, LATERAL (SELECT unnest(generate_series(
+         |        tok_offset // 96, (tok_offset + n_tok - 1) // 96)) AS s) u)
+         |SELECT CAST(seq_id AS BIGINT) AS seq_id,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(least(tok_offset + n_tok, (seq_id + 1) * 96)
+         |                - greatest(tok_offset, seq_id * 96)) AS BIGINT) AS n_tokens
+         |FROM e GROUP BY seq_id""".stripMargin,
 
     "repetition_stats" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents WHERE text IS NOT NULL),

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
+
+/** Sequence packing for LLM training: lay the corpus out as one long
+  * token stream (documents concatenated in id order) cut into
+  * fixed-budget training sequences, and report for every document the
+  * global token offset it starts at and which sequences it lands in
+  * (`seq_first..seq_last`). This is the standard concat-then-chunk
+  * layout (a document may straddle a sequence boundary); downstream a
+  * trainer reads sequence `s` as tokens `[s*budget, (s+1)*budget)`.
+  *
+  * The only global ingredient is a PREFIX SUM of token counts in id
+  * order. The naive Spark spelling — `sum(n_tok) over (order by id)`
+  * with no partition key — moves the whole corpus through ONE task and
+  * is the canonical 100 TB scale-killer. Instead this runs the textbook
+  * distributed scan:
+  *
+  *   1. range-partition the slim `(doc_id, n_tok)` projection by id and
+  *      sort within partitions (contiguous id ranges per partition);
+  *   2. one small aggregation computes each PARTITION's token total —
+  *      the driver sees #partitions rows, never documents — and a
+  *      `scanLeft` turns them into per-partition start offsets;
+  *   3. a narrow `mapPartitionsWithIndex` streams each partition once,
+  *      adding its broadcast start offset to a running local sum.
+  *
+  * The result is independent of the partition count and of where the
+  * range boundaries fall (any contiguous split of the same id order
+  * yields the same offsets — spec-pinned by a partitioning-invariance
+  * test), and both heavy passes are narrow over a 16-byte-per-doc
+  * projection, never the text.
+  *
+  * Cache contract: the slim projection is persisted so that pass 2 and
+  * the per-partition totals read the SAME snapshot (a source that
+  * changed between passes would silently corrupt offsets, and a
+  * recomputed range shuffle could re-draw its boundary sample, making
+  * the broadcast partition offsets lie about the new partitioning). The
+  * returned DataFrame is PERSISTED AND MATERIALIZED before that snapshot
+  * is released — materialization is what makes releasing it safe. The
+  * caller owns the returned cache and must `.unpersist()` it when done
+  * (same contract as `Dedup.minhashCandidates`).
+  *
+  * Semantics notes: documents with NULL text or zero tokens occupy no
+  * space in the stream and are dropped (mirroring
+  * `Corpus.chunkByTokens`'s `n_tok > 0` population); tokenization is
+  * the engine-wide `tokens_of` kernel (lower + whitespace runs).
+  */
+object Packing {
+
+  /** Pack documents into `budget`-token training sequences.
+    *
+    * Returns `(doc_id, n_tok, tok_offset, seq_first, seq_last)` where
+    * `tok_offset` is the document's start position in the concatenated
+    * id-ordered token stream and `seq_first/seq_last` the first/last
+    * sequence index it occupies (`floor(tok_offset / budget)` and
+    * `floor((tok_offset + n_tok - 1) / budget)`).
+    */
+  def packSequences(df: DataFrame, textCol: String, idCol: String,
+                    budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = df.sparkSession
+
+    val slim = df.where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        size(graft.plans.GraftFunctions.tokens_of(col(textCol)))
+          .cast("long").as("n_tok"))
+      .where(col("n_tok") > 0)
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // pass 1: per-partition token totals — #partitions rows on the
+    // driver, bounded by the shuffle-partition setting, never data-sized
+    val totals = slim.groupBy(spark_partition_id().as("pid"))
+      .agg(sum("n_tok").as("toks"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nParts = slim.rdd.getNumPartitions
+    val starts = (0 until nParts)
+      .scanLeft(0L)((acc, pid) => acc + totals.getOrElse(pid, 0L))
+    val bStarts = spark.sparkContext.broadcast(starts.toArray)
+
+    // pass 2: narrow streaming scan adds the partition's start offset to
+    // a running local prefix — no shuffle, one pass over the cached slim
+    // projection
+    val packedRdd = slim.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      var off = bStarts.value(pid)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = r.getLong(1)
+        val o = off
+        off += n
+        Row(id, n, o)
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_tok", LongType, nullable = false),
+      StructField("tok_offset", LongType, nullable = false)))
+    val packed = spark.createDataFrame(packedRdd, schema)
+      .select(col("doc_id"), col("n_tok"), col("tok_offset"),
+        (col("tok_offset") / budget).cast("long").as("seq_first"),
+        ((col("tok_offset") + col("n_tok") - 1) / budget).cast("long")
+          .as("seq_last"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    packed.count() // materialize before releasing the slim snapshot
+    slim.unpersist(blocking = false)
+    packed
+  }
+
+  /** Per-sequence fill summary over a packing: how many documents touch
+    * each training sequence and how many of its `budget` token slots the
+    * id-ordered stream fills. Every sequence except the last is exactly
+    * full by construction — this is the invariant a trainer relies on,
+    * and the query form makes it oracle-checkable. The explode is
+    * bounded: a document emits one row per sequence it touches, i.e.
+    * ceil(n_tok / budget) + 1 rows at most, so the exploded size is
+    * O(total_tokens / budget + n_docs), not O(n_docs * n_seqs).
+    */
+  def sequenceFill(packed: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    packed
+      .select(col("doc_id"), col("n_tok"), col("tok_offset"),
+        explode(sequence(col("seq_first"), col("seq_last"))).as("seq_id"))
+      .groupBy("seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        // tokens this doc contributes to this sequence: overlap of
+        // [tok_offset, tok_offset + n_tok) with [seq*budget, (seq+1)*budget)
+        sum(least(col("tok_offset") + col("n_tok"),
+              (col("seq_id") + 1) * budget)
+          - greatest(col("tok_offset"), col("seq_id") * budget))
+          .as("n_tokens"))
+  }
+}

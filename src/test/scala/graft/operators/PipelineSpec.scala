@@ -419,6 +419,49 @@ class PipelineSpec extends SparkSpec {
     assert(kept7 == kept)
   }
 
+  test("sequence packing: distributed prefix sum is exact and partition-invariant") {
+    // token counts 1..17 against budget 10 force docs that straddle
+    // sequence boundaries and multi-sequence spans
+    val pdocs = (0L until 100L).map(i => (i, ("w " * (i % 17 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val expectTok = (0L until 100L).map(i => i -> (i % 17 + 1)).toMap
+    var reference: Seq[(Long, Long, Long, Long, Long)] = null
+
+    // the offsets must not depend on how the INPUT was partitioned: the
+    // operator re-range-partitions internally and corrects each
+    // partition by its broadcast start
+    for (p <- Seq(1, 7, 32)) {
+      val packed = Packing.packSequences(pdocs.repartition(p), "text",
+        "doc_id", budget = 10)
+      val rows = packed.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      // sequential single-threaded reference scan
+      var off = 0L
+      rows.foreach { case (id, n, o, sf, sl) =>
+        assert(n == expectTok(id), s"doc $id token count")
+        assert(o == off, s"doc $id offset at input partitions=$p")
+        assert(sf == o / 10 && sl == (o + n - 1) / 10)
+        off += n
+      }
+      if (reference == null) reference = rows.toSeq
+      else assert(rows.toSeq == reference, s"packing differs at partitions=$p")
+      packed.unpersist(blocking = false)
+    }
+
+    // fill invariant: every training sequence except the last is exactly
+    // full, and the per-sequence token sums conserve the corpus total
+    val packed = Packing.packSequences(pdocs, "text", "doc_id", budget = 10)
+    val fill = Packing.sequenceFill(packed, budget = 10)
+      .orderBy("seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val totalTok = expectTok.values.sum
+    assert(fill.map(_._1).toSeq == fill.indices.map(_.toLong)) // no gaps
+    fill.init.foreach { case (s, _, nTok) => assert(nTok == 10L, s"seq $s not full") }
+    assert(fill.map(_._3).sum == totalTok)
+    assert(fill.forall(_._2 >= 1))
+    packed.unpersist(blocking = false)
+  }
+
   test("corpus stats: exact sums, null-text and null-key handling") {
     val d = Seq(
       (0L, Option("one two three"), Option("a"), Option("en")),
