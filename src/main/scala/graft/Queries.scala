@@ -467,6 +467,18 @@ object Queries {
           .select(col("doc_id").cast("long").as("doc_id"), col("lang"))
       }),
 
+      // domain-mixture resampling: keep the LARGEST subcorpus matching a
+      // target language mixture; the scarcest-relative-to-target stratum
+      // binds (rate 1) and the rest downsample deterministically. Strata
+      // outside the target (zh here) drop. Counts, binding constant and
+      // per-stratum rates all live in ONE plan (no eager count job).
+      "mixture_sample" -> ((s, dir) =>
+        graft.operators.Sampling.sampleToMixture(docs(s, dir), "doc_id", "lang",
+            Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1),
+            salt = "graft")
+          .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+                  round(col("rate"), 6).as("rate"))),
+
       // deterministic train/val/test split assignment
       "split_by_hash" -> ((s, dir) =>
         graft.operators.Sampling.splitByHash(docs(s, dir), "doc_id",
@@ -1417,6 +1429,29 @@ object Queries {
         |FROM documents
         |WHERE text IS NOT NULL
         |  AND substr(md5(concat('graft', CAST(doc_id AS VARCHAR))), 1, 8) < '40000000'""".stripMargin,
+
+    // same in-plan pipeline as the engine: per-stratum counts -> binding
+    // N = min(cnt/share) -> rate = share*N/cnt -> md5 threshold draw.
+    // All arithmetic in DOUBLE in the same order for bit parity.
+    "mixture_sample" ->
+      """WITH d AS (SELECT doc_id, lang FROM documents WHERE text IS NOT NULL),
+        |tgt(stratum, share) AS (VALUES
+        |  ('de', CAST(0.2 AS DOUBLE)), ('en', CAST(0.5 AS DOUBLE)),
+        |  ('es', CAST(0.1 AS DOUBLE)), ('fr', CAST(0.2 AS DOUBLE))),
+        |c AS (SELECT d.lang AS stratum, CAST(count(*) AS DOUBLE) AS cnt
+        |      FROM d JOIN tgt ON d.lang = tgt.stratum GROUP BY 1),
+        |cs AS (SELECT c.stratum, c.cnt, tgt.share
+        |       FROM c JOIN tgt ON c.stratum = tgt.stratum),
+        |n AS (SELECT min(cnt / share) AS n_total FROM cs),
+        |r AS (SELECT stratum, (share * n_total) / cnt AS rate
+        |      FROM cs CROSS JOIN n)
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang,
+        |       CAST(round(r.rate, 6) AS DOUBLE) AS rate
+        |FROM d JOIN r ON d.lang = r.stratum
+        |WHERE substr(md5(concat('graft', CAST(d.doc_id AS VARCHAR))), 1, 8) <
+        |  CASE WHEN r.rate >= 1.0 THEN 'g'
+        |       ELSE lpad(lower(to_hex(CAST(round(r.rate * 4294967296.0) AS BIGINT))), 8, '0')
+        |  END""".stripMargin,
 
     "split_by_hash" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,

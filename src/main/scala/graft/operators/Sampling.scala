@@ -91,6 +91,61 @@ object Sampling {
     df.where(bucket(col(keyCol), salt) < thr)
   }
 
+  /** Columnar form of `hexThresholdOrAll` for rates computed IN the
+    * plan: same 2^32-bucket draw (HALF_UP round, 0xffffffff cap), same
+    * rate>=1 keep-all sentinel ("g" sorts after every hex digit).
+    */
+  private def thresholdCol(rate: Column): Column =
+    when(rate >= 1.0, lit("g"))
+      .otherwise(lpad(lower(hex(
+        least(round(rate * 4294967296.0, 0), lit(4294967295.0)).cast("long"))),
+        8, "0"))
+
+  /** Resample the corpus to a TARGET stratum mixture (domain/language
+    * reweighting): keep the LARGEST subcorpus whose strata follow
+    * `targetShares` proportions, deciding each row by the same
+    * content-keyed md5 draw as `sampleByHash`. The achievable total is
+    * bound by the scarcest stratum relative to its target share —
+    * N = min_s(count_s / share_s) — so that stratum keeps everything
+    * (rate 1) and every other stratum downsamples to share_s * N rows
+    * in expectation. Shares need not sum to 1: N scales inversely with
+    * any common factor and the per-stratum rates are invariant under it.
+    *
+    * Everything happens IN one plan — stratum counts aggregate to a few
+    * rows, the binding constant is a one-row aggregate of that, and the
+    * per-stratum rates broadcast-join back onto the corpus — so there is
+    * no eager count job at call time and no snapshot skew between the
+    * counts and the filtered scan (AQE sees both sides of the same
+    * query). At scale the corpus is scanned twice (once to count, once
+    * to filter); callers holding the input cached pay one scan.
+    *
+    * Rows whose stratum is absent from `targetShares` (including NULL
+    * strata) are dropped — the mixture defines the population. A target
+    * stratum with NO rows in the corpus is ignored (best effort): exact
+    * mixture would force N = 0 and an empty result. Returns the input
+    * columns plus the stratum's `rate`.
+    */
+  def sampleToMixture(df: DataFrame, keyCol: String, strataCol: String,
+                      targetShares: Map[String, Double],
+                      salt: String = ""): DataFrame = {
+    require(targetShares.nonEmpty, "targetShares must be non-empty")
+    require(targetShares.values.forall(_ > 0.0),
+      s"target shares must be positive: $targetShares")
+    val shareMap = map(targetShares.toSeq.sortBy(_._1).flatMap {
+      case (stratum, w) => Seq(lit(stratum), lit(w))
+    }: _*)
+    val cnts = df.where(col(strataCol).isin(targetShares.keys.toSeq: _*))
+      .groupBy(col(strataCol).as("stratum"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+      .withColumn("share", element_at(shareMap, col("stratum")))
+    val binding = cnts.agg(min(col("cnt") / col("share")).as("n_total"))
+    val rates = cnts.crossJoin(broadcast(binding))
+      .select(col("stratum"), ((col("share") * col("n_total")) / col("cnt")).as("rate"))
+    df.join(broadcast(rates), col(strataCol) === col("stratum"))
+      .where(bucket(col(keyCol), salt) < thresholdCol(col("rate")))
+      .drop("stratum")
+  }
+
   /** Assign every row to a named split with the given weights (need not
     * sum to 1 — they are normalized). Returns the input plus a `split`
     * column; the same (key, salt, weights) always yields the same

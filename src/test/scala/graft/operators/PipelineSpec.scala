@@ -136,6 +136,44 @@ class PipelineSpec extends SparkSpec {
     assert(k2 == Set(2L))
   }
 
+  test("mixture resampling: binding stratum keeps all, rates hit the target shares") {
+    // 3000 en / 600 de / 2400 fr; target 50/25/25. de is scarcest
+    // relative to target: N = min(3000/.5, 600/.25, 2400/.25) = 2400,
+    // so de keeps ALL 600 (rate 1), en rate = 1200/3000, fr = 600/2400
+    val d = (0L until 6000L).map { i =>
+      (i, if (i % 10 < 5) "en" else if (i % 10 < 6) "de" else "fr")
+    }.toDF("id", "lang")
+    val kept = Sampling.sampleToMixture(d, "id", "lang",
+        Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25), salt = "s")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val byLang = kept.groupBy(_._2)
+    // binding stratum is kept verbatim
+    assert(byLang("de").length == 600)
+    assert(byLang("de").forall(_._3 == 1.0))
+    // exact rate arithmetic (N = 2400)
+    assert(byLang("en").head._3 == 0.5 * 2400 / 3000)
+    assert(byLang("fr").head._3 == 0.25 * 2400 / 2400)
+    // binomial draws around the mixture targets (1200 en, 600 fr)
+    assert(math.abs(byLang("en").length - 1200) < 120, s"en=${byLang("en").length}")
+    assert(math.abs(byLang("fr").length - 600) < 90, s"fr=${byLang("fr").length}")
+
+    // shares are scale-invariant: multiplying every share by 4 changes
+    // neither rates nor the kept set
+    val scaled = Sampling.sampleToMixture(d, "id", "lang",
+        Map("en" -> 2.0, "de" -> 1.0, "fr" -> 1.0), salt = "s")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(scaled == kept.toSet)
+
+    // strata outside the target drop; target strata with no rows are
+    // ignored (best effort) rather than forcing an empty result
+    val d2 = Seq((1L, "en"), (2L, "zh"), (3L, "en")).toDF("id", "lang")
+    val k2 = Sampling.sampleToMixture(d2, "id", "lang",
+        Map("en" -> 0.5, "fr" -> 0.5), salt = "s")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(k2.map(_._2).toSet == Set("en"))
+    assert(k2.length == 2) // en binds itself -> rate 1, all kept
+  }
+
   test("tokenizer differential: Spark expression vs naive Scala on adversarial strings") {
     // tokens() is the foundation of a dozen queries and is mirrored in
     // DuckDB SQL — pin the Spark expression against an independent
