@@ -396,6 +396,14 @@ object Queries {
         Dedup.embeddingNearDups(emb(s, dir), "embedding", "vec_id",
           threshold = 0.25, maxOffset = 50)),
 
+      // SemDeDup-style semantic dedup: SOM-cell clustering (fixed 3x3
+      // codebook, same assignment as som_winner) bounds the pairwise
+      // cosine step per cell; duplicate components resolve to keep-min-id
+      "dedup_semantic" -> ((s, dir) =>
+        graft.operators.Dedup.semanticDupClusters(emb(s, dir), "embedding",
+            "vec_id", fixedModel(s, dir), threshold = 0.25)
+          .select(col("id").as("vec_id"), col("bmu_id"), col("keep_id"))),
+
       // brute-force cosine top-k (exact ANN baseline)
       "ann_cosine_topk" -> ((s, dir) => {
         val qs = emb(s, dir).orderBy("vec_id").limit(5).collect()
@@ -1123,11 +1131,14 @@ object Queries {
     * `Dedup.resolveDuplicateClusters` (same init, same per-round
     * update, same 16-round bound).
     */
-  private lazy val resolveClustersOracle: String = {
-    val rounds = 16
-    val levels = (1 to rounds).map { i =>
-      // MATERIALIZED: step$i feeds both sides of the jump join — inlined
-      // twice per level it would double the plan 16 times over
+  /** Unrolled pointer-jumping connected-components levels over an
+    * `edges(id, nbr)` CTE, starting from `lab0(id, keep_id)` — shared
+    * by every resolver oracle. MATERIALIZED because step$i feeds both
+    * sides of the jump join — inlined twice per level it would double
+    * the plan `rounds` times over.
+    */
+  private def ccLevelsSql(rounds: Int): String =
+    (1 to rounds).map { i =>
       s"""nbr$i AS (
          |  SELECT e.id, min(l.keep_id) AS nk
          |  FROM edges e JOIN lab${i - 1} l ON l.id = e.nbr GROUP BY e.id
@@ -1139,6 +1150,10 @@ object Queries {
          |  FROM step$i s LEFT JOIN step$i j ON j.id = s.keep_id
          |)""".stripMargin
     }.mkString(", ")
+
+  private lazy val resolveClustersOracle: String = {
+    val rounds = 16
+    val levels = ccLevelsSql(rounds)
     s"""WITH g AS (
        |  SELECT DISTINCT doc_id, substr(text, CAST(u.i AS INT), 3) AS g
        |  FROM documents,
@@ -1394,6 +1409,42 @@ object Queries {
         |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
         |       CAST(round(cos, 6) AS DOUBLE) AS cos
         |FROM p WHERE round(cos, 6) >= 0.25""".stripMargin,
+
+    // SOM-cell assignment (cbDistCte, same as som_winner) + within-cell
+    // cosine pairs + the shared pointer-jump CC levels
+    "dedup_semantic" ->
+      s"""$cbDistCte, bmu AS MATERIALIZED (
+         |  SELECT vec_id, (array_agg(nid ORDER BY dist2 ASC, nid ASC))[1] AS bmu_id
+         |  FROM d GROUP BY vec_id
+         |), ex AS MATERIALIZED (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |         CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings
+         |), norms AS (SELECT vec_id, sum(v * v) AS nrm FROM ex GROUP BY vec_id),
+         |dots AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dot
+         |  FROM ex a JOIN ex b ON a.i = b.i AND b.vec_id > a.vec_id
+         |  JOIN bmu ba ON ba.vec_id = a.vec_id
+         |  JOIN bmu bb ON bb.vec_id = b.vec_id AND bb.bmu_id = ba.bmu_id
+         |  GROUP BY a.vec_id, b.vec_id),
+         |p AS (
+         |  SELECT d2.id_a, d2.id_b,
+         |         CASE WHEN sqrt(na.nrm * nb.nrm) = 0 THEN 0
+         |              ELSE d2.dot / sqrt(na.nrm * nb.nrm) END AS cos
+         |  FROM dots d2 JOIN norms na ON na.vec_id = d2.id_a
+         |               JOIN norms nb ON nb.vec_id = d2.id_b),
+         |e AS (SELECT id_a, id_b FROM p WHERE round(cos, 6) >= 0.25),
+         |edges AS (
+         |  SELECT id_a AS id, id_b AS nbr FROM e
+         |  UNION ALL
+         |  SELECT id_b AS id, id_a AS nbr FROM e
+         |), lab0 AS (
+         |  SELECT id, least(id, min(nbr)) AS keep_id FROM edges GROUP BY id
+         |), ${ccLevelsSql(16)}
+         |SELECT CAST(l.id AS BIGINT) AS vec_id,
+         |       CAST(b.bmu_id AS BIGINT) AS bmu_id,
+         |       CAST(l.keep_id AS BIGINT) AS keep_id
+         |FROM lab16 l JOIN bmu b ON b.vec_id = l.id""".stripMargin,
 
     "ann_cosine_topk" ->
       """WITH ex AS (

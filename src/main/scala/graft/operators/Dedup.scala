@@ -495,6 +495,62 @@ object Dedup {
     df.join(drop, col(idCol).cast("long") === col("__drop_id"), "left_anti")
   }
 
+  /** SemDeDup-style semantic deduplication: cluster embeddings with a
+    * SOM codebook, mark within-cluster pairs whose cosine similarity
+    * (rounded to 6 decimals, cross-engine-stable) reaches `threshold`
+    * as semantic duplicates, resolve them into connected components via
+    * the scale-dispatched resolver, and report each component member
+    * with its cluster cell and the component's minimum id. The
+    * quadratic pair step is bounded per CELL — that bound is the
+    * algorithm's point: a k-cell codebook cuts all-pairs work by ~k at
+    * uniform occupancy, and nothing materializes a corpus-wide product.
+    * At 100 TB size the codebook so cells hold ~10^4-10^5 vectors: AQE
+    * can split a skewed cell's shuffle reads, but a giant cell's
+    * within-cell quadratic is the algorithm's own cost, not a plan
+    * defect.
+    *
+    * Returns (id, bmu_id, keep_id) for every member of a duplicate
+    * component (singletons absent), already materialized — callers need
+    * no cache management (internal caches and checkpoints are released
+    * before returning, mirroring `dropNearDuplicates`).
+    */
+  def semanticDupClusters(df: DataFrame, vecCol: String, idCol: String,
+                          model: graft.som.SomModel,
+                          threshold: Double): DataFrame = {
+    val slim = model.transform(df, vecCol)
+      .select(col(idCol).cast("long").as("id"), col("bmu_id"),
+        col(vecCol).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one cached scan feeds both join sides and the final re-attach
+    val pairs = slim.as("a").join(slim.as("b"),
+        col("a.bmu_id") === col("b.bmu_id") && col("b.id") > col("a.id"))
+      .where(round(Similarity.cosine(col("a.v"), col("b.v")), 6) >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val clusters = resolveDuplicateClusters(pairs)
+    val out = slim.select(col("id"), col("bmu_id"))
+      .join(clusters, "id")
+      .select(col("id"), col("bmu_id").cast("long").as("bmu_id"),
+        col("keep_id"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.GraftBridge.freeCheckpoint(clusters)
+    slim.unpersist(blocking = false)
+    out
+  }
+
+  /** End-to-end semantic dedup: drop every semantic-duplicate component
+    * member except the component's minimum id (same keep rule as
+    * `dropNearDuplicates`, with embedding-space rather than token-space
+    * similarity).
+    */
+  def dropSemanticDuplicates(df: DataFrame, vecCol: String, idCol: String,
+                             model: graft.som.SomModel,
+                             threshold: Double): DataFrame = {
+    val clusters = semanticDupClusters(df, vecCol, idCol, model, threshold)
+    val drop = clusters.where(col("id") =!= col("keep_id"))
+      .select(col("id").as("__drop_id"))
+    df.join(drop, col(idCol).cast("long") === col("__drop_id"), "left_anti")
+  }
+
   /** Embedding near-duplicates: cosine similarity above a threshold for
     * pairs within a bounded id-offset window (the oracle-checkable
     * variant; LSH-bucketed variant in `Similarity`).

@@ -735,6 +735,40 @@ class PipelineSpec extends SparkSpec {
     assert(frames.forall(_.getLong(2) <= 8))
   }
 
+  test("semantic dedup: within-cell components only, keep-min survives") {
+    import graft.som.{SomConfig, SomModel}
+    // 1-D codebook with two far-apart cells at x=0 and x=10: vectors
+    // cluster by their first coordinate, and similarity is only tested
+    // WITHIN a cell — v0/v1 vs v4 are identical in angle but live in
+    // different cells, so they must NOT merge
+    val model = SomModel.fromWeights(SomConfig(1, 2),
+      Seq(Array(0.0, 0.0, 1.0), Array(10.0, 0.0, 1.0)))
+    val vecs = Seq(
+      (0L, Array(0.0f, 1.0f, 1.0f)),   // cell 0
+      (1L, Array(0.0f, 1.0f, 1.0f)),   // cell 0, exact dup of 0
+      (2L, Array(0.0f, -1.0f, 1.0f)),  // cell 0, dissimilar to 0/1
+      (3L, Array(0.0f, 1.0f, 1.01f)),  // cell 0, near dup of 0/1
+      (4L, Array(9.0f, 1.0f, 1.0f)),   // cell 1 (same direction-ish as 0)
+      (5L, Array(9.0f, 1.0f, 1.0f))    // cell 1, exact dup of 4
+    ).toDF("vec_id", "embedding")
+    val clusters = Dedup.semanticDupClusters(vecs, "embedding", "vec_id",
+        model, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byId = clusters.map(c => c._1 -> c).toMap
+    // cell 0: {0,1,3} one component kept by 0; 2 is a singleton (absent)
+    assert(byId(0L)._3 == 0L && byId(1L)._3 == 0L && byId(3L)._3 == 0L)
+    assert(!byId.contains(2L))
+    // cell 1: {4,5} kept by 4 — never merged with cell 0's component
+    assert(byId(4L)._3 == 4L && byId(5L)._3 == 4L)
+    assert(byId(4L)._2 != byId(0L)._2) // different cells
+    assert(clusters.length == 5)
+
+    val kept = Dedup.dropSemanticDuplicates(vecs, "embedding", "vec_id",
+        model, threshold = 0.99)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 2L, 4L))
+  }
+
   test("duplicate-cluster resolution: chains collapse to min id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (3L, 9L))
       .toDF("id_a", "id_b")
