@@ -46,6 +46,14 @@ object Queries {
       .map(r => r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)
       .toSeq
 
+  /** First 16 embeddings by vec_id: the deterministic PQ codebook sample
+    * (16 centroids per subspace).
+    */
+  private def pqRows(s: SparkSession, dir: String): Seq[Array[Double]] =
+    emb(s, dir).orderBy("vec_id").limit(16).collect()
+      .map(r => r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)
+      .toSeq
+
   private def fixedModel(s: SparkSession, dir: String, distance: String = "euclidean",
                          normP: Double = 2.0): SomModel =
     SomModel.fromWeights(
@@ -66,6 +74,32 @@ object Queries {
       |       LATERAL (SELECT unnest(e.embedding) AS v,
       |                       generate_subscripts(e.embedding, 1) AS i) u
       |  GROUP BY e.vec_id, c.nid
+      |)""".stripMargin
+
+  /** Shared PQ replay prefix: 16-centroid codebook from the first 16
+    * embeddings, per-(vector, subspace) squared L2 to every centroid's
+    * matching subvector, and the resulting argmin codes. Subspace j of
+    * centroid c reads the same element indices of the full codebook row,
+    * so the cross join needs no explicit slicing.
+    */
+  private val pqCodesCte: String =
+    """WITH pqcb AS MATERIALIZED (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, embedding AS w
+      |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+      |), pqex AS MATERIALIZED (
+      |  SELECT vec_id, len(embedding) // 8 AS sdim,
+      |         generate_subscripts(embedding, 1) AS i,
+      |         CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings
+      |), pqsd AS MATERIALIZED (
+      |  SELECT e.vec_id, (e.i - 1) // e.sdim AS sub_id, c.cid,
+      |         sum((e.v - CAST(c.w[e.i] AS DOUBLE))
+      |           * (e.v - CAST(c.w[e.i] AS DOUBLE))) AS d2
+      |  FROM pqex e CROSS JOIN pqcb c
+      |  GROUP BY e.vec_id, (e.i - 1) // e.sdim, c.cid
+      |), codes AS MATERIALIZED (
+      |  SELECT vec_id, sub_id, (array_agg(cid ORDER BY d2 ASC, cid ASC))[1] AS code
+      |  FROM pqsd GROUP BY vec_id, sub_id
       |)""".stripMargin
 
   // ------------------------------------------------------------ queries
@@ -450,6 +484,33 @@ object Queries {
           .map(r => (r.getLong(r.fieldIndex("vec_id")),
             r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)).toSeq
         Similarity.somTopK(emb(s, dir), "embedding", "vec_id", qs, k = 5)
+      }),
+
+      // product quantization: encode every embedding into m=8 codes
+      // against a deterministic 16-centroid-per-subspace codebook (first
+      // 16 embeddings' subvectors — the fixedModel pattern) — one
+      // codegen scan; codes exploded to (vec_id, sub_id, code) for the
+      // oracle
+      "pq_encode" -> ((s, dir) => {
+        val cb = Similarity.pqCodebookFromRows(pqRows(s, dir), m = 8)
+        Similarity.pqEncode(emb(s, dir), "embedding", "vec_id", cb,
+            m = 8, k = 16)
+          .select(col("id").as("vec_id"),
+            posexplode(col("codes")).as(Seq("sub_id", "code")))
+          .select(col("vec_id"), col("sub_id").cast("long").as("sub_id"),
+            col("code").cast("long").as("code"))
+      }),
+
+      // PQ asymmetric-distance top-k: each query is one codegen scan of
+      // the m-int codes (table lookups, no float vectors in the hot
+      // path) + TakeOrderedAndProject
+      "pq_topk" -> ((s, dir) => {
+        val cb = Similarity.pqCodebookFromRows(pqRows(s, dir), m = 8)
+        val qs = emb(s, dir).orderBy("vec_id").limit(5).collect()
+          .map(r => (r.getLong(r.fieldIndex("vec_id")),
+            r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)).toSeq
+        Similarity.pqTopK(emb(s, dir), "embedding", "vec_id", cb,
+          m = 8, k = 16, qs, kNN = 5)
       }),
 
       // deterministic content-hash sampling: reproducible across engines
@@ -1409,6 +1470,46 @@ object Queries {
         |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
         |       CAST(round(cos, 6) AS DOUBLE) AS cos
         |FROM p WHERE round(cos, 6) >= 0.25""".stripMargin,
+
+    // PQ replay: 16 codebook rows sliced into 8 subspaces of 8 dims;
+    // per-(vector, subspace) argmin of full squared L2 with (d2, cid)
+    // tie order = the kernel's first-index-min rule
+    "pq_encode" ->
+      s"""$pqCodesCte
+         |SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         |       CAST(sub_id AS BIGINT) AS sub_id,
+         |       CAST(code AS BIGINT) AS code
+         |FROM codes""".stripMargin,
+
+    // ADC replay: the query's exact per-(subspace, centroid) squared L2
+    // joined to each vector's codes, summed over subspaces — the same
+    // two-level association as the engine's table-then-sum
+    "pq_topk" ->
+      s"""$pqCodesCte,
+         |q AS MATERIALIZED (
+         |  SELECT vec_id AS qid, embedding AS qv
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 5)
+         |), qd AS MATERIALIZED (
+         |  SELECT q.qid, (u.i - 1) // (len(q.qv) // 8) AS sub_id, c.cid,
+         |         sum((CAST(u.v AS DOUBLE) - CAST(c.w[u.i] AS DOUBLE))
+         |           * (CAST(u.v AS DOUBLE) - CAST(c.w[u.i] AS DOUBLE))) AS d2
+         |  FROM q CROSS JOIN pqcb c,
+         |       LATERAL (SELECT unnest(q.qv) AS v,
+         |                       generate_subscripts(q.qv, 1) AS i) u
+         |  GROUP BY q.qid, (u.i - 1) // (len(q.qv) // 8), c.cid
+         |), adc AS (
+         |  SELECT qd.qid, co.vec_id AS nid, sum(qd.d2) AS adc
+         |  FROM codes co JOIN qd ON qd.sub_id = co.sub_id AND qd.cid = co.code
+         |  WHERE co.vec_id != qd.qid
+         |  GROUP BY qd.qid, co.vec_id
+         |), rk AS (
+         |  SELECT qid, nid, adc,
+         |         row_number() OVER (PARTITION BY qid ORDER BY adc ASC, nid ASC) AS rank
+         |  FROM adc)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+         |       CAST(nid AS BIGINT) AS nid,
+         |       CAST(round(adc, 6) AS DOUBLE) AS adc
+         |FROM rk WHERE rank <= 5""".stripMargin,
 
     // SOM-cell assignment (cbDistCte, same as som_winner) + within-cell
     // cosine pairs + the shared pointer-jump CC levels

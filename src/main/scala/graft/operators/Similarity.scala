@@ -224,4 +224,99 @@ object Similarity {
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
               round(col("sim"), 6).as("sim"))
   }
+
+  // ------------------------------------------------------ product quantization
+
+  /** Flatten per-subspace PQ centroids from `k` full sample vectors
+    * (centroid c of subspace j = subvector j of sample c) into the
+    * [(j*k + c)*subDim + i] layout `PqEncode`/`pqAdcTable` expect.
+    * Taking the first-k-by-id sample keeps the codebook deterministic
+    * and cross-engine replayable (the `fixedModel` pattern); a trained
+    * variant can substitute per-subspace SOM/k-means centroids in the
+    * same layout without touching the serving path.
+    */
+  def pqCodebookFromRows(rows: Seq[Array[Double]], m: Int): Array[Double] = {
+    require(rows.nonEmpty, "pq codebook needs at least one sample vector")
+    val dim = rows.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    val k = rows.length
+    val cb = new Array[Double](m * k * subDim)
+    for (j <- 0 until m; c <- 0 until k; i <- 0 until subDim)
+      cb((j * k + c) * subDim + i) = rows(c)(j * subDim + i)
+    cb
+  }
+
+  /** Encode every vector into `m` PQ codes — one codegen'd scan, output
+    * m small ints per row (~32x smaller than float32 at subDim=8). At
+    * 100 TB the encoded table is what you keep hot: ADC serving never
+    * touches the original embeddings.
+    */
+  def pqEncode(df: DataFrame, vecCol: String, idCol: String,
+               cb: Array[Double], m: Int, k: Int): DataFrame = {
+    val subDim = cb.length / (m * k)
+    df.select(col(idCol).cast("long").as("id"),
+      graft.plans.GraftFunctions.pq_encode(col(vecCol), cb, m, subDim, k)
+        .as("codes"))
+  }
+
+  /** Per-query ADC lookup table: exact squared L2 from the query's
+    * subvectors to every centroid, laid out [subspace * k + centroid].
+    */
+  def pqAdcTable(q: Array[Double], cb: Array[Double], m: Int,
+                 k: Int): Array[Double] = {
+    val subDim = cb.length / (m * k)
+    require(q.length == m * subDim,
+      s"Received ${q.length} features, expected ${m * subDim}.")
+    val table = new Array[Double](m * k)
+    for (j <- 0 until m; c <- 0 until k) {
+      val cBase = (j * k + c) * subDim
+      var d = 0.0
+      var i = 0
+      while (i < subDim) {
+        val t = q(j * subDim + i) - cb(cBase + i)
+        d += t * t
+        i += 1
+      }
+      table(j * k + c) = d
+    }
+    table
+  }
+
+  /** PQ approximate top-k by asymmetric distance: encode once, then each
+    * query is ONE codegen'd scan over the m-int codes with its broadcast
+    * lookup table (m array reads + m adds per row — no float vectors in
+    * the hot path) feeding a TakeOrderedAndProject (no global sort).
+    * Returns (qid, rank, nid, adc), ranked by (adc asc, nid asc).
+    *
+    * The result is materialized and the internal codes cache released
+    * before returning — no caller-side cache management. A standing
+    * serving deployment would persist the codes table instead and reuse
+    * it across batches (it is the small, memory-resident artifact PQ
+    * exists to produce).
+    */
+  def pqTopK(df: DataFrame, vecCol: String, idCol: String,
+             cb: Array[Double], m: Int, k: Int,
+             queries: Seq[(Long, Array[Double])], kNN: Int,
+             excludeSelf: Boolean = true): DataFrame = {
+    require(queries.nonEmpty, "pqTopK needs at least one query")
+    val codes = pqEncode(df, vecCol, idCol, cb, m, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perQuery = queries.map { case (qid, q) =>
+      val table = pqAdcTable(q, cb, m, k)
+      codes.where(if (excludeSelf) col("id") =!= qid else lit(true))
+        .select(lit(qid).as("qid"), col("id").as("nid"),
+          graft.plans.GraftFunctions.pq_adc(col("codes"), table, k).as("adc"))
+        .orderBy(col("adc").asc, col("nid").asc)
+        .limit(kNN)
+    }
+    val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("nid").asc)
+    val out = perQuery.reduce(_ unionAll _)
+      .withColumn("rank", row_number().over(w))
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+        round(col("adc"), 6).as("adc"))
+      .localCheckpoint(true)
+    codes.unpersist(blocking = false)
+    out
+  }
 }

@@ -621,6 +621,13 @@ object GraftFunctions {
   def tokens_of(text: Column): Column =
     GraftBridge.column(TokensOf(GraftBridge.expression(text)))
 
+  def pq_encode(vec: Column, cb: Array[Double], m: Int, subDim: Int,
+                k: Int): Column =
+    GraftBridge.column(PqEncode(GraftBridge.expression(vec), cb, m, subDim, k))
+
+  def pq_adc(codes: Column, table: Array[Double], k: Int): Column =
+    GraftBridge.column(PqAdc(GraftBridge.expression(codes), table, k))
+
   def token_tf(text: Column): Column =
     GraftBridge.column(TokenTfOf(GraftBridge.expression(text)))
 

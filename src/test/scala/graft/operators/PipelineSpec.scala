@@ -735,6 +735,36 @@ class PipelineSpec extends SparkSpec {
     assert(frames.forall(_.getLong(2) <= 8))
   }
 
+  test("product quantization: codebook layout, codes, ADC arithmetic, ranking") {
+    // 4-dim vectors, m=2 subspaces of 2 dims, k=2 centroids from samples
+    val samples = Seq(Array(0.0, 0.0, 10.0, 10.0), Array(1.0, 1.0, 20.0, 20.0))
+    val cb = Similarity.pqCodebookFromRows(samples, m = 2)
+    // [(j*k + c)*subDim + i]: subspace 0 holds (0,0),(1,1); subspace 1
+    // holds (10,10),(20,20)
+    assert(cb.toSeq == Seq(0.0, 0.0, 1.0, 1.0, 10.0, 10.0, 20.0, 20.0))
+
+    val vecs = Seq(
+      (0L, Seq(0.1f, 0.0f, 19.0f, 19.0f)), // nearest: centroid 0, then 1
+      (1L, Seq(0.9f, 1.1f, 11.0f, 9.0f))   // nearest: centroid 1, then 0
+    ).toDF("vec_id", "embedding")
+    val codes = Similarity.pqEncode(vecs, "embedding", "vec_id", cb, m = 2, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes(0L) == Seq(0, 1), codes(0L))
+    assert(codes(1L) == Seq(1, 0), codes(1L))
+
+    // ADC table = exact per-subspace squared L2 from the query
+    val q = Array(0.0, 0.0, 10.0, 10.0)
+    val t = Similarity.pqAdcTable(q, cb, m = 2, k = 2)
+    assert(t.toSeq == Seq(0.0, 2.0, 0.0, 200.0))
+
+    // ADC(q, v0) = t[0] + t[3] = 200; ADC(q, v1) = t[1] + t[2] = 2
+    val top = Similarity.pqTopK(vecs, "embedding", "vec_id", cb, m = 2, k = 2,
+        Seq((99L, q)), kNN = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(top.toSeq == Seq((1L, 1L, 2.0), (2L, 0L, 200.0)), top.toSeq)
+  }
+
   test("semantic dedup: within-cell components only, keep-min survives") {
     import graft.som.{SomConfig, SomModel}
     // 1-D codebook with two far-apart cells at x=0 and x=10: vectors

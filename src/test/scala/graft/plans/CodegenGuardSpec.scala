@@ -96,6 +96,18 @@ class CodegenGuardSpec extends SparkSpec {
       // neuron 1 (dot 14 -> -14, dot 10 -> -6; neuron 0 scores 0)
       assert(bmus.map(_.getInt(0)).toSeq == Seq(1, 1))
       assert(bmus.map(_.getDouble(1)).forall(_ >= 0.0))
+
+      // PQ: m=1 subspace of 3 dims, 2 centroids = the two vectors
+      // themselves; each encodes to itself and ADC to an all-zeros
+      // table is 0
+      val pqcb = Array(1.0, 2.0, 3.0, 3.0, 2.0, 1.0)
+      val pq = vecs.select(
+          GraftFunctions.pq_encode(col("v"), pqcb, 1, 3, 2).as("codes"))
+        .select(col("codes"),
+          GraftFunctions.pq_adc(col("codes"), Array(0.0, 0.0), 2).as("adc"))
+        .collect()
+      assert(pq.map(_.getSeq[Int](0).head).toSeq == Seq(0, 1))
+      assert(pq.forall(_.getDouble(1) == 0.0))
     }
   }
 }
