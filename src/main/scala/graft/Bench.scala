@@ -297,6 +297,21 @@ object Bench {
         graft.operators.Similarity.somTopKAssigned(assigned, model, "embedding",
           "id", qvecs, k = 10, nProbe = 4).count(); ()
       }
+
+      // --- PQ on the same 200k x 64 corpus: encode = one codegen scan
+      // producing 8 codes/vector; serve = per-query ADC scans over the
+      // codes (the memory-resident artifact, 32x smaller than float32)
+      val pqCb = graft.operators.Similarity.pqCodebookFromRows(
+        qvecs.map(_._2) ++ big.where(col("id") >= 5 && col("id") < 16)
+          .collect().map(_.getSeq[Double](1).toArray), m = 8)
+      results("bench_pq_encode_200k") = time2 {
+        graft.operators.Similarity.pqEncode(big, "embedding", "id",
+          pqCb, m = 8, k = 16).count(); ()
+      }
+      results("bench_pq_topk_200k") = time2 {
+        graft.operators.Similarity.pqTopK(big, "embedding", "id",
+          pqCb, m = 8, k = 16, qvecs, kNN = 10).count(); ()
+      }
       big.unpersist(blocking = false)
       // best-effort temp cleanup
       import scala.jdk.CollectionConverters._

@@ -501,6 +501,29 @@ object Queries {
             col("code").cast("long").as("code"))
       }),
 
+      // PQ quality pin: recall@5 of the ADC ranking against the exact
+      // squared-L2 ranking (both deterministic) — a codebook or kernel
+      // regression flips these values in CORRECTNESS. Absolute recall is
+      // LOW here by design: the corpus is isotropic random noise (PQ's
+      // worst case — no cluster structure for 16 sample centroids to
+      // exploit), so the pin is exact determinism, not retrieval quality
+      "pq_recall" -> ((s, dir) => {
+        val cb = Similarity.pqCodebookFromRows(pqRows(s, dir), m = 8)
+        val qs = emb(s, dir).orderBy("vec_id").limit(5).collect()
+          .map(r => (r.getLong(r.fieldIndex("vec_id")),
+            r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)).toSeq
+        val pq = Similarity.pqTopK(emb(s, dir), "embedding", "vec_id", cb,
+          m = 8, k = 16, qs, kNN = 5)
+        val exact = Similarity.bruteForceTopK(emb(s, dir), "embedding",
+          "vec_id", qs, k = 5, metric = "l2")
+        val hits = pq.select("qid", "nid").intersect(exact.select("qid", "nid"))
+          .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+        val qidsDf = s.createDataFrame(qs.map(q => Tuple1(q._1))).toDF("qid")
+        qidsDf.join(broadcast(hits), Seq("qid"), "left")
+          .select(col("qid"),
+            round(coalesce(col("n_hit"), lit(0L)).cast("double") / 5.0, 6).as("recall"))
+      }),
+
       // PQ asymmetric-distance top-k: each query is one codegen scan of
       // the m-int codes (table lookups, no float vectors in the hot
       // path) + TakeOrderedAndProject
@@ -1510,6 +1533,53 @@ object Queries {
          |       CAST(nid AS BIGINT) AS nid,
          |       CAST(round(adc, 6) AS DOUBLE) AS adc
          |FROM rk WHERE rank <= 5""".stripMargin,
+
+    // both rankings replayed: the ADC ranking (codes + query tables) and
+    // the exact squared-L2 ranking over the full vectors, intersected
+    // per query
+    "pq_recall" ->
+      s"""$pqCodesCte,
+         |q AS MATERIALIZED (
+         |  SELECT vec_id AS qid, embedding AS qv
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 5)
+         |), qd AS MATERIALIZED (
+         |  SELECT q.qid, (u.i - 1) // (len(q.qv) // 8) AS sub_id, c.cid,
+         |         sum((CAST(u.v AS DOUBLE) - CAST(c.w[u.i] AS DOUBLE))
+         |           * (CAST(u.v AS DOUBLE) - CAST(c.w[u.i] AS DOUBLE))) AS d2
+         |  FROM q CROSS JOIN pqcb c,
+         |       LATERAL (SELECT unnest(q.qv) AS v,
+         |                       generate_subscripts(q.qv, 1) AS i) u
+         |  GROUP BY q.qid, (u.i - 1) // (len(q.qv) // 8), c.cid
+         |), adc AS (
+         |  SELECT qd.qid, co.vec_id AS nid, sum(qd.d2) AS adc
+         |  FROM codes co JOIN qd ON qd.sub_id = co.sub_id AND qd.cid = co.code
+         |  WHERE co.vec_id != qd.qid
+         |  GROUP BY qd.qid, co.vec_id
+         |), prk AS (
+         |  SELECT qid, nid,
+         |         row_number() OVER (PARTITION BY qid ORDER BY adc ASC, nid ASC) AS rank
+         |  FROM adc),
+         |exd AS (
+         |  SELECT q.qid, e.vec_id AS nid,
+         |         sum((e.v - CAST(q.qv[e.i] AS DOUBLE))
+         |           * (e.v - CAST(q.qv[e.i] AS DOUBLE))) AS d2
+         |  FROM pqex e CROSS JOIN q
+         |  WHERE e.vec_id != q.qid
+         |  GROUP BY q.qid, e.vec_id
+         |), erk AS (
+         |  SELECT qid, nid,
+         |         row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, nid ASC) AS rank
+         |  FROM exd),
+         |hits AS (
+         |  SELECT p.qid, count(*) AS n_hit
+         |  FROM (SELECT qid, nid FROM prk WHERE rank <= 5) p
+         |  JOIN (SELECT qid, nid FROM erk WHERE rank <= 5) x
+         |    ON p.qid = x.qid AND p.nid = x.nid
+         |  GROUP BY p.qid)
+         |SELECT CAST(q.qid AS BIGINT) AS qid,
+         |       CAST(round(CAST(COALESCE(hits.n_hit, 0) AS DOUBLE)
+         |                  / CAST(5.0 AS DOUBLE), 6) AS DOUBLE) AS recall
+         |FROM q LEFT JOIN hits ON q.qid = hits.qid""".stripMargin,
 
     // SOM-cell assignment (cbDistCte, same as som_winner) + within-cell
     // cosine pairs + the shared pointer-jump CC levels

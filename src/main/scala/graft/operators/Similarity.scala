@@ -25,13 +25,20 @@ object Similarity {
   /** Dot product of two array columns in double precision. */
   def dot(a: Column, b: Column): Column = graft.plans.VecFunctions.vec_dot(a, b)
 
-  /** Brute-force cosine top-k: exact baseline. `queries` is a small
+  /** Brute-force top-k: exact baseline. `queries` is a small
     * DataFrame (qid, vector); it is broadcast and each partition emits
     * its local top-k per query before the global top-k shuffle.
+    * `metric` is "cosine" (sim = cosine, descending) or "l2"
+    * (sim = NEGATED squared L2, so the same descending-sim heap and
+    * window rank nearest-first); ties break on the smaller id under
+    * both metrics, matching every SQL replay's (score, nid) order.
     */
   def bruteForceTopK(df: DataFrame, vecCol: String, idCol: String,
                      queries: Seq[(Long, Array[Double])], k: Int,
-                     excludeSelf: Boolean = true): DataFrame = {
+                     excludeSelf: Boolean = true,
+                     metric: String = "cosine"): DataFrame = {
+    require(metric == "cosine" || metric == "l2",
+      s"metric must be 'cosine' or 'l2', got '$metric'")
     require(queries.nonEmpty, "bruteForceTopK needs at least one query")
     val spark = df.sparkSession
     val bc = spark.sparkContext.broadcast(queries)
@@ -60,11 +67,19 @@ object Similarity {
         val nvSq = v.map(x => x * x).sum
         qs.foreach { case (qid, q) =>
           if (!(excludeSelf && id == qid)) {
-            var s = 0.0
-            var i = 0
-            while (i < q.length) { s += q(i) * v(i); i += 1 }
-            val denom = math.sqrt(nvSq * qNormsSq(qid))
-            val sim = if (denom == 0) 0.0 else s / denom
+            val sim =
+              if (metric == "l2") {
+                var d = 0.0
+                var i = 0
+                while (i < q.length) { val t = q(i) - v(i); d += t * t; i += 1 }
+                -d
+              } else {
+                var s = 0.0
+                var i = 0
+                while (i < q.length) { s += q(i) * v(i); i += 1 }
+                val denom = math.sqrt(nvSq * qNormsSq(qid))
+                if (denom == 0) 0.0 else s / denom
+              }
             val h = heaps(qid)
             h.enqueue((sim, id))
             if (h.size > k) h.dequeue()

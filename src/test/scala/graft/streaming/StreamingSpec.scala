@@ -36,6 +36,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("PQ encoding runs stateless on a stream, matching batch") {
+    // pq_encode is a pure codegen expression (codebook rides in the
+    // expression), so an ingest pipeline can emit the compact codes
+    // column at stream time — no state, append mode
+    implicit val sqlCtx = spark.sqlContext
+    val cb = graft.operators.Similarity.pqCodebookFromRows(
+      Seq(Array(0.0, 0.0), Array(5.0, 5.0)), m = 2)
+    val rows = Seq((0L, Seq(0.4f, 4.9f)), (1L, Seq(4.8f, 0.1f)))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val encoded = graft.operators.Similarity.pqEncode(
+      input.toDF().toDF("vec_id", "embedding"), "embedding", "vec_id",
+      cb, m = 2, k = 2)
+    val q = encoded.writeStream.format("memory").queryName("pq_out")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("pq_out").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val batch = graft.operators.Similarity.pqEncode(
+        rows.toDF("vec_id", "embedding"), "embedding", "vec_id",
+        cb, m = 2, k = 2)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      assert(streamed == batch)
+      assert(streamed(0L) == Seq(0, 1) && streamed(1L) == Seq(1, 0))
+    } finally q.stop()
+  }
+
   test("curation filters run stateless on a stream, matching batch") {
     // gopherFilter / quality scoring are pure expression pipelines, so
     // they apply to a streaming DataFrame unchanged (no state, append
