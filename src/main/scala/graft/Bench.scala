@@ -304,9 +304,12 @@ object Bench {
       val pqCb = graft.operators.Similarity.pqCodebookFromRows(
         qvecs.map(_._2) ++ big.where(col("id") >= 5 && col("id") < 16)
           .collect().map(_.getSeq[Double](1).toArray), m = 8)
+      // aggregate over the codes: a bare count() would prune the encode
+      // projection down to the cached scan and time nothing
       results("bench_pq_encode_200k") = time2 {
         graft.operators.Similarity.pqEncode(big, "embedding", "id",
-          pqCb, m = 8, k = 16).count(); ()
+            pqCb, m = 8, k = 16)
+          .agg(sum(element_at(col("codes"), 1))).collect(); ()
       }
       results("bench_pq_topk_200k") = time2 {
         graft.operators.Similarity.pqTopK(big, "embedding", "id",

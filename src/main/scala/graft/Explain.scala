@@ -28,7 +28,8 @@ object Explain {
         "contamination", "dedup_drop_near", "stratified_sample",
         "doc_freq", "tfidf_terms", "dup_spans", "span_dedup",
         "corpus_stats", "gopher_filter", "unigram_ce",
-        "curation_e2e").foreach(show)
+        "curation_e2e", "pack_fill", "mixture_sample", "dedup_semantic",
+        "pq_encode", "pq_topk").foreach(show)
     spark.stop()
   }
 }

@@ -493,9 +493,16 @@ object Queries {
       // oracle
       "pq_encode" -> ((s, dir) => {
         val cb = Similarity.pqCodebookFromRows(pqRows(s, dir), m = 8)
-        Similarity.pqEncode(emb(s, dir), "embedding", "vec_id", cb,
-            m = 8, k = 16)
-          .select(col("id").as("vec_id"),
+        // Materialize.once: posexplode's generator pushdown would
+        // otherwise inline the encode kernel into its own size/notnull
+        // Filter — three evaluations per row instead of one
+        val enc = graft.operators.Materialize.once(
+          emb(s, dir).select(col("vec_id").cast("long").as("vec_id"),
+            col("embedding")),
+          "codes", graft.plans.GraftFunctions.pq_encode(
+            col("embedding"), cb, 8, cb.length / (8 * 16), 16))
+        enc
+          .select(col("vec_id"),
             posexplode(col("codes")).as(Seq("sub_id", "code")))
           .select(col("vec_id"), col("sub_id").cast("long").as("sub_id"),
             col("code").cast("long").as("code"))

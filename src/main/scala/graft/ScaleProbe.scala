@@ -11,8 +11,8 @@ import org.apache.spark.sql.SparkSession
   *    path actually serves in production (the forced bench entry covers
   *    the same code path at 200k edges).
   *
-  * Usage: `runMain graft.ScaleProbe [minhash|resolve|bushy|spans|curation|ann|all]
-  * [repeats] [nDocs]`. Run each phase in its OWN JVM (`all` exists for
+  * Usage: `runMain graft.ScaleProbe
+  * [minhash|resolve|bushy|spans|curation|ann|pq|all] [repeats] [nDocs]`. Run each phase in its OWN JVM (`all` exists for
   * convenience only): round 5 recorded a 103 s resolve outlier that was
   * same-JVM memory pressure from the preceding 2M-doc minhash phase, not
   * resolver behavior — phase isolation is what makes the headroom
@@ -26,8 +26,8 @@ object ScaleProbe {
     val phase = args.headOption.getOrElse("all")
     val repeats = args.lift(1).map(_.toInt).getOrElse(1)
     val nDocs = args.lift(2).map(_.toLong).getOrElse(2000000L)
-    require(Set("minhash", "resolve", "bushy", "spans", "curation", "ann", "all")(phase),
-      s"unknown phase '$phase' (want minhash|resolve|bushy|spans|curation|ann|all)")
+    require(Set("minhash", "resolve", "bushy", "spans", "curation", "ann", "pq", "all")(phase),
+      s"unknown phase '$phase' (want minhash|resolve|bushy|spans|curation|ann|pq|all)")
     // partition count scales with the probed data volume, exactly as a
     // cluster operator would size it: at 20M docs (1B token instances)
     // 32 shuffle partitions put a ~31M-group hash aggregate in every
@@ -160,6 +160,43 @@ object ScaleProbe {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.walk(java.nio.file.Paths.get(idxDir)).iterator().asScala
           .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        settle()
+      }
+
+      if (phase == "pq" || phase == "all") {
+        // PQ at nDocs embeddings (64-dim, same generator as the ann
+        // phase): encode throughput (one codegen scan -> 8 codes/vec)
+        // and ADC serving over the codes. Serving scales with the CODES
+        // table (nDocs x 8 ints), not the float vectors — the probe's
+        // point is that the serve cost tracks that 32x-smaller artifact.
+        import org.apache.spark.sql.functions._
+        val big = spark.range(nDocs).select(col("id"),
+          transform(sequence(lit(1), lit(64)),
+            i => sin(col("id") * i * 0.7 + i * 1.3).cast("float").cast("double"))
+            .as("embedding"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        big.count()
+        val sample = big.where(col("id") < 16).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+        val cb = operators.Similarity.pqCodebookFromRows(
+          sample.map(_._2).toSeq, m = 8)
+        val qvecs = sample.take(5).toSeq
+        val tEncode = time {
+          // consume the codes through an aggregate: a bare count() lets
+          // Catalyst PRUNE the encode projection down to the scan and
+          // times nothing (the bench-methodology count() caveat)
+          println("  code checksum: " + operators.Similarity
+            .pqEncode(big, "embedding", "id", cb, m = 8, k = 16)
+            .agg(sum(element_at(col("codes"), 1))).collect().head.get(0))
+        }
+        println(f"[scale] pq_encode ${nDocs / 1000000}M vecs (run $rep/$repeats): $tEncode%.1f s")
+        val tServe = time {
+          println("  top-k rows: " + operators.Similarity
+            .pqTopK(big, "embedding", "id", cb, m = 8, k = 16, qvecs,
+              kNN = 10).count())
+        }
+        println(f"[scale] pq_topk ${nDocs / 1000000}M vecs, 5 queries (run $rep/$repeats): $tServe%.1f s")
+        big.unpersist(blocking = true)
         settle()
       }
 
