@@ -584,6 +584,16 @@ object Queries {
             Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "graft")
           .select(col("doc_id").cast("long").as("doc_id"), col("split"))),
 
+      // text normalization: Unicode NFC (codegen kernel, zero-copy on
+      // normalized rows) + whitespace/control collapse — the pass that
+      // runs BEFORE hashing/dedup so visually identical strings are
+      // byte-identical. Oracle pins JDK-Normalizer/utf8proc NFC parity
+      "normalize_text" -> ((s, dir) =>
+        docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+          cleanText(nfcNormalize(col("text"))).as("norm_text"),
+          length(col("text")).cast("long").as("n_raw"),
+          length(cleanText(nfcNormalize(col("text")))).cast("long").as("n_norm"))),
+
       // text statistics: token counts, punctuation, mean token length
       "text_stats" -> ((s, dir) =>
         docs(s, dir).select(
@@ -1681,6 +1691,15 @@ object Queries {
         |  CASE WHEN r.rate >= 1.0 THEN 'g'
         |       ELSE lpad(lower(to_hex(CAST(round(r.rate * 4294967296.0) AS BIGINT))), 8, '0')
         |  END""".stripMargin,
+
+    // same class union on both engines: Java \s alone includes VT where
+    // RE2's does not, but [\s\x00-\x1f] is identical
+    "normalize_text" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       trim(regexp_replace(nfc_normalize(text), '[\s\x00-\x1f]+', ' ', 'g')) AS norm_text,
+        |       CAST(length(text) AS BIGINT) AS n_raw,
+        |       CAST(length(trim(regexp_replace(nfc_normalize(text), '[\s\x00-\x1f]+', ' ', 'g'))) AS BIGINT) AS n_norm
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
     "split_by_hash" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -269,4 +269,21 @@ object TextFunctions {
     */
   def docFingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(text)))
+
+  /** Unicode NFC canonical composition (codegen kernel; zero-copy on
+    * already-normalized rows). Normalize BEFORE hashing/dedup/shingling
+    * so visually identical strings are byte-identical.
+    */
+  def nfcNormalize(text: Column): Column =
+    graft.plans.GraftFunctions.nfc_normalize(text)
+
+  /** Whitespace/control cleanup: every run of whitespace and C0 control
+    * characters collapses to one space, leading/trailing runs drop.
+    * The character class is written as `[\s\x00-\x1F]` so the Java
+    * (Spark) and RE2 (DuckDB) engines agree exactly: Java `\s` alone
+    * includes VT (0x0B) where RE2's does not, but the union with the
+    * explicit C0 range is identical in both.
+    */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(text, "[\\s\\x00-\\x1F]+", " "))
 }

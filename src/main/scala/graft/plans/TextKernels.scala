@@ -26,6 +26,21 @@ object TextKernels {
   /** ASCII whitespace (Java-regex/RE2 `\s`): space + TAB..CR. */
   @inline private def isWs(c: Char): Boolean = c == ' ' || (c >= '\t' && c <= '\r')
 
+  /** Unicode NFC normalization (java.text.Normalizer — the JDK's
+    * implementation of UAX #15 canonical composition). The common case
+    * (already-normalized text, i.e. virtually all real corpora) is a
+    * zero-copy quick check; only denormalized rows pay the
+    * String round-trip. Cross-engine parity with DuckDB's
+    * `nfc_normalize` (utf8proc) is oracle-pinned — both implement the
+    * same Unicode normalization form.
+    */
+  def nfcNormalize(text: UTF8String): UTF8String = {
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
   /** Whitespace tokens of lower-cased text as one byte-level pass —
     * the kernel form of `TextFunctions.tokens` (= `filter(split(lower(
     * trim(text)), "\\s+"), length > 0)`, whose `filter` Spark

@@ -347,6 +347,29 @@ case class TokensOf(child: Expression) extends UnaryExpression {
   override def prettyName: String = "tokens_of"
 }
 
+/** Unicode NFC normalization as a codegen kernel call
+  * (`TextKernels.nfcNormalize`): canonical composition so that visually
+  * identical strings hash/dedup/tokenize identically — the first step
+  * of every text-curation pipeline. Already-normalized rows (the
+  * overwhelming majority) pass through zero-copy.
+  */
+case class NfcNormalizeOf(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.nfcNormalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = TextKernels.getClass.getName.stripSuffix("$") // mirror-class static forwarders
+    defineCodeGen(ctx, ev, c => s"$kernel.nfcNormalize($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalizeOf =
+    copy(child = newChild)
+  override def prettyName: String = "nfc_normalize"
+}
+
 /** Count of non-overlapping matches of a constant regex — replaces
   * `size(regexp_extract_all(text, pattern))`, which materializes the
   * whole match array to read its length. Same `java.util.regex` engine
@@ -620,6 +643,9 @@ object GraftFunctions {
 
   def tokens_of(text: Column): Column =
     GraftBridge.column(TokensOf(GraftBridge.expression(text)))
+
+  def nfc_normalize(text: Column): Column =
+    GraftBridge.column(NfcNormalizeOf(GraftBridge.expression(text)))
 
   def pq_encode(vec: Column, cb: Array[Double], m: Int, subDim: Int,
                 k: Int): Column =

@@ -29,6 +29,28 @@ class PipelineSpec extends SparkSpec {
     assert(r(0L)._3 == 8) // 9 tokens -> 8 distinct bigrams
   }
 
+  test("text normalization: NFC composes, whitespace/control runs collapse") {
+    val d = Seq(
+      (0L, "e\u0301tude"),            // e + combining acute -> \u00e9
+      (1L, "  a\u000b\t\nb\u0000c  "), // ws + VT + NUL runs
+      (2L, "caf\u00e9"),              // already NFC: unchanged
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val r = d.select(col("doc_id"),
+        cleanText(nfcNormalize(col("text"))).as("norm"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(0L) == "\u00e9tude", r(0L)) // composed, 5 chars
+    assert(r(1L) == "a b c", r(1L))
+    assert(r(2L) == "caf\u00e9")
+    assert(r(3L) == "")
+    // NFC is idempotent and length-aware: composed form is SHORTER in
+    // code points than the decomposed input
+    val n = d.where(col("doc_id") === 0L)
+      .select(length(col("text")), length(nfcNormalize(col("text"))))
+      .collect().head
+    assert(n.getInt(0) == 6 && n.getInt(1) == 5)
+  }
+
   test("language id picks marker-heavy language deterministically") {
     val r = docs.select(col("doc_id"), langId(col("text")).as("lang"))
       .collect().map(x => x.getLong(0) -> x.getString(1)).toMap

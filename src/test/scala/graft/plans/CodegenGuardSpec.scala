@@ -47,7 +47,8 @@ class CodegenGuardSpec extends SparkSpec {
           GraftFunctions.lang_id_of(col("text"),
             graft.functions.TextFunctions.langMarkers).as("lang"),
           GraftFunctions.gopher_stats(col("text"), Seq("alpha", "beta")).as("st"),
-          GraftFunctions.gopher_stats(split(col("text"), " "), Seq("alpha")).as("st2"))
+          GraftFunctions.gopher_stats(split(col("text"), " "), Seq("alpha")).as("st2"),
+          GraftFunctions.nfc_normalize(concat(col("text"), lit("é"))).as("nfc"))
         .collect()
       assert(tk.forall(_.getInt(0) == 4))
       assert(tk.forall(_.getInt(1) == 3)) // 4 tokens -> 3 distinct bigrams
