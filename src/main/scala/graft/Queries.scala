@@ -755,6 +755,13 @@ object Queries {
           .select(col("id").as("doc_id"), col("chunk_id"),
                   col("n_tok"), col("chunk_text"))),
 
+      // interpolated bigram cross-entropy (Jelinek-Mercer lam=0.7) —
+      // the depth-2 LM quality signal; DECIMAL term sums keep the
+      // transcendental aggregation order-independent cross-engine
+      "bigram_ce" -> ((s, dir) =>
+        Corpus.bigramCrossEntropy(docs(s, dir), "text", "doc_id", lam = 0.7)
+          .select(col("id").as("doc_id"), col("n_big"), col("ce2"), col("ppl2"))),
+
       // concat-then-chunk sequence packing: global token offset per doc
       // in id order via a DISTRIBUTED prefix sum (per-partition totals +
       // broadcast starts — never a single-partition global window), then
@@ -1836,6 +1843,39 @@ object Queries {
          |       CAST(sum(tf) AS BIGINT) AS n_tok,
          |       CAST(round(CAST(sum(term) AS DOUBLE) / sum(tf), 6) AS DOUBLE) AS ce,
          |       CAST(round(exp(round(CAST(sum(term) AS DOUBLE) / sum(tf), 6)), 6) AS DOUBLE) AS ppl
+         |FROM terms GROUP BY doc_id""".stripMargin,
+
+    // bigram replay: adjacent-pair stream, bigram/context/unigram count
+    // tables, Jelinek-Mercer interpolation with the EXACT double
+    // constants (1.0 - 0.7 interpolates to its true double value), and
+    // the unigram_ce DECIMAL-sum convention
+    "bigram_ce" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents WHERE text IS NOT NULL),
+         |t2 AS MATERIALIZED (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+         |bo AS MATERIALIZED (
+         |  SELECT doc_id, toks[u.i] || ' ' || toks[u.i + 1] AS bg
+         |  FROM t2, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) u),
+         |btf AS MATERIALIZED (SELECT doc_id, bg, count(*) AS btf FROM bo GROUP BY doc_id, bg),
+         |cb AS MATERIALIZED (SELECT bg, sum(btf) AS cb FROM btf GROUP BY bg),
+         |cv AS MATERIALIZED (
+         |  SELECT split_part(bg, ' ', 1) AS ctx, sum(cb) AS cv FROM cb GROUP BY 1),
+         |uni AS MATERIALIZED (
+         |  SELECT u.t AS token, count(*) AS c
+         |  FROM t, LATERAL (SELECT unnest(toks) AS t) u GROUP BY u.t),
+         |tot AS (SELECT sum(c) AS n FROM uni),
+         |terms AS (
+         |  SELECT f.doc_id, f.btf,
+         |         CAST(round(f.btf * -ln(
+         |             CAST(${0.7} AS DOUBLE) * (CAST(b.cb AS DOUBLE) / CAST(v.cv AS DOUBLE))
+         |           + CAST(${1.0 - 0.7} AS DOUBLE) * (CAST(u2.c AS DOUBLE) / CAST(tt.n AS DOUBLE))), 9)
+         |              AS DECIMAL(28, 9)) AS term
+         |  FROM btf f JOIN cb b ON b.bg = f.bg
+         |  JOIN cv v ON v.ctx = split_part(f.bg, ' ', 1)
+         |  JOIN uni u2 ON u2.token = split_part(f.bg, ' ', 2), tot tt)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |       CAST(sum(btf) AS BIGINT) AS n_big,
+         |       CAST(round(CAST(sum(term) AS DOUBLE) / sum(btf), 6) AS DOUBLE) AS ce2,
+         |       CAST(round(exp(round(CAST(sum(term) AS DOUBLE) / sum(btf), 6)), 6) AS DOUBLE) AS ppl2
          |FROM terms GROUP BY doc_id""".stripMargin,
 
     // same chunking arithmetic as doc_chunks at (16, 0); dup = identical

@@ -221,6 +221,66 @@ object Corpus {
       .withColumn("ppl", round(exp(col("ce")), 6))
   }
 
+  /** Interpolated BIGRAM cross-entropy per document — the depth-2
+    * companion of [[unigramCrossEntropy]] (CCNet scores documents with
+    * an n-gram LM; the interpolation `p = lam*p2(w|v) + (1-lam)*p1(w)`
+    * is the classic Jelinek-Mercer smoothing that keeps unseen-context
+    * events finite). Conditional contexts are derived from the bigram
+    * counts themselves (`c(v,*) = sum_w c(v,w)`), so probabilities are
+    * properly normalized per context; documents need >= 2 tokens to
+    * emit events.
+    *
+    * Cross-engine determinism follows the unigram convention: each
+    * event term rounds to 9 decimals and sums in DECIMAL (exact,
+    * associative — aggregation order cannot move the result), and the
+    * interpolation constants are embedded with their EXACT double
+    * values on both sides (1.0 - 0.7 is not the literal 0.3).
+    *
+    * Scale shape: per-doc bigram TYPE counts (not raw events) ride the
+    * joins; corpus bigram/context/unigram tables are map-side-combined
+    * aggregations of the same exploded streams; the final per-doc
+    * reduction is a hash aggregate on id. The (id, bigram) aggregation
+    * keys ~n_tok rows per doc — heavier than the unigram path's
+    * kernel-fused term pairs, priced in the bench entry.
+    */
+  def bigramCrossEntropy(df: DataFrame, textCol: String, idCol: String,
+                         lam: Double = 0.7): DataFrame = {
+    require(lam > 0.0 && lam < 1.0, s"lam must be in (0,1), got $lam")
+    val base = Materialize.once(
+        df.where(col(textCol).isNotNull)
+          .select(col(idCol).cast("long").as("id"), col(textCol).as("__text")),
+        "__ts", graft.plans.GraftFunctions.tokens_of(col("__text")))
+      .where(size(col("__ts")) >= 2)
+    // adjacent-pair stream: sequence is safe (size>=2 -> ascending) and
+    // element_at is O(1) on the once-computed token array
+    val bg = base.select(col("id"),
+        explode(transform(sequence(lit(1), size(col("__ts")) - 1),
+          i => concat(element_at(col("__ts"), i), lit(" "),
+            element_at(col("__ts"), i + 1)))).as("bg"))
+      .groupBy("id", "bg").agg(count(lit(1)).as("btf"))
+      .repartition(col("bg"))
+    val bgCnt = bg.groupBy("bg").agg(sum(col("btf")).as("__cb"))
+    val ctxCnt = bgCnt
+      .groupBy(substring_index(col("bg"), " ", 1).as("__ctx"))
+      .agg(sum(col("__cb")).as("__cv"))
+    val uni = termFrequencies(df, textCol, idCol)
+      .groupBy("token").agg(sum(col("tf")).as("__c"))
+    val total = uni.agg(sum(col("__c")).as("__n"))
+    val p = lit(lam) * (col("__cb").cast("double") / col("__cv").cast("double")) +
+      lit(1.0 - lam) * (col("__c").cast("double") / col("__n").cast("double"))
+    val term = round(col("btf") * -log(p), 9)
+      .cast(org.apache.spark.sql.types.DecimalType(28, 9))
+    bg.join(bgCnt, "bg")
+      .join(ctxCnt, substring_index(col("bg"), " ", 1) === col("__ctx"))
+      .join(uni, substring_index(col("bg"), " ", -1) === col("token"))
+      .crossJoin(broadcast(total))
+      .groupBy("id")
+      .agg(sum(col("btf")).as("n_big"), sum(term).as("__s"))
+      .select(col("id"), col("n_big"),
+        round(col("__s").cast("double") / col("n_big"), 6).as("ce2"))
+      .withColumn("ppl2", round(exp(col("ce2")), 6))
+  }
+
   /** Intra-corpus duplicate-span statistics: chunk each document into
     * disjoint `spanTokens`-token windows (`chunkByTokens` with overlap
     * 0, so the same normalization and trailing-window rules apply) and

@@ -479,6 +479,28 @@ class PipelineSpec extends SparkSpec {
     assert(kept7 == kept)
   }
 
+  test("bigram cross-entropy: hand-computed Jelinek-Mercer interpolation") {
+    // doc0 "a b a b": bigrams (a b)x2, (b a)x1; doc1 "a b": (a b)x1
+    // corpus: c(a b)=3, c(b a)=1; contexts c(a,*)=3, c(b,*)=1
+    // unigrams a=3, b=3, solo=1, N=7 -> p1(a)=p1(b)=3/7 (the
+    // single-token doc emits no bigram EVENTS but its token still
+    // counts in the unigram backoff distribution)
+    // p(a b) = .7*(3/3) + (1-.7)*(3/7) ; p(b a) = .7*(1/1) + (1-.7)*(3/7)
+    // both events share the same probability, so every doc's ce is
+    // -ln(.7 + (1-.7)*(3/7)) regardless of its event mix
+    val d = Seq((0L, "a b a b"), (1L, "a b"), (2L, "solo"))
+      .toDF("doc_id", "text")
+    val r = Corpus.bigramCrossEntropy(d, "text", "doc_id", lam = 0.7)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2), x.getDouble(3))))
+      .toMap
+    val expCe = -math.log(0.7 + (1.0 - 0.7) * 3.0 / 7.0)
+    assert(r(0L)._1 == 3L && r(1L)._1 == 1L)
+    assert(math.abs(r(0L)._2 - expCe) < 1e-4, s"${r(0L)._2} vs $expCe")
+    assert(math.abs(r(1L)._2 - expCe) < 1e-4)
+    assert(math.abs(r(0L)._3 - math.exp(r(0L)._2)) < 1e-4)
+    assert(!r.contains(2L)) // single-token doc: no bigram events
+  }
+
   test("sequence packing: distributed prefix sum is exact and partition-invariant") {
     // token counts 1..17 against budget 10 force docs that straddle
     // sequence boundaries and multi-sequence spans
