@@ -594,6 +594,20 @@ object Queries {
           length(col("text")).cast("long").as("n_raw"),
           length(cleanText(nfcNormalize(col("text")))).cast("long").as("n_norm"))),
 
+      // Unicode-script character mix (Latin/Han/Cyrillic/Arabic) — the
+      // multilingual routing signal; Java \p{IsX} and RE2 \p{X} count
+      // the same Script property, oracle-pinned incl. multibyte edges
+      "script_ratios" -> ((s, dir) =>
+        docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          scriptCount(col("text"), "Latin").cast("long").as("n_latin"),
+          scriptCount(col("text"), "Han").cast("long").as("n_han"),
+          scriptCount(col("text"), "Cyrillic").cast("long").as("n_cyrillic"),
+          scriptCount(col("text"), "Arabic").cast("long").as("n_arabic"),
+          round(when(length(col("text")) === 0, 0.0)
+            .otherwise(scriptCount(col("text"), "Latin").cast("double") /
+              length(col("text"))), 6).as("latin_ratio"))),
+
       // text statistics: token counts, punctuation, mean token length
       "text_stats" -> ((s, dir) =>
         docs(s, dir).select(
@@ -1698,6 +1712,18 @@ object Queries {
         |  CASE WHEN r.rate >= 1.0 THEN 'g'
         |       ELSE lpad(lower(to_hex(CAST(round(r.rate * 4294967296.0) AS BIGINT))), 8, '0')
         |  END""".stripMargin,
+
+    "script_ratios" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       CAST(length(text) AS BIGINT) AS n_chars,
+        |       CAST(len(regexp_extract_all(text, '\p{Latin}')) AS BIGINT) AS n_latin,
+        |       CAST(len(regexp_extract_all(text, '\p{Han}')) AS BIGINT) AS n_han,
+        |       CAST(len(regexp_extract_all(text, '\p{Cyrillic}')) AS BIGINT) AS n_cyrillic,
+        |       CAST(len(regexp_extract_all(text, '\p{Arabic}')) AS BIGINT) AS n_arabic,
+        |       CAST(round(CASE WHEN length(text) = 0 THEN 0.0
+        |                       ELSE CAST(len(regexp_extract_all(text, '\p{Latin}')) AS DOUBLE)
+        |                            / length(text) END, 6) AS DOUBLE) AS latin_ratio
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
     // same class union on both engines: Java \s alone includes VT where
     // RE2's does not, but [\s\x00-\x1f] is identical

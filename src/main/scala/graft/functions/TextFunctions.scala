@@ -277,6 +277,16 @@ object TextFunctions {
   def nfcNormalize(text: Column): Column =
     graft.plans.GraftFunctions.nfc_normalize(text)
 
+  /** Per-script character counts (Unicode Script property, counted by
+    * the `regex_count` kernel — one compiled-pattern pass per script).
+    * The multilingual routing signal: script mix catches mislabeled and
+    * mixed-script documents that word-marker language ID misses. Java
+    * spells the class `\p{IsHan}`, RE2 `\p{Han}` — same property, so
+    * the DuckDB oracle counts the identical characters.
+    */
+  def scriptCount(text: Column, script: String): Column =
+    graft.plans.GraftFunctions.regex_count(text, s"\\p{Is$script}")
+
   /** Whitespace/control cleanup: every run of whitespace and C0 control
     * characters collapses to one space, leading/trailing runs drop.
     * The character class is written as `[\s\x00-\x1F]` so the Java

@@ -51,6 +51,16 @@ class PipelineSpec extends SparkSpec {
     assert(n.getInt(0) == 6 && n.getInt(1) == 5)
   }
 
+  test("script counts: Unicode Script property per character") {
+    val d = Seq((0L, "abc 你好 привет مرحبا"))
+      .toDF("doc_id", "text")
+    val r = d.select(
+        scriptCount(col("text"), "Latin"), scriptCount(col("text"), "Han"),
+        scriptCount(col("text"), "Cyrillic"), scriptCount(col("text"), "Arabic"))
+      .collect().head
+    assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) == ((3, 2, 6, 5)))
+  }
+
   test("language id picks marker-heavy language deterministically") {
     val r = docs.select(col("doc_id"), langId(col("text")).as("lang"))
       .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
