@@ -783,6 +783,18 @@ object Queries {
       "pack_sequences" -> ((s, dir) =>
         Packing.packSequences(docs(s, dir), "text", "doc_id", budget = 96)),
 
+      // deterministic corpus shuffle: dense global rank under the
+      // content-keyed md5 order (ties broken by id), computed with the
+      // distributed prefix-sum — the reproducible training-freeze
+      // shuffle (orderBy(rand()) re-rolls; zipWithIndex is
+      // partitioning-dependent)
+      "shuffle_order" -> ((s, dir) => {
+        val keyed = docs(s, dir).select(col("doc_id"),
+          md5(concat(lit("graft"), col("doc_id").cast("string"))).as("skey"))
+        Packing.globalRank(keyed, "skey", "doc_id")
+          .select(col("id").as("doc_id"), col("okey").as("skey"), col("rank"))
+      }),
+
       // per-sequence fill: docs touching each training sequence and the
       // exact token count the id-ordered stream puts in it (every
       // sequence but the last is exactly full — the trainer's invariant)
@@ -2010,6 +2022,14 @@ object Queries {
          |       CAST(tok_offset // 96 AS BIGINT) AS seq_first,
          |       CAST((tok_offset + n_tok - 1) // 96 AS BIGINT) AS seq_last
          |FROM p""".stripMargin,
+
+    "shuffle_order" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       md5(concat('graft', CAST(doc_id AS VARCHAR))) AS skey,
+        |       CAST(row_number() OVER (
+        |         ORDER BY md5(concat('graft', CAST(doc_id AS VARCHAR))), doc_id) - 1
+        |         AS BIGINT) AS rank
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
     "pack_fill" ->
       s"""WITH t AS (SELECT doc_id, len($duckToks) AS n_tok

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
 /** Sequence packing for LLM training: lay the corpus out as one long
@@ -108,6 +108,59 @@ object Packing {
     packed.count() // materialize before releasing the slim snapshot
     slim.unpersist(blocking = false)
     packed
+  }
+
+  /** Dense global rank of every row under a total order — the engine
+    * for DETERMINISTIC CORPUS SHUFFLING: order by a content-keyed hash
+    * (`md5(salt || id)`, the `Sampling.bucket` draw) and the corpus is
+    * "randomly" shuffled the same way on every run, engine, partition
+    * count, and retry, which is what a reproducible training-data
+    * freeze needs (`df.orderBy(rand())` re-rolls per run and
+    * `zipWithIndex` depends on partitioning). Same distributed shape as
+    * [[packSequences]]: range partition + in-partition sort, one small
+    * per-partition COUNT aggregate, broadcast start offsets, narrow
+    * streaming scan — never a single-partition `row_number() over
+    * (order by ...)` window.
+    *
+    * `orderCol` ties are broken by `idCol` (the composite is the real
+    * sort key); without a unique tiebreaker, ranks among equal keys
+    * would depend on where the range boundaries fell. Returns
+    * (id, orderVal, rank) with rank 0-based and dense. Cache contract
+    * as [[packSequences]]: the result is persisted and materialized;
+    * the caller owns the `.unpersist()`.
+    */
+  def globalRank(df: DataFrame, orderCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val slim = df
+      .select(col(idCol).cast("long").as("id"),
+        col(orderCol).cast("string").as("okey"))
+      .repartitionByRange(col("okey"), col("id"))
+      .sortWithinPartitions("okey", "id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val counts = slim.groupBy(spark_partition_id().as("pid"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nParts = slim.rdd.getNumPartitions
+    val starts = (0 until nParts)
+      .scanLeft(0L)((acc, pid) => acc + counts.getOrElse(pid, 0L))
+    val bStarts = spark.sparkContext.broadcast(starts.toArray)
+    val rankedRdd = slim.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      var r = bStarts.value(pid)
+      rows.map { row =>
+        val out = Row(row.getLong(0), row.getString(1), r)
+        r += 1
+        out
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("okey", StringType, nullable = true),
+      StructField("rank", LongType, nullable = false)))
+    val ranked = spark.createDataFrame(rankedRdd, schema)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ranked.count() // materialize before releasing the slim snapshot
+    slim.unpersist(blocking = false)
+    ranked
   }
 
   /** Per-sequence fill summary over a packing: how many documents touch

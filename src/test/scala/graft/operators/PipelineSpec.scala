@@ -554,6 +554,24 @@ class PipelineSpec extends SparkSpec {
     packed.unpersist(blocking = false)
   }
 
+  test("global rank: dense, order-correct, partition- and tie-safe") {
+    // duplicate okeys force the tiebreaker: rank among equals must not
+    // depend on range boundaries
+    val d = (0L until 200L).map(i => (i, "k" + (i % 10))).toDF("id0", "k")
+    var ref: Seq[(Long, Long)] = null
+    for (p <- Seq(1, 7, 32)) {
+      val r = Packing.globalRank(d.repartition(p), "k", "id0")
+      val got = r.orderBy("rank").collect().map(x => (x.getLong(0), x.getLong(2)))
+      // dense 0..n-1 and consistent with the (okey, id) sort
+      assert(got.map(_._2).toSeq == (0L until 200L))
+      val expect = (0L until 200L).map(i => (i, "k" + (i % 10)))
+        .sortBy { case (i, k) => (k, i) }.map(_._1)
+      assert(got.map(_._1).toSeq == expect, s"order at partitions=$p")
+      if (ref == null) ref = got.toSeq else assert(got.toSeq == ref)
+      r.unpersist(blocking = false)
+    }
+  }
+
   test("corpus stats: exact sums, null-text and null-key handling") {
     val d = Seq(
       (0L, Option("one two three"), Option("a"), Option("en")),
