@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
   *    the same code path at 200k edges).
   *
   * Usage: `runMain graft.ScaleProbe
-  * [minhash|resolve|bushy|spans|curation|ann|pq|all] [repeats] [nDocs]`. Run each phase in its OWN JVM (`all` exists for
+  * [minhash|resolve|bushy|spans|curation|ann|pq|pack|all] [repeats] [nDocs]`. Run each phase in its OWN JVM (`all` exists for
   * convenience only): round 5 recorded a 103 s resolve outlier that was
   * same-JVM memory pressure from the preceding 2M-doc minhash phase, not
   * resolver behavior — phase isolation is what makes the headroom
@@ -26,8 +26,8 @@ object ScaleProbe {
     val phase = args.headOption.getOrElse("all")
     val repeats = args.lift(1).map(_.toInt).getOrElse(1)
     val nDocs = args.lift(2).map(_.toLong).getOrElse(2000000L)
-    require(Set("minhash", "resolve", "bushy", "spans", "curation", "ann", "pq", "all")(phase),
-      s"unknown phase '$phase' (want minhash|resolve|bushy|spans|curation|ann|pq|all)")
+    require(Set("minhash", "resolve", "bushy", "spans", "curation", "ann", "pq", "pack", "all")(phase),
+      s"unknown phase '$phase' (want minhash|resolve|bushy|spans|curation|ann|pq|pack|all)")
     // partition count scales with the probed data volume, exactly as a
     // cluster operator would size it: at 20M docs (1B token instances)
     // 32 shuffle partitions put a ~31M-group hash aggregate in every
@@ -160,6 +160,36 @@ object ScaleProbe {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.walk(java.nio.file.Paths.get(idxDir)).iterator().asScala
           .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        settle()
+      }
+
+      if (phase == "pack" || phase == "all") {
+        // sequence packing + deterministic shuffle rank at nDocs: the
+        // distributed prefix-sum machinery (range shuffle + tiny count
+        // aggregate + broadcast offsets + narrow scan) at 400x the
+        // suite rows — the declarative spelling would be a
+        // single-partition window here
+        import org.apache.spark.sql.functions._
+        val docs2m = BenchData.dupGroupDocs(spark, nDocs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        docs2m.count()
+        val tPack = time {
+          val p = operators.Packing.packSequences(docs2m, "text", "doc_id",
+            budget = 2048)
+          println("  packed docs: " + p.count() +
+            ", sequences: " + (p.agg(max("seq_last")).collect().head.getLong(0) + 1))
+          p.unpersist(blocking = false)
+        }
+        println(f"[scale] pack_sequences ${nDocs / 1000000}M docs (run $rep/$repeats): $tPack%.1f s")
+        val tRank = time {
+          val keyed = docs2m.select(col("doc_id"),
+            md5(concat(lit("s"), col("doc_id").cast("string"))).as("skey"))
+          val r = operators.Packing.globalRank(keyed, "skey", "doc_id")
+          println("  ranked rows: " + r.count())
+          r.unpersist(blocking = false)
+        }
+        println(f"[scale] shuffle_rank ${nDocs / 1000000}M docs (run $rep/$repeats): $tRank%.1f s")
+        docs2m.unpersist(blocking = true)
         settle()
       }
 
