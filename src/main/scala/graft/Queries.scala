@@ -769,6 +769,14 @@ object Queries {
           .select(col("id").as("doc_id"), col("chunk_id"),
                   col("n_tok"), col("chunk_text"))),
 
+      // CCNet-style perplexity filter: keep the best (lowest-ce) 50% by
+      // an EXACT deterministic quantile cut — (ce, id) ranking through
+      // the distributed prefix-sum, not approxQuantile
+      "ppl_filter" -> ((s, dir) =>
+        Corpus.perplexityFilter(docs(s, dir), "text", "doc_id",
+            keepFraction = 0.5)
+          .select(col("id").as("doc_id"), col("ce"), col("rank"))),
+
       // interpolated bigram cross-entropy (Jelinek-Mercer lam=0.7) —
       // the depth-2 LM quality signal; DECIMAL term sums keep the
       // transcendental aggregation order-independent cross-engine
@@ -1882,6 +1890,32 @@ object Queries {
          |       CAST(round(CAST(sum(term) AS DOUBLE) / sum(tf), 6) AS DOUBLE) AS ce,
          |       CAST(round(exp(round(CAST(sum(term) AS DOUBLE) / sum(tf), 6)), 6) AS DOUBLE) AS ppl
          |FROM terms GROUP BY doc_id""".stripMargin,
+
+    // unigram-CE replay + exact (ce, doc_id) rank cut — the engine's
+    // distributed prefix-sum rank equals row_number here
+    "ppl_filter" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents WHERE text IS NOT NULL),
+         |tf AS MATERIALIZED (
+         |  SELECT doc_id, u.t AS token, count(*) AS tf
+         |  FROM t, LATERAL (SELECT unnest(toks) AS t) u GROUP BY doc_id, u.t),
+         |cnt AS MATERIALIZED (SELECT token, sum(tf) AS c FROM tf GROUP BY token),
+         |tot AS (SELECT sum(c) AS n FROM cnt),
+         |terms AS (
+         |  SELECT f.doc_id, f.tf,
+         |         CAST(round(f.tf * -ln(CAST(c.c AS DOUBLE) / CAST(tt.n AS DOUBLE)), 9)
+         |              AS DECIMAL(28, 9)) AS term
+         |  FROM tf f JOIN cnt c ON c.token = f.token, tot tt),
+         |ce AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         CAST(round(CAST(sum(term) AS DOUBLE) / sum(tf), 6) AS DOUBLE) AS ce
+         |  FROM terms GROUP BY doc_id),
+         |rk AS MATERIALIZED (
+         |  SELECT doc_id, ce,
+         |         row_number() OVER (ORDER BY ce, doc_id) - 1 AS rank FROM ce),
+         |n AS (SELECT count(*) AS n FROM rk)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, ce, CAST(rank AS BIGINT) AS rank
+         |FROM rk, n
+         |WHERE CAST(rank AS DOUBLE) < CAST(0.5 AS DOUBLE) * CAST(n.n AS DOUBLE)""".stripMargin,
 
     // bigram replay: adjacent-pair stream, bigram/context/unigram count
     // tables, Jelinek-Mercer interpolation with the EXACT double

@@ -281,6 +281,31 @@ object Corpus {
       .withColumn("ppl2", round(exp(col("ce2")), 6))
   }
 
+  /** CCNet-style perplexity filtering: keep the `keepFraction` of
+    * documents with the LOWEST unigram cross-entropy (the most
+    * in-distribution text). The quantile cut is EXACT and
+    * deterministic — documents rank by (ce, id) through
+    * [[Packing.globalRank]]'s distributed prefix-sum (never a
+    * single-partition rank window, and never `approxQuantile`, whose
+    * thresholds drift across engines and samplings) — so the kept set
+    * is reproducible run-over-run and engine-over-engine, which is
+    * what a corpus freeze requires. Returns (id, ce, rank) for the
+    * kept documents.
+    */
+  def perplexityFilter(df: DataFrame, textCol: String, idCol: String,
+                       keepFraction: Double = 0.5): DataFrame = {
+    require(keepFraction > 0.0 && keepFraction <= 1.0,
+      s"keepFraction must be in (0,1], got $keepFraction")
+    val ce = unigramCrossEntropy(df, textCol, idCol)
+      .select(col("id"), col("ce"))
+    val ranked = Packing.globalRank(ce, "ce", "id")
+    val total = ranked.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(total))
+      .where(col("rank").cast("double") <
+        lit(keepFraction) * col("__n").cast("double"))
+      .select(col("id"), col("okey").as("ce"), col("rank"))
+  }
+
   /** Intra-corpus duplicate-span statistics: chunk each document into
     * disjoint `spanTokens`-token windows (`chunkByTokens` with overlap
     * 0, so the same normalization and trailing-window rules apply) and

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
 /** Sequence packing for LLM training: lay the corpus out as one long
@@ -124,16 +124,18 @@ object Packing {
     *
     * `orderCol` ties are broken by `idCol` (the composite is the real
     * sort key); without a unique tiebreaker, ranks among equal keys
-    * would depend on where the range boundaries fell. Returns
-    * (id, orderVal, rank) with rank 0-based and dense. Cache contract
-    * as [[packSequences]]: the result is persisted and materialized;
-    * the caller owns the `.unpersist()`.
+    * would depend on where the range boundaries fell. The order column
+    * keeps its NATIVE type (a numeric key ranks numerically — casting
+    * to string would rank "10" before "2"); NULL keys sort first, as in
+    * `orderBy`. Returns (id, okey, rank) with rank 0-based and dense.
+    * Cache contract as [[packSequences]]: the result is persisted and
+    * materialized; the caller owns the `.unpersist()`.
     */
   def globalRank(df: DataFrame, orderCol: String, idCol: String): DataFrame = {
     val spark = df.sparkSession
+    val keyType = df.schema(orderCol).dataType
     val slim = df
-      .select(col(idCol).cast("long").as("id"),
-        col(orderCol).cast("string").as("okey"))
+      .select(col(idCol).cast("long").as("id"), col(orderCol).as("okey"))
       .repartitionByRange(col("okey"), col("id"))
       .sortWithinPartitions("okey", "id")
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -147,14 +149,14 @@ object Packing {
     val rankedRdd = slim.rdd.mapPartitionsWithIndex { (pid, rows) =>
       var r = bStarts.value(pid)
       rows.map { row =>
-        val out = Row(row.getLong(0), row.getString(1), r)
+        val out = Row(row.getLong(0), row.get(1), r)
         r += 1
         out
       }
     }
     val schema = StructType(Seq(
       StructField("id", LongType, nullable = false),
-      StructField("okey", StringType, nullable = true),
+      StructField("okey", keyType, nullable = true),
       StructField("rank", LongType, nullable = false)))
     val ranked = spark.createDataFrame(rankedRdd, schema)
       .persist(StorageLevel.MEMORY_AND_DISK)
