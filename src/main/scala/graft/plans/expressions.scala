@@ -695,6 +695,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("byte_histogram"),
       new ExpressionInfo(classOf[ByteHistogram].getName, "byte_histogram"),
       GraftExtensions.byteHistogramBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalizeOf].getName, "nfc_normalize"),
+      GraftExtensions.nfcNormalizeBuilder))
   }
 }
 
@@ -747,5 +751,9 @@ object GraftExtensions {
   val byteHistogramBuilder: Seq[Expression] => Expression = { args =>
     require(args.nonEmpty, "byte_histogram requires a payload argument")
     ByteHistogram(args.head, checkedInt("byte_histogram", args, 1, Some(16)))
+  }
+  val nfcNormalizeBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1, "nfc_normalize requires exactly one text argument")
+    NfcNormalizeOf(args.head)
   }
 }

@@ -365,5 +365,11 @@ class ExpressionsSpec extends SparkSpec {
     val sh = GraftExtensions.simhashBuilder(
       Seq(Literal(UTF8String.fromString("a b c"), org.apache.spark.sql.types.StringType)))
     assert(sh.eval(null) == HashKernels.simhash("a b c"))
+    val nf = GraftExtensions.nfcNormalizeBuilder(
+      Seq(Literal(UTF8String.fromString("e\u0301"), org.apache.spark.sql.types.StringType)))
+    assert(nf.eval(null).toString == "\u00e9")
+    intercept[IllegalArgumentException] {
+      GraftExtensions.nfcNormalizeBuilder(Seq.empty)
+    }
   }
 }
