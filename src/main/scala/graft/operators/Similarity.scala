@@ -262,6 +262,33 @@ object Similarity {
     cb
   }
 
+  /** TRAINED per-subspace PQ codebooks: fit one small SOM per subspace
+    * on the sliced subvectors (a 1-D SOM ring is a k-means-with-
+    * neighborhood quantizer — reusing the engine's deterministic
+    * trainer keeps the codebook reproducible for a given seed) and
+    * flatten into the [[PqEncode]] layout. This is the QUALITY path —
+    * centroids move to where the data is instead of being arbitrary
+    * samples; the serving path is untouched (same layout, same
+    * kernels). m training passes over a slim sliced projection; at
+    * 100 TB train on a sampled fraction, exactly as IVF/PQ systems do.
+    */
+  def pqTrainCodebook(df: DataFrame, vecCol: String, m: Int, k: Int,
+                      epochs: Int = 3, seed: Long = 42): Array[Double] = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    val cb = new Array[Double](m * k * subDim)
+    for (j <- 0 until m) {
+      val sub = df.select(
+        slice(col(vecCol), j * subDim + 1, subDim).as("sub"))
+      val model = new Som(SomConfig(1, k, seed = seed + j))
+        .fit(sub, "sub", numEpochs = epochs)
+      val w = model.codebook.weights // k x subDim, row-major
+      System.arraycopy(w, 0, cb, j * k * subDim, k * subDim)
+    }
+    cb
+  }
+
   /** Encode every vector into `m` PQ codes — one codegen'd scan, output
     * m small ints per row (~32x smaller than float32 at subDim=8). At
     * 100 TB the encoded table is what you keep hot: ADC serving never

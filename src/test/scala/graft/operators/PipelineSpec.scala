@@ -837,6 +837,34 @@ class PipelineSpec extends SparkSpec {
     assert(top.toSeq == Seq((1L, 1L, 2.0), (2L, 0L, 200.0)), top.toSeq)
   }
 
+  test("trained PQ codebook cuts distortion vs a bad sample codebook") {
+    val rnd = new scala.util.Random(5)
+    // 400 vectors in 4 tight clusters; the FIRST 4 rows all come from
+    // cluster 0, so the sample codebook wastes every centroid on one
+    // cluster while the trained quantizer spreads them to the data
+    val centers = Seq(Array(0.0, 0, 0, 0), Array(10.0, 10, 0, 0),
+      Array(0.0, 0, 10, 10), Array(10.0, 10, 10, 10))
+    val data = (0 until 400).map { i =>
+      val c = centers(if (i < 4) 0 else i % 4)
+      c.map(x => x + rnd.nextGaussian() * 0.1)
+    }
+    val vecs = data.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.map(_.toFloat).toSeq) }
+      .toDF("vec_id", "embedding")
+    val fixed = Similarity.pqCodebookFromRows(data.take(4), m = 2)
+    val trained = Similarity.pqTrainCodebook(vecs, "embedding", m = 2, k = 4)
+    assert(trained.length == fixed.length)
+    // distortion = mean exact reconstruction error: ADC of each vector
+    // against its own (argmin) codes = sum over subspaces of the min
+    // table entry
+    def distortion(cb: Array[Double]): Double = data.map { v =>
+      val t = Similarity.pqAdcTable(v, cb, m = 2, k = 4)
+      (0 until 2).map(j => (0 until 4).map(c => t(j * 4 + c)).min).sum
+    }.sum / data.size
+    val (dTrained, dFixed) = (distortion(trained), distortion(fixed))
+    assert(dTrained < dFixed * 0.5, s"trained=$dTrained fixed=$dFixed")
+  }
+
   test("semantic dedup: within-cell components only, keep-min survives") {
     import graft.som.{SomConfig, SomModel}
     // 1-D codebook with two far-apart cells at x=0 and x=10: vectors
