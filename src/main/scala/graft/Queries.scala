@@ -942,6 +942,24 @@ object Queries {
                 col("event_type"), col("n"), col("sum_value"))),
 
     // events: sessionization (30-minute gap) via lag window
+    // as-of (temporal) join: each purchase matched to the user's most
+    // recent click at-or-before it — attribution, the canonical as-of
+    // use case. Union + running-last window, never a quadratic range
+    // join; ties on click ts resolve to max event_id (struct order),
+    // replayed identically in the oracle
+    "events_asof" -> ((s, dir) => {
+      val ev = eventsNs(s, dir)
+      def side(t: String) = ev.where(col("event_type") === t)
+        .select(col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"),
+          col("ts").cast("long").as("ts"))
+      graft.operators.AsOfJoin.joinAsOf(side("purchase"), side("click"),
+          "user_id", "ts")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts").as("p_ts"),
+          col("asof.event_id").as("c_id"), col("asof.ts").as("c_ts"))
+    }),
+
     "events_sessionize" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
@@ -2176,6 +2194,29 @@ object Queries {
         |SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id,
         |       CAST(round(value, 6) AS DOUBLE) AS value
         |FROM r WHERE rn = 1""".stripMargin,
+
+    // rank-1 of (ts DESC, event_id DESC) = the engine's running-last
+    // over (ts, side, id-led struct); IS NOT DISTINCT FROM keeps
+    // null-key purchases matching null-key clicks like the window
+    // partition does
+    "events_asof" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ns(ts) AS ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, epoch_ns(ts) AS ts
+        |      FROM events WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,
+        |         c.event_id AS c_id, c.ts AS c_ts,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |           ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM p LEFT JOIN c
+        |    ON c.user_id IS NOT DISTINCT FROM p.user_id AND c.ts <= p.ts)
+        |SELECT CAST(p_id AS BIGINT) AS p_id,
+        |       CAST(user_id AS BIGINT) AS user_id,
+        |       CAST(p_ts AS BIGINT) AS p_ts,
+        |       CAST(c_id AS BIGINT) AS c_id,
+        |       CAST(c_ts AS BIGINT) AS c_ts
+        |FROM m WHERE rn = 1""".stripMargin,
 
     "events_sessionize" ->
       """WITH r AS (

@@ -837,6 +837,40 @@ class PipelineSpec extends SparkSpec {
     assert(top.toSeq == Seq((1L, 1L, 2.0), (2L, 0L, 200.0)), top.toSeq)
   }
 
+  test("as-of join: latest at-or-before match, ties, misses, null keys") {
+    val left = Seq(
+      (100L, 1L, 50L),  // matches r2 (ts 40 > ts 10)
+      (101L, 1L, 10L),  // exact-ts tie with r1 -> inclusive
+      (102L, 2L, 99L),  // key 2 has no right rows -> null
+      (103L, 1L, 5L)    // before every right row -> null
+    ).toDF("id", "k", "ts")
+    val right = Seq(
+      (1L, 1L, 10L),  // r1
+      (2L, 1L, 40L),  // r2
+      (3L, 1L, 10L)   // same (k, ts) as r1: max id wins the tie
+    ).toDF("id", "k", "ts")
+    val out = AsOfJoin.joinAsOf(left, right, "k", "ts")
+      .collect().map { r =>
+        val m = r.getStruct(r.fieldIndex("asof"))
+        r.getLong(0) -> Option(m).map(_.getLong(0))
+      }.toMap
+    assert(out(100L).contains(2L))
+    assert(out(101L).contains(3L)) // inclusive AND id-tie -> max id 3
+    assert(out(102L).isEmpty)
+    assert(out(103L).isEmpty)
+
+    // null keys partition together (match each other, nothing else)
+    val lN = Seq((1L, Option.empty[Long], 10L), (2L, Option(7L), 10L))
+      .toDF("id", "k", "ts")
+    val rN = Seq((9L, Option.empty[Long], 5L)).toDF("id", "k", "ts")
+    val outN = AsOfJoin.joinAsOf(lN, rN, "k", "ts")
+      .collect().map { r =>
+        val m = r.getStruct(r.fieldIndex("asof"))
+        r.getLong(0) -> Option(m).map(_.getLong(0))
+      }.toMap
+    assert(outN(1L).contains(9L) && outN(2L).isEmpty)
+  }
+
   test("trained PQ codebook cuts distortion vs a bad sample codebook") {
     val rnd = new scala.util.Random(5)
     // 400 vectors in 4 tight clusters; the FIRST 4 rows all come from
