@@ -29,7 +29,8 @@ object Explain {
         "doc_freq", "tfidf_terms", "dup_spans", "span_dedup",
         "corpus_stats", "gopher_filter", "unigram_ce",
         "curation_e2e", "pack_fill", "mixture_sample", "dedup_semantic",
-        "pq_encode", "pq_topk").foreach(show)
+        "pq_encode", "pq_topk", "normalize_text", "script_ratios",
+        "bigram_ce", "ppl_filter", "events_asof").foreach(show)
     spark.stop()
   }
 }
