@@ -398,7 +398,8 @@ class PipelineSpec extends SparkSpec {
     val d = Seq((0L, "a b a"), (1L, "b c"), (2L, "a")).toDF("doc_id", "text")
     for ((name, plan) <- Seq(
         "documentFrequencies" -> Corpus.documentFrequencies(d, "text"),
-        "unigramCrossEntropy" -> Corpus.unigramCrossEntropy(d, "text", "doc_id"))) {
+        "unigramCrossEntropy" -> Corpus.unigramCrossEntropy(d, "text", "doc_id"),
+        "bigramCrossEntropy" -> Corpus.bigramCrossEntropy(d, "text", "doc_id"))) {
       plan.collect()
       val executed = plan.queryExecution.executedPlan.toString
       val reuses = "ReusedExchange|ReusedQueryStage".r.findAllIn(executed).length
