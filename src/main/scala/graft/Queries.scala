@@ -769,6 +769,18 @@ object Queries {
           .select(col("id").as("doc_id"), col("chunk_id"),
                   col("n_tok"), col("chunk_text"))),
 
+      // group-wise vocabulary: top-5 tokens per language — partial-agg
+      // on (lang, token) BEFORE ranking; the window ranks aggregated
+      // counts, never the raw token stream
+      "lang_top_tokens" -> ((s, dir) =>
+        Corpus.tokenFrequenciesByGroup(docs(s, dir), "text", "lang", k = 5)
+          .select(col("grp").as("lang"), col("rank"), col("token"), col("n"))),
+
+      // Zipf-fit slope over the top-100 tokens: log(freq) ~ log(rank)
+      // OLS from explicit sums (same closed form in DuckDB)
+      "zipf_fit" -> ((s, dir) =>
+        Corpus.zipfFit(docs(s, dir), "text", k = 100)),
+
       // CCNet-style perplexity filter: keep the best (lowest-ce) 50% by
       // an EXACT deterministic quantile cut — (ce, id) ranking through
       // the distributed prefix-sum, not approxQuantile
@@ -1908,6 +1920,32 @@ object Queries {
          |       CAST(round(CAST(sum(term) AS DOUBLE) / sum(tf), 6) AS DOUBLE) AS ce,
          |       CAST(round(exp(round(CAST(sum(term) AS DOUBLE) / sum(tf), 6)), 6) AS DOUBLE) AS ppl
          |FROM terms GROUP BY doc_id""".stripMargin,
+
+    "lang_top_tokens" ->
+      s"""WITH t AS (SELECT lang, unnest($duckToks) AS token
+         |           FROM documents WHERE text IS NOT NULL),
+         |c AS (SELECT lang AS grp, token, count(*) AS n FROM t GROUP BY 1, 2),
+         |r AS (SELECT grp, token, n,
+         |        row_number() OVER (PARTITION BY grp ORDER BY n DESC, token ASC) AS rank
+         |      FROM c)
+         |SELECT grp AS lang, CAST(rank AS BIGINT) AS rank, token,
+         |       CAST(n AS BIGINT) AS n
+         |FROM r WHERE rank <= 5""".stripMargin,
+
+    "zipf_fit" ->
+      s"""WITH t AS (SELECT unnest($duckToks) AS token
+         |           FROM documents WHERE text IS NOT NULL),
+         |c AS (SELECT token, count(*) AS n FROM t GROUP BY token
+         |      ORDER BY n DESC, token LIMIT 100),
+         |r AS (SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS DOUBLE)) AS x,
+         |             ln(CAST(n AS DOUBLE)) AS y
+         |      FROM c),
+         |s AS (SELECT CAST(count(*) AS DOUBLE) AS cnt, sum(x) AS sx, sum(y) AS sy,
+         |             sum(x * y) AS sxy, sum(x * x) AS sxx FROM r)
+         |SELECT CAST(cnt AS BIGINT) AS n_points,
+         |       CAST(round((cnt * sxy - sx * sy) / (cnt * sxx - sx * sx), 6) AS DOUBLE)
+         |         AS zipf_slope
+         |FROM s""".stripMargin,
 
     // unigram-CE replay + exact (ce, doc_id) rank cut — the engine's
     // distributed prefix-sum rank equals row_number here

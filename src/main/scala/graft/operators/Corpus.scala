@@ -221,6 +221,56 @@ object Corpus {
       .withColumn("ppl", round(exp(col("ce")), 6))
   }
 
+  /** Top-k most frequent tokens PER GROUP (e.g. per language/source) —
+    * the group-wise vocabulary view. Shape: the exploded tokens
+    * partial-aggregate on (group, token) BEFORE any ranking (map-side
+    * combine collapses the heavy stream), and the rank window runs over
+    * the aggregated counts — a few thousand rows per group, not the
+    * token stream — partitioned by group, so it splits across groups
+    * and no partition sees raw token volume. Total (n desc, token asc)
+    * order makes the cut deterministic under ties.
+    */
+  def tokenFrequenciesByGroup(df: DataFrame, textCol: String,
+                              groupCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val counts = df
+      .select(col(groupCol).as("grp"),
+        explode(graft.plans.GraftFunctions.token_tf(col(textCol))).as("kv"))
+      .groupBy(col("grp"), col("kv.token").as("token"))
+      .agg(sum(col("kv.tf")).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("n").desc, col("token").asc)
+    counts.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("grp"), col("rank").cast("long").as("rank"),
+        col("token"), col("n"))
+  }
+
+  /** Zipf-fit slope of the corpus frequency distribution over the
+    * top-`k` tokens: ordinary-least-squares slope of
+    * log(freq) ~ log(rank). Natural text sits near -1; a slope far from
+    * it flags templated/synthetic corpora. Computed from explicit sums
+    * (n, Σx, Σy, Σxy, Σx²) over k points so the arithmetic is the same
+    * closed form in any engine.
+    */
+  def zipfFit(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val top = tokenFrequencies(df, textCol, k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("token").asc)))
+    // the window input is k rows (top-k already bounded) — the
+    // single-partition rank is over a k-row relation, not the corpus
+    val pts = top.select(log(col("rank").cast("double")).as("x"),
+      log(col("n").cast("double")).as("y"))
+    pts.agg(count(lit(1)).cast("double").as("cnt"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("cnt").cast("long").as("n_points"),
+        round((col("cnt") * col("sxy") - col("sx") * col("sy")) /
+          (col("cnt") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("zipf_slope"))
+  }
+
   /** Interpolated BIGRAM cross-entropy per document — the depth-2
     * companion of [[unigramCrossEntropy]] (CCNet scores documents with
     * an n-gram LM; the interpolation `p = lam*p2(w|v) + (1-lam)*p1(w)`

@@ -490,6 +490,26 @@ class PipelineSpec extends SparkSpec {
     assert(kept7 == kept)
   }
 
+  test("group-wise top tokens and Zipf fit: hand-computed") {
+    val d = Seq(
+      (0L, "a a a b", "en"), (1L, "a b c", "en"),
+      (2L, "x x y", "de")
+    ).toDF("doc_id", "text", "lang")
+    val top = Corpus.tokenFrequenciesByGroup(d, "text", "lang", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+    // en: a=4, b=2 (c=1 cut); de: x=2, y=1
+    assert(top == Set(("en", 1L, "a", 4L), ("en", 2L, "b", 2L),
+      ("de", 1L, "x", 2L), ("de", 2L, "y", 1L)), top)
+
+    // two points fit an exact line: freqs 4 and 2 at ranks 1 and 2 ->
+    // slope = (ln2 - ln4) / (ln2 - ln1) = -1
+    val z = Corpus.zipfFit(d.where(col("lang") === "en"), "text", k = 2)
+      .collect().head
+    assert(z.getLong(0) == 2L)
+    assert(math.abs(z.getDouble(1) - (-1.0)) < 1e-6, z.getDouble(1))
+  }
+
   test("bigram cross-entropy: hand-computed Jelinek-Mercer interpolation") {
     // doc0 "a b a b": bigrams (a b)x2, (b a)x1; doc1 "a b": (a b)x1
     // corpus: c(a b)=3, c(b a)=1; contexts c(a,*)=3, c(b,*)=1
