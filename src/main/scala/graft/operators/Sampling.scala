@@ -134,16 +134,20 @@ object Sampling {
     val shareMap = map(targetShares.toSeq.sortBy(_._1).flatMap {
       case (stratum, w) => Seq(lit(stratum), lit(w))
     }: _*)
+    // internal names prefixed so they cannot collide with caller
+    // columns; only the documented `rate` output survives
     val cnts = df.where(col(strataCol).isin(targetShares.keys.toSeq: _*))
-      .groupBy(col(strataCol).as("stratum"))
-      .agg(count(lit(1)).cast("double").as("cnt"))
-      .withColumn("share", element_at(shareMap, col("stratum")))
-    val binding = cnts.agg(min(col("cnt") / col("share")).as("n_total"))
+      .groupBy(col(strataCol).as("__mix_stratum"))
+      .agg(count(lit(1)).cast("double").as("__mix_cnt"))
+      .withColumn("__mix_share", element_at(shareMap, col("__mix_stratum")))
+    val binding = cnts
+      .agg(min(col("__mix_cnt") / col("__mix_share")).as("__mix_n"))
     val rates = cnts.crossJoin(broadcast(binding))
-      .select(col("stratum"), ((col("share") * col("n_total")) / col("cnt")).as("rate"))
-    df.join(broadcast(rates), col(strataCol) === col("stratum"))
+      .select(col("__mix_stratum"),
+        ((col("__mix_share") * col("__mix_n")) / col("__mix_cnt")).as("rate"))
+    df.join(broadcast(rates), col(strataCol) === col("__mix_stratum"))
       .where(bucket(col(keyCol), salt) < thresholdCol(col("rate")))
-      .drop("stratum")
+      .drop("__mix_stratum")
   }
 
   /** Assign every row to a named split with the given weights (need not
