@@ -325,6 +325,65 @@ object Similarity {
     table
   }
 
+  /** Persist a PQ index: the encoded codes table as parquet (the
+    * memory-resident serving artifact — m small ints per vector) plus
+    * the codebook and geometry as a params file, mirroring
+    * `SomModel.save`'s layout. At 100 TB this is what you build once
+    * and serve from: the float embeddings never need to be read again
+    * for ANN traffic.
+    */
+  def writePqIndex(df: DataFrame, vecCol: String, idCol: String,
+                   cb: Array[Double], m: Int, k: Int, path: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    pqEncode(df, vecCol, idCol, cb, m, k)
+      .write.mode("overwrite").parquet(s"$path/codes")
+    val json = s"""{"m":$m,"k":$k,"subDim":${cb.length / (m * k)},""" +
+      s""""cb":[${cb.mkString(",")}]}"""
+    spark.createDataset(Seq(json)).coalesce(1)
+      .write.mode("overwrite").text(s"$path/params")
+  }
+
+  /** Read a PQ index back: (codes DataFrame, codebook, m, k). */
+  def readPqIndex(spark: org.apache.spark.sql.SparkSession,
+                  path: String): (DataFrame, Array[Double], Int, Int) = {
+    val json = spark.read.textFile(s"$path/params").head()
+    def intOf(key: String): Int =
+      ("\"" + key + "\":(-?[0-9]+)").r.findFirstMatchIn(json)
+        .map(_.group(1).toInt).getOrElse(sys.error(s"missing $key"))
+    val (m, k) = (intOf("m"), intOf("k"))
+    val cb = "\"cb\":\\[([^\\]]*)\\]".r.findFirstMatchIn(json)
+      .map(_.group(1).split(",").map(_.toDouble))
+      .getOrElse(sys.error("missing cb"))
+    require(cb.length == m * k * intOf("subDim"),
+      s"corrupt PQ params: ${cb.length} codebook values for m=$m k=$k")
+    (spark.read.parquet(s"$path/codes"), cb, m, k)
+  }
+
+  /** Serve ADC top-k from an already-encoded codes table (e.g. a
+    * [[writePqIndex]] read-back) — the repeated-query path: per query
+    * one codegen scan over the codes + TakeOrderedAndProject, the
+    * embeddings untouched.
+    */
+  def pqTopKFromCodes(codes: DataFrame, cb: Array[Double], m: Int, k: Int,
+                      queries: Seq[(Long, Array[Double])], kNN: Int,
+                      excludeSelf: Boolean = true): DataFrame = {
+    require(queries.nonEmpty, "pqTopKFromCodes needs at least one query")
+    val perQuery = queries.map { case (qid, q) =>
+      val table = pqAdcTable(q, cb, m, k)
+      codes.where(if (excludeSelf) col("id") =!= qid else lit(true))
+        .select(lit(qid).as("qid"), col("id").as("nid"),
+          graft.plans.GraftFunctions.pq_adc(col("codes"), table, k).as("adc"))
+        .orderBy(col("adc").asc, col("nid").asc)
+        .limit(kNN)
+    }
+    val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("nid").asc)
+    perQuery.reduce(_ unionAll _)
+      .withColumn("rank", row_number().over(w))
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+        round(col("adc"), 6).as("adc"))
+  }
+
   /** PQ approximate top-k by asymmetric distance: encode once, then each
     * query is ONE codegen'd scan over the m-int codes with its broadcast
     * lookup table (m array reads + m adds per row — no float vectors in
@@ -344,19 +403,7 @@ object Similarity {
     require(queries.nonEmpty, "pqTopK needs at least one query")
     val codes = pqEncode(df, vecCol, idCol, cb, m, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val perQuery = queries.map { case (qid, q) =>
-      val table = pqAdcTable(q, cb, m, k)
-      codes.where(if (excludeSelf) col("id") =!= qid else lit(true))
-        .select(lit(qid).as("qid"), col("id").as("nid"),
-          graft.plans.GraftFunctions.pq_adc(col("codes"), table, k).as("adc"))
-        .orderBy(col("adc").asc, col("nid").asc)
-        .limit(kNN)
-    }
-    val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("nid").asc)
-    val out = perQuery.reduce(_ unionAll _)
-      .withColumn("rank", row_number().over(w))
-      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
-        round(col("adc"), 6).as("adc"))
+    val out = pqTopKFromCodes(codes, cb, m, k, queries, kNN, excludeSelf)
       .localCheckpoint(true)
     codes.unpersist(blocking = false)
     out

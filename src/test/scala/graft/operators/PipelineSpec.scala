@@ -892,6 +892,33 @@ class PipelineSpec extends SparkSpec {
     assert(outN(1L).contains(9L) && outN(2L).isEmpty)
   }
 
+  test("PQ index round-trip: write, read back, serve identical top-k") {
+    val samples = Seq(Array(0.0, 0.0, 10.0, 10.0), Array(1.0, 1.0, 20.0, 20.0))
+    val cb = Similarity.pqCodebookFromRows(samples, m = 2)
+    val vecs = (0L until 50L).map(i =>
+      (i, Seq((i % 3).toFloat, 1.0f, (10 + i % 7).toFloat, 9.0f)))
+      .toDF("vec_id", "embedding")
+    val qs = Seq((99L, Array(0.0, 1.0, 12.0, 9.0)))
+    val direct = Similarity.pqTopK(vecs, "embedding", "vec_id", cb,
+        m = 2, k = 2, qs, kNN = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_").toString
+    try {
+      Similarity.writePqIndex(vecs, "embedding", "vec_id", cb, m = 2, k = 2,
+        s"$dir/index")
+      val (codes, cb2, m2, k2) = Similarity.readPqIndex(spark, s"$dir/index")
+      assert(cb2.toSeq == cb.toSeq && m2 == 2 && k2 == 2)
+      val served = Similarity.pqTopKFromCodes(codes, cb2, m2, k2, qs, kNN = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(served == direct, s"$served vs $direct")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("trained PQ codebook cuts distortion vs a bad sample codebook") {
     val rnd = new scala.util.Random(5)
     // 400 vectors in 4 tight clusters; the FIRST 4 rows all come from
