@@ -160,4 +160,57 @@ object KernelProperties extends Properties("Kernels") {
         }
       }
     }
+
+  // ---- PQ kernel properties (r7) --------------------------------------
+
+  private val pqGen = for {
+    m <- Gen.choose(1, 4)
+    subDim <- Gen.choose(1, 4)
+    k <- Gen.choose(1, 5)
+    v <- Gen.listOfN(m * subDim, Gen.choose(-3.0, 3.0))
+    cb <- Gen.listOfN(m * k * subDim, Gen.choose(-3.0, 3.0))
+  } yield (v.toArray, cb.toArray, m, subDim, k)
+
+  property("pq encode: codes in range, each the true subspace argmin") =
+    forAll(pqGen) { case (v, cb, m, subDim, k) =>
+      val codes = PqKernel.encode(new GenericArrayData(v), isFloat = false,
+        cb, m, subDim, k)
+      def d2(j: Int, c: Int): Double =
+        (0 until subDim).map { i =>
+          val t = v(j * subDim + i) - cb((j * k + c) * subDim + i); t * t
+        }.sum
+      codes.numElements() == m && (0 until m).forall { j =>
+        val c = codes.getInt(j)
+        c >= 0 && c < k &&
+          (0 until k).forall(o => d2(j, c) < d2(j, o) ||
+            (d2(j, c) == d2(j, o) && c <= o)) // first-index ties
+      }
+    }
+
+  property("pq adc: equals the sum of the coded subspace distances") =
+    forAll(pqGen) { case (v, cb, m, subDim, k) =>
+      val codes = PqKernel.encode(new GenericArrayData(v), isFloat = false,
+        cb, m, subDim, k)
+      val q = v.map(_ + 0.5) // some query distinct from v
+      val table = graft.operators.Similarity.pqAdcTable(q, cb, m, k)
+      val adc = PqKernel.adc(codes, table, k)
+      val expect = (0 until m).map(j => table(j * k + codes.getInt(j))).sum
+      adc == expect && adc >= 0.0
+    }
+
+  // ---- NFC normalization properties (r7) ------------------------------
+
+  private val nfcGen: Gen[String] = Gen.frequency(
+    (6, Gen.alphaNumStr),
+    (2, Gen.listOfN(8, Gen.oneOf("\u00e9", "\u00e0", "\u00f4", "e\u0301", "\u4e16", "\u00df", " "))
+      .map(_.mkString)),
+    (1, Gen.const("")))
+
+  property("nfcNormalize: idempotent, matches java.text.Normalizer") =
+    forAll(nfcGen) { s =>
+      val once = TextKernels.nfcNormalize(UTF8String.fromString(s)).toString
+      val twice = TextKernels.nfcNormalize(UTF8String.fromString(once)).toString
+      once == twice &&
+        once == java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    }
 }
