@@ -430,6 +430,15 @@ object Queries {
         Dedup.embeddingNearDups(emb(s, dir), "embedding", "vec_id",
           threshold = 0.25, maxOffset = 50)),
 
+      // per-label embedding centroids (class prototypes): one map-side-
+      // combined (label, dim) aggregation — the shuffle carries partial
+      // sums, never vectors; exact counts divide at the end
+      "label_centroids" -> ((s, dir) =>
+        Similarity.groupCentroids(emb(s, dir), "embedding", "label")
+          .select(col("grp").cast("long").as("label"),
+            col("dim").cast("long").as("dim"),
+            round(col("centroid"), 6).as("centroid"), col("n_vecs"))),
+
       // SemDeDup-style semantic dedup: SOM-cell clustering (fixed 3x3
       // codebook, same assignment as som_winner) bounds the pairwise
       // cosine step per cell; duplicate components resolve to keep-min-id
@@ -1668,6 +1677,17 @@ object Queries {
          |       CAST(round(CAST(COALESCE(hits.n_hit, 0) AS DOUBLE)
          |                  / CAST(5.0 AS DOUBLE), 6) AS DOUBLE) AS recall
          |FROM q LEFT JOIN hits ON q.qid = hits.qid""".stripMargin,
+
+    "label_centroids" ->
+      """SELECT CAST(label AS BIGINT) AS label,
+        |       CAST(u.i - 1 AS BIGINT) AS dim,
+        |       CAST(round(sum(CAST(u.v AS DOUBLE)) / count(*), 6) AS DOUBLE) AS centroid,
+        |       CAST(count(*) AS BIGINT) AS n_vecs
+        |FROM embeddings,
+        |     LATERAL (SELECT unnest(embedding) AS v,
+        |                     generate_subscripts(embedding, 1) AS i) u
+        |WHERE embedding IS NOT NULL
+        |GROUP BY label, u.i""".stripMargin,
 
     // SOM-cell assignment (cbDistCte, same as som_winner) + within-cell
     // cosine pairs + the shared pointer-jump CC levels

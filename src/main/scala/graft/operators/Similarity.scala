@@ -240,6 +240,26 @@ object Similarity {
               round(col("sim"), 6).as("sim"))
   }
 
+  /** Per-group embedding centroids (class centroids): element-wise mean
+    * of the vectors in each group — the primitive behind domain
+    * embeddings, label prototypes, and centroid-based cluster labeling.
+    * Shape: posexplode to (group, dim, value) rows, one map-side-
+    * combined aggregation on (group, dim) — the shuffle carries
+    * groups x dims partial sums, never vectors — and exact integer
+    * counts divide the sums at the end (no order-dependent incremental
+    * means). Returns (group, dim, centroid, n_vecs) long-form — the
+    * oracle-friendly layout; `array_agg` it back to vectors downstream
+    * if needed.
+    */
+  def groupCentroids(df: DataFrame, vecCol: String,
+                     groupCol: String): DataFrame =
+    df.where(col(vecCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy("grp", "dim")
+      .agg((sum(col("v").cast("double")) / count(lit(1))).as("centroid"),
+        count(lit(1)).as("n_vecs"))
+
   // ------------------------------------------------------ product quantization
 
   /** Flatten per-subspace PQ centroids from `k` full sample vectors

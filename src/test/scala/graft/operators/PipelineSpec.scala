@@ -892,6 +892,18 @@ class PipelineSpec extends SparkSpec {
     assert(outN(1L).contains(9L) && outN(2L).isEmpty)
   }
 
+  test("group centroids: exact element-wise means per group") {
+    val d = Seq(
+      (0L, Seq(1.0f, 2.0f), 0), (1L, Seq(3.0f, 6.0f), 0),
+      (2L, Seq(10.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.groupCentroids(d, "embedding", "label")
+      .collect().map(x => (x.getInt(0), x.getInt(1)) -> ((x.getDouble(2), x.getLong(3))))
+      .toMap
+    assert(r((0, 0)) == ((2.0, 2L)) && r((0, 1)) == ((4.0, 2L)))
+    assert(r((1, 0)) == ((10.0, 1L)) && r((1, 1)) == ((0.0, 1L)))
+  }
+
   test("PQ index round-trip: write, read back, serve identical top-k") {
     val samples = Seq(Array(0.0, 0.0, 10.0, 10.0), Array(1.0, 1.0, 20.0, 20.0))
     val cb = Similarity.pqCodebookFromRows(samples, m = 2)
