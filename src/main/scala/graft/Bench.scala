@@ -315,6 +315,7 @@ object Bench {
         graft.operators.Similarity.pqTopK(big, "embedding", "id",
           pqCb, m = 8, k = 16, qvecs, kNN = 10).count(); ()
       }
+
       big.unpersist(blocking = false)
       // best-effort temp cleanup
       import scala.jdk.CollectionConverters._

@@ -12,7 +12,8 @@ import org.apache.spark.sql.SparkSession
   *    the same code path at 200k edges).
   *
   * Usage: `runMain graft.ScaleProbe
-  * [minhash|resolve|bushy|spans|curation|ann|pq|pack|all] [repeats] [nDocs]`. Run each phase in its OWN JVM (`all` exists for
+  * [minhash|resolve|bushy|spans|curation|ann|pq|pack|semantic|all]
+  * [repeats] [nDocs]`. Run each phase in its OWN JVM (`all` exists for
   * convenience only): round 5 recorded a 103 s resolve outlier that was
   * same-JVM memory pressure from the preceding 2M-doc minhash phase, not
   * resolver behavior — phase isolation is what makes the headroom
@@ -26,8 +27,8 @@ object ScaleProbe {
     val phase = args.headOption.getOrElse("all")
     val repeats = args.lift(1).map(_.toInt).getOrElse(1)
     val nDocs = args.lift(2).map(_.toLong).getOrElse(2000000L)
-    require(Set("minhash", "resolve", "bushy", "spans", "curation", "ann", "pq", "pack", "all")(phase),
-      s"unknown phase '$phase' (want minhash|resolve|bushy|spans|curation|ann|pq|pack|all)")
+    require(Set("minhash", "resolve", "bushy", "spans", "curation", "ann", "pq", "pack", "semantic", "all")(phase),
+      s"unknown phase '$phase' (want minhash|resolve|bushy|spans|curation|ann|pq|pack|semantic|all)")
     // partition count scales with the probed data volume, exactly as a
     // cluster operator would size it: at 20M docs (1B token instances)
     // 32 shuffle partitions put a ~31M-group hash aggregate in every
@@ -160,6 +161,40 @@ object ScaleProbe {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.walk(java.nio.file.Paths.get(idxDir)).iterator().asScala
           .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        settle()
+      }
+
+      if (phase == "semantic" || phase == "all") {
+        // semantic dedup at realistic cell occupancy: a trained 32x32
+        // codebook (1024 cells) holds the within-cell quadratic to
+        // ~nDocs^2/2048 cosine pairs corpus-wide — the occupancy tuning
+        // the operator's scaladoc prescribes (probe default 200k vecs;
+        // a 3x3 codebook here would be a 2B-pair mistake, not a probe).
+        // Prints pair/component counts so a generator change that
+        // explodes the duplicate graph is visible, not silent.
+        import org.apache.spark.sql.functions._
+        val nVecs = math.min(nDocs, 200000L)
+        val big = spark.range(nVecs).select(col("id"),
+          transform(sequence(lit(1), lit(64)),
+            i => sin(col("id") * i * 0.7 + i * 1.3).cast("float").cast("double"))
+            .as("embedding"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        big.count()
+        var model: graft.som.SomModel = null
+        val tTrain = time {
+          model = new graft.som.Som(graft.som.SomConfig(32, 32, seed = 11))
+            .fit(big, "embedding", numEpochs = 1)
+        }
+        val tSem = time {
+          val r = operators.Dedup.semanticDupClusters(
+            big, "embedding", "id", model, threshold = 0.999)
+          println("  dup members: " + r.count() +
+            ", components: " + r.select("keep_id").distinct().count())
+          org.apache.spark.sql.GraftBridge.freeCheckpoint(r)
+        }
+        println(f"[scale] semantic ${nVecs / 1000}k vecs, 1024 cells (run $rep/$repeats): " +
+          f"train $tTrain%.1f s + dedup $tSem%.1f s")
+        big.unpersist(blocking = true)
         settle()
       }
 
