@@ -44,7 +44,37 @@ class ConcurrencySpec extends SparkSpec {
           .collect().map(_.toString).toSet),
       "chunks" -> (() =>
         operators.Corpus.chunkByTokens(docs(), "text", "doc_id", 32, 4)
-          .collect().map(_.toString).toSet))
+          .collect().map(_.toString).toSet),
+      // round-7 stateful operators: prefix-sum packing (persist +
+      // broadcast offsets), PQ serving (persist + checkpoint), semantic
+      // dedup (persist + resolver child session + checkpoint)
+      "pack" -> (() => {
+        val p = operators.Packing.packSequences(docs(), "text", "doc_id", 64)
+        val r = p.collect().map(_.toString).toSet
+        p.unpersist(blocking = false)
+        r
+      }),
+      "pq_topk" -> (() => {
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val rows = emb.orderBy("vec_id").limit(16).collect()
+          .map(_.getSeq[Float](1).map(_.toDouble).toArray).toSeq
+        val cb = operators.Similarity.pqCodebookFromRows(rows, m = 4)
+        val qs = Seq((0L, rows.head))
+        operators.Similarity.pqTopK(emb, "embedding", "vec_id", cb,
+            m = 4, k = 16, qs, kNN = 5)
+          .collect().map(_.toString).toSet
+      }),
+      "semantic" -> (() => {
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val rows = emb.orderBy("vec_id").limit(9).collect()
+          .map(_.getSeq[Float](1).map(_.toDouble).toArray).toSeq
+        val model = som.SomModel.fromWeights(som.SomConfig(3, 3), rows)
+        val r = operators.Dedup.semanticDupClusters(emb, "embedding",
+          "vec_id", model, threshold = 0.25)
+        val s = r.collect().map(_.toString).toSet
+        org.apache.spark.sql.GraftBridge.freeCheckpoint(r)
+        s
+      }))
   }
 
   test("operators running concurrently match their sequential results") {
