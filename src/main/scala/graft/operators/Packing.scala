@@ -99,11 +99,14 @@ object Packing {
       StructField("doc_id", LongType, nullable = false),
       StructField("n_tok", LongType, nullable = false),
       StructField("tok_offset", LongType, nullable = false)))
+    // `div`, not `/`: Spark's `/` on longs is DOUBLE division, which
+    // silently loses exactness past 2^53 — a 100 TB token stream's
+    // offsets live within ~400x of that, so the sequence ids must come
+    // from integral division
     val packed = spark.createDataFrame(packedRdd, schema)
       .select(col("doc_id"), col("n_tok"), col("tok_offset"),
-        (col("tok_offset") / budget).cast("long").as("seq_first"),
-        ((col("tok_offset") + col("n_tok") - 1) / budget).cast("long")
-          .as("seq_last"))
+        expr(s"tok_offset div $budget").as("seq_first"),
+        expr(s"(tok_offset + n_tok - 1) div $budget").as("seq_last"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     packed.count() // materialize before releasing the slim snapshot
     slim.unpersist(blocking = false)
