@@ -350,10 +350,16 @@ object Corpus {
       .select(col("id"), col("ce"))
     val ranked = Packing.globalRank(ce, "ce", "id")
     val total = ranked.agg(count(lit(1)).as("__n"))
-    ranked.crossJoin(broadcast(total))
+    // materialize the kept set, then release the rank cache the caller
+    // has no handle to — otherwise every call would leak one
+    // corpus-row-sized cache into a long-lived session
+    val out = ranked.crossJoin(broadcast(total))
       .where(col("rank").cast("double") <
         lit(keepFraction) * col("__n").cast("double"))
       .select(col("id"), col("okey").as("ce"), col("rank"))
+      .localCheckpoint(true)
+    ranked.unpersist(blocking = false)
+    out
   }
 
   /** Intra-corpus duplicate-span statistics: chunk each document into
