@@ -358,7 +358,7 @@ object Corpus {
         lit(keepFraction) * col("__n").cast("double"))
       .select(col("id"), col("okey").as("ce"), col("rank"))
       .localCheckpoint(true)
-    ranked.unpersist(blocking = false)
+    org.apache.spark.sql.GraftBridge.freeCheckpoint(ranked)
     out
   }
 

@@ -38,10 +38,12 @@ import org.apache.spark.storage.StorageLevel
   * changed between passes would silently corrupt offsets, and a
   * recomputed range shuffle could re-draw its boundary sample, making
   * the broadcast partition offsets lie about the new partitioning). The
-  * returned DataFrame is PERSISTED AND MATERIALIZED before that snapshot
-  * is released — materialization is what makes releasing it safe. The
-  * caller owns the returned cache and must `.unpersist()` it when done
-  * (same contract as `Dedup.minhashCandidates`).
+  * result is returned as an EAGER LOCAL CHECKPOINT — lineage truncated,
+  * so no code path can ever recompute it against mismatched offsets
+  * (the same reasoning as the resolver's checkpointed labels; a merely
+  * persisted result would go silently wrong if released and re-executed).
+  * Release its blocks with `GraftBridge.freeCheckpoint` when done in a
+  * long-lived session; `.unpersist()` on it is a harmless no-op.
   *
   * Semantics notes: documents with NULL text or zero tokens occupy no
   * space in the stream and are dropped (mirroring
@@ -107,8 +109,7 @@ object Packing {
       .select(col("doc_id"), col("n_tok"), col("tok_offset"),
         expr(s"tok_offset div $budget").as("seq_first"),
         expr(s"(tok_offset + n_tok - 1) div $budget").as("seq_last"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    packed.count() // materialize before releasing the slim snapshot
+      .localCheckpoint(true) // eager: materialized AND lineage-truncated
     slim.unpersist(blocking = false)
     packed
   }
@@ -131,8 +132,8 @@ object Packing {
     * keeps its NATIVE type (a numeric key ranks numerically — casting
     * to string would rank "10" before "2"); NULL keys sort first, as in
     * `orderBy`. Returns (id, okey, rank) with rank 0-based and dense.
-    * Cache contract as [[packSequences]]: the result is persisted and
-    * materialized; the caller owns the `.unpersist()`.
+    * Cache contract as [[packSequences]]: eager local checkpoint —
+    * recompute-proof; release with `GraftBridge.freeCheckpoint`.
     */
   def globalRank(df: DataFrame, orderCol: String, idCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -162,8 +163,7 @@ object Packing {
       StructField("okey", keyType, nullable = true),
       StructField("rank", LongType, nullable = false)))
     val ranked = spark.createDataFrame(rankedRdd, schema)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    ranked.count() // materialize before releasing the slim snapshot
+      .localCheckpoint(true) // eager: materialized AND lineage-truncated
     slim.unpersist(blocking = false)
     ranked
   }
