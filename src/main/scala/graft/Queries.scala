@@ -430,6 +430,17 @@ object Queries {
         Dedup.embeddingNearDups(emb(s, dir), "embedding", "vec_id",
           threshold = 0.25, maxOffset = 50)),
 
+      // incremental dedup: the ingest gate — drop batch docs (sources
+      // src5-9) whose fingerprint already exists in the frozen corpus
+      // (src0-4); fingerprints ride the anti-join, never documents
+      "dedup_incremental" -> ((s, dir) => {
+        val d = docs(s, dir)
+        graft.operators.Dedup.dropExistingDuplicates(
+            d.where(col("source") >= "src5"), d.where(col("source") < "src5"),
+            "text", "doc_id")
+          .select(col("doc_id").cast("long").as("doc_id"))
+      }),
+
       // per-label embedding centroids (class prototypes): one map-side-
       // combined (label, dim) aggregation — the shuffle carries partial
       // sums, never vectors; exact counts divide at the end
@@ -1677,6 +1688,17 @@ object Queries {
          |       CAST(round(CAST(COALESCE(hits.n_hit, 0) AS DOUBLE)
          |                  / CAST(5.0 AS DOUBLE), 6) AS DOUBLE) AS recall
          |FROM q LEFT JOIN hits ON q.qid = hits.qid""".stripMargin,
+
+    "dedup_incremental" ->
+      s"""WITH fp AS (
+         |  SELECT doc_id, source,
+         |         md5(COALESCE(array_to_string($duckToks, ' '), '')) AS fp
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT CAST(b.doc_id AS BIGINT) AS doc_id
+         |FROM fp b
+         |WHERE b.source >= 'src5'
+         |  AND NOT EXISTS (SELECT 1 FROM fp c
+         |                  WHERE c.source < 'src5' AND c.fp = b.fp)""".stripMargin,
 
     "label_centroids" ->
       """SELECT CAST(label AS BIGINT) AS label,

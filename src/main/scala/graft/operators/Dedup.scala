@@ -38,6 +38,68 @@ object Dedup {
       .drop("__fp", "__rn")
   }
 
+  /** INCREMENTAL exact dedup: drop every row of `batch` whose content
+    * fingerprint already exists in `corpus` — the ingest-time gate of a
+    * frozen-corpus pipeline (dedup WITHIN the batch is a separate,
+    * composable step: `dropExactDuplicates(batch)`). Shape: both sides
+    * reduce to fingerprint columns before the anti-join — the shuffle
+    * carries md5 hashes, never documents — and the corpus side
+    * aggregates to DISTINCT fingerprints first, so a heavily-duplicated
+    * corpus contributes each fingerprint once. At 100 TB the corpus
+    * fingerprints are the thing to keep bucketed/sorted on disk so
+    * every ingest anti-join co-locates without reshuffling the archive.
+    */
+  def dropExistingDuplicates(batch: DataFrame, corpus: DataFrame,
+                             textCol: String, idCol: String): DataFrame = {
+    val seen = corpus
+      .select(TextFunctions.docFingerprint(col(textCol)).as("__seen_fp"))
+      .distinct()
+    batch
+      .withColumn("__fp", TextFunctions.docFingerprint(col(textCol)))
+      .join(seen, col("__fp") === col("__seen_fp"), "left_anti")
+      .drop("__fp")
+  }
+
+  /** Incremental NEAR dedup: drop rows of `batch` that are MinHash-LSH
+    * near-duplicates of `corpus` rows (estimated jaccard from full
+    * signature agreement >= `minEstJaccard`). The candidate step is a
+    * cross-table equi-join on folded (band, bucket) keys — each batch
+    * row probes only colliding corpus rows, never the whole archive —
+    * and signatures stay out of the shuffle until the bounded
+    * candidate set re-attaches them. Batch-internal near-dups are NOT
+    * this operator's job (compose `dropNearDuplicates` for that).
+    */
+  def dropNearExisting(batch: DataFrame, corpus: DataFrame,
+                       textCol: String, idCol: String,
+                       minEstJaccard: Double = 0.8,
+                       numHashes: Int = 64, rowsPerBand: Int = 8,
+                       shingleSize: Int = 3): DataFrame = {
+    require(rowsPerBand > 0 && numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a positive multiple of rowsPerBand ($rowsPerBand)")
+    def sigs(df: DataFrame, side: String): DataFrame =
+      df.select(col(idCol).cast("long").as(s"${side}_id"),
+          graft.plans.GraftFunctions.minhash_sig(col(textCol), numHashes,
+            shingleSize).as(s"${side}_sig"))
+        .where(col(s"${side}_sig").isNotNull)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = sigs(batch, "b")
+    val c = sigs(corpus, "c")
+    def bands(df: DataFrame, side: String): DataFrame =
+      df.select(col(s"${side}_id"),
+          posexplode(graft.plans.GraftFunctions.band_folds(col(s"${side}_sig"),
+            rowsPerBand)).as(Seq("band", "bucket")))
+    val cands = bands(b, "b").join(bands(c, "c"), Seq("band", "bucket"))
+      .select(col("b_id"), col("c_id")).distinct()
+    val drop = cands.join(b, "b_id").join(c, "c_id")
+      .where(graft.plans.GraftFunctions.sig_agreement(col("b_sig"),
+        col("c_sig")) >= minEstJaccard)
+      .select(col("b_id").as("__drop_id")).distinct()
+      .localCheckpoint(true)
+    b.unpersist(blocking = false)
+    c.unpersist(blocking = false)
+    batch.join(drop, col(idCol).cast("long") === col("__drop_id"), "left_anti")
+  }
+
   /** MinHash-LSH candidate pairs: word-shingle signatures from the native
     * codegen expression (`graft.plans.MinHashSig`) -> bands of
     * `rowsPerBand` values -> explode band buckets -> self-equi-join on

@@ -959,6 +959,34 @@ class PipelineSpec extends SparkSpec {
     assert(dTrained < dFixed * 0.5, s"trained=$dTrained fixed=$dFixed")
   }
 
+  test("incremental dedup: batch rows drop against the corpus, exact and near") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "completely different corpus content about engines")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),  // exact dup of 0
+      (11L, "the quick brown fox jumped over the lazy dog"), // near dup of 0
+      (12L, "entirely novel text that matches nothing else"),
+      (13L, "entirely novel text that matches nothing else")  // batch-internal dup: KEPT
+    ).toDF("doc_id", "text")
+
+    val exact = Dedup.dropExistingDuplicates(batch, corpus, "text", "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(exact == Set(11L, 12L, 13L)) // only the exact corpus dup drops
+
+    // the one-token edit sits near true jaccard ~0.4 (3 of 7 word
+    // 3-shingles change): 8-row bands would need agreement^8 per band
+    // and never collide, so probe with 2-row bands and a threshold
+    // under the true similarity
+    val near = Dedup.dropNearExisting(batch, corpus, "text", "doc_id",
+        minEstJaccard = 0.3, rowsPerBand = 2)
+      .collect().map(_.getLong(0)).toSet
+    // near dedup also catches the one-token edit; batch-internal dups
+    // are deliberately NOT this operator's concern
+    assert(near == Set(12L, 13L), near)
+  }
+
   test("semantic dedup: within-cell components only, keep-min survives") {
     import graft.som.{SomConfig, SomModel}
     // 1-D codebook with two far-apart cells at x=0 and x=10: vectors
