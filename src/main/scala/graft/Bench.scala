@@ -316,6 +316,22 @@ object Bench {
           pqCb, m = 8, k = 16, qvecs, kNN = 10).count(); ()
       }
 
+      // composed IVF+PQ: codes partitioned by coarse cell on disk, each
+      // query ADC-scans only its nProbe cells' directories — cell
+      // pruning x 32x-compressed codes, the billion-scale serving layout
+      val ivfPqPath = s"$idxDir/ivfpq"
+      results("bench_ivfpq_build_200k") = time {
+        graft.operators.Similarity.writeIvfPqIndex(big, "embedding", "id",
+          model, pqCb, m = 8, k = 16, ivfPqPath)
+      }
+      val pqCodes = spark.read.parquet(s"$ivfPqPath/codes")
+      graft.operators.Similarity.ivfPqTopKFromCodes(pqCodes, model, pqCb,
+        m = 8, k = 16, qvecs, kNN = 10, nProbe = 4).count() // warmup
+      results("bench_ivfpq_serve_200k") = time2 {
+        graft.operators.Similarity.ivfPqTopKFromCodes(pqCodes, model, pqCb,
+          m = 8, k = 16, qvecs, kNN = 10, nProbe = 4).count(); ()
+      }
+
       big.unpersist(blocking = false)
       // best-effort temp cleanup
       import scala.jdk.CollectionConverters._

@@ -563,6 +563,21 @@ object Queries {
           m = 8, k = 16, qs, kNN = 5)
       }),
 
+      // composed IVF+PQ (the FAISS-IVFPQ layout, Spark-first): the fixed
+      // 3x3 codebook is the coarse quantizer, and each query ADC-scans
+      // only its nProbe=3 nearest cells' m-int codes. BOTH approximations
+      // (cell pruning + asymmetric distance) are replayed exactly in SQL
+      // — assignment from cbDistCte's distances, codes from pqCodesCte
+      "ann_ivfpq" -> ((s, dir) => {
+        val model = fixedModel(s, dir)
+        val cb = Similarity.pqCodebookFromRows(pqRows(s, dir), m = 8)
+        val qs = emb(s, dir).orderBy("vec_id").limit(5).collect()
+          .map(r => (r.getLong(r.fieldIndex("vec_id")),
+            r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)).toSeq
+        Similarity.ivfPqTopK(emb(s, dir), "embedding", "vec_id", model, cb,
+          m = 8, k = 16, qs, kNN = 5, nProbe = 3)
+      }),
+
       // deterministic content-hash sampling: reproducible across engines
       // and partitionings (pipeline-scale sampling must not depend on RNG
       // stream position)
@@ -1641,6 +1656,53 @@ object Queries {
          |       CAST(nid AS BIGINT) AS nid,
          |       CAST(round(adc, 6) AS DOUBLE) AS adc
          |FROM rk WHERE rank <= 5""".stripMargin,
+
+    // composed IVF+PQ replay: cell assignment + per-query probe set from
+    // cbDistCte's exact distances (argmin ties to the lower cell id = the
+    // BMU convention), ADC distances from pqCodesCte's codes — the
+    // candidate set is the probed cells' members, exactly like the
+    // engine's isin-pruned scan
+    "ann_ivfpq" ->
+      s"""$cbDistCte,
+         |${pqCodesCte.stripPrefix("WITH ")},
+         |assign AS (
+         |  SELECT vec_id, (array_agg(nid ORDER BY dist2 ASC, nid ASC))[1] AS bmu
+         |  FROM d GROUP BY vec_id
+         |), q AS MATERIALIZED (
+         |  SELECT vec_id AS qid, embedding AS qv
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 5)
+         |), probe AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT d.vec_id AS qid, d.nid,
+         |           row_number() OVER (PARTITION BY d.vec_id
+         |                              ORDER BY d.dist2 ASC, d.nid ASC) AS rn
+         |    FROM d WHERE d.vec_id IN (SELECT qid FROM q)) WHERE rn <= 3
+         |), qd AS MATERIALIZED (
+         |  SELECT q.qid, (u.i - 1) // (len(q.qv) // 8) AS sub_id, c.cid,
+         |         sum((CAST(u.v AS DOUBLE) - CAST(c.w[u.i] AS DOUBLE))
+         |           * (CAST(u.v AS DOUBLE) - CAST(c.w[u.i] AS DOUBLE))) AS d2
+         |  FROM q CROSS JOIN pqcb c,
+         |       LATERAL (SELECT unnest(q.qv) AS v,
+         |                       generate_subscripts(q.qv, 1) AS i) u
+         |  GROUP BY q.qid, (u.i - 1) // (len(q.qv) // 8), c.cid
+         |), cand AS (
+         |  SELECT p.qid, a.vec_id AS nid
+         |  FROM probe p JOIN assign a ON a.bmu = p.nid
+         |  WHERE a.vec_id <> p.qid
+         |), iadc AS (
+         |  SELECT ca.qid, ca.nid, sum(qd.d2) AS adc
+         |  FROM cand ca
+         |  JOIN codes co ON co.vec_id = ca.nid
+         |  JOIN qd ON qd.qid = ca.qid AND qd.sub_id = co.sub_id AND qd.cid = co.code
+         |  GROUP BY ca.qid, ca.nid
+         |), irk AS (
+         |  SELECT qid, nid, adc,
+         |         row_number() OVER (PARTITION BY qid ORDER BY adc ASC, nid ASC) AS rank
+         |  FROM iadc)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+         |       CAST(nid AS BIGINT) AS nid,
+         |       CAST(round(adc, 6) AS DOUBLE) AS adc
+         |FROM irk WHERE rank <= 5""".stripMargin,
 
     // both rankings replayed: the ADC ranking (codes + query tables) and
     // the exact squared-L2 ranking over the full vectors, intersected

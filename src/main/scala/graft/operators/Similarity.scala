@@ -200,21 +200,30 @@ object Similarity {
     * or a partitioned index read back from [[writeAssignedIndex]] —
     * with the latter, the `bmu_id` probe equi-join prunes partitions).
     */
+  /** `nProbe` nearest cells (by squared-euclidean centroid distance,
+    * ties to the lower cell id — the BMU convention) for one query
+    * vector. Driver-local: the codebook is at most a few thousand
+    * floats.
+    */
+  private def nearestCells(model: graft.som.SomModel, q: Array[Double],
+                           nProbe: Int): Seq[Int] = {
+    val cb = model.codebook
+    (0 until cb.numNeurons).map { n =>
+      val base = n * cb.dim
+      var s = 0.0
+      var i = 0
+      while (i < cb.dim) { val d = q(i) - cb.weights(base + i); s += d * d; i += 1 }
+      (n, s)
+    }.sortBy(t => (t._2, t._1)).take(nProbe).map(_._1)
+  }
+
   def somTopKAssigned(assigned: DataFrame, model: graft.som.SomModel,
                       vecCol: String, idCol: String,
                       queries: Seq[(Long, Array[Double])], k: Int,
                       nProbe: Int): DataFrame = {
     // nProbe nearest cells per query, by centroid distance (driver-local)
-    val cb = model.codebook
     val probe = queries.flatMap { case (qid, q) =>
-      val dists = (0 until cb.numNeurons).map { n =>
-        val base = n * cb.dim
-        var s = 0.0
-        var i = 0
-        while (i < cb.dim) { val d = q(i) - cb.weights(base + i); s += d * d; i += 1 }
-        (n, s)
-      }
-      dists.sortBy(t => (t._2, t._1)).take(nProbe).map { case (n, _) => (qid, n) }
+      nearestCells(model, q, nProbe).map(n => (qid, n))
     }
     val spark = assigned.sparkSession
     val probeDf = spark.createDataFrame(probe).toDF("qid", "bmu_id")
@@ -424,6 +433,95 @@ object Similarity {
     val codes = pqEncode(df, vecCol, idCol, cb, m, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = pqTopKFromCodes(codes, cb, m, k, queries, kNN, excludeSelf)
+      .localCheckpoint(true)
+    codes.unpersist(blocking = false)
+    out
+  }
+
+  // ----------------------------------------------------------- IVF + PQ
+
+  /** Assign + encode in ONE scan: every vector's coarse cell (`bmu_id`)
+    * plus its `m` PQ codes — the composed IVF+PQ index row. The float
+    * vector appears only in this build scan; serving never reads it.
+    */
+  def ivfPqAssign(df: DataFrame, vecCol: String, idCol: String,
+                  model: graft.som.SomModel, cb: Array[Double],
+                  m: Int, k: Int): DataFrame = {
+    val subDim = cb.length / (m * k)
+    model.withBmu(df, vecCol)
+      .select(col(idCol).cast("long").as("id"), col("bmu_id"),
+        graft.plans.GraftFunctions.pq_encode(col(vecCol), cb, m, subDim, k)
+          .as("codes"))
+  }
+
+  /** Persist the composed IVF+PQ index: codes partitioned on disk by
+    * coarse cell (so probe filters become PARTITION filters, like
+    * [[writeAssignedIndex]]) + the PQ geometry as a params file. This is
+    * the billion-scale serving layout: a query batch lists only its
+    * probed cells' directories and scans m-byte codes inside them —
+    * neither the unprobed cells nor any float embedding is ever read.
+    * The coarse quantizer itself persists via `SomModel.save`.
+    */
+  def writeIvfPqIndex(df: DataFrame, vecCol: String, idCol: String,
+                      model: graft.som.SomModel, cb: Array[Double],
+                      m: Int, k: Int, path: String): Unit = {
+    val spark = df.sparkSession
+    ivfPqAssign(df, vecCol, idCol, model, cb, m, k)
+      .write.mode("overwrite").partitionBy("bmu_id").parquet(s"$path/codes")
+    val json = s"""{"m":$m,"k":$k,"subDim":${cb.length / (m * k)},""" +
+      s""""cb":[${cb.mkString(",")}]}"""
+    spark.createDataset(Seq(json))(org.apache.spark.sql.Encoders.STRING)
+      .coalesce(1).write.mode("overwrite").text(s"$path/params")
+  }
+
+  /** Serve ADC top-k from an assigned-codes table (inline
+    * [[ivfPqAssign]] output or a [[writeIvfPqIndex]] read-back — with
+    * the latter, each query's explicit `isin` on the `bmu_id` partition
+    * column statically prunes to its nProbe directories). Per query:
+    * one codegen ADC scan over the probed cells' codes feeding a
+    * TakeOrderedAndProject — no global sort, no float vectors, no
+    * unprobed-cell I/O. Returns (qid, rank, nid, adc); recall < 1 by
+    * construction from BOTH approximations (cell pruning + ADC), which
+    * is the standard IVF-PQ trade.
+    */
+  def ivfPqTopKFromCodes(codes: DataFrame, model: graft.som.SomModel,
+                         cb: Array[Double], m: Int, k: Int,
+                         queries: Seq[(Long, Array[Double])], kNN: Int,
+                         nProbe: Int,
+                         excludeSelf: Boolean = true): DataFrame = {
+    require(queries.nonEmpty, "ivfPqTopKFromCodes needs at least one query")
+    val perQuery = queries.map { case (qid, q) =>
+      val cells = nearestCells(model, q, nProbe)
+      val table = pqAdcTable(q, cb, m, k)
+      codes.where(col("bmu_id").isin(cells: _*))
+        .where(if (excludeSelf) col("id") =!= qid else lit(true))
+        .select(lit(qid).as("qid"), col("id").as("nid"),
+          graft.plans.GraftFunctions.pq_adc(col("codes"), table, k).as("adc"))
+        .orderBy(col("adc").asc, col("nid").asc)
+        .limit(kNN)
+    }
+    val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("nid").asc)
+    perQuery.reduce(_ unionAll _)
+      .withColumn("rank", row_number().over(w))
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+        round(col("adc"), 6).as("adc"))
+  }
+
+  /** One-shot IVF+PQ: assign + encode inline (one scan of the floats),
+    * then serve the batch via [[ivfPqTopKFromCodes]]. The result is
+    * materialized and the internal codes cache released before
+    * returning; a standing deployment uses [[writeIvfPqIndex]] instead
+    * and serves every later batch from the partitioned codes.
+    */
+  def ivfPqTopK(df: DataFrame, vecCol: String, idCol: String,
+                model: graft.som.SomModel, cb: Array[Double],
+                m: Int, k: Int,
+                queries: Seq[(Long, Array[Double])], kNN: Int,
+                nProbe: Int, excludeSelf: Boolean = true): DataFrame = {
+    val codes = ivfPqAssign(df, vecCol, idCol, model, cb, m, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = ivfPqTopKFromCodes(codes, model, cb, m, k, queries, kNN,
+        nProbe, excludeSelf)
       .localCheckpoint(true)
     codes.unpersist(blocking = false)
     out

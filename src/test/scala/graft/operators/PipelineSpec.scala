@@ -811,6 +811,69 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("IVF+PQ index: partitioned codes serve ADC queries and PRUNE to probed cells") {
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 300L).map(i => (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val qs = vecs.take(2).map { case (i, v) => (i, v.map(_.toDouble).toArray) }
+    val model = new graft.som.Som(
+      graft.som.SomConfig(3, 3, seed = 42)).fit(df, "embedding", numEpochs = 2)
+    val cb = Similarity.pqCodebookFromRows(
+      vecs.take(8).map(_._2.map(_.toDouble).toArray), m = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqindex").toFile
+    val path = new java.io.File(dir, "index").getAbsolutePath
+    try {
+      Similarity.writeIvfPqIndex(df, "embedding", "vec_id", model, cb,
+        m = 4, k = 8, path)
+      val codes = spark.read.parquet(s"$path/codes")
+      val got = Similarity.ivfPqTopKFromCodes(codes, model, cb, m = 4, k = 8,
+        qs, kNN = 5, nProbe = 2)
+      // identical to the inline (assign-and-scan) path
+      val inline = Similarity.ivfPqTopK(df, "embedding", "vec_id", model, cb,
+        m = 4, k = 8, qs, kNN = 5, nProbe = 2)
+      assert(got.collect().map(_.toString).sorted
+        .sameElements(inline.collect().map(_.toString).sorted))
+      // every per-query scan must be statically pruned on the bmu_id
+      // partition column: <= nProbe directories listed per query subplan
+      def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        p.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scansOf(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            scansOf(q.plan)
+        }.flatten
+      val scans = scansOf(got.queryExecution.executedPlan)
+      assert(scans.size == qs.size, s"expected one pruned scan per query: $scans")
+      scans.foreach { scan =>
+        assert(scan.partitionFilters.exists(_.references.exists(_.name == "bmu_id")),
+          s"no partition filter on bmu_id: ${scan.metadata.get("PartitionFilters")}")
+        val partsRead = scan.relation.location
+          .listFiles(scan.partitionFilters, scan.dataFilters).length
+        assert(partsRead <= 2,
+          s"IVF+PQ scan read $partsRead partitions, expected <= nProbe=2 of 9")
+      }
+      // ADC within probed cells must agree with pure-PQ ADC restricted to
+      // the same candidate set (the composition adds pruning, not a new
+      // distance): every returned (qid, nid, adc) appears in the full PQ
+      // ranking with the same adc value
+      val full = Similarity.pqTopK(df, "embedding", "vec_id", cb,
+        m = 4, k = 8, qs, kNN = 300).collect()
+        .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+      got.collect().foreach { r =>
+        val key = (r.getLong(0), r.getLong(2))
+        assert(full.contains(key) && math.abs(full(key) - r.getDouble(3)) < 1e-9,
+          s"ADC mismatch vs full PQ at $key")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("multimodal decode stub: histogram is normalized, frames sampled") {
     val df = docs.where(length(col("text")) > 0)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
