@@ -195,6 +195,25 @@ object Bench {
         graft.operators.Corpus.removeDuplicateSpans(bigDocs, "text", "doc_id")
           .agg(sum("n_kept")).collect(); ()
       }
+      // incremental ingest gates, head-to-head at the same split: corpus
+      // = first 150k docs, batch = last 100k (the 100k-150k band shares
+      // texts with the corpus -> ~50% true-dup rate). The bloom build is
+      // timed separately — it amortizes over every future batch
+      val gateCorpus = bigDocs.where(col("doc_id") < 150000)
+      val gateBatch = bigDocs.where(col("doc_id") >= 100000)
+      results("bench_incr_anti_200k") = time2 {
+        graft.operators.Dedup.dropExistingDuplicates(gateBatch, gateCorpus,
+          "text", "doc_id").count(); ()
+      }
+      var gateBloom: org.apache.spark.util.sketch.BloomFilter = null
+      results("bench_bloom_build_200k") = time {
+        gateBloom = graft.operators.Dedup.corpusFingerprintBloom(gateCorpus,
+          "text", expectedItems = 150000, fpp = 0.01)
+      }
+      results("bench_bloom_gate_200k") = time2 {
+        graft.operators.Dedup.dropExistingDuplicatesBloom(gateBatch, gateCorpus,
+          "text", "doc_id", gateBloom).count(); ()
+      }
       bigDocs.unpersist(blocking = false)
     }
 

@@ -441,6 +441,24 @@ object Queries {
           .select(col("doc_id").cast("long").as("doc_id"))
       }),
 
+      // Bloom-gated incremental dedup: IDENTICAL semantics to
+      // dedup_incremental (the oracle is the same anti-join replay) via
+      // the scale path — a one-pass corpus sketch probed per batch row
+      // in codegen, then broadcast confirm joins over the suspect set
+      // only. The sketch is deliberately overloaded (expectedItems=64
+      // for ~250 corpus docs) so REAL false positives exercise the
+      // confirm phase; exactness must survive any fpp
+      "dedup_bloom_gate" -> ((s, dir) => {
+        val d = docs(s, dir)
+        val corpus = d.where(col("source") < "src5")
+        val batch = d.where(col("source") >= "src5")
+        val bloom = graft.operators.Dedup.corpusFingerprintBloom(corpus, "text",
+          expectedItems = 64, fpp = 0.1)
+        graft.operators.Dedup.dropExistingDuplicatesBloom(batch, corpus,
+            "text", "doc_id", bloom)
+          .select(col("doc_id").cast("long").as("doc_id"))
+      }),
+
       // per-label embedding centroids (class prototypes): one map-side-
       // combined (label, dim) aggregation — the shuffle carries partial
       // sums, never vectors; exact counts divide at the end
@@ -661,6 +679,21 @@ object Queries {
       "quality_score" -> ((s, dir) =>
         docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
                             qualityScore(col("text")).as("q"))),
+
+      // token-budget selection: the best-quality documents whose running
+      // token total fits a 5k-token training budget — a pure prefix of
+      // the (quality desc, doc_id) order, via the distributed prefix sum
+      // (never a single-task global window). Score through
+      // Materialize.once so the quality composite evaluates once, not
+      // once per downstream reference
+      "budget_select" -> ((s, dir) => {
+        val d = graft.operators.Materialize.once(docs(s, dir), "q",
+          qualityScore(col("text")))
+        graft.operators.Packing.selectByTokenBudget(d, "text", "doc_id",
+            "q", budget = 5000)
+          .select(col("doc_id"), round(col("score"), 6).as("score"),
+            col("n_tok"), col("cum_tok"))
+      }),
 
       // intra-document repetition ratios (duplicate n-gram fraction —
       // the boilerplate/looping-text curation signal). Tokenize ONCE
@@ -1762,6 +1795,20 @@ object Queries {
          |  AND NOT EXISTS (SELECT 1 FROM fp c
          |                  WHERE c.source < 'src5' AND c.fp = b.fp)""".stripMargin,
 
+    // the Bloom gate is a pure optimization: no false negatives from the
+    // sketch, false positives cleared by the exact confirm join — so the
+    // oracle is the SAME anti-join replay as dedup_incremental
+    "dedup_bloom_gate" ->
+      s"""WITH fp AS (
+         |  SELECT doc_id, source,
+         |         md5(COALESCE(array_to_string($duckToks, ' '), '')) AS fp
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT CAST(b.doc_id AS BIGINT) AS doc_id
+         |FROM fp b
+         |WHERE b.source >= 'src5'
+         |  AND NOT EXISTS (SELECT 1 FROM fp c
+         |                  WHERE c.source < 'src5' AND c.fp = b.fp)""".stripMargin,
+
     "label_centroids" ->
       """SELECT CAST(label AS BIGINT) AS label,
         |       CAST(u.i - 1 AS BIGINT) AS dim,
@@ -2288,7 +2335,36 @@ object Queries {
          |         + greatest(0.0, 1.0 - (CASE WHEN nc = 0 THEN 0 ELSE np / nc END) * 5.0) * 0.2
          |         + greatest(0.0, 1.0 - (CASE WHEN nc = 0 THEN 0 ELSE nd / nc END) * 5.0) * 0.2
          |         + least((CASE WHEN nt = 0 THEN 0 ELSE ns / nt END) * 4.0, 1.0) * 0.2, 6) AS DOUBLE) AS q
-         |FROM m""".stripMargin
+         |FROM m""".stripMargin,
+
+    // prefix-under-budget replay: the same rounded quality composite as
+    // quality_score, then a running token sum in (score desc, doc_id)
+    // order cut at 5000 — doc_id is unique, so the default RANGE frame
+    // equals ROWS and the window is unambiguous
+    "budget_select" ->
+      s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents WHERE text IS NOT NULL),
+         |m AS (SELECT doc_id,
+         |        CAST(length(toks) AS DOUBLE) AS nt,
+         |        CAST(length(regexp_extract_all(text, '[.,!?;:''"()\\[\\]{}-]')) AS DOUBLE) AS np,
+         |        CAST(length(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS nd,
+         |        CAST(length(text) AS DOUBLE) AS nc,
+         |        CAST(length(list_filter(toks, t -> list_contains($allMarkers, t))) AS DOUBLE) AS ns,
+         |        CAST(length(toks) AS BIGINT) AS n_tok
+         |      FROM t),
+         |q AS (SELECT doc_id, n_tok,
+         |        round(
+         |          least(nt / 20.0, 1.0) * 0.4
+         |          + greatest(0.0, 1.0 - (CASE WHEN nc = 0 THEN 0 ELSE np / nc END) * 5.0) * 0.2
+         |          + greatest(0.0, 1.0 - (CASE WHEN nc = 0 THEN 0 ELSE nd / nc END) * 5.0) * 0.2
+         |          + least((CASE WHEN nt = 0 THEN 0 ELSE ns / nt END) * 4.0, 1.0) * 0.2, 6) AS score
+         |      FROM m WHERE n_tok > 0),
+         |c AS (SELECT doc_id, score, n_tok,
+         |        sum(n_tok) OVER (ORDER BY score DESC, doc_id) AS cum_tok
+         |      FROM q)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |       CAST(round(score, 6) AS DOUBLE) AS score,
+         |       CAST(n_tok AS BIGINT) AS n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
+         |FROM c WHERE cum_tok <= 5000""".stripMargin
   )
 
   private lazy val relationalOracles: Map[String, String] = Map(

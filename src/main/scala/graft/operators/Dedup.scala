@@ -60,6 +60,73 @@ object Dedup {
       .drop("__fp")
   }
 
+  /** Build the standing Bloom gate over a frozen corpus's fingerprints:
+    * one distributed pass (Spark's native sketch builder, a
+    * treeAggregate), producing the driver-side artifact every later
+    * ingest batch probes against. Size `expectedItems` to the corpus's
+    * DISTINCT document count; at fpp=0.01 the filter costs ~1.2 bytes
+    * per document — a 10-billion-doc archive fits in ~12 GB, shippable
+    * to executors where the archive itself never could be.
+    */
+  def corpusFingerprintBloom(corpus: DataFrame, textCol: String,
+                             expectedItems: Long,
+                             fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter =
+    corpus.select(TextFunctions.docFingerprint(col(textCol)).as("__fp"))
+      .stat.bloomFilter("__fp", expectedItems, fpp)
+
+  /** Bloom-gated incremental exact dedup — same EXACT result as
+    * [[dropExistingDuplicates]], different scale profile. Two phases:
+    *
+    *  1. every batch row probes the broadcast-able Bloom sketch in its
+    *     scan (a codegen expression — no join, no shuffle). Rows the
+    *     filter rejects are DEFINITE non-duplicates (no false
+    *     negatives) and pass through untouched;
+    *  2. only the suspects — true duplicates plus ~fpp false positives
+    *     — are confirmed against the corpus. The suspect fingerprint
+    *     set is tiny by construction, so BOTH confirm joins broadcast:
+    *     the corpus is semi-joined down to the colliding fingerprints
+    *     (scan + broadcast probe, nothing corpus-sized shuffles), and
+    *     the anti-join against that small hit set clears the false
+    *     positives.
+    *
+    * Versus the plain anti-join, which shuffles every batch AND corpus
+    * fingerprint on every ingest: here the corpus pays one sketch build
+    * amortized over all future batches, and each ingest touches the
+    * archive only through a broadcast semi-join on the ~fpp-sized
+    * suspect set. Callers ingesting many batches against one frozen
+    * corpus build the bloom once via [[corpusFingerprintBloom]] and
+    * pass it in.
+    */
+  def dropExistingDuplicatesBloom(batch: DataFrame, corpus: DataFrame,
+                                  textCol: String, idCol: String,
+                                  bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    // materialize (fp, maybe) once per scan: the routing predicate and
+    // the confirm join key both read them — without the barrier
+    // Catalyst's alias inlining would re-evaluate the fingerprint md5
+    // per reference
+    val gated = Materialize.once(
+      batch.withColumn("__fp", TextFunctions.docFingerprint(col(textCol))),
+      "__maybe", graft.plans.GraftFunctions.bloom_contains(col("__fp"), bloom))
+    // suspect fingerprints: true duplicates + ~fpp false positives —
+    // tiny by construction, a narrow projection of the batch
+    val suspectFps = gated.where(col("__maybe")).select(col("__fp")).distinct()
+    // corpus -> only the fingerprints colliding with a suspect: scan +
+    // broadcast-semi-join, nothing corpus-sized ever shuffles
+    val hits = corpus
+      .select(TextFunctions.docFingerprint(col(textCol)).as("__seen_fp"))
+      .join(broadcast(suspectFps), col("__seen_fp") === col("__fp"), "left_semi")
+      .distinct()
+    // ONE anti-join finishes it: a row is dropped iff the sketch fired
+    // AND its fingerprint is a confirmed corpus hit — rows the sketch
+    // cleared (definite non-dups, no false negatives) never match any
+    // right-side row, so they pass through without touching the join's
+    // broadcast hash table. Fully lazy: no persist, no checkpoint, and
+    // the whole gate composes into the caller's plan
+    gated.join(broadcast(hits),
+        col("__maybe") && col("__fp") === col("__seen_fp"), "left_anti")
+      .drop("__fp", "__maybe")
+  }
+
   /** Incremental NEAR dedup: drop rows of `batch` that are MinHash-LSH
     * near-duplicates of `corpus` rows (estimated jaccard from full
     * signature agreement >= `minEstJaccard`). The candidate step is a

@@ -168,6 +168,87 @@ object Packing {
     ranked
   }
 
+  /** TOKEN-BUDGET SELECTION: keep the best-scoring documents whose
+    * cumulative token count fits a training budget — the data-selection
+    * step of "train on the top-quality N-token subset" recipes. The
+    * selected set is the PREFIX of the (score desc, id asc) order whose
+    * running token total stays <= `budget`: a pure prefix (the first
+    * overflowing document ends the selection) is deterministic,
+    * engine-replayable, and independent of partitioning — unlike
+    * greedy skip-and-continue filling, whose result depends on
+    * sequential state that no declarative engine can replay.
+    *
+    * Same distributed prefix-sum shape as [[packSequences]] (range
+    * partition on the order key + in-partition sort, one #partitions-row
+    * totals aggregate, broadcast starts, narrow streaming pass) — never
+    * a single-task `sum() over (order by score)` window. Two
+    * scale-extras fall out of the broadcast offsets: partitions whose
+    * START offset already exceeds the budget are skipped without
+    * reading a row, and the boundary partition stops streaming at the
+    * first overflow — at 100 TB with a 1% budget, ~99% of the slim
+    * projection is never touched after the totals pass.
+    *
+    * Rows with NULL text or zero tokens occupy no budget and are
+    * dropped (the [[packSequences]] population). Returns
+    * `(doc_id, score, n_tok, cum_tok)` with `cum_tok` the inclusive
+    * running total (max(cum_tok) <= budget). Result is an eager local
+    * checkpoint — same cache contract as [[packSequences]].
+    */
+  def selectByTokenBudget(df: DataFrame, textCol: String, idCol: String,
+                          scoreCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = df.sparkSession
+    val slim = df.where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(scoreCol).cast("double").as("score"),
+        size(graft.plans.GraftFunctions.tokens_of(col(textCol)))
+          .cast("long").as("n_tok"))
+      .where(col("n_tok") > 0)
+      .repartitionByRange(col("score").desc, col("doc_id"))
+      .sortWithinPartitions(col("score").desc, col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val totals = slim.groupBy(spark_partition_id().as("pid"))
+      .agg(sum("n_tok").as("toks"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nParts = slim.rdd.getNumPartitions
+    val starts = (0 until nParts)
+      .scanLeft(0L)((acc, pid) => acc + totals.getOrElse(pid, 0L))
+    val bStarts = spark.sparkContext.broadcast(starts.toArray)
+    val selectedRdd = slim.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      val start = bStarts.value(pid)
+      if (start >= budget) Iterator.empty // whole partition past the cut
+      else new Iterator[Row] {
+        private var off = start
+        private var done = false
+        private var nextRow: Row = null
+        // n_tok > 0 makes the running total strictly monotone, so the
+        // FIRST overflow ends the prefix — no later row can fit
+        private def advance(): Unit =
+          while (nextRow == null && !done && rows.hasNext) {
+            val r = rows.next()
+            val n = r.getLong(2)
+            if (off + n <= budget) {
+              off += n
+              nextRow = Row(r.getLong(0), r.getDouble(1), n, off)
+            } else done = true
+          }
+        override def hasNext: Boolean = { advance(); nextRow != null }
+        override def next(): Row = {
+          advance(); val out = nextRow; nextRow = null; out
+        }
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("score", org.apache.spark.sql.types.DoubleType, nullable = false),
+      StructField("n_tok", LongType, nullable = false),
+      StructField("cum_tok", LongType, nullable = false)))
+    val selected = spark.createDataFrame(selectedRdd, schema)
+      .localCheckpoint(true)
+    slim.unpersist(blocking = false)
+    selected
+  }
+
   /** Per-sequence fill summary over a packing: how many documents touch
     * each training sequence and how many of its `budget` token slots the
     * id-ordered stream fills. Every sequence except the last is exactly

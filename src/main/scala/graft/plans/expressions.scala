@@ -654,6 +654,9 @@ object GraftFunctions {
   def pq_adc(codes: Column, table: Array[Double], k: Int): Column =
     GraftBridge.column(PqAdc(GraftBridge.expression(codes), table, k))
 
+  def bloom_contains(key: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column =
+    GraftBridge.column(BloomContains(GraftBridge.expression(key), bloom))
+
   def token_tf(text: Column): Column =
     GraftBridge.column(TokenTfOf(GraftBridge.expression(text)))
 

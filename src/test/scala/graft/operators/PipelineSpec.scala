@@ -575,6 +575,44 @@ class PipelineSpec extends SparkSpec {
     packed.unpersist(blocking = false)
   }
 
+  test("token-budget selection: exact prefix, partition-invariant, budget never exceeded") {
+    // scores collide in blocks (i % 5) so the doc_id tiebreaker decides
+    // the prefix edge; token counts 1..13 make the boundary land
+    // mid-partition
+    val d = (0L until 200L).map { i =>
+      (i, ("w " * (i % 13 + 1).toInt).trim, (i % 5).toDouble)
+    }.toDF("doc_id", "text", "q")
+    // single-threaded reference: prefix of (q desc, id asc) under budget
+    val budget = 300L
+    val orderRef = (0L until 200L).map(i => (i, i % 13 + 1, (i % 5).toDouble))
+      .sortBy { case (i, _, s) => (-s, i) }
+    var cum = 0L
+    val expect = orderRef.takeWhile { case (_, n, _) =>
+      cum += n; cum <= budget
+    }.map(_._1)
+    var ref: Seq[(Long, Long, Long)] = null
+    for (p <- Seq(1, 7, 32)) {
+      val got = Packing.selectByTokenBudget(d.repartition(p), "text",
+          "doc_id", "q", budget)
+        .orderBy("cum_tok").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      assert(got.map(_._1).toSeq == expect, s"prefix at partitions=$p")
+      assert(got.last._3 <= budget)
+      // cum_tok is the exact running sum
+      assert(got.map(_._2).scanLeft(0L)(_ + _).tail.toSeq == got.map(_._3).toSeq)
+      if (ref == null) ref = got.toSeq
+      else assert(got.toSeq == ref, s"selection differs at partitions=$p")
+    }
+    // degenerate budgets: smaller than any doc -> empty; bigger than the
+    // corpus -> everything
+    assert(Packing.selectByTokenBudget(d, "text", "doc_id", "q", 0L + 1)
+      .count() <= 1)
+    val all = Packing.selectByTokenBudget(d, "text", "doc_id", "q", 1000000L)
+    assert(all.count() == 200)
+    assert(all.agg(max("cum_tok")).head().getLong(0)
+      == (0L until 200L).map(_ % 13 + 1).sum)
+  }
+
   test("global rank: dense, order-correct, partition- and tie-safe") {
     // duplicate okeys force the tiebreaker: rank among equals must not
     // depend on range boundaries
@@ -809,6 +847,39 @@ class PipelineSpec extends SparkSpec {
       }
       rm(dir)
     }
+  }
+
+  test("bloom ingest gate: exact under saturated sketch, suspects routed through confirm") {
+    // corpus texts 0..199; batch 150..349 -> 50 true dups, 150 fresh
+    val corpus = (0 until 200).map(i => (i.toLong, s"corpus doc number $i body"))
+      .toDF("doc_id", "text")
+    val batch = (150 until 350).map(i => (i.toLong + 1000, s"corpus doc number $i body"))
+      .toDF("doc_id", "text")
+    val expected = Dedup.dropExistingDuplicates(batch, corpus, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(expected.size == 150)
+    // a sketch sized for 8 items holding 200 saturates — most probes
+    // return true (real false positives), so the confirm phase does the
+    // actual work and must clear every one of them
+    val tiny = Dedup.corpusFingerprintBloom(corpus, "text",
+      expectedItems = 8, fpp = 0.05)
+    val gotTiny = Dedup.dropExistingDuplicatesBloom(batch, corpus, "text",
+      "doc_id", tiny).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotTiny == expected, "saturated bloom changed the exact result")
+    // sanity: the saturated sketch really does fire on fresh docs
+    // (otherwise this test isn't exercising the confirm path)
+    import graft.functions.TextFunctions
+    val fpCount = batch.select(
+        graft.plans.GraftFunctions.bloom_contains(
+          TextFunctions.docFingerprint(col("text")), tiny).as("maybe"))
+      .where(col("maybe")).count()
+    assert(fpCount > 50, s"expected false positives beyond the 50 true dups, got $fpCount")
+    // and a well-sized sketch agrees too
+    val sized = Dedup.corpusFingerprintBloom(corpus, "text",
+      expectedItems = 1000, fpp = 0.01)
+    val gotSized = Dedup.dropExistingDuplicatesBloom(batch, corpus, "text",
+      "doc_id", sized).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotSized == expected)
   }
 
   test("IVF+PQ index: partitioned codes serve ADC queries and PRUNE to probed cells") {

@@ -109,6 +109,15 @@ class CodegenGuardSpec extends SparkSpec {
         .collect()
       assert(pq.map(_.getSeq[Int](0).head).toSeq == Seq(0, 1))
       assert(pq.forall(_.getDouble(1) == 0.0))
+
+      // bloom probe: the Serializable sketch must survive the
+      // reference-object wiring into the generated class
+      val bloom = org.apache.spark.util.sketch.BloomFilter.create(16, 0.01)
+      bloom.putBinary("alpha beta gamma delta".getBytes("UTF-8"))
+      val br = docs.select(
+          GraftFunctions.bloom_contains(col("text"), bloom).as("hit"))
+        .orderBy(col("hit").desc).collect()
+      assert(br.head.getBoolean(0)) // inserted text probes true (no false negatives)
     }
   }
 }
