@@ -217,6 +217,50 @@ object Bench {
       bigDocs.unpersist(blocking = false)
     }
 
+    // --- interval-join scale bench: 200k events over 2k keys, ~100
+    // events/key, 1e8-wide window over a 1e9 ts span (~10 matches per
+    // left row). Times the bucketed equi-join against the naive θ-join
+    // ON THE SAME DATA in the same JVM — the θ-join's per-key cross
+    // product (~100x the matched pairs here) is what the bucketing
+    // removes, and the same-JVM ratio stays valid under machine noise.
+    // Row-count equality of the two spellings is asserted every run.
+    {
+      val ev = spark.range(200000).select(
+          col("id").as("eid"),
+          pmod(col("id"), lit(2000)).as("k"),
+          pmod(col("id") * 2654435761L, lit(1000000000L)).as("ts"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ev.count()
+      val hi = 100000000L
+      def bucketed(): Long =
+        graft.operators.AsOfJoin.joinRange(ev, ev, "k", "ts", 0L, hi).count()
+      def naive(): Long = {
+        val l = ev.select(col("eid").as("l_eid"), col("k").as("l_k"), col("ts").as("l_ts"))
+        val r = ev.select(col("eid").as("r_eid"), col("k").as("r_k"), col("ts").as("r_ts"))
+        l.join(r, col("l_k") === col("r_k") &&
+          col("r_ts") >= col("l_ts") && col("r_ts") <= col("l_ts") + hi).count()
+      }
+      val nb = bucketed(); val nn = naive() // warmup both + invariant
+      if (nb != nn)
+        System.err.println(s"[bench] RANGE-JOIN MISMATCH bucketed=$nb naive=$nn")
+      results("bench_range_join_200k") = time2 { bucketed(); () }
+      results("bench_range_naive_200k") = time2 { naive(); () }
+      // per-stratum fixed-size selection at the same scale: 20 strata,
+      // n=100 — the bounded aggregate + broadcast semi-join path
+      val strat = ev.withColumn("lang", pmod(col("eid"), lit(20)).cast("string"))
+      results("bench_topn_stratum_200k") = time2 {
+        graft.operators.Sampling.sampleFixedPerStratum(strat, "eid", "lang",
+          n = 100).count(); ()
+      }
+      // weighted reservoir (TakeOrderedAndProject): k=1000 of 200k
+      val wtd = ev.withColumn("w", (pmod(col("eid"), lit(100)) + 1).cast("double"))
+      results("bench_weighted_sample_200k") = time2 {
+        graft.operators.Sampling.sampleByWeight(wtd, "eid", "w", k = 1000)
+          .count(); ()
+      }
+      ev.unpersist(blocking = false)
+    }
+
     // --- iterative-resolver scale bench: the union-find fast path
     // absorbs every sf0.1 candidate graph, so force the iterative
     // pointer-jumping path (the 100 TB route) with localEdgeThreshold=0

@@ -30,7 +30,10 @@ object Explain {
         "corpus_stats", "gopher_filter", "unigram_ce",
         "curation_e2e", "pack_fill", "mixture_sample", "dedup_semantic",
         "pq_encode", "pq_topk", "normalize_text", "script_ratios",
-        "bigram_ce", "ppl_filter", "events_asof").foreach(show)
+        "bigram_ce", "ppl_filter", "events_asof", "events_range_join",
+        "fixed_per_lang", "weighted_sample", "dedup_edit_verify",
+        "profile_docs", "dedup_bloom_gate", "budget_select",
+        "ann_ivfpq").foreach(show)
     spark.stop()
   }
 }

@@ -459,6 +459,25 @@ object Queries {
           .select(col("doc_id").cast("long").as("doc_id"))
       }),
 
+      // edit-distance verification of the MinHash candidate set: the
+      // precision pass after band recall — thresholded (banded-DP)
+      // Levenshtein over 256-char prefixes. Operands are projected to
+      // ASCII in the QUERY because DuckDB's levenshtein is byte-based
+      // while Spark's is code-point based; on ASCII they coincide
+      // exactly. The operator itself is generic (code-point) and
+      // unicode-pinned in PipelineSpec.
+      "dedup_edit_verify" -> ((s, dir) => {
+        val d = docs(s, dir)
+        val pairs = graft.operators.Dedup.minhashCandidates(d, "text", "doc_id")
+          .select(col("id_a"), col("id_b"))
+        val ascii = d.withColumn("text",
+          regexp_replace(col("text"), "[^\\x20-\\x7e]", ""))
+        graft.operators.Dedup.editVerifiedPairs(ascii, "text", "doc_id",
+            pairs, prefixLen = 256, maxDist = 64)
+          .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"),
+            col("edit_sim"))
+      }),
+
       // per-label embedding centroids (class prototypes): one map-side-
       // combined (label, dim) aggregation — the shuffle carries partial
       // sums, never vectors; exact counts divide at the end
@@ -630,6 +649,25 @@ object Queries {
             salt = "graft")
           .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
                   round(col("rate"), 6).as("rate"))),
+
+      // fixed-size deterministic sample per language: exactly
+      // min(20, |stratum|) docs each, selected by the content-keyed md5
+      // order via the bounded TopNSmallestByKey AGGREGATE — never the
+      // one-task-per-stratum window (structural skew). Oracle replays
+      // the selection as a row_number over the same (bucket, id) order.
+      "fixed_per_lang" -> ((s, dir) =>
+        graft.operators.Sampling.sampleFixedPerStratum(docs(s, dir),
+            "doc_id", "lang", n = 20)
+          .select(col("doc_id").cast("long").as("doc_id"), col("lang"))),
+
+      // weighted sampling without replacement (Efraimidis-Spirakis race,
+      // content-keyed u): k=50 docs with inclusion odds ~ n_chars; plans
+      // as TakeOrderedAndProject (bounded per-partition top-k), never a
+      // global sort
+      "weighted_sample" -> ((s, dir) =>
+        graft.operators.Sampling.sampleByWeight(docs(s, dir), "doc_id",
+            "n_chars", k = 50)
+          .select(col("doc_id").cast("long").as("doc_id"), col("draw"))),
 
       // deterministic train/val/test split assignment
       "split_by_hash" -> ((s, dir) =>
@@ -816,6 +854,14 @@ object Queries {
       "corpus_stats" -> ((s, dir) =>
         Corpus.corpusStats(s.read.parquet(s"$dir/documents.parquet"),
           "text", Seq("source", "lang"))),
+
+      // per-column data profile of the raw documents table: one
+      // aggregation pass for every column's rows/nulls/distinct/min/max
+      // (exact distincts here for the oracle; the operator defaults to
+      // one-pass HLL sketches at scale — see Corpus.columnProfile)
+      "profile_docs" -> ((s, dir) =>
+        Corpus.columnProfile(s.read.parquet(s"$dir/documents.parquet"),
+          Seq("doc_id", "text", "lang", "source", "n_chars"), exact = true)),
 
       // Gopher-style composite filter; thresholds chosen to SPLIT this
       // corpus (token counts 10-99) so the verdict column actually
@@ -1038,6 +1084,23 @@ object Queries {
         .select(col("event_id").as("p_id"), col("user_id"),
           col("ts").as("p_ts"),
           col("asof.event_id").as("c_id"), col("asof.ts").as("c_ts"))
+    }),
+
+    // interval (range) join: all purchases within the hour AFTER each
+    // click by the same user — the attribution-candidate set. Bucketed
+    // equi-join on (user, aligned-hour-bucket): the left side probes at
+    // most two buckets, the exact range filters after; never the
+    // per-key-quadratic θ-join
+    "events_range_join" -> ((s, dir) => {
+      val ev = eventsNs(s, dir)
+      def side(t: String) = ev.where(col("event_type") === t)
+        .select(col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"),
+          col("ts").cast("long").as("ts"))
+      graft.operators.AsOfJoin.joinRange(side("click"), side("purchase"),
+          "user_id", "ts", lo = 1L, hi = 3600000000000L)
+        .select(col("l_event_id").as("c_id"), col("r_event_id").as("p_id"),
+          (col("r_ts") - col("l_ts")).as("gap_ns"))
     }),
 
     "events_sessionize" -> ((s, dir) => {
@@ -1555,6 +1618,27 @@ object Queries {
     // the MinHash/SimHash signature pipelines replayed bit-for-bit in
     // DuckDB (HUGEINT 64-bit modular arithmetic) — see HashOracleSql
     "dedup_minhash" -> HashOracleSql.minhashCandidates,
+
+    // the MinHash candidate replay (same CTEs as dedup_minhash) feeding
+    // a byte==char Levenshtein: operands are ASCII-projected 256-char
+    // prefixes, where DuckDB's byte-based levenshtein coincides exactly
+    // with Spark's code-point one. 'g' flag: DuckDB regexp_replace is
+    // first-match-only by default, Spark's replaces all.
+    "dedup_edit_verify" ->
+      s"""WITH pairs AS (
+         |${HashOracleSql.minhashCandidates}
+         |),
+         |t AS (SELECT doc_id,
+         |        substr(regexp_replace(text, '[^\\x20-\\x7e]', '', 'g'), 1, 256) AS t
+         |      FROM documents WHERE text IS NOT NULL)
+         |SELECT CAST(p.id_a AS BIGINT) AS id_a, CAST(p.id_b AS BIGINT) AS id_b,
+         |       CAST(levenshtein(ta.t, tb.t) AS BIGINT) AS dist,
+         |       CAST(round(1.0 - levenshtein(ta.t, tb.t)
+         |              / greatest(length(ta.t), length(tb.t), 1), 6) AS DOUBLE) AS edit_sim
+         |FROM pairs p
+         |JOIN t ta ON ta.doc_id = p.id_a
+         |JOIN t tb ON tb.doc_id = p.id_b
+         |WHERE levenshtein(ta.t, tb.t) <= 64""".stripMargin,
     "dedup_simhash" -> HashOracleSql.simhashCandidates,
     "dedup_resolve_minhash" -> HashOracleSql.resolveMinhash,
     "dedup_drop_near" -> HashOracleSql.dropNearMinhash,
@@ -1891,6 +1975,33 @@ object Queries {
         |WHERE text IS NOT NULL
         |  AND substr(md5(concat('graft', CAST(doc_id AS VARCHAR))), 1, 8) < '40000000'""".stripMargin,
 
+    // the aggregate's keep-n-smallest (bucket, id) selection == rank in
+    // that order; salt is "" so the bucket is md5 of the bare id string
+    "fixed_per_lang" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rn
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+        |FROM r WHERE rn <= 20""".stripMargin,
+
+    // Efraimidis-Spirakis replay: u from the first 13 md5 hex digits
+    // (52-bit uniform, +0.5 so u>0), draw = round(-ln(u)/w, 9), k
+    // smallest (draw, id) win. The 9-digit round happens BEFORE the
+    // rank on both engines — the established CE/tfidf transcendental
+    // convention — so ulp differences in ln cannot flip the cut.
+    "weighted_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 0.5)
+        |           / 4503599627370496.0 AS u
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       CAST(round(-ln(u) / n_chars, 9) AS DOUBLE) AS draw
+        |FROM t ORDER BY draw, doc_id LIMIT 50""".stripMargin,
+
     // same in-plan pipeline as the engine: per-stratum counts -> binding
     // N = min(cnt/share) -> rate = share*N/cnt -> md5 threshold draw.
     // All arithmetic in DOUBLE in the same order for bit parity.
@@ -2195,6 +2306,18 @@ object Queries {
          |                  FILTER (WHERE rn = 1), '') AS clean_text
          |FROM rk GROUP BY doc_id""".stripMargin,
 
+    // one UNION ALL leg per profiled column; both engines compare
+    // strings with binary collation, so min_s/max_s agree byte-for-byte
+    "profile_docs" -> Seq("doc_id", "text", "lang", "source", "n_chars")
+      .map { c =>
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |       CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |       min(CAST($c AS VARCHAR)) AS min_s,
+           |       max(CAST($c AS VARCHAR)) AS max_s
+           |FROM documents""".stripMargin
+      }.mkString("\nUNION ALL\n"),
+
     // exact integer sums divided in double precision — no avg(), whose
     // incremental mean is association-order-dependent cross-engine
     "corpus_stats" ->
@@ -2435,6 +2558,19 @@ object Queries {
         |       CAST(c_id AS BIGINT) AS c_id,
         |       CAST(c_ts AS BIGINT) AS c_ts
         |FROM m WHERE rn = 1""".stripMargin,
+
+    // the bucketed equi-join is a pure optimization — the oracle is the
+    // plain inequality join it must exactly equal
+    "events_range_join" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_ns(ts) AS ts
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id, user_id, epoch_ns(ts) AS ts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT CAST(c.event_id AS BIGINT) AS c_id,
+        |       CAST(p.event_id AS BIGINT) AS p_id,
+        |       CAST(p.ts - c.ts AS BIGINT) AS gap_ns
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.ts >= c.ts + 1 AND p.ts <= c.ts + 3600000000000""".stripMargin,
 
     "events_sessionize" ->
       """WITH r AS (

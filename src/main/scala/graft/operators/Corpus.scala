@@ -587,4 +587,44 @@ object Corpus {
         col("alpha_ratio") >= minAlphaRatio &&
         col("n_stop") >= minStopHits)
   }
+
+  /** Per-column data profile — the schema health check run before any
+    * pipeline stage trusts a new corpus drop: row count, null count,
+    * distinct count, lexicographic min/max (values cast to string so
+    * one report covers heterogeneous columns).
+    *
+    * Scale shape: ONE aggregation pass computes every measure for every
+    * column (map-side combined), then a narrow inline-table explode
+    * reshapes the single result row to (column, measures) — the table
+    * is scanned once and nothing wide shuffles. Distinct counts default
+    * to `approx_count_distinct` (HLL sketches: one pass, mergeable,
+    * ~2% error) because EXACT multi-column distincts force Spark to
+    * Expand the scan |cols| times — at 100 TB that is the difference
+    * between one pass and eleven. `exact = true` opts into the Expand
+    * for oracle-grade runs at small scale.
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String],
+                    exact: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "columnProfile needs at least one column")
+    cols.foreach(c => require(df.columns.contains(c), s"no such column: $c"))
+    val measures = cols.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"__cp_rows_$c"),
+        count(when(col(c).isNull, 1)).as(s"__cp_nulls_$c"),
+        (if (exact) count_distinct(col(c))
+         else approx_count_distinct(col(c))).as(s"__cp_dist_$c"),
+        min(col(c).cast("string")).as(s"__cp_min_$c"),
+        max(col(c).cast("string")).as(s"__cp_max_$c"))
+    }
+    val one = df.agg(measures.head, measures.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("column"),
+        col(s"__cp_rows_$c").as("n_rows"),
+        col(s"__cp_nulls_$c").as("n_nulls"),
+        col(s"__cp_dist_$c").as("n_distinct"),
+        col(s"__cp_min_$c").as("min_s"),
+        col(s"__cp_max_$c").as("max_s"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
 }

@@ -314,6 +314,41 @@ object Dedup {
     * bounded id-offset window (generate the offsets and equi-join — no
     * nested-loop range join).
     */
+  /** Edit-distance verification of candidate pairs: the precision pass
+    * after a recall-oriented candidate generator (MinHash/SimHash
+    * bands). For each `(id_a, id_b)` pair, Levenshtein distance over
+    * bounded `prefixLen` prefixes, keeping pairs within `maxDist`
+    * edits; `edit_sim` normalizes by the longer prefix.
+    *
+    * Scale shape: texts attach to the (small) candidate set by two hash
+    * equi-joins — the corpus is never pairwise-joined on its own — and
+    * per-pair cost is bounded by construction: the prefix cap bounds the
+    * DP matrix, and the THRESHOLDED `levenshtein(l, r, maxDist)` form
+    * runs the banded O(prefixLen x maxDist) DP with early exit instead
+    * of the full O(prefixLen^2) table (the 3-arg builtin returns -1
+    * past the threshold, which is exactly the filter).
+    *
+    * Levenshtein here is CODE-POINT based (Spark builtin). An oracle
+    * replaying it in a byte-based engine must project the operands to
+    * ASCII first — see the `dedup_edit_verify` driver query.
+    */
+  def editVerifiedPairs(df: DataFrame, textCol: String, idCol: String,
+                        pairs: DataFrame, prefixLen: Int = 256,
+                        maxDist: Int = 32): DataFrame = {
+    require(prefixLen > 0 && maxDist >= 0,
+      s"prefixLen ($prefixLen) must be positive, maxDist ($maxDist) non-negative")
+    val t = df.select(col(idCol).cast("long").as("__ev_id"),
+      substring(col(textCol), 1, prefixLen).as("__ev_t"))
+    pairs
+      .join(t.select(col("__ev_id").as("id_a"), col("__ev_t").as("__ev_ta")), "id_a")
+      .join(t.select(col("__ev_id").as("id_b"), col("__ev_t").as("__ev_tb")), "id_b")
+      .withColumn("dist", levenshtein(col("__ev_ta"), col("__ev_tb"), maxDist))
+      .where(col("dist") >= 0) // -1 = threshold exceeded (banded DP early exit)
+      .withColumn("edit_sim", round(lit(1.0) - col("dist") /
+        greatest(length(col("__ev_ta")), length(col("__ev_tb")), lit(1)), 6))
+      .drop("__ev_ta", "__ev_tb")
+  }
+
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, maxOffset: Int = 5): DataFrame = {
     // n <= 3: shingle sets as SORTED packed-code-point long arrays

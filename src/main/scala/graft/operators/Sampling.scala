@@ -150,6 +150,76 @@ object Sampling {
       .drop("__mix_stratum")
   }
 
+  /** Deterministic FIXED-SIZE sample per stratum: exactly
+    * `min(n, |stratum|)` rows of each stratum, selected by the same
+    * content-keyed md5 order as `sampleByHash` (the n smallest
+    * `(bucket, id)` pairs per stratum) — balanced eval-set construction,
+    * where rate-based sampling cannot promise per-stratum counts.
+    *
+    * Scale shape: the declarative spelling — `row_number() over
+    * (partition by stratum order by bucket)` — shuffles the whole table
+    * and pins each stratum in ONE task (structural skew AQE cannot
+    * split: 5 language strata over 100 TB = 5 tasks). Here selection is
+    * a bounded-state AGGREGATE (`graft.plans.TopNSmallestByKey`): every
+    * map task reduces its slice to ≤ n ids per stratum before anything
+    * shuffles, the exchange carries `strata x n` pairs per task, and
+    * the winners broadcast back as a semi-join — the full table is
+    * scanned twice but never shuffled.
+    *
+    * `idCol` must be integral and unique (it is the tiebreak and the
+    * semi-join key); a NULL stratum forms its own stratum (null-safe
+    * join), mirroring `bucket`'s null sentinel; NULL ids are ignored by
+    * the aggregate and therefore never selected.
+    */
+  def sampleFixedPerStratum(df: DataFrame, idCol: String, strataCol: String,
+                            n: Int, salt: String = ""): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val sel = df.groupBy(col(strataCol).as("__fs_stratum"))
+      .agg(graft.plans.TopNFunctions.topn_smallest(
+        bucket(col(idCol), salt), col(idCol).cast("long"), n).as("__fs_sel"))
+      .select(col("__fs_stratum"),
+        explode(col("__fs_sel.id")).as("__fs_id"))
+    df.join(broadcast(sel),
+      col(strataCol) <=> col("__fs_stratum") &&
+        col(idCol).cast("long") === col("__fs_id"),
+      "left_semi")
+  }
+
+  /** Deterministic weighted sampling WITHOUT replacement
+    * (Efraimidis–Spirakis exponential race): each row draws
+    * `r = -ln(u) / w` with `u` uniform from md5(salt || key), and the k
+    * smallest r win — inclusion probability proportional to weight,
+    * exactly the A-ES reservoir result, but with u content-keyed so the
+    * selection is reproducible across runs, engines, partitionings and
+    * retries (a true random reservoir is none of these).
+    *
+    * u is built from the first 13 md5 hex digits — a 52-bit uniform
+    * integer, exact in a double — shifted by +0.5 so u ∈ (0,1) strictly
+    * (ln(0) can never fire). The draw is rounded to 9 decimals IN the
+    * sort key (same cross-engine convention as the CE/tfidf oracles) so
+    * an oracle replaying ln/division in another engine ranks identical
+    * values; ties break on the key column. Rows with NULL or
+    * non-positive weight are dropped (zero weight = never sampled, and
+    * the race value would be infinite).
+    *
+    * Scale shape: `orderBy(draw).limit(k)` plans as
+    * TakeOrderedAndProject — per-partition bounded top-k then a driver
+    * merge of `partitions x k` rows; the table is never globally
+    * sorted and never shuffled.
+    */
+  def sampleByWeight(df: DataFrame, keyCol: String, weightCol: String,
+                     k: Int, salt: String = ""): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (conv(substring(md5(concat(lit(salt),
+        coalesce(col(keyCol).cast("string"), lit("\u0000")))), 1, 13),
+        16, 10).cast("long").cast("double") + 0.5) /
+      lit(4503599627370496.0) // 2^52
+    df.where(col(weightCol).isNotNull && col(weightCol) > 0.0)
+      .withColumn("draw", round(-log(u) / col(weightCol), 9))
+      .orderBy(col("draw").asc, col(keyCol).asc)
+      .limit(k)
+  }
+
   /** Assign every row to a named split with the given weights (need not
     * sum to 1 — they are normalized). Returns the input plus a `split`
     * column; the same (key, salt, weights) always yields the same

@@ -1431,4 +1431,145 @@ class PipelineSpec extends SparkSpec {
     r.values.foreach(q => assert(q >= 0.0 && q <= 1.0))
     assert(r(0L) > r(4L)) // real sentence beats empty doc
   }
+
+  test("range join == naive θ-join; boundaries inclusive; nulls drop") {
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 20L, 100L))
+      .toDF("lid", "k", "ts")
+    val right = Seq((7L, 10L, 100L), (8L, 10L, 150L), (9L, 10L, 201L),
+        (10L, 20L, 95L), (11L, 30L, 100L))
+      .toDF("rid", "k", "ts")
+    def pairs(lo: Long, hi: Long): Set[(Long, Long)] =
+      AsOfJoin.joinRange(left, right, "k", "ts", lo, hi)
+        .select("l_lid", "r_rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def naive(lo: Long, hi: Long): Set[(Long, Long)] =
+      left.collect().flatMap { l =>
+        right.collect().filter { r =>
+          l.getLong(1) == r.getLong(1) &&
+          r.getLong(2) >= l.getLong(2) + lo && r.getLong(2) <= l.getLong(2) + hi
+        }.map(r => (l.getLong(0), r.getLong(0)))
+      }.toSet
+    for ((lo, hi) <- Seq((0L, 50L), (1L, 101L), (-10L, 10L), (0L, 0L), (50L, 50L)))
+      assert(pairs(lo, hi) == naive(lo, hi), s"window [$lo,$hi]")
+    // both endpoints inclusive; lo==hi is the exact-offset join
+    assert(pairs(0L, 50L).contains((1L, 7L)) && pairs(0L, 50L).contains((1L, 8L)))
+    assert(pairs(50L, 50L) == Set((1L -> 8L)))
+    // no duplicate pairs from the two bucket probes of one window
+    val dup = AsOfJoin.joinRange(left, right, "k", "ts", 0L, 1000L)
+      .groupBy("l_lid", "r_rid").count().where(col("count") > 1).count()
+    assert(dup == 0L)
+    // partitioning invariance
+    assert(AsOfJoin.joinRange(left.repartition(7), right.repartition(3),
+      "k", "ts", 0L, 50L).select("l_lid", "r_rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == naive(0L, 50L))
+    // null keys and null timestamps drop (inner equi-join semantics)
+    val ln = spark.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](
+        org.apache.spark.sql.Row(99L, null, java.lang.Long.valueOf(100L)),
+        org.apache.spark.sql.Row(98L, java.lang.Long.valueOf(10L), null)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("lid", org.apache.spark.sql.types.LongType, false),
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType, true),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType, true))))
+    assert(AsOfJoin.joinRange(ln, right, "k", "ts", 0L, 1000L).count() == 0L)
+    intercept[IllegalArgumentException] {
+      AsOfJoin.joinRange(left, right, "k", "ts", 10L, 5L)
+    }
+  }
+
+  test("fixed-size per-stratum sample: bounded aggregate, exact counts") {
+    val d = (0L until 500L).map(i => (i, if (i % 5 == 0) "a" else "b"))
+      .toDF("doc_id", "lang")
+    val got = Sampling.sampleFixedPerStratum(d, "doc_id", "lang", n = 10)
+    val counts = got.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a" -> 10L, "b" -> 10L))
+    // partitioning-invariant selection (keep-n-smallest is a semilattice)
+    val ids = got.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids13 = Sampling.sampleFixedPerStratum(d.repartition(13), "doc_id",
+      "lang", n = 10).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == ids13)
+    // a stratum smaller than n returns whole (min(n, |stratum|))
+    val small = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("doc_id", "lang")
+    val sc2 = Sampling.sampleFixedPerStratum(small, "doc_id", "lang", n = 10)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sc2 == Map("x" -> 2L, "y" -> 1L))
+    // NULL stratum forms its own stratum (null-safe semi-join)
+    val withNull = spark.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](
+        org.apache.spark.sql.Row(java.lang.Long.valueOf(1L), null),
+        org.apache.spark.sql.Row(java.lang.Long.valueOf(2L), null),
+        org.apache.spark.sql.Row(java.lang.Long.valueOf(3L), "z")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType, false),
+        org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType, true))))
+    assert(Sampling.sampleFixedPerStratum(withNull, "doc_id", "lang", 1).count() == 2L)
+    // the plan is an AGGREGATE, not a per-stratum window: no WindowExec,
+    // and the aggregate is the object-hash (partial-capable) operator
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"per-stratum window in plan:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"no partial aggregate:\n$plan")
+  }
+
+  test("weighted sampling: deterministic E-S race, TakeOrdered plan") {
+    val d = (0L until 1000L).map(i => (i, if (i < 500L) 1.0 else 20.0))
+      .toDF("doc_id", "w")
+    val got = Sampling.sampleByWeight(d, "doc_id", "w", k = 100)
+    val ids = got.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.size == 100)
+    // partitioning-invariant
+    val ids7 = Sampling.sampleByWeight(d.repartition(7), "doc_id", "w", k = 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids7 == ids)
+    // weight-20 rows should dominate a 100-of-1000 draw overwhelmingly
+    assert(ids.count(_ >= 500L) > 80, s"heavy rows: ${ids.count(_ >= 500L)}")
+    // zero/negative/null weights can never win
+    val dz = Seq((1L, 0.0), (2L, -3.0), (3L, 5.0)).toDF("doc_id", "w")
+    assert(Sampling.sampleByWeight(dz, "doc_id", "w", k = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(3L))
+    // bounded per-partition top-k, never a global sort
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"global sort in plan:\n$plan")
+  }
+
+  test("edit verification: code-point levenshtein, banded threshold") {
+    val d = Seq(
+      (0L, "kitten ran home"), (1L, "sitting ran home"),
+      (2L, "café au lait"), (3L, "cafe au lait"),
+      (4L, "totally unrelated text that differs everywhere")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L), (2L, 3L), (0L, 4L)).toDF("id_a", "id_b")
+    val r = Dedup.editVerifiedPairs(d, "text", "doc_id", pairs,
+        prefixLen = 64, maxDist = 10)
+      .collect().map(x => (x.getAs[Long]("id_a"), x.getAs[Long]("id_b")) ->
+        (x.getAs[Int]("dist"), x.getAs[Double]("edit_sim"))).toMap
+    assert(r((0L, 1L))._1 == 3) // kitten -> sitting, classic 3
+    // é vs e is ONE code-point edit (byte-based would say 2)
+    assert(r((2L, 3L))._1 == 1)
+    assert(!r.contains((0L, 4L))) // past maxDist: banded DP exits, pair drops
+    assert(r((2L, 3L))._2 == math.rint((1.0 - 1.0 / 12) * 1e6) / 1e6)
+  }
+
+  test("column profile: one pass, exact and approx modes, null accounting") {
+    val d = spark.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](
+        org.apache.spark.sql.Row("a", java.lang.Long.valueOf(1L)),
+        org.apache.spark.sql.Row("b", java.lang.Long.valueOf(2L)),
+        org.apache.spark.sql.Row(null, java.lang.Long.valueOf(2L))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType, true),
+        org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType, false))))
+    val p = Corpus.columnProfile(d, Seq("s", "n"), exact = true)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(p("s") == ((3L, 1L, 2L, "a", "b")))
+    assert(p("n") == ((3L, 0L, 2L, "1", "2")))
+    // approx mode agrees on tiny cardinalities and still runs one pass
+    val pa = Corpus.columnProfile(d, Seq("s", "n"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(pa("s") == 2L && pa("n") == 2L)
+    intercept[IllegalArgumentException] {
+      Corpus.columnProfile(d, Seq("missing"))
+    }
+  }
 }
