@@ -217,21 +217,28 @@ object Bench {
       bigDocs.unpersist(blocking = false)
     }
 
-    // --- interval-join scale bench: 200k events over 2k keys, ~100
-    // events/key, 1e8-wide window over a 1e9 ts span (~10 matches per
-    // left row). Times the bucketed equi-join against the naive θ-join
-    // ON THE SAME DATA in the same JVM — the θ-join's per-key cross
-    // product (~100x the matched pairs here) is what the bucketing
-    // removes, and the same-JVM ratio stays valid under machine noise.
-    // Row-count equality of the two spellings is asserted every run.
+    // --- interval-join scale bench: 200k events over only 100 keys
+    // (2,000 events/key — the DENSE regime the bucketed form exists
+    // for), 1e7-wide window over a 1e9 ts span (~20 matches per left
+    // row). Times the bucketed equi-join against the naive θ-join ON
+    // THE SAME DATA in the same JVM: the θ-join's per-key cross product
+    // evaluates ~100 candidates per match here and grows quadratically
+    // with key density, while the bucketed join's work tracks window
+    // occupancy. (At UNIFORM low density — ~100 events/key — the naive
+    // spelling is actually slightly cheaper, 0.22 vs 0.30 s measured,
+    // because the explode + wider key cost more than the small cross
+    // product; the operator's value is precisely the dense/skewed
+    // regime, which AQE cannot rescue for a θ-join.) The same-JVM ratio
+    // stays valid under machine noise; row-count equality of the two
+    // spellings is asserted every run.
     {
       val ev = spark.range(200000).select(
           col("id").as("eid"),
-          pmod(col("id"), lit(2000)).as("k"),
+          pmod(col("id"), lit(100)).as("k"),
           pmod(col("id") * 2654435761L, lit(1000000000L)).as("ts"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       ev.count()
-      val hi = 100000000L
+      val hi = 10000000L
       def bucketed(): Long =
         graft.operators.AsOfJoin.joinRange(ev, ev, "k", "ts", 0L, hi).count()
       def naive(): Long = {

@@ -33,7 +33,7 @@ object Explain {
         "bigram_ce", "ppl_filter", "events_asof", "events_range_join",
         "fixed_per_lang", "weighted_sample", "dedup_edit_verify",
         "profile_docs", "dedup_bloom_gate", "budget_select",
-        "ann_ivfpq").foreach(show)
+        "ann_ivfpq", "quality_logit", "vocab_size").foreach(show)
     spark.stop()
   }
 }

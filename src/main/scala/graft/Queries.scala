@@ -876,6 +876,20 @@ object Queries {
           .select(col("id").as("doc_id"), col("n_tok"), col("mean_tok_len"),
                   col("alpha_ratio"), col("n_stop"), col("pass"))),
 
+      // fastText/CCNet-style linear quality classifier (inference):
+      // logistic score over the Gopher signals, weights supplied by the
+      // caller (defaults here) — one gopher_stats kernel pass per row,
+      // features rounded before the dot product for cross-engine parity
+      "quality_logit" -> ((s, dir) =>
+        Corpus.qualityLogit(docs(s, dir), "text", "doc_id")
+          .select(col("id").as("doc_id"), col("score"), col("keep"))),
+
+      // corpus vocabulary size: exact here for the oracle; the operator
+      // defaults to the one-pass HLL sketch at scale (spec pins the
+      // sketch within tolerance of exact)
+      "vocab_size" -> ((s, dir) =>
+        Corpus.vocabStats(docs(s, dir), "text", exact = true)),
+
       // context-window chunking (64-token windows, 8-token overlap)
       "doc_chunks" -> ((s, dir) =>
         Corpus.chunkByTokens(docs(s, dir), "text", "doc_id",
@@ -2358,6 +2372,43 @@ object Queries {
          |       (n_tok BETWEEN 30 AND 100000 AND mean_tok_len BETWEEN 3 AND 10
          |        AND alpha_ratio >= 0.8 AND n_stop >= 1) AS pass
          |FROM g""".stripMargin,
+
+    // same feature replay as gopher_filter, then the logistic dot
+    // product in the engine's left-to-right addition order; features
+    // rounded to 6 BEFORE the product, score after the sigmoid (the
+    // ln/exp ulp convention). Constants CAST AS DOUBLE — bare literals
+    // parse as DECIMAL in DuckDB.
+    "quality_logit" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents WHERE text IS NOT NULL),
+         |g AS (SELECT doc_id, len(toks) AS n_tok,
+         |        CASE WHEN len(toks) = 0 THEN 0
+         |             ELSE round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+         |                        / len(toks), 6) END AS f_mean,
+         |        CASE WHEN len(toks) = 0 THEN 0
+         |             ELSE round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+         |                        / len(toks), 6) END AS f_alpha,
+         |        CASE WHEN len(toks) = 0 THEN 0
+         |             ELSE round(CAST(len(list_filter(toks, x -> list_contains([$duckStopwords], x))) AS DOUBLE)
+         |                        / len(toks), 6) END AS f_stop
+         |      FROM t),
+         |z AS (SELECT doc_id,
+         |        CAST(-2.0 AS DOUBLE)
+         |          + CAST(0.4 AS DOUBLE) * round(ln(1.0 + n_tok), 6)
+         |          + CAST(0.1 AS DOUBLE) * f_mean
+         |          + CAST(1.5 AS DOUBLE) * f_alpha
+         |          + CAST(2.0 AS DOUBLE) * f_stop AS z
+         |      FROM g)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |       CAST(round(1.0 / (1.0 + exp(-z)), 6) AS DOUBLE) AS score,
+         |       round(1.0 / (1.0 + exp(-z)), 6) >= CAST(0.5 AS DOUBLE) AS keep
+         |FROM z""".stripMargin,
+
+    "vocab_size" ->
+      s"""SELECT CAST(count(DISTINCT tok) AS BIGINT) AS n_vocab,
+         |       CAST(count(*) AS BIGINT) AS n_instances
+         |FROM (SELECT unnest(toks) AS tok
+         |      FROM (SELECT $duckToks AS toks
+         |            FROM documents WHERE text IS NOT NULL))""".stripMargin,
 
     "doc_chunks" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents WHERE text IS NOT NULL),

@@ -588,6 +588,59 @@ object Corpus {
         col("n_stop") >= minStopHits)
   }
 
+  /** fastText-style linear quality classifier — INFERENCE ONLY: a
+    * logistic score over the interpretable Gopher signals,
+    * `sigmoid(b + w·f)` with features `(ln(1+n_tok), mean_tok_len,
+    * alpha_ratio, stop_ratio)`. Weights come from the caller (trained
+    * offline on labeled quality data); the defaults are a hand-tuned
+    * prior that rewards prose-shaped text. This is the standard shape of
+    * CCNet/fastText quality gates: training happens out-of-band, the
+    * 100 TB pass is one embarrassingly-parallel scoring scan.
+    *
+    * Determinism: every feature is rounded to 6 decimals BEFORE the
+    * dot product and the score to 6 after the sigmoid, so an oracle
+    * replaying ln/exp in another engine agrees despite ulp differences
+    * (the CE/tfidf convention). One `gopher_stats` kernel pass per row
+    * via `Materialize.once` — the four feature references share a
+    * single evaluation.
+    */
+  def qualityLogit(df: DataFrame, textCol: String, idCol: String,
+                   stopWords: Seq[String] = TextFunctions.englishStopwords,
+                   bias: Double = -2.0, wLogTok: Double = 0.4,
+                   wMeanLen: Double = 0.1, wAlphaRatio: Double = 1.5,
+                   wStopRatio: Double = 2.0,
+                   threshold: Double = 0.5): DataFrame = {
+    val st = col("__ql")
+    val n = st.getItem(0)
+    val fLen = round(log(lit(1.0) + n), 6)
+    def ratio(item: Int) =
+      when(n === 0, 0.0).otherwise(round(st.getItem(item).cast("double") / n, 6))
+    val z = lit(bias) + lit(wLogTok) * fLen + lit(wMeanLen) * ratio(1) +
+      lit(wAlphaRatio) * ratio(2) + lit(wStopRatio) * ratio(3)
+    Materialize.once(
+        df.where(col(textCol).isNotNull)
+          .select(col(idCol).cast("long").as("id"), col(textCol)),
+        "__ql", graft.plans.GraftFunctions.gopher_stats(col(textCol), stopWords))
+      .select(col("id"), round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("score"))
+      .withColumn("keep", col("score") >= threshold)
+  }
+
+  /** Corpus vocabulary size and token-instance count. Distinct-token
+    * counting defaults to an HLL sketch (`approx_count_distinct`): one
+    * pass, mergeable partials, no shuffle of the full vocabulary —
+    * at 100 TB the exact distinct is a vocabulary-sized shuffle that
+    * buys ~2% precision nobody needs for mixture planning. `exact =
+    * true` opts in for oracle-grade runs. Rows stream through the
+    * `token_tf` kernel (per-doc distinct terms + in-doc counts), so
+    * the aggregate sees ~10x fewer rows than a raw token explode.
+    */
+  def vocabStats(df: DataFrame, textCol: String,
+                 exact: Boolean = false): DataFrame =
+    df.select(explode(graft.plans.GraftFunctions.token_tf(col(textCol))).as("kv"))
+      .agg((if (exact) count_distinct(col("kv.token"))
+            else approx_count_distinct(col("kv.token"))).as("n_vocab"),
+        sum(col("kv.tf")).cast("long").as("n_instances"))
+
   /** Per-column data profile — the schema health check run before any
     * pipeline stage trusts a new corpus drop: row count, null count,
     * distinct count, lexicographic min/max (values cast to string so

@@ -702,6 +702,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalizeOf].getName, "nfc_normalize"),
       GraftExtensions.nfcNormalizeBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("topn_smallest"),
+      new ExpressionInfo(classOf[TopNSmallestByKey].getName, "topn_smallest"),
+      GraftExtensions.topnSmallestBuilder))
   }
 }
 
@@ -758,5 +762,14 @@ object GraftExtensions {
   val nfcNormalizeBuilder: Seq[Expression] => Expression = { args =>
     require(args.length == 1, "nfc_normalize requires exactly one text argument")
     NfcNormalizeOf(args.head)
+  }
+  // returns the raw AggregateFunction: the analyzer (ResolveFunctions)
+  // wraps registered aggregates in AggregateExpression itself, exactly
+  // as for built-in SQL aggregates
+  val topnSmallestBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 3,
+      "topn_smallest requires (key string, id bigint, n int-literal)")
+    TopNSmallestByKey(args(0), args(1),
+      checkedInt("topn_smallest", args, 2, None))
   }
 }

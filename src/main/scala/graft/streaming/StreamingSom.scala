@@ -152,6 +152,31 @@ object StreamingSom {
       .drop("a_ts")
   }
 
+  /** Streaming interval join — the unbounded-input twin of
+    * `AsOfJoin.joinRange`: every (left, right) pair sharing `keyCol`
+    * with `right.ts` in `[left.ts + lo, left.ts + hi]`. Spelled as a
+    * native stream-stream equi-join with an event-time range condition,
+    * which is exactly the form Spark can bound state for: given
+    * watermarks on both sides and the range bound, each side's buffer
+    * retains only rows inside watermark + window — no unbounded state,
+    * no batch backfill job. `lo`/`hi` are INTERVAL strings (streaming
+    * watermarks require real timestamp columns, not epoch-nanos longs;
+    * the batch operator's long arithmetic has no streaming analogue).
+    * Output columns are prefixed `l_`/`r_` like the batch twin.
+    */
+  def rangeJoinStream(left: DataFrame, right: DataFrame, keyCol: String,
+                      tsCol: String, lo: String, hi: String,
+                      watermarkDur: String): DataFrame = {
+    val l = left.select(left.columns.map(c => col(c).as(s"l_$c")).toIndexedSeq: _*)
+      .withWatermark(s"l_$tsCol", watermarkDur)
+    val r = right.select(right.columns.map(c => col(c).as(s"r_$c")).toIndexedSeq: _*)
+      .withWatermark(s"r_$tsCol", watermarkDur)
+    l.join(r,
+      col(s"l_$keyCol") === col(s"r_$keyCol") &&
+      col(s"r_$tsCol") >= col(s"l_$tsCol") + expr(s"INTERVAL $lo") &&
+      col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $hi"))
+  }
+
   /** Stateful streaming sessionization via `mapGroupsWithState` — the
     * unbounded-input twin of the batch `events_sessionize` query: per
     * user, a session counter advances whenever the gap to the previous

@@ -1550,6 +1550,45 @@ class PipelineSpec extends SparkSpec {
     assert(r((2L, 3L))._2 == math.rint((1.0 - 1.0 / 12) * 1e6) / 1e6)
   }
 
+  test("quality logit: sigmoid of rounded features, prose beats noise") {
+    val d = Seq(
+      (0L, "the quick brown fox and the lazy dog were in a field of green"),
+      (1L, "x9$ 77## @@@@ 0x1f 0x2e 9999 $$$$"),
+      (2L, "")
+    ).toDF("doc_id", "text")
+    val r = Corpus.qualityLogit(d, "text", "doc_id")
+      .collect().map(x => x.getAs[Long]("id") ->
+        (x.getAs[Double]("score"), x.getAs[Boolean]("keep"))).toMap
+    assert(r.values.forall { case (s, _) => s > 0.0 && s < 1.0 })
+    assert(r(0L)._1 > r(1L)._1, s"prose must outscore noise: $r")
+    // empty doc: every feature 0 -> sigmoid(bias) exactly
+    assert(r(2L)._1 == BigDecimal(1.0 / (1.0 + math.exp(2.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r(0L)._2 || !r(0L)._2) // keep is well-defined (no nulls)
+    // threshold is applied to the ROUNDED score
+    val all = Corpus.qualityLogit(d, "text", "doc_id", threshold = 0.0)
+    assert(all.collect().forall(_.getAs[Boolean]("keep")))
+  }
+
+  test("vocab stats: exact counts; HLL sketch lands within tolerance") {
+    val d = Seq(
+      (0L, "a b c a"), (1L, "b c d"), (2L, "")
+    ).toDF("doc_id", "text")
+    val ex = Corpus.vocabStats(d, "text", exact = true).collect().head
+    assert(ex.getAs[Long]("n_vocab") == 4L && ex.getAs[Long]("n_instances") == 7L)
+    // sketch mode: same instance count, distinct within HLL tolerance
+    val ap = Corpus.vocabStats(d, "text").collect().head
+    assert(ap.getAs[Long]("n_instances") == 7L)
+    assert(math.abs(ap.getAs[Long]("n_vocab") - 4L) <= 1L)
+    // at a realistic cardinality the sketch stays within ~5%
+    val big = (0L until 2000L).map(i => (i, s"tok$i tok${i + 1} shared"))
+      .toDF("doc_id", "text")
+    val exBig = Corpus.vocabStats(big, "text", exact = true).collect().head.getAs[Long]("n_vocab")
+    val apBig = Corpus.vocabStats(big, "text").collect().head.getAs[Long]("n_vocab")
+    assert(math.abs(apBig - exBig).toDouble / exBig < 0.05,
+      s"HLL drift: exact=$exBig approx=$apBig")
+  }
+
   test("column profile: one pass, exact and approx modes, null accounting") {
     val d = spark.createDataFrame(
       java.util.List.of[org.apache.spark.sql.Row](

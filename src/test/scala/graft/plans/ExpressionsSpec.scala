@@ -371,5 +371,60 @@ class ExpressionsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       GraftExtensions.nfcNormalizeBuilder(Seq.empty)
     }
+    // the aggregate builder returns the raw AggregateFunction (the
+    // analyzer wraps it); n must be a literal
+    val tn = GraftExtensions.topnSmallestBuilder(Seq(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.catalyst.expressions.BoundReference(1,
+        org.apache.spark.sql.types.LongType, nullable = true),
+      Literal(3)))
+    assert(tn.isInstanceOf[TopNSmallestByKey] &&
+      tn.asInstanceOf[TopNSmallestByKey].n == 3)
+    intercept[IllegalArgumentException] {
+      GraftExtensions.topnSmallestBuilder(Seq(Literal(1)))
+    }
+  }
+
+  test("topn_smallest aggregate: bounded heap, merge == concat, SQL surface") {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val agg = TopNSmallestByKey(
+      BoundReference(0, org.apache.spark.sql.types.StringType, nullable = true),
+      BoundReference(1, org.apache.spark.sql.types.LongType, nullable = true),
+      n = 2)
+    def row(k: String, id: Long) =
+      InternalRow(if (k == null) null else UTF8String.fromString(k), id)
+    // split the stream across two buffers, merge, compare with one pass
+    val all = Seq(("d", 4L), ("a", 1L), ("c", 3L), ("b", 2L), ("a", 0L), (null, 9L))
+    val one = all.foldLeft(agg.createAggregationBuffer()) {
+      case (b, (k, i)) => agg.update(b, row(k, i)) }
+    val (h1, h2) = all.splitAt(3)
+    val b1 = h1.foldLeft(agg.createAggregationBuffer()) {
+      case (b, (k, i)) => agg.update(b, row(k, i)) }
+    val b2 = h2.foldLeft(agg.createAggregationBuffer()) {
+      case (b, (k, i)) => agg.update(b, row(k, i)) }
+    // round-trip b2 through serialization like a real shuffle would
+    val merged = agg.merge(b1, agg.deserialize(agg.serialize(b2)))
+    def resultOf(buf: scala.collection.mutable.PriorityQueue[(String, Long)]) =
+      agg.eval(buf).asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+        .array.toSeq.map { r =>
+          val ir = r.asInstanceOf[InternalRow]
+          (ir.getUTF8String(0).toString, ir.getLong(1))
+        }
+    assert(resultOf(one) == Seq(("a", 0L), ("a", 1L)))
+    assert(resultOf(merged) == resultOf(one)) // partition-invariant, nulls skipped
+    // end-to-end through the Column API with grouping
+    val df = Seq(("g1", "x", 1L), ("g1", "y", 2L), ("g1", "z", 3L),
+      ("g2", "q", 9L)).toDF("g", "k", "id")
+    val got = df.groupBy("g")
+      .agg(TopNFunctions.topn_smallest(
+        org.apache.spark.sql.functions.col("k"),
+        org.apache.spark.sql.functions.col("id"), 2).as("sel"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getString(0), x.getLong(1)))).toMap
+    assert(got("g1") == Seq(("x", 1L), ("y", 2L)))
+    assert(got("g2") == Seq(("q", 9L)))
   }
 }

@@ -280,6 +280,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming interval join matches the batch range join on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = StreamingSom.rangeJoinStream(
+      clicks.toDF().toDF("cid", "user", "ts"),
+      buys.toDF().toDF("pid", "user", "ts"),
+      "user", "ts", lo = "0 seconds", hi = "10 minutes",
+      watermarkDur = "1 hour")
+      .select(col("l_cid"), col("r_pid"))
+    val q = joined.writeStream.format("memory").queryName("rj_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, 7L, ts(0)), (2L, 7L, ts(30)), (3L, 8L, ts(0)))
+      buys.addData((10L, 7L, ts(5)), (11L, 7L, ts(45)), (12L, 9L, ts(5)))
+      q.processAllAvailable()
+      // push watermarks forward to flush all append-mode results
+      clicks.addData((98L, 98L, java.sql.Timestamp.valueOf("2026-01-01 20:00:00")))
+      buys.addData((99L, 99L, java.sql.Timestamp.valueOf("2026-01-01 20:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("rj_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch twin on identical data (epoch-nanos long form)
+      val nsOf = (t: java.sql.Timestamp) => t.getTime * 1000000L
+      val bl = Seq((1L, 7L, nsOf(ts(0))), (2L, 7L, nsOf(ts(30))), (3L, 8L, nsOf(ts(0))))
+        .toDF("cid", "user", "ts")
+      val br = Seq((10L, 7L, nsOf(ts(5))), (11L, 7L, nsOf(ts(45))), (12L, 9L, nsOf(ts(5))))
+        .toDF("pid", "user", "ts")
+      val batch = graft.operators.AsOfJoin.joinRange(bl, br, "user", "ts",
+          0L, 600000000000L)
+        .select(col("l_cid"), col("r_pid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == batch, s"stream=$got batch=$batch")
+      assert(got == Set((1L, 10L))) // (2,11): 15 min gap; user 8/9: no match
+    } finally q.stop()
+  }
+
   test("incremental training over micro-batches decreases QE") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new scala.util.Random(21)
