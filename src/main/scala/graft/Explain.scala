@@ -33,7 +33,9 @@ object Explain {
         "bigram_ce", "ppl_filter", "events_asof", "events_range_join",
         "fixed_per_lang", "weighted_sample", "dedup_edit_verify",
         "profile_docs", "dedup_bloom_gate", "budget_select",
-        "ann_ivfpq", "quality_logit", "vocab_size").foreach(show)
+        "ann_ivfpq", "quality_logit", "vocab_size", "dedup_keep_best",
+        "strip_markup", "doc_len_quantiles", "len_histogram",
+        "events_rolling", "emb_norm_stats", "dedup_pr").foreach(show)
     spark.stop()
   }
 }

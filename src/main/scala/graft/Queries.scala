@@ -406,6 +406,23 @@ object Queries {
                   col("keep_id").cast("long").as("keep_id"))
       }),
 
+      // quality-aware duplicate resolution: per near-dup cluster keep
+      // the HIGHEST quality_logit score (ties: min id) — one partial
+      // max(struct) per cluster, never a per-cluster rank window
+      "dedup_keep_best" -> ((s, dir) => {
+        val d = docs(s, dir)
+        val cands = Dedup.ngramJaccardPairs(d, "text", "doc_id",
+            n = 3, maxOffset = 5)
+          .where(col("jaccard") >= 0.5)
+        val labels = Dedup.resolveDuplicateClusters(cands)
+        val scored = Corpus.qualityLogit(d, "text", "doc_id")
+        Dedup.keepBestPerCluster(labels.select(col("id").cast("long").as("id"),
+            col("keep_id").cast("long").as("keep_id")),
+            scored.select(col("id"), col("score")))
+          .select(col("cluster"), col("best_id"), col("best_score"),
+            col("n_members"))
+      }),
+
       // minhash candidates -> cluster resolution (the production
       // pairing; oracled end to end via the signature replay + the
       // unrolled connected-components fixpoint)
@@ -476,6 +493,63 @@ object Queries {
             pairs, prefixLen = 256, maxDist = 64)
           .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"),
             col("edit_sim"))
+      }),
+
+      // per-label embedding norm profile: the vector-side health check
+      // (collapsed/exploded norms break cosine ops) — one kernel dot
+      // per row, one map-side-combined agg per label
+      "emb_norm_stats" -> ((s, dir) =>
+        emb(s, dir).select(col("label").cast("long").as("label"),
+            sqrt(graft.plans.VecFunctions.vec_dot(col("embedding"),
+              col("embedding"))).as("nrm"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_vecs"),
+            round(min("nrm"), 6).as("min_norm"),
+            round(max("nrm"), 6).as("max_norm"),
+            round(sum("nrm") / count(lit(1)), 6).as("mean_norm"))),
+
+      // MinHash banding quality metric: precision/recall of the LSH
+      // candidate set against EXACT word-shingle jaccard >= 0.5 ground
+      // truth over a deterministic 50% hash sample — all pairs within
+      // the sample (bounded, eval-only quadratic: the same contract as
+      // ann_recall's brute-force leg). Truth jaccard runs on md5-hashed
+      // sorted shingle sets via the codegen sorted-merge intersect;
+      // banding is per-pair, so candidates-on-full restricted to
+      // sampled endpoints == candidates-on-sample. Pins banding
+      // regressions in CORRECTNESS the way ann_recall pins ANN recall.
+      "dedup_pr" -> ((s, dir) => {
+        val d = docs(s, dir)
+        def inSample(c: org.apache.spark.sql.Column) =
+          substring(md5(concat(lit("pr"), c.cast("string"))), 1, 8) < "80000000"
+        val sh = d.where(inSample(col("doc_id")))
+          .select(col("doc_id").cast("long").as("id"),
+            array_sort(array_distinct(transform(wordShingles(col("text"), 3),
+              x => conv(substring(md5(x), 1, 15), 16, 10).cast("long")))).as("hs"))
+          .where(size(col("hs")) > 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val a = sh.select(col("id").as("id_a"), col("hs").as("hs_a"))
+        val b = sh.select(col("id").as("id_b"), col("hs").as("hs_b"))
+        val truth = a.crossJoin(b).where(col("id_b") > col("id_a"))
+          .withColumn("inter",
+            graft.plans.GraftFunctions.sorted_inter_count(col("hs_a"), col("hs_b")))
+          .withColumn("uni",
+            size(col("hs_a")) + size(col("hs_b")) - col("inter"))
+          .where(col("inter") / greatest(col("uni"), lit(1)) >= 0.5)
+          .select(col("id_a"), col("id_b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        truth.count() // materialize: referenced by the count AND the hit semi-join
+        sh.unpersist(blocking = false)
+        val pred = Dedup.minhashCandidates(d, "text", "doc_id")
+          .where(col("est_jaccard") >= 0.5 &&
+            inSample(col("id_a")) && inSample(col("id_b")))
+          .select(col("id_a"), col("id_b"))
+        val hit = pred.join(truth, Seq("id_a", "id_b"), "left_semi")
+        truth.agg(count(lit(1)).as("n_truth"))
+          .crossJoin(pred.agg(count(lit(1)).as("n_pred")))
+          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+          .select(col("n_truth"), col("n_pred"), col("n_hit"),
+            round(col("n_hit") / greatest(col("n_pred"), lit(1)), 6).as("precision"),
+            round(col("n_hit") / greatest(col("n_truth"), lit(1)), 6).as("recall"))
       }),
 
       // per-label embedding centroids (class prototypes): one map-side-
@@ -855,6 +929,20 @@ object Queries {
         Corpus.corpusStats(s.read.parquet(s"$dir/documents.parquet"),
           "text", Seq("source", "lang"))),
 
+      // per-language length quantiles: exact here for the oracle (Spark
+      // percentile == DuckDB quantile_cont, same p*(n-1) linear
+      // interpolation); the operator defaults to the mergeable
+      // approx_percentile sketch at scale
+      "doc_len_quantiles" -> ((s, dir) =>
+        Corpus.groupQuantiles(docs(s, dir), "n_chars", "lang",
+            Seq(0.25, 0.5, 0.75), exact = true)
+          .select(col("grp").as("lang"), col("p"), col("q"))),
+
+      // fixed-width document-length histogram: aligned long buckets,
+      // one map-side-combined count per bucket
+      "len_histogram" -> ((s, dir) =>
+        Corpus.histogram(docs(s, dir), "n_chars", width = 100L)),
+
       // per-column data profile of the raw documents table: one
       // aggregation pass for every column's rows/nulls/distinct/min/max
       // (exact distincts here for the oracle; the operator defaults to
@@ -875,6 +963,13 @@ object Queries {
             stopWords = graft.functions.TextFunctions.englishStopwords)
           .select(col("id").as("doc_id"), col("n_tok"), col("mean_tok_len"),
                   col("alpha_ratio"), col("n_stop"), col("pass"))),
+
+      // HTML/markup stripping: script/style blocks and tags drop, the
+      // six ubiquitous entities decode (&amp; last — escaped markup
+      // stays literal), whitespace collapses
+      "strip_markup" -> ((s, dir) =>
+        docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+          stripMarkup(col("text")).as("clean"))),
 
       // fastText/CCNet-style linear quality classifier (inference):
       // logistic score over the Gopher signals, weights supplied by the
@@ -1115,6 +1210,20 @@ object Queries {
           "user_id", "ts", lo = 1L, hi = 3600000000000L)
         .select(col("l_event_id").as("c_id"), col("r_event_id").as("p_id"),
           (col("r_ts") - col("l_ts")).as("gap_ns"))
+    }),
+
+    // per-user trailing-hour rolling sum: RANGE frame over exact
+    // epoch-nanos longs — per-key window partitions (splittable across
+    // the user space); round(.,4) absorbs frame-summation FP order
+    "events_rolling" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"))
+        .rangeBetween(-3600000000000L, 0L)
+      eventsNs(s, dir)
+        .select(col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"),
+          col("ts").cast("long").as("ts"), col("value"))
+        .withColumn("roll_sum", round(sum("value").over(w), 4))
     }),
 
     "events_sessionize" -> ((s, dir) => {
@@ -1467,6 +1576,33 @@ object Queries {
          |  FROM step$i s LEFT JOIN step$i j ON j.id = s.keep_id
          |)""".stripMargin
     }.mkString(", ")
+
+  // shared by the quality_logit oracle and, as a nested CTE, by the
+  // dedup_keep_best oracle
+  private lazy val qualityLogitOracle: String =
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents WHERE text IS NOT NULL),
+         |g AS (SELECT doc_id, len(toks) AS n_tok,
+         |        CASE WHEN len(toks) = 0 THEN 0
+         |             ELSE round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+         |                        / len(toks), 6) END AS f_mean,
+         |        CASE WHEN len(toks) = 0 THEN 0
+         |             ELSE round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+         |                        / len(toks), 6) END AS f_alpha,
+         |        CASE WHEN len(toks) = 0 THEN 0
+         |             ELSE round(CAST(len(list_filter(toks, x -> list_contains([$duckStopwords], x))) AS DOUBLE)
+         |                        / len(toks), 6) END AS f_stop
+         |      FROM t),
+         |z AS (SELECT doc_id,
+         |        CAST(-2.0 AS DOUBLE)
+         |          + CAST(0.4 AS DOUBLE) * round(ln(1.0 + n_tok), 6)
+         |          + CAST(0.1 AS DOUBLE) * f_mean
+         |          + CAST(1.5 AS DOUBLE) * f_alpha
+         |          + CAST(2.0 AS DOUBLE) * f_stop AS z
+         |      FROM g)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |       CAST(round(1.0 / (1.0 + exp(-z)), 6) AS DOUBLE) AS score,
+         |       round(1.0 / (1.0 + exp(-z)), 6) >= CAST(0.5 AS DOUBLE) AS keep
+         |FROM z""".stripMargin
 
   private lazy val resolveClustersOracle: String = {
     val rounds = 16
@@ -1907,6 +2043,58 @@ object Queries {
          |  AND NOT EXISTS (SELECT 1 FROM fp c
          |                  WHERE c.source < 'src5' AND c.fp = b.fp)""".stripMargin,
 
+    "emb_norm_stats" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, sqrt(sum(v * v)) AS nrm
+        |      FROM ex GROUP BY vec_id, label)
+        |SELECT CAST(label AS BIGINT) AS label,
+        |       CAST(count(*) AS BIGINT) AS n_vecs,
+        |       CAST(round(min(nrm), 6) AS DOUBLE) AS min_norm,
+        |       CAST(round(max(nrm), 6) AS DOUBLE) AS max_norm,
+        |       CAST(round(sum(nrm) / count(*), 6) AS DOUBLE) AS mean_norm
+        |FROM n GROUP BY label""".stripMargin,
+
+    // ground truth = exact word-shingle jaccard over a deterministic
+    // 50% md5 sample, all in-sample pairs; shingles md5-hashed to
+    // 60-bit ints on BOTH engines so the sets compare as integers. The
+    // prediction leg nests the full minhash signature replay restricted
+    // to in-sample endpoints (banding is per-pair, so this equals
+    // banding the sample). /64 agreement fractions are exact at 6
+    // decimals, so the 0.5 cuts agree bit-for-bit across engines.
+    "dedup_pr" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+         |           AND substr(md5(concat('pr', CAST(doc_id AS VARCHAR))), 1, 8) < '80000000'),
+         |t AS (SELECT doc_id, $duckToks AS toks FROM d),
+         |sh AS MATERIALIZED (
+         |  SELECT doc_id AS id,
+         |         list_sort(list_distinct(list_transform(
+         |           list_distinct(list_transform(generate_series(1, len(toks) - 2),
+         |             i -> array_to_string(toks[i:i+2], ' '))),
+         |           s -> ('0x' || substr(md5(s), 1, 15))::BIGINT))) AS hs
+         |  FROM t WHERE len(toks) >= 3),
+         |tr AS MATERIALIZED (
+         |  SELECT a.id AS id_a, b.id AS id_b
+         |  FROM sh a JOIN sh b ON b.id > a.id
+         |  WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+         |        / greatest(len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)), 1) >= 0.5),
+         |pr AS MATERIALIZED (
+         |  SELECT id_a, id_b FROM (
+         |${HashOracleSql.minhashCandidates}
+         |  ) WHERE est_jaccard >= 0.5
+         |    AND substr(md5(concat('pr', CAST(id_a AS VARCHAR))), 1, 8) < '80000000'
+         |    AND substr(md5(concat('pr', CAST(id_b AS VARCHAR))), 1, 8) < '80000000'),
+         |hit AS (SELECT tr.id_a FROM tr JOIN pr
+         |        ON pr.id_a = tr.id_a AND pr.id_b = tr.id_b)
+         |SELECT CAST((SELECT count(*) FROM tr) AS BIGINT) AS n_truth,
+         |       CAST((SELECT count(*) FROM pr) AS BIGINT) AS n_pred,
+         |       CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+         |       CAST(round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+         |            / greatest((SELECT count(*) FROM pr), 1), 6) AS DOUBLE) AS precision,
+         |       CAST(round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+         |            / greatest((SELECT count(*) FROM tr), 1), 6) AS DOUBLE) AS recall""".stripMargin,
+
     "label_centroids" ->
       """SELECT CAST(label AS BIGINT) AS label,
         |       CAST(u.i - 1 AS BIGINT) AS dim,
@@ -2320,6 +2508,23 @@ object Queries {
          |                  FILTER (WHERE rn = 1), '') AS clean_text
          |FROM rk GROUP BY doc_id""".stripMargin,
 
+    // quantile_cont == Spark's exact percentile: both linear-interpolate
+    // at index p*(n-1) on the sorted values
+    "doc_len_quantiles" ->
+      """WITH q AS (
+        |  SELECT lang, quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS qs
+        |  FROM documents WHERE text IS NOT NULL GROUP BY lang),
+        |ps(i, p) AS (VALUES (1, CAST(0.25 AS DOUBLE)), (2, CAST(0.5 AS DOUBLE)),
+        |                    (3, CAST(0.75 AS DOUBLE)))
+        |SELECT q.lang, ps.p, CAST(round(qs[ps.i], 6) AS DOUBLE) AS q
+        |FROM q, ps""".stripMargin,
+
+    "len_histogram" ->
+      """SELECT CAST(n_chars - (n_chars % 100) AS BIGINT) AS bucket_start,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
     // one UNION ALL leg per profiled column; both engines compare
     // strings with binary collation, so min_s/max_s agree byte-for-byte
     "profile_docs" -> Seq("doc_id", "text", "lang", "source", "n_chars")
@@ -2378,30 +2583,44 @@ object Queries {
     // rounded to 6 BEFORE the product, score after the sigmoid (the
     // ln/exp ulp convention). Constants CAST AS DOUBLE — bare literals
     // parse as DECIMAL in DuckDB.
-    "quality_logit" ->
-      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents WHERE text IS NOT NULL),
-         |g AS (SELECT doc_id, len(toks) AS n_tok,
-         |        CASE WHEN len(toks) = 0 THEN 0
-         |             ELSE round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
-         |                        / len(toks), 6) END AS f_mean,
-         |        CASE WHEN len(toks) = 0 THEN 0
-         |             ELSE round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
-         |                        / len(toks), 6) END AS f_alpha,
-         |        CASE WHEN len(toks) = 0 THEN 0
-         |             ELSE round(CAST(len(list_filter(toks, x -> list_contains([$duckStopwords], x))) AS DOUBLE)
-         |                        / len(toks), 6) END AS f_stop
-         |      FROM t),
-         |z AS (SELECT doc_id,
-         |        CAST(-2.0 AS DOUBLE)
-         |          + CAST(0.4 AS DOUBLE) * round(ln(1.0 + n_tok), 6)
-         |          + CAST(0.1 AS DOUBLE) * f_mean
-         |          + CAST(1.5 AS DOUBLE) * f_alpha
-         |          + CAST(2.0 AS DOUBLE) * f_stop AS z
-         |      FROM g)
-         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
-         |       CAST(round(1.0 / (1.0 + exp(-z)), 6) AS DOUBLE) AS score,
-         |       round(1.0 / (1.0 + exp(-z)), 6) >= CAST(0.5 AS DOUBLE) AS keep
-         |FROM z""".stripMargin,
+    "quality_logit" -> qualityLogitOracle,
+
+    // the resolver replay (nested CTE) + the quality replay (nested
+    // CTE) + a per-cluster argmax on (score DESC, id ASC) — the window
+    // here is oracle-side only; the engine uses a partial max aggregate
+    "dedup_keep_best" ->
+      s"""WITH lab AS (
+         |$resolveClustersOracle
+         |),
+         |sc AS (
+         |$qualityLogitOracle
+         |),
+         |j AS (SELECT lab.id, lab.keep_id, sc.score
+         |      FROM lab JOIN sc ON sc.doc_id = lab.id),
+         |r AS (SELECT keep_id AS cluster, id, score,
+         |        row_number() OVER (PARTITION BY keep_id
+         |          ORDER BY score DESC, id ASC) AS rn,
+         |        count(*) OVER (PARTITION BY keep_id) AS nm
+         |      FROM j)
+         |SELECT CAST(cluster AS BIGINT) AS cluster,
+         |       CAST(id AS BIGINT) AS best_id,
+         |       CAST(score AS DOUBLE) AS best_score,
+         |       CAST(nm AS BIGINT) AS n_members
+         |FROM r WHERE rn = 1""".stripMargin,
+
+    // same two regex passes + six literal replaces + the normalize_text
+    // whitespace class; patterns are shared Java/RE2 syntax and 'g'
+    // makes DuckDB's regexp_replace global like Spark's
+    "strip_markup" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(
+        |        regexp_replace(text, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |    '[\s\x00-\x1f]+', ' ', 'g')) AS clean
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
     "vocab_size" ->
       s"""SELECT CAST(count(DISTINCT tok) AS BIGINT) AS n_vocab,
@@ -2622,6 +2841,16 @@ object Queries {
         |       CAST(p.ts - c.ts AS BIGINT) AS gap_ns
         |FROM c JOIN p ON c.user_id = p.user_id
         |  AND p.ts >= c.ts + 1 AND p.ts <= c.ts + 3600000000000""".stripMargin,
+
+    "events_rolling" ->
+      """SELECT CAST(event_id AS BIGINT) AS event_id,
+        |       CAST(user_id AS BIGINT) AS user_id,
+        |       CAST(epoch_ns(ts) AS BIGINT) AS ts, value,
+        |       CAST(round(sum(value) OVER (
+        |         PARTITION BY user_id ORDER BY epoch_ns(ts)
+        |         RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW), 4)
+        |         AS DOUBLE) AS roll_sum
+        |FROM events""".stripMargin,
 
     "events_sessionize" ->
       """WITH r AS (

@@ -296,4 +296,27 @@ object TextFunctions {
     */
   def cleanText(text: Column): Column =
     trim(regexp_replace(text, "[\\s\\x00-\\x1F]+", " "))
+
+  /** Strip HTML/XML markup from web-scraped text: tags (incl. script/
+    * style BLOCKS, whose inner text is code, not prose) drop to a
+    * space, the six ubiquitous character entities decode, whitespace
+    * collapses. Deliberately regex-light — a full HTML5 parser is not
+    * expressible as a column and belongs upstream; this is the
+    * extraction-already-happened cleanup pass every web corpus still
+    * needs. Entity decode runs AFTER tag removal, so `&lt;b&gt;` stays
+    * literal text (it was escaped in the source, i.e. not markup) —
+    * same contract as the usual boilerplate-removal tools. The class
+    * patterns are shared Java/RE2 syntax, so any engine replays them.
+    */
+  def stripMarkup(text: Column): Column = {
+    val noBlocks = regexp_replace(text,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    // `&amp;` decodes LAST: `&amp;lt;` must yield the literal text
+    // `&lt;` (it was escaped in the source), never `<`
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    cleanText(decoded)
+  }
 }

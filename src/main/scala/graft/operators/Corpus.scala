@@ -641,6 +641,48 @@ object Corpus {
             else approx_count_distinct(col("kv.token"))).as("n_vocab"),
         sum(col("kv.tf")).cast("long").as("n_instances"))
 
+  /** Per-group quantiles of a numeric column. Defaults to
+    * `approx_percentile` (a mergeable KLL-style sketch: one pass,
+    * partial-combinable, bounded state per group) because EXACT
+    * percentiles buffer every value of a group in one aggregation
+    * buffer — at 100 TB that is an executor OOM, not a slow query.
+    * `exact = true` opts into the exact buffer for oracle-grade runs
+    * at small scale (Spark's `percentile` and DuckDB's `quantile_cont`
+    * share the same linear-interpolation definition, index
+    * p*(n-1) on the sorted values). Returns one row per (group, p).
+    */
+  def groupQuantiles(df: DataFrame, valCol: String, grpCol: String,
+                     ps: Seq[Double], exact: Boolean = false,
+                     accuracy: Int = 10000): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentiles must be in [0,1]: $ps")
+    val parr = array(ps.map(lit): _*)
+    val agg0 =
+      if (exact) percentile(col(valCol), parr)
+      else percentile_approx(col(valCol), parr, lit(accuracy))
+    df.groupBy(col(grpCol).as("grp"))
+      .agg(agg0.as("__gq"))
+      .select(col("grp"), posexplode(col("__gq")).as(Seq("__i", "q")))
+      .select(col("grp"),
+        element_at(parr, col("__i") + 1).as("p"),
+        round(col("q").cast("double"), 6).as("q"))
+  }
+
+  /** Fixed-width histogram of a numeric column: aligned bucket starts
+    * via exact long arithmetic (`v - pmod(v, width)` — floor alignment
+    * for every sign, no double division), one map-side-combined count
+    * per bucket. The profiling companion to `groupQuantiles`: quantiles
+    * answer "where is the mass", the histogram shows the shape.
+    */
+  def histogram(df: DataFrame, valCol: String, width: Long): DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    df.where(col(valCol).isNotNull)
+      .select((col(valCol).cast("long") -
+        pmod(col(valCol).cast("long"), lit(width))).as("bucket_start"))
+      .groupBy("bucket_start")
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Per-column data profile — the schema health check run before any
     * pipeline stage trusts a new corpus drop: row count, null count,
     * distinct count, lexicographic min/max (values cast to string so

@@ -314,6 +314,32 @@ object Dedup {
     * bounded id-offset window (generate the offsets and equi-join — no
     * nested-loop range join).
     */
+  /** Quality-aware duplicate resolution: within each near-dup cluster
+    * keep the HIGHEST-scoring member (ties: smallest id). Keep-min-id —
+    * what `resolveDuplicateClusters` encodes in `keep_id` — keeps
+    * whichever copy happened to get the lowest id; when a quality
+    * signal exists (e.g. `Corpus.qualityLogit`), keeping the cleanest
+    * copy of each cluster is strictly better for training data.
+    *
+    * `labels` is the resolver output (`id`, `keep_id` = cluster label);
+    * `scored` carries (`id`, `score`). One hash equi-join attaches
+    * scores to cluster members (both sides duplicate-cluster-sized, not
+    * corpus-sized), then ONE partial-aggregatable `max(struct(score,
+    * -id))` per cluster — never a per-cluster rank window (a giant
+    * boilerplate cluster would pin an unsplittable window partition;
+    * the aggregate's partial max is bounded state by construction).
+    * Returns (`cluster`, `best_id`, `best_score`, `n_members`).
+    */
+  def keepBestPerCluster(labels: DataFrame, scored: DataFrame): DataFrame =
+    labels.select(col("id"), col("keep_id"))
+      .join(scored.select(col("id"), col("score")), "id")
+      .groupBy(col("keep_id").as("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("score"), (-col("id")).as("neg_id"))).as("__kb"))
+      .select(col("cluster"),
+        (-col("__kb.neg_id")).cast("long").as("best_id"),
+        col("__kb.score").as("best_score"), col("n_members"))
+
   /** Edit-distance verification of candidate pairs: the precision pass
     * after a recall-oriented candidate generator (MinHash/SimHash
     * bands). For each `(id_a, id_b)` pair, Levenshtein distance over

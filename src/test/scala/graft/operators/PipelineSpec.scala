@@ -1589,6 +1589,123 @@ class PipelineSpec extends SparkSpec {
       s"HLL drift: exact=$exBig approx=$apBig")
   }
 
+  test("keep-best cluster resolution: argmax score, min-id ties, no window") {
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("id", "keep_id")
+    val scores = Seq((1L, 0.2), (2L, 0.9), (3L, 0.9), (7L, 0.5), (8L, 0.5))
+      .toDF("id", "score")
+    val r = Dedup.keepBestPerCluster(labels, scores)
+      .collect().map(x => x.getAs[Long]("cluster") ->
+        (x.getAs[Long]("best_id"), x.getAs[Double]("best_score"),
+         x.getAs[Long]("n_members"))).toMap
+    assert(r(1L) == ((2L, 0.9, 3L))) // 2 and 3 tie on score -> min id
+    assert(r(7L) == ((7L, 0.5, 2L)))
+    val plan = Dedup.keepBestPerCluster(labels, scores)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"per-cluster window in plan:\n$plan")
+  }
+
+  test("markup stripping: tags, script blocks, entities, escape order") {
+    val d = Seq(
+      (0L, "<html><body><p>Hello <b>world</b></p></body></html>"),
+      (1L, "before<script type=\"text/js\">var x = '<p>not text</p>';</script>after"),
+      (2L, "a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39; &nbsp;end"),
+      (3L, "&amp;lt;stays-literal&amp;gt;"),
+      (4L, "<STYLE>h1 { color: red }</STYLE>plain"),
+      (5L, "no markup at all")
+    ).toDF("doc_id", "text")
+    val r = d.select(col("doc_id"), stripMarkup(col("text")).as("c"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(0L) == "Hello world")
+    assert(r(1L) == "before after") // script INNER TEXT dropped, not just tags
+    assert(r(2L) == "a & b <tag> \"q\" 's' end")
+    assert(r(3L) == "&lt;stays-literal&gt;") // escaped markup stays literal
+    assert(r(4L) == "plain") // (?i): upper-case STYLE block
+    assert(r(5L) == "no markup at all")
+  }
+
+  test("group quantiles: exact interpolation; sketch within tolerance") {
+    val d = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("b", 10L))
+      .toDF("g", "v")
+    val ex = Corpus.groupQuantiles(d, "v", "g", Seq(0.5, 0.75), exact = true)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(ex(("a", 0.5)) == 2.5) // p*(n-1)=1.5 -> 2 + 0.5*(3-2)
+    assert(ex(("a", 0.75)) == 3.25)
+    assert(ex(("b", 0.5)) == 10.0) // singleton group
+    // sketch mode agrees on tiny data (accuracy >> n)
+    val ap = Corpus.groupQuantiles(d, "v", "g", Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(ap("a") - 2.5) <= 1.0 && ap("b") == 10.0)
+    intercept[IllegalArgumentException] {
+      Corpus.groupQuantiles(d, "v", "g", Seq(1.5))
+    }
+  }
+
+  test("histogram: exact floor alignment incl. negatives, nulls drop") {
+    val d = spark.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](
+        org.apache.spark.sql.Row(java.lang.Long.valueOf(0L)),
+        org.apache.spark.sql.Row(java.lang.Long.valueOf(99L)),
+        org.apache.spark.sql.Row(java.lang.Long.valueOf(100L)),
+        org.apache.spark.sql.Row(java.lang.Long.valueOf(-5L)),
+        org.apache.spark.sql.Row(null)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType, nullable = true))))
+    val h = Corpus.histogram(d, "v", width = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // -5 floors to -100 (pmod alignment), never to 0 (truncation bug)
+    assert(h == Map(0L -> 2L, 100L -> 1L, -100L -> 1L), h.toString)
+  }
+
+  test("hashed shingle sets: sorted-merge jaccard == naive set jaccard") {
+    // the dedup_pr ground-truth leg: md5-hashed sorted shingle sets +
+    // codegen sorted_inter_count must equal the plain set jaccard
+    val d = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumped over the lazy dog"),
+      (2L, "completely different words entirely here now")
+    ).toDF("doc_id", "text")
+    val hs = d.select(col("doc_id"),
+      array_sort(array_distinct(transform(wordShingles(col("text"), 3),
+        x => conv(substring(md5(x), 1, 15), 16, 10).cast("long")))).as("hs"),
+      array_distinct(wordShingles(col("text"), 3)).as("sh"))
+    val rows = hs.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getSeq[Long](1).toSet, r.getSeq[String](2).toSet)).toMap
+    for (a <- Seq(0L, 1L); b <- Seq(1L, 2L) if a < b) {
+      val naive = rows(a)._2.intersect(rows(b)._2).size.toDouble /
+        rows(a)._2.union(rows(b)._2).size
+      val viaHash = {
+        val ha = rows(a)._1; val hb = rows(b)._1
+        ha.intersect(hb).size.toDouble / ha.union(hb).size
+      }
+      assert(naive == viaHash, s"pair ($a,$b)")
+    }
+    // the codegen kernel agrees with the Set-based computation
+    val pair = hs.select(col("hs")).collect()
+    val k = graft.plans.HashKernels.sortedInterCount(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        pair(0).getSeq[Long](0).toArray),
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        pair(1).getSeq[Long](0).toArray))
+    assert(k == rows(0L)._1.intersect(rows(1L)._1).size)
+  }
+
+  test("embedding norm stats: exact norms on known vectors") {
+    val mk = (xs: Seq[Double]) => xs.map(_.toFloat).toArray
+    val d = Seq(
+      (0L, mk(Seq(3.0, 4.0)), 0), (1L, mk(Seq(0.0, 0.0)), 0),
+      (2L, mk(Seq(1.0, 0.0)), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val r = d.select(col("label").cast("long").as("label"),
+        sqrt(graft.plans.VecFunctions.vec_dot(col("embedding"), col("embedding"))).as("nrm"))
+      .groupBy("label")
+      .agg(round(min("nrm"), 6).as("mn"), round(max("nrm"), 6).as("mx"))
+      .collect().map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    assert(r(0L) == ((0.0, 5.0))) // 3-4-5 triangle; zero vector -> 0
+    assert(r(1L) == ((1.0, 1.0)))
+  }
+
   test("column profile: one pass, exact and approx modes, null accounting") {
     val d = spark.createDataFrame(
       java.util.List.of[org.apache.spark.sql.Row](
