@@ -35,7 +35,8 @@ object Explain {
         "profile_docs", "dedup_bloom_gate", "budget_select",
         "ann_ivfpq", "quality_logit", "vocab_size", "dedup_keep_best",
         "strip_markup", "doc_len_quantiles", "len_histogram",
-        "events_rolling", "emb_norm_stats", "dedup_pr").foreach(show)
+        "events_rolling", "emb_norm_stats", "dedup_pr", "corpus_rollup",
+        "events_funnel").foreach(show)
     spark.stop()
   }
 }

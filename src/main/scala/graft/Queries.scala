@@ -943,6 +943,18 @@ object Queries {
       "len_histogram" -> ((s, dir) =>
         Corpus.histogram(docs(s, dir), "n_chars", width = 100L)),
 
+      // multi-level report card in ONE pass: ROLLUP(source, lang) =
+      // per-(source,lang), per-source, and grand-total rows from a
+      // single Expand+aggregate — no per-level re-scans; grouping_id
+      // disambiguates rollup NULLs from data NULLs
+      "corpus_rollup" -> ((s, dir) =>
+        docs(s, dir).rollup(col("source"), col("lang"))
+          .agg(grouping_id().cast("long").as("gid"),
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"))
+          .select(col("source"), col("lang"), col("gid"),
+            col("n_docs"), col("sum_chars"))),
+
       // per-column data profile of the raw documents table: one
       // aggregation pass for every column's rows/nulls/distinct/min/max
       // (exact distincts here for the oracle; the operator defaults to
@@ -1210,6 +1222,28 @@ object Queries {
           "user_id", "ts", lo = 1L, hi = 3600000000000L)
         .select(col("l_event_id").as("c_id"), col("r_event_id").as("p_id"),
           (col("r_ts") - col("l_ts")).as("gap_ns"))
+    }),
+
+    // ordered 3-step funnel (view -> click -> purchase, strictly
+    // increasing event times): greedy earliest-chain per user — an
+    // increasing triple exists iff the greedy chain completes, so the
+    // per-stage groupBys stay partial-aggregatable min()s and nothing
+    // windows over raw events
+    "events_funnel" -> ((s, dir) => {
+      val ev = eventsNs(s, dir)
+        .select(col("user_id").cast("long").as("user_id"),
+          col("event_type"), col("ts").cast("long").as("ts"))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("vt"))
+      val c = ev.where(col("event_type") === "click").join(v, "user_id")
+        .where(col("ts") > col("vt"))
+        .groupBy("user_id").agg(min("ts").as("ct"))
+      val p = ev.where(col("event_type") === "purchase").join(c, "user_id")
+        .where(col("ts") > col("ct"))
+        .groupBy("user_id").agg(min("ts").as("pt"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
     }),
 
     // per-user trailing-hour rolling sum: RANGE frame over exact
@@ -2507,6 +2541,30 @@ object Queries {
          |       COALESCE(string_agg(span, ' ' ORDER BY chunk_id)
          |                  FILTER (WHERE rn = 1), '') AS clean_text
          |FROM rk GROUP BY doc_id""".stripMargin,
+
+    // GROUPING() bit order matches Spark's grouping_id (first listed
+    // column = most significant bit) for the two-column rollup
+    "corpus_rollup" ->
+      """SELECT source, lang,
+        |       CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY ROLLUP(source, lang)""".stripMargin,
+
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS ts FROM events),
+        |v AS (SELECT user_id, min(ts) AS vt FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS ct
+        |      FROM e JOIN v ON v.user_id = e.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.vt GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS pt
+        |      FROM e JOIN c ON c.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.ct GROUP BY e.user_id)
+        |SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+        |       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_view_click,
+        |       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_full_funnel""".stripMargin,
 
     // quantile_cont == Spark's exact percentile: both linear-interpolate
     // at index p*(n-1) on the sorted values

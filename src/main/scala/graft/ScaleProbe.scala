@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
   *    the same code path at 200k edges).
   *
   * Usage: `runMain graft.ScaleProbe
-  * [minhash|resolve|bushy|spans|curation|ann|pq|pack|semantic|all]
+  * [minhash|resolve|bushy|spans|curation|ann|pq|pack|semantic|relational|all]
   * [repeats] [nDocs]`. Run each phase in its OWN JVM (`all` exists for
   * convenience only): round 5 recorded a 103 s resolve outlier that was
   * same-JVM memory pressure from the preceding 2M-doc minhash phase, not
@@ -27,8 +27,8 @@ object ScaleProbe {
     val phase = args.headOption.getOrElse("all")
     val repeats = args.lift(1).map(_.toInt).getOrElse(1)
     val nDocs = args.lift(2).map(_.toLong).getOrElse(2000000L)
-    require(Set("minhash", "resolve", "bushy", "spans", "curation", "ann", "pq", "pack", "semantic", "all")(phase),
-      s"unknown phase '$phase' (want minhash|resolve|bushy|spans|curation|ann|pq|pack|semantic|all)")
+    require(Set("minhash", "resolve", "bushy", "spans", "curation", "ann", "pq", "pack", "semantic", "relational", "all")(phase),
+      s"unknown phase '$phase' (want minhash|resolve|bushy|spans|curation|ann|pq|pack|semantic|relational|all)")
     // partition count scales with the probed data volume, exactly as a
     // cluster operator would size it: at 20M docs (1B token instances)
     // 32 shuffle partitions put a ~31M-group hash aggregate in every
@@ -281,6 +281,42 @@ object ScaleProbe {
         }
         println(f"[scale] resolve ${nDocs * 4 / 1000000}M-edge chains (iterative dispatch, run $rep/$repeats): $tResolve%.1f s")
         chains.unpersist(blocking = true)
+        settle()
+      }
+
+      if (phase == "relational" || phase == "all") {
+        import org.apache.spark.sql.functions._
+        // the round-7b relational/sampling operators at nDocs events:
+        // bucketed range join in its dense regime (~2,000 events/key,
+        // 1e7-wide window over a 1e9 ns span → ~20 matches/row), the
+        // bounded top-n-per-stratum aggregate, and the weighted
+        // reservoir — matched pairs scale linearly with events, so the
+        // probe pins that none of the three goes super-linear
+        val nKeys = math.max(100L, nDocs / 2000L)
+        val ev = spark.range(nDocs).select(
+            col("id").as("eid"),
+            pmod(col("id"), lit(nKeys)).as("k"),
+            pmod(col("id") * 2654435761L, lit(1000000000L)).as("ts"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ev.count()
+        val tRange = time {
+          println("  range pairs: " + operators.AsOfJoin
+            .joinRange(ev, ev, "k", "ts", 0L, 10000000L).count())
+        }
+        println(f"[scale] rangejoin ${nDocs / 1000000}M events (run $rep/$repeats): $tRange%.1f s")
+        val strat = ev.withColumn("lang", pmod(col("eid"), lit(20)).cast("string"))
+        val tTopn = time {
+          println("  stratum sample: " + operators.Sampling
+            .sampleFixedPerStratum(strat, "eid", "lang", n = 100).count())
+        }
+        println(f"[scale] topn-stratum ${nDocs / 1000000}M rows (run $rep/$repeats): $tTopn%.1f s")
+        val wtd = ev.withColumn("w", (pmod(col("eid"), lit(100)) + 1).cast("double"))
+        val tWeighted = time {
+          println("  weighted sample: " + operators.Sampling
+            .sampleByWeight(wtd, "eid", "w", k = 1000).count())
+        }
+        println(f"[scale] weighted-sample ${nDocs / 1000000}M rows (run $rep/$repeats): $tWeighted%.1f s")
+        ev.unpersist(blocking = true)
         settle()
       }
 

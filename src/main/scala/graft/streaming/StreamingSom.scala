@@ -152,6 +152,27 @@ object StreamingSom {
       .drop("a_ts")
   }
 
+  /** Deterministic fixed-size sample PER EVENT-TIME WINDOW on an
+    * unbounded stream: each window keeps the n smallest (md5-bucket,
+    * id) pairs via the bounded-heap `TopNSmallestByKey` aggregate — a
+    * content-keyed reservoir whose state per open window is ≤ n pairs
+    * by construction (a true random reservoir is neither reproducible
+    * nor mergeable across partitions; this one is both, and selects
+    * EXACTLY the rows the batch `Sampling.sampleFixedPerStratum` would
+    * pick with the window as the stratum). Append mode emits each
+    * window's selection once, when the watermark closes it.
+    */
+  def windowSampleStream(stream: DataFrame, idCol: String, tsCol: String,
+                         windowDur: String, watermarkDur: String, n: Int,
+                         salt: String = ""): DataFrame =
+    stream.withWatermark(tsCol, watermarkDur)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(graft.plans.TopNFunctions.topn_smallest(
+        substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 8),
+        col(idCol).cast("long"), n).as("sel"))
+      .select(col("window.start").as("w_start"),
+        explode(col("sel.id")).as("id"))
+
   /** Streaming interval join — the unbounded-input twin of
     * `AsOfJoin.joinRange`: every (left, right) pair sharing `keyCol`
     * with `right.ts` in `[left.ts + lo, left.ts + hi]`. Spelled as a

@@ -318,6 +318,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed fixed-size sample: bounded reservoir, matches batch order") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val out = StreamingSom.windowSampleStream(
+      input.toDF().toDF("doc_id", "ts"), "doc_id", "ts",
+      windowDur = "10 minutes", watermarkDur = "5 minutes", n = 3)
+    val q = out.writeStream.format("memory").queryName("wsample_out")
+      .outputMode("append").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+      // 8 ids in window [10:00,10:10), 2 in [10:10,10:20)
+      input.addData((0L until 8L).map(i => (i, ts(i.toInt % 10))) ++
+        Seq((100L, ts(11)), (101L, ts(12))): _*)
+      q.processAllAvailable()
+      input.addData((999L, java.sql.Timestamp.valueOf("2026-01-01 11:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("wsample_out").collect()
+        .map(r => r.getTimestamp(0) -> r.getLong(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val w1 = got(ts(0))
+      assert(w1.size == 3, s"window 1 must keep exactly n=3: $got")
+      // batch replay: the same (md5-bucket, id) order over window-1 ids
+      val expect = (0L until 8L)
+        .sortBy(i => (org.apache.commons.codec.digest.DigestUtils.md5Hex(i.toString).substring(0, 8), i))
+        .take(3).toSet
+      assert(w1 == expect, s"stream=$w1 batch=$expect")
+      assert(got(ts(10)) == Set(100L, 101L)) // undersized window keeps all
+    } finally q.stop()
+  }
+
   test("incremental training over micro-batches decreases QE") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new scala.util.Random(21)
