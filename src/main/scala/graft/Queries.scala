@@ -552,6 +552,26 @@ object Queries {
             round(col("n_hit") / greatest(col("n_truth"), lit(1)), 6).as("recall"))
       }),
 
+      // Bloom gate + persisted fingerprint INDEX: the full production
+      // ingest path — sketch probe in the batch scan, confirm against
+      // the sorted fp-only index via pushed-down IN (row-group stats
+      // skip), archive text never re-read. Same oracle as
+      // dedup_incremental: exactness must survive sketch fpp AND the
+      // pushdown/fallback routing.
+      "dedup_bloom_index" -> ((s, dir) => {
+        val d = docs(s, dir)
+        val corpus = d.where(col("source") < "src5")
+        val batch = d.where(col("source") >= "src5")
+        val idx = java.nio.file.Files.createTempDirectory("graft_fpidx").toString
+        graft.operators.Dedup.writeFingerprintIndex(corpus, "text", idx,
+          numPartitions = 4)
+        val bloom = graft.operators.Dedup.corpusFingerprintBloom(corpus, "text",
+          expectedItems = 64, fpp = 0.1)
+        graft.operators.Dedup.dropExistingDuplicatesIndexed(batch, idx,
+            "text", "doc_id", bloom)
+          .select(col("doc_id").cast("long").as("doc_id"))
+      }),
+
       // per-label embedding centroids (class prototypes): one map-side-
       // combined (label, dim) aggregation — the shuffle carries partial
       // sums, never vectors; exact counts divide at the end
@@ -2067,6 +2087,19 @@ object Queries {
     // sketch, false positives cleared by the exact confirm join — so the
     // oracle is the SAME anti-join replay as dedup_incremental
     "dedup_bloom_gate" ->
+      s"""WITH fp AS (
+         |  SELECT doc_id, source,
+         |         md5(COALESCE(array_to_string($duckToks, ' '), '')) AS fp
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT CAST(b.doc_id AS BIGINT) AS doc_id
+         |FROM fp b
+         |WHERE b.source >= 'src5'
+         |  AND NOT EXISTS (SELECT 1 FROM fp c
+         |                  WHERE c.source < 'src5' AND c.fp = b.fp)""".stripMargin,
+
+    // index + sketch + pushdown are all pure optimizations: the oracle
+    // stays the plain fingerprint anti-join
+    "dedup_bloom_index" ->
       s"""WITH fp AS (
          |  SELECT doc_id, source,
          |         md5(COALESCE(array_to_string($duckToks, ' '), '')) AS fp

@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
   *    the same code path at 200k edges).
   *
   * Usage: `runMain graft.ScaleProbe
-  * [minhash|resolve|bushy|spans|curation|ann|pq|pack|semantic|relational|all]
+  * [minhash|resolve|bushy|spans|curation|ann|pq|pack|semantic|relational|ingest|all]
   * [repeats] [nDocs]`. Run each phase in its OWN JVM (`all` exists for
   * convenience only): round 5 recorded a 103 s resolve outlier that was
   * same-JVM memory pressure from the preceding 2M-doc minhash phase, not
@@ -27,8 +27,8 @@ object ScaleProbe {
     val phase = args.headOption.getOrElse("all")
     val repeats = args.lift(1).map(_.toInt).getOrElse(1)
     val nDocs = args.lift(2).map(_.toLong).getOrElse(2000000L)
-    require(Set("minhash", "resolve", "bushy", "spans", "curation", "ann", "pq", "pack", "semantic", "relational", "all")(phase),
-      s"unknown phase '$phase' (want minhash|resolve|bushy|spans|curation|ann|pq|pack|semantic|relational|all)")
+    require(Set("minhash", "resolve", "bushy", "spans", "curation", "ann", "pq", "pack", "semantic", "relational", "ingest", "all")(phase),
+      s"unknown phase '$phase' (want minhash|resolve|bushy|spans|curation|ann|pq|pack|semantic|relational|ingest|all)")
     // partition count scales with the probed data volume, exactly as a
     // cluster operator would size it: at 20M docs (1B token instances)
     // 32 shuffle partitions put a ~31M-group hash aggregate in every
@@ -317,6 +317,88 @@ object ScaleProbe {
         }
         println(f"[scale] weighted-sample ${nDocs / 1000000}M rows (run $rep/$repeats): $tWeighted%.1f s")
         ev.unpersist(blocking = true)
+        settle()
+      }
+
+      if (phase == "ingest" || phase == "all") {
+        import org.apache.spark.sql.functions._
+        // the ingest-gate regime the Bloom sketch exists for: a SMALL
+        // batch (nDocs/100) arriving against a BIG frozen corpus
+        // (nDocs). The plain anti-join must shuffle corpus-sized
+        // fingerprints EVERY batch; the gate pays one sketch build,
+        // then each batch touches the corpus only through a broadcast
+        // of the (tiny) suspect set. The bench entry at batch==corpus
+        // scale shows the opposite regime (gate adds cost) — this
+        // probe is the half of the story the bench can't show.
+        // one generated id space, split like the bench: corpus = ids
+        // below nDocs, batch = an id band straddling the boundary so
+        // ~half the batch shares dup-group texts with the corpus
+        val bSize = nDocs / 50L
+        val all = BenchData.dupGroupDocs(spark, nDocs + bSize)
+        val corpus = all.where(org.apache.spark.sql.functions.col("doc_id") < nDocs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        corpus.count()
+        // dup-heavy band straddling the boundary: ~50% true dups — the
+        // adversarial suspect-set size (forces the gate's fallback join)
+        val batch = all.where(org.apache.spark.sql.functions.col("doc_id") >= nDocs - bSize / 2L)
+          .where(org.apache.spark.sql.functions.col("doc_id") < nDocs + bSize / 2L)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        batch.count()
+        // fresh band fully above the corpus: ~0% dups — the REALISTIC
+        // ingest batch (suspects ≈ fpp·|batch|, pushdown route)
+        val batchFresh = all.where(org.apache.spark.sql.functions.col("doc_id") >= nDocs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        batchFresh.count()
+        val tAnti = time {
+          println("  anti-join survivors: " + operators.Dedup
+            .dropExistingDuplicates(batch, corpus, "text", "doc_id").count())
+        }
+        println(f"[scale] ingest anti-join ${nDocs / 1000000}M corpus / ${nDocs / 50000}k batch (run $rep/$repeats): $tAnti%.1f s")
+        var bloom: org.apache.spark.util.sketch.BloomFilter = null
+        val tBuild = time {
+          bloom = operators.Dedup.corpusFingerprintBloom(corpus, "text",
+            expectedItems = nDocs, fpp = 0.01)
+        }
+        println(f"[scale] ingest bloom build (one-off, run $rep/$repeats): $tBuild%.1f s")
+        val tGate = time {
+          println("  bloom-gate survivors: " + operators.Dedup
+            .dropExistingDuplicatesBloom(batch, corpus, "text", "doc_id", bloom)
+            .count())
+        }
+        println(f"[scale] ingest bloom gate per-batch (run $rep/$repeats): $tGate%.1f s")
+        // the PERSISTED fingerprint index: one build, then per-batch
+        // confirm reads fp-only sorted parquet with IN pushdown — the
+        // corpus text is never re-read per ingest
+        val idxDir = java.nio.file.Files.createTempDirectory("graft_ingest_idx").toString
+        val tIdxBuild = time {
+          operators.Dedup.writeFingerprintIndex(corpus, "text", idxDir,
+            numPartitions = math.max(32, (nDocs / 250000L).toInt))
+        }
+        println(f"[scale] ingest fp-index build (one-off, run $rep/$repeats): $tIdxBuild%.1f s")
+        val tIdx = time {
+          println("  indexed-gate survivors: " + operators.Dedup
+            .dropExistingDuplicatesIndexed(batch, idxDir, "text", "doc_id", bloom)
+            .count())
+        }
+        println(f"[scale] ingest indexed gate per-batch (run $rep/$repeats): $tIdx%.1f s")
+        // fresh-batch legs: the regime every real ingest lives in
+        val tAntiF = time {
+          println("  anti-join fresh survivors: " + operators.Dedup
+            .dropExistingDuplicates(batchFresh, corpus, "text", "doc_id").count())
+        }
+        println(f"[scale] ingest anti-join FRESH batch (run $rep/$repeats): $tAntiF%.1f s")
+        val tIdxF = time {
+          println("  indexed-gate fresh survivors: " + operators.Dedup
+            .dropExistingDuplicatesIndexed(batchFresh, idxDir, "text", "doc_id", bloom)
+            .count())
+        }
+        println(f"[scale] ingest indexed gate FRESH batch (run $rep/$repeats): $tIdxF%.1f s")
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(idxDir)).iterator().asScala
+          .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        batchFresh.unpersist(blocking = true)
+        batch.unpersist(blocking = true)
+        corpus.unpersist(blocking = true)
         settle()
       }
 

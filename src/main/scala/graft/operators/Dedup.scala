@@ -127,6 +127,61 @@ object Dedup {
       .drop("__fp", "__maybe")
   }
 
+  /** Write the corpus fingerprint INDEX: the distinct md5 fingerprints,
+    * range-partitioned and sorted by fingerprint, as compact parquet.
+    * This is the build-time artifact the per-batch ingest gate confirms
+    * against — measured on this machine, the sketch alone does NOT beat
+    * the plain anti-join (2M corpus / 40k batch: gate 1.6 s vs
+    * anti-join 0.9 s per batch) because its confirm step re-fingerprints
+    * the whole corpus text each batch. The index removes that: confirm
+    * reads fp-only rows, and the sort means every parquet row group
+    * carries tight min/max fp statistics, so a pushed-down `fp IN
+    * (suspects)` skips all but the row groups a suspect could live in.
+    */
+  def writeFingerprintIndex(corpus: DataFrame, textCol: String,
+                            path: String, numPartitions: Int = 32): Unit =
+    corpus.where(col(textCol).isNotNull)
+      .select(TextFunctions.docFingerprint(col(textCol)).as("fp"))
+      .distinct()
+      .repartitionByRange(numPartitions, col("fp"))
+      .sortWithinPartitions("fp")
+      .write.mode("overwrite").parquet(path)
+
+  /** Bloom-gated incremental exact dedup against a PERSISTED fingerprint
+    * index — same exact result as [[dropExistingDuplicates]], the
+    * production per-batch profile: the batch probes the sketch in its
+    * scan (codegen, no shuffle); the surviving suspect fingerprints —
+    * true dups + ~fpp false positives — confirm against the INDEX, not
+    * the corpus, so no ingest ever re-reads or re-hashes archive text.
+    * When the suspect set fits `maxPushdown`, it collects to the driver
+    * (bounded by construction) and confirms via `fp IN (...)` pushed
+    * into the index scan — sorted row groups mean min/max stats skip
+    * nearly every file; larger suspect sets fall back to a broadcast
+    * semi-join over the fp-only index scan, still corpus-text-free.
+    */
+  def dropExistingDuplicatesIndexed(batch: DataFrame, indexPath: String,
+                                    textCol: String, idCol: String,
+                                    bloom: org.apache.spark.util.sketch.BloomFilter,
+                                    maxPushdown: Int = 10000): DataFrame = {
+    val spark = batch.sparkSession
+    val gated = Materialize.once(
+      batch.withColumn("__fp", TextFunctions.docFingerprint(col(textCol))),
+      "__maybe", graft.plans.GraftFunctions.bloom_contains(col("__fp"), bloom))
+    val suspectFps = gated.where(col("__maybe")).select(col("__fp")).distinct()
+    val index = spark.read.parquet(indexPath)
+    // bounded driver collect: suspects ≤ true-dups + fpp·|batch|; the
+    // limit caps the transfer and routes oversized sets to the join path
+    val sample = suspectFps.limit(maxPushdown + 1).collect().map(_.getString(0))
+    val hits =
+      if (sample.length <= maxPushdown)
+        index.where(col("fp").isin(sample.toIndexedSeq: _*))
+      else
+        index.join(broadcast(suspectFps), col("fp") === col("__fp"), "left_semi")
+    gated.join(broadcast(hits.select(col("fp").as("__seen_fp")).distinct()),
+        col("__maybe") && col("__fp") === col("__seen_fp"), "left_anti")
+      .drop("__fp", "__maybe")
+  }
+
   /** Incremental NEAR dedup: drop rows of `batch` that are MinHash-LSH
     * near-duplicates of `corpus` rows (estimated jaccard from full
     * signature agreement >= `minEstJaccard`). The candidate step is a

@@ -1706,6 +1706,45 @@ class PipelineSpec extends SparkSpec {
     assert(r(1L) == ((1.0, 1.0)))
   }
 
+  test("fingerprint index: indexed gate == anti-join, IN pushes to scan") {
+    val d = Seq(
+      (0L, "shared duplicate text", "corpus"),
+      (1L, "corpus only text", "corpus"),
+      (2L, "shared duplicate text", "batch"), // dup of 0 -> drops
+      (3L, "fresh batch text", "batch"),
+      (4L, "another fresh one", "batch")
+    ).toDF("doc_id", "text", "side")
+    val corpus = d.where(col("side") === "corpus")
+    val batch = d.where(col("side") === "batch")
+    val idx = java.nio.file.Files.createTempDirectory("fpidx_spec").toString
+    try {
+      Dedup.writeFingerprintIndex(corpus, "text", idx, numPartitions = 2)
+      val bloom = Dedup.corpusFingerprintBloom(corpus, "text",
+        expectedItems = 4, fpp = 0.03)
+      val expect = Dedup.dropExistingDuplicates(batch, corpus, "text", "doc_id")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(expect == Set(3L, 4L))
+      // pushdown route (default maxPushdown)
+      val viaIdx = Dedup.dropExistingDuplicatesIndexed(batch, idx, "text",
+        "doc_id", bloom)
+      assert(viaIdx.select("doc_id").collect().map(_.getLong(0)).toSet == expect)
+      // the confirm read reaches the index scan as a pushed filter
+      // (Catalyst folds a 1-element IN to EqualTo; both row-group-skip)
+      val plan = viaIdx.queryExecution.executedPlan.toString
+      assert(plan.contains("In(fp") || plan.contains("EqualTo(fp"),
+        s"no fp pushdown on the index scan:\n$plan")
+      // fallback route: maxPushdown = 0 forces the broadcast semi-join
+      val viaJoin = Dedup.dropExistingDuplicatesIndexed(batch, idx, "text",
+        "doc_id", bloom, maxPushdown = 0)
+      assert(viaJoin.select("doc_id").collect().map(_.getLong(0)).toSet == expect)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(idx))
+    }
+  }
+
   test("column profile: one pass, exact and approx modes, null accounting") {
     val d = spark.createDataFrame(
       java.util.List.of[org.apache.spark.sql.Row](

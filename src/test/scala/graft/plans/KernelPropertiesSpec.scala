@@ -213,4 +213,40 @@ object KernelProperties extends Properties("Kernels") {
       once == twice &&
         once == java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
     }
+
+  // ---- bounded top-n aggregate properties (r7, third pass) ------------
+
+  private val pairGen: Gen[(String, Long)] = for {
+    k <- Gen.frequency((5, Gen.alphaNumStr.map(_.take(6))),
+      (1, Gen.const("")), (1, Gen.oneOf("é", "世", " x")))
+    i <- Gen.choose(-1000L, 1000L)
+  } yield (k, i)
+
+  /** Naive reference: sort the whole multiset, take n. */
+  private def naiveTopN(xs: Seq[(String, Long)], n: Int): Seq[(String, Long)] =
+    xs.sorted(Ordering.Tuple2(Ordering.String, Ordering.Long)).take(n)
+
+  property("topn_smallest: any split+merge+serde == sorted-take-n") =
+    forAll(Gen.listOf(pairGen), Gen.choose(1, 8), Gen.choose(0, 100)) {
+      (xs, n, cut) =>
+        val agg = TopNSmallestByKey(
+          org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+            org.apache.spark.sql.types.StringType, nullable = true),
+          org.apache.spark.sql.catalyst.expressions.BoundReference(1,
+            org.apache.spark.sql.types.LongType, nullable = true), n)
+        def row(k: String, i: Long) = org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromString(k), i)
+        def feed(part: Seq[(String, Long)]) =
+          part.foldLeft(agg.createAggregationBuffer()) {
+            case (b, (k, i)) => agg.update(b, row(k, i)) }
+        val (l, r) = xs.splitAt(if (xs.isEmpty) 0 else cut % (xs.size + 1))
+        // one side round-trips serialization, as in a real shuffle
+        val merged = agg.merge(feed(l), agg.deserialize(agg.serialize(feed(r))))
+        val got = agg.eval(merged)
+          .asInstanceOf[GenericArrayData].array.toSeq.map { x =>
+            val ir = x.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+            (ir.getUTF8String(0).toString, ir.getLong(1))
+          }
+        got == naiveTopN(xs, n)
+    }
 }
