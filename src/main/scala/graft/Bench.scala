@@ -214,6 +214,21 @@ object Bench {
         graft.operators.Dedup.dropExistingDuplicatesBloom(gateBatch, gateCorpus,
           "text", "doc_id", gateBloom).count(); ()
       }
+      // the persisted-index confirm path: build timed once (amortizes
+      // over every future batch), per-batch gate timed separately
+      val fpIdxDir = java.nio.file.Files.createTempDirectory("graft_bench_fpidx").toString
+      results("bench_fpindex_build_200k") = time {
+        graft.operators.Dedup.writeFingerprintIndex(gateCorpus, "text", fpIdxDir)
+      }
+      results("bench_fpindex_gate_200k") = time2 {
+        graft.operators.Dedup.dropExistingDuplicatesIndexed(gateBatch, fpIdxDir,
+          "text", "doc_id", gateBloom).count(); ()
+      }
+      locally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(fpIdxDir)).iterator().asScala
+          .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
       bigDocs.unpersist(blocking = false)
     }
 

@@ -36,7 +36,7 @@ object Explain {
         "ann_ivfpq", "quality_logit", "vocab_size", "dedup_keep_best",
         "strip_markup", "doc_len_quantiles", "len_histogram",
         "events_rolling", "emb_norm_stats", "dedup_pr", "corpus_rollup",
-        "events_funnel", "dedup_bloom_index").foreach(show)
+        "events_funnel", "dedup_bloom_index", "ttr_stats").foreach(show)
     spark.stop()
   }
 }

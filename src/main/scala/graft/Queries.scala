@@ -1011,6 +1011,18 @@ object Queries {
         Corpus.qualityLogit(docs(s, dir), "text", "doc_id")
           .select(col("id").as("doc_id"), col("score"), col("keep"))),
 
+      // lexical diversity: per-doc type-token ratio from the token_tf
+      // kernel (distinct terms / token instances — the low-TTR tail is
+      // boilerplate/looping text)
+      "ttr_stats" -> ((s, dir) =>
+        docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+            size(graft.plans.GraftFunctions.token_tf(col("text")))
+              .cast("long").as("n_types"),
+            tokenCount(col("text")).cast("long").as("n_tok"))
+          .withColumn("ttr",
+            when(col("n_tok") === 0, 0.0)
+              .otherwise(round(col("n_types") / col("n_tok").cast("double"), 6)))),
+
       // corpus vocabulary size: exact here for the oracle; the operator
       // defaults to the one-pass HLL sketch at scale (spec pins the
       // sketch within tolerance of exact)
@@ -2712,6 +2724,16 @@ object Queries {
         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
         |    '[\s\x00-\x1f]+', ' ', 'g')) AS clean
         |FROM documents WHERE text IS NOT NULL""".stripMargin,
+
+    "ttr_stats" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents WHERE text IS NOT NULL)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |       CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+         |       CAST(len(toks) AS BIGINT) AS n_tok,
+         |       CAST(CASE WHEN len(toks) = 0 THEN 0.0
+         |            ELSE round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+         |            END AS DOUBLE) AS ttr
+         |FROM t""".stripMargin,
 
     "vocab_size" ->
       s"""SELECT CAST(count(DISTINCT tok) AS BIGINT) AS n_vocab,
