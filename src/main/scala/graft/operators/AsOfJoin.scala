@@ -94,7 +94,9 @@ object AsOfJoin {
   def joinRange(left: DataFrame, right: DataFrame, keyCol: String,
                 tsCol: String, lo: Long, hi: Long): DataFrame = {
     require(hi >= lo, s"empty window: lo=$lo > hi=$hi")
-    val w = math.max(hi - lo, 1L)
+    // subtractExact: a window wider than Long.MaxValue must fail loudly,
+    // not silently wrap into wrong bucket widths
+    val w = math.max(math.subtractExact(hi, lo), 1L)
     // aligned bucket start: exact long floor alignment, no division
     def bucketOf(c: Column): Column = c - pmod(c, lit(w))
     val lPref = left.columns.map(c => col(c).as(s"l_$c"))

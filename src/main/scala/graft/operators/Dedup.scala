@@ -89,13 +89,17 @@ object Dedup {
     *     the anti-join against that small hit set clears the false
     *     positives.
     *
-    * Versus the plain anti-join, which shuffles every batch AND corpus
-    * fingerprint on every ingest: here the corpus pays one sketch build
-    * amortized over all future batches, and each ingest touches the
-    * archive only through a broadcast semi-join on the ~fpp-sized
-    * suspect set. Callers ingesting many batches against one frozen
-    * corpus build the bloom once via [[corpusFingerprintBloom]] and
-    * pass it in.
+    * Versus the plain anti-join this removes the per-ingest SHUFFLE of
+    * corpus fingerprints — but the confirm semi-join still SCANS and
+    * re-hashes the corpus text each batch, and measured at a 2M-doc
+    * cached corpus that scan dominates: the plain anti-join wins (0.9 s
+    * vs 1.4-1.7 s per 40k batch). Use this form only when the corpus
+    * text cannot be indexed ahead of time; the production per-batch
+    * path is [[writeFingerprintIndex]] + [[dropExistingDuplicatesIndexed]],
+    * which confirms against a persisted fp-only sorted index and never
+    * re-reads archive text (fresh-batch ingest 0.5 s vs 0.9 s at the
+    * same scale, flat in corpus size). Callers build the bloom once via
+    * [[corpusFingerprintBloom]] and pass it in.
     */
   def dropExistingDuplicatesBloom(batch: DataFrame, corpus: DataFrame,
                                   textCol: String, idCol: String,
