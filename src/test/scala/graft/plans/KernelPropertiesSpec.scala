@@ -218,7 +218,7 @@ object KernelProperties extends Properties("Kernels") {
 
   private val pairGen: Gen[(String, Long)] = for {
     k <- Gen.frequency((5, Gen.alphaNumStr.map(_.take(6))),
-      (1, Gen.const("")), (1, Gen.oneOf("é", "世", " x")))
+      (1, Gen.const("")), (1, Gen.oneOf("é", "世", "\u0000x")))
     i <- Gen.choose(-1000L, 1000L)
   } yield (k, i)
 
