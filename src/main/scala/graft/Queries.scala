@@ -373,10 +373,57 @@ object Queries {
       // exact dedup groups by content fingerprint
       "dedup_exact" -> ((s, dir) => Dedup.exactGroups(docs(s, dir), "text", "doc_id")),
 
+      // metadata attach over BUCKETED tables: content fingerprints and
+      // quality stats are each written once bucketed+sorted by doc_id,
+      // and every later join between them (the repeated pattern of a
+      // curation pipeline: attach scores, attach dedup verdicts, attach
+      // routing) runs with NO Exchange on either side — the write
+      // amortized the shuffle (plan shape pinned in BucketedSpec; dup
+      // discovery over an fp-bucketed corpus is the same shape). The
+      // bucketed layout changes the plan, not the answer: values are
+      // oracled by the plain join replay.
+      "bucketed_meta_join" -> ((s, dir) => {
+        val tag = s"${ProcessHandle.current.pid}_${dir.hashCode.toHexString}"
+        val (ta, tb) = (s"graft_bkt_fp_$tag", s"graft_bkt_q_$tag")
+        val d = docs(s, dir)
+        graft.sources.Bucketed.writeBucketed(
+          d.select(col("doc_id").cast("long").as("doc_id"),
+                   docFingerprint(col("text")).as("fp")),
+          ta, s"/tmp/$ta", "doc_id", 8)
+        graft.sources.Bucketed.writeBucketed(
+          d.select(col("doc_id").cast("long").as("doc_id"),
+                   col("n_chars").cast("long").as("n_chars"), col("lang")),
+          tb, s"/tmp/$tb", "doc_id", 8)
+        graft.sources.Bucketed.table(s, ta)
+          .join(graft.sources.Bucketed.table(s, tb).hint("merge"), Seq("doc_id"))
+          .select(col("doc_id"), col("fp"), col("n_chars"), col("lang"))
+      }),
+
       // per-document fingerprint (rolling/content hash)
       "doc_fingerprint" -> ((s, dir) =>
         docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
                             docFingerprint(col("text")).as("fp"))),
+
+      // JSONL source driven end-to-end: documents -> newline-delimited
+      // JSON (Spark escapes embedded newlines/quotes/unicode inside
+      // JSON strings, so a line IS a record and the trip is lossless)
+      // -> strict read-back under the DECLARED schema (never inference
+      // — that's a full extra pass at corpus scale) -> fingerprint +
+      // typed metadata. The oracle replays the downstream on the
+      // parquet table, so any escaping or type loss in the round trip
+      // flips the hash. Corrupt-line quarantine is spec-pinned in
+      // JsonlSpec (the driver gate corpus is all-wellformed by
+      // construction).
+      "docs_jsonl_source" -> ((s, dir) => {
+        val path = s"/tmp/graft_jsonl_roundtrip_${ProcessHandle.current.pid}_${dir.hashCode.toHexString}"
+        graft.sources.Jsonl.write(docs(s, dir), path)
+        graft.sources.Jsonl
+          .readStrict(s, path, graft.sources.Jsonl.documentsSchema)
+          .select(col("doc_id").cast("long").as("doc_id"),
+                  docFingerprint(col("text")).as("fp"),
+                  col("lang"),
+                  col("n_chars").cast("long").as("n_chars"))
+      }),
 
       // n-gram jaccard over a bounded id-offset candidate window
       "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -1195,6 +1242,24 @@ object Queries {
         .select(col("user_id").cast("long").as("user_id"), col("event_type"),
                 col("n"), col("avg_value"))),
 
+    // events: semi-structured metadata extraction. `props` is a JSON
+    // string (the universal side-channel for crawl/source metadata);
+    // `from_json` with a caller-DECLARED schema types it in-plan — no
+    // inference pass over the corpus, no UDF — and the aggregate
+    // groups on the extracted key. One scan, map-side partial agg;
+    // the JSON parse is per-row narrow work that scales with
+    // executors. (Parse failures yield NULL fields, grouped under the
+    // NULL key rather than killing the job — same quarantine stance
+    // as Jsonl.readPermissive.)
+    "events_props_extract" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .select(from_json(col("props"),
+                  org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+                  .getField("k").cast("long").as("k"),
+                col("value"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))),
+
     // events: per-user argmax via window function
     "events_top_event" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -1792,6 +1857,23 @@ object Queries {
     "doc_fingerprint" ->
       s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
          |       md5(COALESCE(array_to_string($duckToks, ' '), '')) AS fp
+         |FROM documents WHERE text IS NOT NULL""".stripMargin,
+
+    // the bucketed layout changes the PLAN, not the answer: the oracle
+    // is the plain join replay
+    "bucketed_meta_join" ->
+      s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |       md5(COALESCE(array_to_string($duckToks, ' '), '')) AS fp,
+         |       CAST(n_chars AS BIGINT) AS n_chars, lang
+         |FROM documents WHERE text IS NOT NULL""".stripMargin,
+
+    // the JSONL trip is lossless, so the oracle is the downstream
+    // replayed directly on the parquet table (same convention as the
+    // CSV source row)
+    "docs_jsonl_source" ->
+      s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |       md5(COALESCE(array_to_string($duckToks, ' '), '')) AS fp,
+         |       lang, CAST(n_chars AS BIGINT) AS n_chars
          |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
     "dedup_ngram_jaccard" ->
@@ -2909,6 +2991,12 @@ object Queries {
         |       CAST(count(*) AS BIGINT) AS n,
         |       CAST(round(avg(value), 6) AS DOUBLE) AS avg_value
         |FROM events GROUP BY user_id, event_type""".stripMargin,
+
+    "events_props_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(round(sum(value), 4) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
 
     "events_top_event" ->
       """WITH r AS (
