@@ -425,6 +425,29 @@ object Queries {
                   col("n_chars").cast("long").as("n_chars"))
       }),
 
+      // release-over-release snapshot diff: status per document vs a
+      // deterministically derived "next release" (every 17th doc
+      // removed, every 13th edited, every 19th re-added under a new
+      // id). The full-outer join carries only (id, fingerprint) pairs
+      // and drops the ~unchanged majority in-plan — the diff costs
+      // O(change volume), not O(corpus), in output
+      "corpus_diff" -> ((s, dir) => {
+        val d = docs(s, dir)
+        val a = d.select(col("doc_id").cast("long").as("doc_id"),
+                         docFingerprint(col("text")).as("fp"))
+        val bKeep = d.where(pmod(col("doc_id"), lit(17)) =!= 0)
+          .select(col("doc_id").cast("long").as("doc_id"),
+            when(pmod(col("doc_id"), lit(13)) === 0,
+                 concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text"))
+        val bAdd = d.where(pmod(col("doc_id"), lit(19)) === 0)
+          .select((col("doc_id") + lit(10000000L)).cast("long").as("doc_id"),
+                  col("text"))
+        val b = bKeep.union(bAdd)
+          .select(col("doc_id"), docFingerprint(col("text")).as("fp"))
+        Corpus.snapshotDiff(a, b, "doc_id", "fp")
+      }),
+
       // n-gram jaccard over a bounded id-offset candidate window
       "dedup_ngram_jaccard" -> ((s, dir) =>
         Dedup.ngramJaccardPairs(docs(s, dir), "text", "doc_id", n = 3, maxOffset = 5)),
@@ -1866,6 +1889,32 @@ object Queries {
          |       md5(COALESCE(array_to_string($duckToks, ' '), '')) AS fp,
          |       CAST(n_chars AS BIGINT) AS n_chars, lang
          |FROM documents WHERE text IS NOT NULL""".stripMargin,
+
+    // replay of the derived "next release" + full-outer fingerprint
+    // diff; the CTEs materialize so the token chain runs once per side
+    "corpus_diff" ->
+      s"""WITH a AS MATERIALIZED (
+         |  SELECT doc_id, md5(COALESCE(array_to_string($duckToks, ' '), '')) AS fp
+         |  FROM documents WHERE text IS NOT NULL),
+         |bsrc AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+         |  FROM documents WHERE text IS NOT NULL AND doc_id % 17 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 10000000 AS doc_id, text
+         |  FROM documents WHERE text IS NOT NULL AND doc_id % 19 = 0),
+         |b AS MATERIALIZED (
+         |  SELECT doc_id, md5(COALESCE(array_to_string($duckToks, ' '), '')) AS fp
+         |  FROM bsrc)
+         |SELECT * FROM (
+         |  SELECT CAST(COALESCE(a.doc_id, b.doc_id) AS BIGINT) AS id,
+         |         a.fp AS fp_a, b.fp AS fp_b,
+         |         CASE WHEN a.fp IS NULL THEN 'added'
+         |              WHEN b.fp IS NULL THEN 'removed'
+         |              WHEN a.fp <> b.fp THEN 'changed'
+         |              ELSE 'unchanged' END AS status
+         |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+         |WHERE status <> 'unchanged'""".stripMargin,
 
     // the JSONL trip is lossless, so the oracle is the downstream
     // replayed directly on the parquet table (same convention as the

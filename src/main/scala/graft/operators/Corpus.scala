@@ -722,4 +722,32 @@ object Corpus {
     }
     one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
   }
+
+  /** Snapshot diff between two corpus releases: per-document status
+    * (`added` / `removed` / `changed`) keyed on `idCol`, with the
+    * content fingerprint from each side. `unchanged` rows are dropped
+    * in-plan — at a realistic release cadence they are ~99% of the
+    * corpus, and filtering them before the caller materializes
+    * anything keeps the diff output proportional to the CHANGE volume,
+    * not the corpus.
+    *
+    * Scale shape: one full-outer equi-join on the id — both sides
+    * shuffle once on `idCol`, carrying only (id, fingerprint) pairs,
+    * never document text (callers pass pre-fingerprinted frames, or
+    * frames whose other columns Catalyst prunes away). For a pipeline
+    * that diffs every release, write both snapshots bucketed by the id
+    * (`graft.sources.Bucketed`) and even that shuffle disappears.
+    */
+  def snapshotDiff(a: DataFrame, b: DataFrame, idCol: String,
+                   fpCol: String): DataFrame = {
+    val l = a.select(col(idCol).cast("long").as("id"), col(fpCol).as("fp_a"))
+    val r = b.select(col(idCol).cast("long").as("id"), col(fpCol).as("fp_b"))
+    l.join(r, Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("fp_a").isNull, lit("added"))
+          .when(col("fp_b").isNull, lit("removed"))
+          .when(col("fp_a") =!= col("fp_b"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .where(col("status") =!= "unchanged")
+  }
 }

@@ -373,4 +373,39 @@ class StreamingSpec extends SparkSpec {
       assert(q1 < q0, s"QE should decrease: $q0 -> $q1")
     } finally query.stop()
   }
+
+  test("JSONL file-stream ingest: dropped files arrive incrementally, match batch") {
+    // the production ingest shape: a landing directory of JSONL files
+    // consumed as a file stream under the SAME declared schema the
+    // batch reader uses (graft.sources.Jsonl.documentsSchema) — new
+    // files picked up per micro-batch, no re-read of old ones
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_stream")
+    dir.toFile.deleteOnExit()
+    def drop(name: String, rows: Seq[(Long, String)]): Unit = {
+      val lines = rows.map { case (id, t) =>
+        s"""{"doc_id": $id, "text": "$t", "lang": "en", "source": "s", "n_chars": ${t.length}}"""
+      }
+      // atomic move so the stream never sees a half-written file
+      val tmp = java.nio.file.Files.createTempFile("graft_jsonl_part", ".tmp")
+      java.nio.file.Files.write(tmp, lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, dir.resolve(s"$name.jsonl"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    drop("batch0", Seq((1L, "alpha beta"), (2L, "gamma")))
+    val stream = spark.readStream
+      .schema(graft.sources.Jsonl.documentsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .json(dir.toString)
+      .select(col("doc_id"), graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+    val q = stream.writeStream.format("memory").queryName("jsonl_ingest")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      drop("batch1", Seq((3L, "delta epsilon zeta")))
+      q.processAllAvailable()
+      val got = spark.table("jsonl_ingest").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === Map(1L -> 2L, 2L -> 1L, 3L -> 3L))
+    } finally q.stop()
+  }
 }
