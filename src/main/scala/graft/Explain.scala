@@ -36,7 +36,9 @@ object Explain {
         "ann_ivfpq", "quality_logit", "vocab_size", "dedup_keep_best",
         "strip_markup", "doc_len_quantiles", "len_histogram",
         "events_rolling", "emb_norm_stats", "dedup_pr", "corpus_rollup",
-        "events_funnel", "dedup_bloom_index", "ttr_stats").foreach(show)
+        "events_funnel", "dedup_bloom_index", "ttr_stats", "corpus_diff",
+        "bucketed_meta_join", "docs_jsonl_source",
+        "events_props_extract").foreach(show)
     spark.stop()
   }
 }
