@@ -424,6 +424,55 @@ object Bench {
         .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
 
+    // --- bucketed-vs-plain join head-to-head at 200k×200k on the same
+    // data in the same JVM (ratio valid under machine noise). Both
+    // spellings are forced onto SortMergeJoin; the ONLY plan difference
+    // is the Exchange pair the bucketed layout deletes. The write is
+    // timed separately — it amortizes over every future join on the key
+    // (the repeated metadata-attach pattern). Locally the shuffle is a
+    // memcpy, so the gap understates the cluster win (at 1000 executors
+    // the Exchange is network + disk spill, the bucketed read is local).
+    {
+      val fps = spark.range(200000).select(col("id").as("doc_id"),
+        md5(col("id").cast("string")).as("fp"))
+      val meta = spark.range(200000).select(col("id").as("doc_id"),
+        pmod(col("id"), lit(97)).as("len_bucket"),
+        pmod(col("id"), lit(20)).cast("string").as("lang"))
+      val tag = s"bench_${ProcessHandle.current.pid}"
+      val plainA = s"/tmp/graft_plain_a_$tag"; val plainB = s"/tmp/graft_plain_b_$tag"
+      fps.write.mode("overwrite").parquet(plainA)
+      meta.write.mode("overwrite").parquet(plainB)
+      results("bench_bucketed_write_200k") = time {
+        graft.sources.Bucketed.writeBucketed(fps, s"graft_bkt_bench_a_$tag",
+          s"/tmp/graft_bkt_a_$tag", "doc_id", 32)
+        graft.sources.Bucketed.writeBucketed(meta, s"graft_bkt_bench_b_$tag",
+          s"/tmp/graft_bkt_b_$tag", "doc_id", 32)
+      }
+      def joinCount(a: org.apache.spark.sql.DataFrame,
+                    b: org.apache.spark.sql.DataFrame): Long =
+        a.join(b.hint("merge"), Seq("doc_id")).count()
+      val nb = joinCount(graft.sources.Bucketed.table(spark, s"graft_bkt_bench_a_$tag"),
+                         graft.sources.Bucketed.table(spark, s"graft_bkt_bench_b_$tag"))
+      val np = joinCount(spark.read.parquet(plainA), spark.read.parquet(plainB))
+      if (nb != np) System.err.println(s"[bench] BUCKETED JOIN MISMATCH $nb vs $np")
+      results("bench_bucketed_join_200k") = time2 {
+        joinCount(graft.sources.Bucketed.table(spark, s"graft_bkt_bench_a_$tag"),
+                  graft.sources.Bucketed.table(spark, s"graft_bkt_bench_b_$tag")); ()
+      }
+      results("bench_plain_join_200k") = time2 {
+        joinCount(spark.read.parquet(plainA), spark.read.parquet(plainB)); ()
+      }
+      graft.sources.Bucketed.drop(spark, s"graft_bkt_bench_a_$tag")
+      graft.sources.Bucketed.drop(spark, s"graft_bkt_bench_b_$tag")
+      import scala.jdk.CollectionConverters._
+      Seq(plainA, plainB, s"/tmp/graft_bkt_a_$tag", s"/tmp/graft_bkt_b_$tag").foreach { d =>
+        val p = java.nio.file.Paths.get(d)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p).iterator().asScala
+            .toSeq.reverse.foreach(x => java.nio.file.Files.deleteIfExists(x))
+      }
+    }
+
     // --- full query suite: 1 warmup + 1 timed rep each (the reference
     // bench methodology, bench_utils.py:56-78) — steady-state numbers,
     // not JIT/classload noise. NOTE (measured r7): `.count()` lets

@@ -1,0 +1,47 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CompactSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def parquetFiles(dir: String): Array[java.io.File] =
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+
+  test("compaction shrinks a fragmented directory, preserves every row") {
+    val in = java.nio.file.Files.createTempDirectory("graft_compact_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_compact_out").toString
+    (0L until 5000L).map(i => (i, s"doc $i body")).toDF("doc_id", "text")
+      .repartition(32) // the fragmented ingest shape
+      .write.mode("overwrite").parquet(in)
+    assert(parquetFiles(in).length === 32)
+    val totalBytes = parquetFiles(in).map(_.length).sum
+    // target a quarter of the total (ceil, so 4 targets cover it all)
+    // -> expect exactly 4 output files
+    val (nIn, nOut) = Compact.compactParquet(spark, in, out,
+      targetFileBytes = (totalBytes + 3) / 4)
+    assert(nIn === 32)
+    assert(nOut === 4)
+    assert(parquetFiles(out).length === 4)
+    // round-robin repartition spreads bytes evenly: no file is a skew
+    // magnet (each within 2x of the mean)
+    val sizes = parquetFiles(out).map(_.length)
+    assert(sizes.max < 2 * (sizes.sum / sizes.length),
+      s"uneven compaction: ${sizes.mkString(",")}")
+    // content identical
+    val a = spark.read.parquet(in).collect().map(_.toString).sorted
+    val b = spark.read.parquet(out).collect().map(_.toString).sorted
+    assert(a === b)
+  }
+
+  test("compact refuses in-place rewrites and bad targets") {
+    val d = java.nio.file.Files.createTempDirectory("graft_compact_same").toString
+    intercept[IllegalArgumentException] {
+      Compact.compactParquet(spark, d, d)
+    }
+    intercept[IllegalArgumentException] {
+      Compact.compactParquet(spark, d, d + "_out", targetFileBytes = 0)
+    }
+  }
+}
