@@ -404,6 +404,25 @@ object Queries {
         docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
                             docFingerprint(col("text")).as("fp"))),
 
+      // language-routed layout driven end-to-end: documents written
+      // partitionBy(lang) (one directory per language, one file per
+      // directory), read back with a two-language route filter that
+      // lands in PartitionFilters — unrequested directories are never
+      // opened (pruning proof in PartitionedSpec, same style as the
+      // IVF index). The layout changes the scan, not the answer: the
+      // oracle replays the filtered aggregate on the parquet table.
+      "routed_lang_read" -> ((s, dir) => {
+        val path = s"/tmp/graft_routed_${ProcessHandle.current.pid}_${dir.hashCode.toHexString}"
+        graft.sources.Partitioned.writeRouted(
+          docs(s, dir).select(col("doc_id"), col("text"),
+                              col("n_chars"), col("lang")),
+          path, "lang")
+        graft.sources.Partitioned.readRouted(s, path, "lang", Seq("en", "de"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"),
+               sum(col("n_chars")).cast("long").as("sum_chars"))
+      }),
+
       // JSONL source driven end-to-end: documents -> newline-delimited
       // JSON (Spark escapes embedded newlines/quotes/unicode inside
       // JSON strings, so a line IS a record and the trip is lossless)
@@ -1915,6 +1934,14 @@ object Queries {
          |              ELSE 'unchanged' END AS status
          |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
          |WHERE status <> 'unchanged'""".stripMargin,
+
+    // the routed layout changes the SCAN, not the answer
+    "routed_lang_read" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE text IS NOT NULL AND lang IN ('en', 'de')
+        |GROUP BY lang""".stripMargin,
 
     // the JSONL trip is lossless, so the oracle is the downstream
     // replayed directly on the parquet table (same convention as the
