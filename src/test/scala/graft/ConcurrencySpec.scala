@@ -74,10 +74,44 @@ class ConcurrencySpec extends SparkSpec {
         val s = r.collect().map(_.toString).toSet
         org.apache.spark.sql.GraftBridge.freeCheckpoint(r)
         s
+      }),
+      // fourth-pass stateful sources: bucketed writes hit the
+      // session-shared CATALOG (saveAsTable), routed/jsonl writes hit
+      // the filesystem — per-call unique names keep runs isolated, and
+      // concurrent catalog registration must not corrupt either table
+      "bucketed" -> (() => {
+        val n = ConcurrencySpec.seq.incrementAndGet()
+        val tag = s"conc_${ProcessHandle.current.pid}_$n"
+        val d = docs().select(col("doc_id").cast("long").as("doc_id"),
+          functions.TextFunctions.docFingerprint(col("text")).as("fp"))
+        sources.Bucketed.writeBucketed(d, s"graft_$tag", s"/tmp/graft_$tag",
+          "doc_id", 4)
+        val r = sources.Bucketed.table(spark, s"graft_$tag")
+          .collect().map(_.toString).toSet
+        sources.Bucketed.drop(spark, s"graft_$tag")
+        r
+      }),
+      "routed" -> (() => {
+        val n = ConcurrencySpec.seq.incrementAndGet()
+        val path = s"/tmp/graft_routed_conc_${ProcessHandle.current.pid}_$n"
+        sources.Partitioned.writeRouted(
+          docs().select(col("doc_id"), col("lang")), path, "lang")
+        sources.Partitioned.readRouted(spark, path, "lang", Seq("en", "de"))
+          .collect().map(_.toString).toSet
+      }),
+      "jsonl" -> (() => {
+        val n = ConcurrencySpec.seq.incrementAndGet()
+        val path = s"/tmp/graft_jsonl_conc_${ProcessHandle.current.pid}_$n"
+        sources.Jsonl.write(docs(), path)
+        sources.Jsonl.readStrict(spark, path, sources.Jsonl.documentsSchema)
+          .select(col("doc_id"),
+            functions.TextFunctions.docFingerprint(col("text")).as("fp"))
+          .collect().map(_.toString).toSet
       }))
   }
 
   test("operators running concurrently match their sequential results") {
+    ConcurrencySpec.seq.get() // touch the companion so init races can't hide
     val sequential = runs.map { case (name, f) => name -> f() }.toMap
     // two concurrent waves: every operator in flight at once, twice
     for (wave <- 1 to 2) {
@@ -87,4 +121,11 @@ class ConcurrencySpec extends SparkSpec {
         assert(concurrent(name) == expected, s"wave $wave: $name diverged under concurrency")
     }
   }
+}
+
+object ConcurrencySpec {
+  /** Per-call unique suffix for catalog/filesystem names under
+    * concurrent waves.
+    */
+  val seq = new java.util.concurrent.atomic.AtomicLong(0)
 }
