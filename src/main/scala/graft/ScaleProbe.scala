@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
   *    the same code path at 200k edges).
   *
   * Usage: `runMain graft.ScaleProbe
-  * [minhash|resolve|bushy|spans|curation|ann|pq|pack|semantic|relational|ingest|all]
+  * [minhash|resolve|bushy|spans|curation|ann|pq|pack|semantic|relational|ingest|layout|all]
   * [repeats] [nDocs]`. Run each phase in its OWN JVM (`all` exists for
   * convenience only): round 5 recorded a 103 s resolve outlier that was
   * same-JVM memory pressure from the preceding 2M-doc minhash phase, not
@@ -27,8 +27,8 @@ object ScaleProbe {
     val phase = args.headOption.getOrElse("all")
     val repeats = args.lift(1).map(_.toInt).getOrElse(1)
     val nDocs = args.lift(2).map(_.toLong).getOrElse(2000000L)
-    require(Set("minhash", "resolve", "bushy", "spans", "curation", "ann", "pq", "pack", "semantic", "relational", "ingest", "all")(phase),
-      s"unknown phase '$phase' (want minhash|resolve|bushy|spans|curation|ann|pq|pack|semantic|relational|ingest|all)")
+    require(Set("minhash", "resolve", "bushy", "spans", "curation", "ann", "pq", "pack", "semantic", "relational", "ingest", "layout", "all")(phase),
+      s"unknown phase '$phase' (want minhash|resolve|bushy|spans|curation|ann|pq|pack|semantic|relational|ingest|layout|all)")
     // partition count scales with the probed data volume, exactly as a
     // cluster operator would size it: at 20M docs (1B token instances)
     // 32 shuffle partitions put a ~31M-group hash aggregate in every
@@ -421,6 +421,66 @@ object ScaleProbe {
         }
         println(f"[scale] bushy ${nDocs * 4 / 1000000}M-node tree (real dispatch, run $rep/$repeats): $tTree%.1f s")
         tree.unpersist(blocking = true)
+        settle()
+      }
+
+      if (phase == "layout" || phase == "all") {
+        import org.apache.spark.sql.functions._
+        // the storage layouts at 10x bench scale: bucketed-vs-plain
+        // join (the Exchange the bucket write deletes grows with data;
+        // the bucketed read does not), routed write + pruned read
+        // (listing/scan cost should track the REQUESTED partitions,
+        // not the corpus), and small-file compaction (the shuffle is
+        // the whole cost — one pass over the bytes)
+        val tag = s"probe_${ProcessHandle.current.pid}_$rep"
+        val fps = spark.range(nDocs).select(col("id").as("doc_id"),
+          md5(col("id").cast("string")).as("fp"))
+        val meta = spark.range(nDocs).select(col("id").as("doc_id"),
+          pmod(col("id"), lit(97)).as("len_bucket"),
+          pmod(col("id"), lit(20)).cast("string").as("lang"))
+        val pA = s"/tmp/graft_probe_plain_a_$tag"; val pB = s"/tmp/graft_probe_plain_b_$tag"
+        fps.write.mode("overwrite").parquet(pA)
+        meta.write.mode("overwrite").parquet(pB)
+        val tW = time {
+          sources.Bucketed.writeBucketed(fps, s"graft_pa_$tag",
+            s"/tmp/graft_bkt_pa_$tag", "doc_id", parts.toInt)
+          sources.Bucketed.writeBucketed(meta, s"graft_pb_$tag",
+            s"/tmp/graft_bkt_pb_$tag", "doc_id", parts.toInt)
+        }
+        def jc(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+          a.join(b.hint("merge"), Seq("doc_id")).count()
+        val nb = jc(sources.Bucketed.table(spark, s"graft_pa_$tag"),
+                    sources.Bucketed.table(spark, s"graft_pb_$tag")) // warm
+        val tBkt = time { jc(sources.Bucketed.table(spark, s"graft_pa_$tag"),
+                             sources.Bucketed.table(spark, s"graft_pb_$tag")) }
+        val np = jc(spark.read.parquet(pA), spark.read.parquet(pB)) // warm
+        val tPlain = time { jc(spark.read.parquet(pA), spark.read.parquet(pB)) }
+        require(nb == np, s"layout probe join mismatch: $nb vs $np")
+        println(f"[scale] layout ${nDocs / 1000000}M bucketed write $tW%.1f s; join bucketed $tBkt%.2f s vs plain $tPlain%.2f s (run $rep/$repeats)")
+        val rDir = s"/tmp/graft_probe_routed_$tag"
+        val tRW = time { sources.Partitioned.writeRouted(meta, rDir, "lang") }
+        val tRR = time {
+          println("  routed rows: " + sources.Partitioned
+            .readRouted(spark, rDir, "lang", Seq("1", "2")).count())
+        }
+        println(f"[scale] layout routed write $tRW%.1f s; 2-of-20 pruned read $tRR%.2f s (run $rep/$repeats)")
+        val fragDir = s"/tmp/graft_probe_frag_$tag"
+        fps.repartition(512).write.mode("overwrite").parquet(fragDir)
+        val tC = time {
+          val (nIn, nOut) = sources.Compact.compactParquet(spark, fragDir,
+            fragDir + "_out", targetFileBytes = 64L * 1024 * 1024)
+          println(s"  compacted $nIn -> $nOut files")
+        }
+        println(f"[scale] layout compaction 512-file rewrite $tC%.1f s (run $rep/$repeats)")
+        Seq(s"graft_pa_$tag", s"graft_pb_$tag").foreach(t => sources.Bucketed.drop(spark, t))
+        import scala.jdk.CollectionConverters._
+        Seq(pA, pB, s"/tmp/graft_bkt_pa_$tag", s"/tmp/graft_bkt_pb_$tag",
+            rDir, fragDir, fragDir + "_out").foreach { d =>
+          val p = java.nio.file.Paths.get(d)
+          if (java.nio.file.Files.exists(p))
+            java.nio.file.Files.walk(p).iterator().asScala
+              .toSeq.reverse.foreach(x => java.nio.file.Files.deleteIfExists(x))
+        }
         settle()
       }
     }
