@@ -38,7 +38,8 @@ object Explain {
         "events_rolling", "emb_norm_stats", "dedup_pr", "corpus_rollup",
         "events_funnel", "dedup_bloom_index", "ttr_stats", "corpus_diff",
         "bucketed_meta_join", "docs_jsonl_source",
-        "events_props_extract", "routed_lang_read").foreach(show)
+        "events_props_extract", "routed_lang_read", "redact_pii",
+        "export_manifest").foreach(show)
     spark.stop()
   }
 }

@@ -949,6 +949,37 @@ object Queries {
           longDigitRunCount(enriched).cast("long").as("n_digit_run"))
       }),
 
+      // sharded dataset export + verifiable manifest: documents written
+      // into 8 content-keyed hash shards (shard never moves when the
+      // corpus grows), manifest = per-shard row count + order-
+      // independent DECIMAL fingerprint checksum a consumer recomputes
+      // from the shards alone. The oracle replays the md5 shard
+      // arithmetic and the checksum in DuckDB, so the whole release
+      // artifact is cross-engine verifiable.
+      "export_manifest" -> ((s, dir) => {
+        val path = s"/tmp/graft_shards_${ProcessHandle.current.pid}_${dir.hashCode.toHexString}"
+        graft.sources.Shards.writeSharded(
+          docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+                              docFingerprint(col("text")).as("fp")),
+          path, "doc_id", nShards = 8)
+        graft.sources.Shards.manifest(s, path, "fp")
+      }),
+
+      // PII redaction over the same synthetic enrichment pattern_counts
+      // uses — the full redacted text is hash-compared against DuckDB's
+      // regexp_replace replay, so pattern AND replacement-order parity
+      // are pinned byte-for-byte
+      "redact_pii" -> ((s, dir) => {
+        val id = col("doc_id").cast("long")
+        val enriched = when(pmod(id, lit(7)) === 0,
+          concat(col("text"), lit(" contact user"), id.cast("string"),
+            lit("@example.com or https://ex.org/p/"), id.cast("string"),
+            lit(" ref 123456789")))
+          .otherwise(col("text"))
+        docs(s, dir).select(id.as("doc_id"),
+          redactPii(enriched).as("red_text"))
+      }),
+
       // corpus-level token frequency (vocabulary build): explode +
       // partial-agg groupBy + per-partition top-k, total order under ties
       "token_freq_topk" -> ((s, dir) =>
@@ -2982,6 +3013,35 @@ object Queries {
         |       CAST(len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
         |       CAST(len(regexp_extract_all(text2, 'https?://[^\s]+')) AS BIGINT) AS n_url,
         |       CAST(len(regexp_extract_all(text2, '[0-9]{7,}')) AS BIGINT) AS n_digit_run
+        |FROM t""".stripMargin,
+
+    // shard + checksum replay: hex prefixes through ::BIGINT (the
+    // weighted_sample convention), checksum summed in HUGEINT and cast
+    // to VARCHAR like the engine's DECIMAL(38,0) -> string
+    "export_manifest" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, md5(COALESCE(array_to_string($duckToks, ' '), '')) AS fp
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT CAST(('0x' || substr(md5('graft' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)), 1, 8))::BIGINT % 8 AS BIGINT) AS shard,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(('0x' || substr(fp, 1, 15))::BIGINT) AS VARCHAR) AS fp_sum
+         |FROM f GROUP BY 1""".stripMargin,
+
+    // same enrichment; the 'g' flag makes DuckDB's regexp_replace
+    // global like Spark's, and the email->url->digits order matches
+    "redact_pii" ->
+      """WITH t AS (SELECT doc_id,
+        |        CASE WHEN doc_id % 7 = 0
+        |             THEN text || ' contact user' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)
+        |                  || '@example.com or https://ex.org/p/' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)
+        |                  || ' ref 123456789'
+        |             ELSE text END AS text2
+        |      FROM documents WHERE text IS NOT NULL)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       regexp_replace(regexp_replace(regexp_replace(text2,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         'https?://[^\s]+', '<URL>', 'g'),
+        |         '[0-9]{7,}', '<NUM>', 'g') AS red_text
         |FROM t""".stripMargin,
 
     "quality_score" ->

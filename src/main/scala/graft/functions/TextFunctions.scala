@@ -264,6 +264,22 @@ object TextFunctions {
   def longDigitRunCount(text: Column): Column =
     graft.plans.GraftFunctions.regex_count(text, "[0-9]{7,}")
 
+  /** PII-shaped span REDACTION (the release-time counterpart of the
+    * counting signals above): emails, URLs, then long digit runs are
+    * replaced by typed placeholder tokens, in that fixed order — URLs
+    * are redacted after emails so an address inside a URL is claimed by
+    * the email pass, and digit runs go last so runs inside either are
+    * already gone. Three codegen `regexp_replace` passes (same
+    * RE2-compatible patterns as the counters, so the DuckDB replay
+    * matches byte-for-byte); narrow per-row work, no shuffle.
+    */
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val noUrl = regexp_replace(noEmail, "https?://[^\\s]+", "<URL>")
+    regexp_replace(noUrl, "[0-9]{7,}", "<NUM>")
+  }
+
   /** Deterministic document fingerprint: md5 of the token-normalized
     * text (cross-engine checkable, unlike xxhash64).
     */
