@@ -949,6 +949,16 @@ object Queries {
           longDigitRunCount(enriched).cast("long").as("n_digit_run"))
       }),
 
+      // tokenizer-fit signal: per-doc out-of-vocabulary token fraction
+      // vs the corpus top-200 vocabulary — the join sees per-doc
+      // DISTINCT (token, tf) kernel pairs and a broadcast vocab, never
+      // the raw token-instance stream
+      "oov_rate" -> ((s, dir) => {
+        val d = docs(s, dir)
+        val vocab = Corpus.tokenFrequencies(d, "text", 200)
+        Corpus.oovRate(d, vocab, "text", "doc_id")
+      }),
+
       // sharded dataset export + verifiable manifest: documents written
       // into 8 content-keyed hash shards (shard never moves when the
       // corpus grows), manifest = per-shard row count + order-
@@ -3014,6 +3024,24 @@ object Queries {
         |       CAST(len(regexp_extract_all(text2, 'https?://[^\s]+')) AS BIGINT) AS n_url,
         |       CAST(len(regexp_extract_all(text2, '[0-9]{7,}')) AS BIGINT) AS n_digit_run
         |FROM t""".stripMargin,
+
+    // top-200 vocabulary under the (count desc, token asc) total order,
+    // then a LEFT JOIN marks in-vocab terms; the doc side is per-doc
+    // (token, tf) pairs like the engine's kernel form
+    "oov_rate" ->
+      s"""WITH t AS MATERIALIZED (
+         |  SELECT doc_id, unnest($duckToks) AS token
+         |  FROM documents WHERE text IS NOT NULL),
+         |v AS MATERIALIZED (
+         |  SELECT token FROM (SELECT token, count(*) AS n FROM t GROUP BY 1)
+         |  ORDER BY n DESC, token LIMIT 200),
+         |p AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2)
+         |SELECT CAST(p.doc_id AS BIGINT) AS id,
+         |       CAST(sum(p.tf) AS BIGINT) AS n_tok,
+         |       CAST(round(CAST(sum(CASE WHEN v.token IS NULL THEN p.tf ELSE 0 END) AS DOUBLE)
+         |                  / CAST(sum(p.tf) AS DOUBLE), 6) AS DOUBLE) AS oov_rate
+         |FROM p LEFT JOIN v ON p.token = v.token
+         |GROUP BY 1""".stripMargin,
 
     // shard + checksum replay: hex prefixes through ::BIGINT (the
     // weighted_sample convention), checksum summed in HUGEINT and cast

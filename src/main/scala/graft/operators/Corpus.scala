@@ -32,6 +32,35 @@ object Corpus {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Per-document out-of-vocabulary rate against a caller-supplied
+    * vocabulary frame (one `token` column — typically
+    * [[tokenFrequencies]]' top-k): the tokenizer-fit signal for sizing
+    * a subword vocabulary or routing documents a fixed vocab can't
+    * cover. Token instances outside the vocabulary, as a fraction of
+    * the document's instances.
+    *
+    * Scale shape: the document side joins as per-doc DISTINCT (token,
+    * tf) kernel pairs — the join and shuffle see vocabulary-shaped
+    * rows, never the 10× larger token-instance stream — and the
+    * vocabulary side broadcasts (it is top-k by construction). Docs
+    * with zero tokens have no defined rate and are absent, mirroring
+    * the CE queries' convention.
+    */
+  def oovRate(df: DataFrame, vocab: DataFrame, textCol: String,
+              idCol: String): DataFrame = {
+    require(vocab.columns.contains("token"), "vocab needs a `token` column")
+    val pairs = df.select(col(idCol).cast("long").as("id"),
+        explode(graft.plans.GraftFunctions.token_tf(col(textCol))).as("kv"))
+      .select(col("id"), col("kv.token").as("token"), col("kv.tf").as("tf"))
+    pairs.join(broadcast(vocab.select(col("token")).withColumn("__in_vocab", lit(1))),
+        Seq("token"), "left")
+      .groupBy("id")
+      .agg(sum(col("tf")).cast("long").as("n_tok"),
+           round(sum(when(col("__in_vocab").isNull, col("tf")).otherwise(lit(0)))
+                   .cast("double") / sum(col("tf")).cast("double"), 6)
+             .as("oov_rate"))
+  }
+
   /** Document frequencies and inverse document frequency per token:
     * how many documents contain each token at least once, plus
     * idf = ln(nDocs / df) for TF-IDF-style weighting. Same scale shape
