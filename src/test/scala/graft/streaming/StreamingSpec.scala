@@ -374,6 +374,42 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming sharded export: the file sink writes the same content-keyed shards as batch") {
+    // the release pipeline's streaming tail: shard assignment is a pure
+    // expression (Shards.shardOf), so the file sink's partitionBy lays
+    // out the same shard=K/ directories the batch writer produces, and
+    // a document's shard is identical under both — append mode, no state
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_shards")
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_stream_shards_ck")
+    Seq(outDir, ckDir).foreach(_.toFile.deleteOnExit())
+    val input = MemoryStream[(Long, String)]
+    val sharded = input.toDF().toDF("doc_id", "fp")
+      .withColumn("shard", graft.sources.Shards.shardOf(col("doc_id"), 4))
+    val q = sharded.writeStream.format("parquet")
+      .option("path", outDir.toString)
+      .option("checkpointLocation", ckDir.toString)
+      .partitionBy("shard")
+      .outputMode("append").start()
+    try {
+      val rows = (0L until 40L).map(i => (i, f"fp$i%04d"))
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val back = spark.read.parquet(outDir.toString)
+        .select(col("doc_id"), col("shard").cast("long").as("shard"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = rows.toDF("doc_id", "fp")
+        .withColumn("shard", graft.sources.Shards.shardOf(col("doc_id"), 4))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(back === batch)
+      // directory layout is the routed shard tree (the sink also keeps
+      // its _spark_metadata commit log alongside — not a shard)
+      val dirs = outDir.toFile.listFiles().filter(_.isDirectory).map(_.getName)
+        .filterNot(_.startsWith("_")).sorted
+      assert(dirs.forall(_.startsWith("shard=")) && dirs.length === 4)
+    } finally q.stop()
+  }
+
   test("JSONL file-stream ingest: dropped files arrive incrementally, match batch") {
     // the production ingest shape: a landing directory of JSONL files
     // consumed as a file stream under the SAME declared schema the
