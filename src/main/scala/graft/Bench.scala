@@ -50,6 +50,37 @@ object BenchData {
   def treeGraph(spark: SparkSession, nNodes: Long) =
     spark.range(1, nNodes)
       .select(shiftright(col("id") - 1, 1).as("id_a"), col("id").as("id_b"))
+
+  /** (doc_id, fp) / (doc_id, len_bucket, lang) generator pair for the
+    * bucketed-vs-plain join workloads — ONE definition so the bench and
+    * the scale probe measure the same data shape.
+    */
+  def layoutFps(spark: SparkSession, n: Long) =
+    spark.range(n).select(col("id").as("doc_id"),
+      md5(col("id").cast("string")).as("fp"))
+  def layoutMeta(spark: SparkSession, n: Long) =
+    spark.range(n).select(col("id").as("doc_id"),
+      pmod(col("id"), lit(97)).as("len_bucket"),
+      pmod(col("id"), lit(20)).cast("string").as("lang"))
+
+  /** The merge-hinted doc_id join both layout workloads time (the hint
+    * keeps the strategy fixed so the ONLY plan difference between the
+    * bucketed and plain spellings is the Exchange pair).
+    */
+  def mergeJoinCount(a: org.apache.spark.sql.DataFrame,
+                     b: org.apache.spark.sql.DataFrame): Long =
+    a.join(b.hint("merge"), Seq("doc_id")).count()
+
+  /** Best-effort recursive delete for the /tmp scratch dirs the bench
+    * and probe workloads write.
+    */
+  def deleteRecursively(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).iterator().asScala
+        .toSeq.reverse.foreach(x => java.nio.file.Files.deleteIfExists(x))
+  }
 }
 
 object Bench {
@@ -433,11 +464,8 @@ object Bench {
     // memcpy, so the gap understates the cluster win (at 1000 executors
     // the Exchange is network + disk spill, the bucketed read is local).
     {
-      val fps = spark.range(200000).select(col("id").as("doc_id"),
-        md5(col("id").cast("string")).as("fp"))
-      val meta = spark.range(200000).select(col("id").as("doc_id"),
-        pmod(col("id"), lit(97)).as("len_bucket"),
-        pmod(col("id"), lit(20)).cast("string").as("lang"))
+      val fps = BenchData.layoutFps(spark, 200000)
+      val meta = BenchData.layoutMeta(spark, 200000)
       val tag = s"bench_${ProcessHandle.current.pid}"
       val plainA = s"/tmp/graft_plain_a_$tag"; val plainB = s"/tmp/graft_plain_b_$tag"
       fps.write.mode("overwrite").parquet(plainA)
@@ -448,29 +476,22 @@ object Bench {
         graft.sources.Bucketed.writeBucketed(meta, s"graft_bkt_bench_b_$tag",
           s"/tmp/graft_bkt_b_$tag", "doc_id", 32)
       }
-      def joinCount(a: org.apache.spark.sql.DataFrame,
-                    b: org.apache.spark.sql.DataFrame): Long =
-        a.join(b.hint("merge"), Seq("doc_id")).count()
-      val nb = joinCount(graft.sources.Bucketed.table(spark, s"graft_bkt_bench_a_$tag"),
-                         graft.sources.Bucketed.table(spark, s"graft_bkt_bench_b_$tag"))
-      val np = joinCount(spark.read.parquet(plainA), spark.read.parquet(plainB))
+      import BenchData.mergeJoinCount
+      val nb = mergeJoinCount(graft.sources.Bucketed.table(spark, s"graft_bkt_bench_a_$tag"),
+                              graft.sources.Bucketed.table(spark, s"graft_bkt_bench_b_$tag"))
+      val np = mergeJoinCount(spark.read.parquet(plainA), spark.read.parquet(plainB))
       if (nb != np) System.err.println(s"[bench] BUCKETED JOIN MISMATCH $nb vs $np")
       results("bench_bucketed_join_200k") = time2 {
-        joinCount(graft.sources.Bucketed.table(spark, s"graft_bkt_bench_a_$tag"),
-                  graft.sources.Bucketed.table(spark, s"graft_bkt_bench_b_$tag")); ()
+        mergeJoinCount(graft.sources.Bucketed.table(spark, s"graft_bkt_bench_a_$tag"),
+                       graft.sources.Bucketed.table(spark, s"graft_bkt_bench_b_$tag")); ()
       }
       results("bench_plain_join_200k") = time2 {
-        joinCount(spark.read.parquet(plainA), spark.read.parquet(plainB)); ()
+        mergeJoinCount(spark.read.parquet(plainA), spark.read.parquet(plainB)); ()
       }
       graft.sources.Bucketed.drop(spark, s"graft_bkt_bench_a_$tag")
       graft.sources.Bucketed.drop(spark, s"graft_bkt_bench_b_$tag")
-      import scala.jdk.CollectionConverters._
-      Seq(plainA, plainB, s"/tmp/graft_bkt_a_$tag", s"/tmp/graft_bkt_b_$tag").foreach { d =>
-        val p = java.nio.file.Paths.get(d)
-        if (java.nio.file.Files.exists(p))
-          java.nio.file.Files.walk(p).iterator().asScala
-            .toSeq.reverse.foreach(x => java.nio.file.Files.deleteIfExists(x))
-      }
+      Seq(plainA, plainB, s"/tmp/graft_bkt_a_$tag", s"/tmp/graft_bkt_b_$tag")
+        .foreach(BenchData.deleteRecursively)
     }
 
     // --- full query suite: 1 warmup + 1 timed rep each (the reference

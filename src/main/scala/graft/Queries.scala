@@ -381,7 +381,11 @@ object Queries {
       // amortized the shuffle (plan shape pinned in BucketedSpec; dup
       // discovery over an fp-bucketed corpus is the same shape). The
       // bucketed layout changes the plan, not the answer: values are
-      // oracled by the plain join replay.
+      // oracled by the plain join replay. Scratch convention: the
+      // (pid, corpus)-tagged table names and /tmp dirs are REUSED and
+      // overwritten on re-runs within a process (bounded growth, like
+      // the CSV/JSONL round-trip queries); they cannot be dropped here
+      // because the returned frame reads them lazily.
       "bucketed_meta_join" -> ((s, dir) => {
         val tag = s"${ProcessHandle.current.pid}_${dir.hashCode.toHexString}"
         val (ta, tb) = (s"graft_bkt_fp_$tag", s"graft_bkt_q_$tag")

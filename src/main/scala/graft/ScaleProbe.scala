@@ -433,11 +433,8 @@ object ScaleProbe {
         // not the corpus), and small-file compaction (the shuffle is
         // the whole cost — one pass over the bytes)
         val tag = s"probe_${ProcessHandle.current.pid}_$rep"
-        val fps = spark.range(nDocs).select(col("id").as("doc_id"),
-          md5(col("id").cast("string")).as("fp"))
-        val meta = spark.range(nDocs).select(col("id").as("doc_id"),
-          pmod(col("id"), lit(97)).as("len_bucket"),
-          pmod(col("id"), lit(20)).cast("string").as("lang"))
+        val fps = BenchData.layoutFps(spark, nDocs)
+        val meta = BenchData.layoutMeta(spark, nDocs)
         val pA = s"/tmp/graft_probe_plain_a_$tag"; val pB = s"/tmp/graft_probe_plain_b_$tag"
         fps.write.mode("overwrite").parquet(pA)
         meta.write.mode("overwrite").parquet(pB)
@@ -447,8 +444,7 @@ object ScaleProbe {
           sources.Bucketed.writeBucketed(meta, s"graft_pb_$tag",
             s"/tmp/graft_bkt_pb_$tag", "doc_id", parts.toInt)
         }
-        def jc(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
-          a.join(b.hint("merge"), Seq("doc_id")).count()
+        import BenchData.{mergeJoinCount => jc}
         val nb = jc(sources.Bucketed.table(spark, s"graft_pa_$tag"),
                     sources.Bucketed.table(spark, s"graft_pb_$tag")) // warm
         val tBkt = time { jc(sources.Bucketed.table(spark, s"graft_pa_$tag"),
@@ -473,14 +469,8 @@ object ScaleProbe {
         }
         println(f"[scale] layout compaction 512-file rewrite $tC%.1f s (run $rep/$repeats)")
         Seq(s"graft_pa_$tag", s"graft_pb_$tag").foreach(t => sources.Bucketed.drop(spark, t))
-        import scala.jdk.CollectionConverters._
         Seq(pA, pB, s"/tmp/graft_bkt_pa_$tag", s"/tmp/graft_bkt_pb_$tag",
-            rDir, fragDir, fragDir + "_out").foreach { d =>
-          val p = java.nio.file.Paths.get(d)
-          if (java.nio.file.Files.exists(p))
-            java.nio.file.Files.walk(p).iterator().asScala
-              .toSeq.reverse.foreach(x => java.nio.file.Files.deleteIfExists(x))
-        }
+            rDir, fragDir, fragDir + "_out").foreach(BenchData.deleteRecursively)
         settle()
       }
     }

@@ -769,14 +769,22 @@ object Corpus {
     */
   def snapshotDiff(a: DataFrame, b: DataFrame, idCol: String,
                    fpCol: String): DataFrame = {
+    // presence is tracked by explicit flags, NOT by fingerprint
+    // nullability: a row whose fp is legitimately NULL (fingerprints
+    // over nullable text) must not masquerade as absent — 'changed'
+    // compares with the null-safe <=> so (null, 'abc') is changed and
+    // (null, null) is unchanged, never 'added'
     val l = a.select(col(idCol).cast("long").as("id"), col(fpCol).as("fp_a"))
+      .withColumn("__in_a", lit(true))
     val r = b.select(col(idCol).cast("long").as("id"), col(fpCol).as("fp_b"))
+      .withColumn("__in_b", lit(true))
     l.join(r, Seq("id"), "full_outer")
       .withColumn("status",
-        when(col("fp_a").isNull, lit("added"))
-          .when(col("fp_b").isNull, lit("removed"))
-          .when(col("fp_a") =!= col("fp_b"), lit("changed"))
+        when(col("__in_a").isNull, lit("added"))
+          .when(col("__in_b").isNull, lit("removed"))
+          .when(!(col("fp_a") <=> col("fp_b")), lit("changed"))
           .otherwise(lit("unchanged")))
       .where(col("status") =!= "unchanged")
+      .drop("__in_a", "__in_b")
   }
 }

@@ -89,6 +89,7 @@ class ConcurrencySpec extends SparkSpec {
         val r = sources.Bucketed.table(spark, s"graft_$tag")
           .collect().map(_.toString).toSet
         sources.Bucketed.drop(spark, s"graft_$tag")
+        BenchData.deleteRecursively(s"/tmp/graft_$tag")
         r
       }),
       "routed" -> (() => {
@@ -96,17 +97,21 @@ class ConcurrencySpec extends SparkSpec {
         val path = s"/tmp/graft_routed_conc_${ProcessHandle.current.pid}_$n"
         sources.Partitioned.writeRouted(
           docs().select(col("doc_id"), col("lang")), path, "lang")
-        sources.Partitioned.readRouted(spark, path, "lang", Seq("en", "de"))
+        val r = sources.Partitioned.readRouted(spark, path, "lang", Seq("en", "de"))
           .collect().map(_.toString).toSet
+        BenchData.deleteRecursively(path)
+        r
       }),
       "jsonl" -> (() => {
         val n = ConcurrencySpec.seq.incrementAndGet()
         val path = s"/tmp/graft_jsonl_conc_${ProcessHandle.current.pid}_$n"
         sources.Jsonl.write(docs(), path)
-        sources.Jsonl.readStrict(spark, path, sources.Jsonl.documentsSchema)
+        val r = sources.Jsonl.readStrict(spark, path, sources.Jsonl.documentsSchema)
           .select(col("doc_id"),
             functions.TextFunctions.docFingerprint(col("text")).as("fp"))
           .collect().map(_.toString).toSet
+        BenchData.deleteRecursively(path)
+        r
       }))
   }
 

@@ -35,10 +35,38 @@ class CompactSpec extends SparkSpec {
     assert(a === b)
   }
 
-  test("compact refuses in-place rewrites and bad targets") {
+  test("compaction of a routed tree preserves the partition directories") {
+    val in = java.nio.file.Files.createTempDirectory("graft_compact_tree_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_compact_tree_out").toString
+    val docs = (0L until 3000L)
+      .map(i => (i, s"doc $i", Seq("en", "de", "fr")((i % 3).toInt)))
+      .toDF("doc_id", "text", "lang")
+    // fragment each partition: many writer tasks per lang directory
+    docs.repartition(16).write.mode("overwrite").partitionBy("lang").parquet(in)
+    val fragged = new java.io.File(in).listFiles().filter(_.isDirectory)
+      .map(d => parquetFiles(d.toString).length).sum
+    assert(fragged > 3, s"expected a fragmented tree, got $fragged files")
+    val (nIn, nOut) = Compact.compactParquet(spark, in, out)
+    assert(nIn === fragged)
+    assert(nOut === 3, s"one compacted file per lang leaf, got $nOut")
+    // the routing tree survives (so static pruning still works)
+    val outDirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filterNot(_.startsWith("_")).sorted
+    assert(outDirs === Array("lang=de", "lang=en", "lang=fr"))
+    // content identical, partition column included
+    val a = spark.read.parquet(in).collect().map(_.toString).sorted
+    val b = spark.read.parquet(out).collect().map(_.toString).sorted
+    assert(a === b)
+  }
+
+  test("compact refuses in-place rewrites (plain and URI-spelled) and bad targets") {
     val d = java.nio.file.Files.createTempDirectory("graft_compact_same").toString
     intercept[IllegalArgumentException] {
       Compact.compactParquet(spark, d, d)
+    }
+    // a URI spelling of the same directory must not sneak past the guard
+    intercept[IllegalArgumentException] {
+      Compact.compactParquet(spark, s"file://$d", d)
     }
     intercept[IllegalArgumentException] {
       Compact.compactParquet(spark, d, d + "_out", targetFileBytes = 0)
