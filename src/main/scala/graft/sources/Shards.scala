@@ -31,13 +31,23 @@ object Shards {
   }
 
   /** Write `df` into `nShards` directories (`shard=K/`), one file per
-    * shard. Reuses the routed (partitionBy) layout, so a consumer can
-    * read any single shard with static pruning.
+    * shard, rows sorted by `idCol` WITHIN each shard — without the
+    * sort, row order inside a shard is shuffle-arrival order and two
+    * runs over identical data produce different files; with it, the
+    * release artifact is reproducible end-to-end (spec-pinned in
+    * `ShardsSpec`). Reuses the routed (partitionBy) layout, so a
+    * consumer can read any single shard with static pruning.
     */
   def writeSharded(df: DataFrame, path: String, idCol: String,
                    nShards: Int, salt: String = "graft"): Unit =
     df.withColumn("shard", shardOf(col(idCol), nShards, salt))
       .repartition(col("shard"))
+      // sort by (shard, id): a task can hold SEVERAL shards (hash
+      // collisions), and the parquet writer then re-sorts rows by the
+      // partition column with an unstable sort — leading with `shard`
+      // satisfies the writer's required ordering so it adds no sort of
+      // its own and the within-shard id order survives to the file
+      .sortWithinPartitions(col("shard"), col(idCol))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("shard")
       .parquet(path)
