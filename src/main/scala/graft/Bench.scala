@@ -519,21 +519,26 @@ object Bench {
     // ---------------------------------------------------------- emission
     // The driver stores only the LAST 2000 chars of stdout (measured:
     // every BENCH_r{1..6} artifact has a 2000-char `tail`, and sbt's
-    // trailing "[success] Total time: ..." line eats ~80 of them). A
-    // single JSON line with all ~90 full-precision entries is ~3.6 KB —
-    // its head is cut and nothing parses (r6 lost 34 entries). So:
-    //   1. BENCH_FULL.json (repo root = sbt cwd): the COMPLETE result
-    //      map, full precision, machine-readable regardless of stdout.
-    //   2. suite_k-of-n chunk lines: full-name suite entries, 4-decimal,
-    //      each line ≤800 chars and independently parseable; the window
-    //      keeps the last chunk(s).
-    //   3. LAST, sized to always survive intact (~1.3 KB incl. every
-    //      bench_* entry): the contract headline line. Every suite value
-    //      rides in "suite_sec", ordered by sorted query name — the SAME
-    //      order as the CORRECTNESS_r{N}.json rows and BENCH_FULL.json —
-    //      so all ~90 numbers are recoverable from the tail alone.
+    // trailing "[success] Total time: ..." line eats ~80 of them —
+    // ~1900 usable). The r6 format (one line with everything) overflowed
+    // at ~90 entries; the mid-r7 format (headline = bench map +
+    // suite_sec array) overflowed again at 115 suite + 39 bench entries
+    // (measured 2241 chars). Current layout, smallest-last so the
+    // window keeps the most important lines intact:
+    //   1. BENCH_FULL.json (repo root = sbt cwd): the COMPLETE named
+    //      map, full precision — the authoritative artifact, committed.
+    //   2. suite_KofN then bench_KofM chunk lines: full-name entries,
+    //      4-decimal, each ≤800 chars, independently parseable; the
+    //      window retains the trailing bench chunks.
+    //   3. LAST, the headline (~1.1 KB, grows ~5 bytes per future
+    //      query): total + per-entry MILLISECOND arrays "suite_ms" /
+    //      "bench_ms" ordered by sorted name (= CORRECTNESS rows /
+    //      BENCH_FULL keys), so EVERY number survives in the tail even
+    //      when the named chunks are cut, + the 6 contract-critical
+    //      bench entries by name.
     def r4(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    def ms(v: Double): String = if (v < 0) "-1" else math.round(v * 1000).toString
     val ordered = suite ++ results
     // failed queries are recorded as -1 but must not reduce the total
     val total = ordered.values.filter(_ >= 0).sum
@@ -546,22 +551,30 @@ object Bench {
       try w.println(fullLine) finally w.close()
     } catch { case _: Throwable => () } // stdout emission must not die on an unwritable cwd
 
-    val chunks = scala.collection.mutable.ArrayBuffer[List[String]](Nil)
-    suite.foreach { case (kk, v) =>
-      val entry = "\"" + kk + "\":" + r4(v)
-      if (chunks.last.map(_.length + 1).sum + entry.length > 800)
-        chunks += List(entry)
-      else chunks(chunks.length - 1) = chunks.last :+ entry
+    def emitChunks(tag: String, entries: Iterable[(String, Double)]): Unit = {
+      val chunks = scala.collection.mutable.ArrayBuffer[List[String]](Nil)
+      entries.foreach { case (kk, v) =>
+        val entry = "\"" + kk + "\":" + r4(v)
+        if (chunks.last.map(_.length + 1).sum + entry.length > 800)
+          chunks += List(entry)
+        else chunks(chunks.length - 1) = chunks.last :+ entry
+      }
+      val n = chunks.length
+      chunks.zipWithIndex.foreach { case (es, i) =>
+        println(s"""{"metric":"${tag}_${i + 1}of$n","unit":"sec","queries":${es.mkString("{", ",", "}")}}""")
+      }
     }
-    val n = chunks.length
-    chunks.zipWithIndex.foreach { case (es, i) =>
-      println(s"""{"metric":"suite_${i + 1}of$n","unit":"sec","queries":${es.mkString("{", ",", "}")}}""")
-    }
-    val benchQs = results.map { case (kk, v) => "\"" + kk + "\":" + r4(v) }
-      .mkString("{", ",", "}")
-    val suiteVals = suite.values.map(r4).mkString("[", ",", "]")
+    emitChunks("suite", suite)
+    emitChunks("bench", results)
+    val headlineKeys = Seq("bench_train_200k", "bench_bmu_200k",
+      "bench_minhash_200k", "bench_resolve_hybrid_200k",
+      "bench_bucketed_join_200k", "bench_plain_join_200k")
+    val benchQs = headlineKeys.filter(results.contains)
+      .map(kk => "\"" + kk + "\":" + r4(results(kk))).mkString("{", ",", "}")
+    val suiteMs = suite.values.map(ms).mkString("[", ",", "]")
+    val benchMs = results.values.map(ms).mkString("[", ",", "]")
     println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$benchQs,""" +
-      s""""suite_sec":$suiteVals,"suite_order":"sorted query names (= CORRECTNESS rows; full map in BENCH_FULL.json)","sf":"$sfDir"}""")
+      s""""suite_ms":$suiteMs,"bench_ms":$benchMs,"order":"sorted names; full map in BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
