@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
   *    the same code path at 200k edges).
   *
   * Usage: `runMain graft.ScaleProbe
-  * [minhash|resolve|bushy|spans|curation|ann|pq|pack|semantic|relational|ingest|layout|all]
+  * [minhash|resolve|bushy|spans|curation|ann|pq|pack|semantic|relational|ingest|layout|jsonl|all]
   * [repeats] [nDocs]`. Run each phase in its OWN JVM (`all` exists for
   * convenience only): round 5 recorded a 103 s resolve outlier that was
   * same-JVM memory pressure from the preceding 2M-doc minhash phase, not
@@ -27,8 +27,8 @@ object ScaleProbe {
     val phase = args.headOption.getOrElse("all")
     val repeats = args.lift(1).map(_.toInt).getOrElse(1)
     val nDocs = args.lift(2).map(_.toLong).getOrElse(2000000L)
-    require(Set("minhash", "resolve", "bushy", "spans", "curation", "ann", "pq", "pack", "semantic", "relational", "ingest", "layout", "all")(phase),
-      s"unknown phase '$phase' (want minhash|resolve|bushy|spans|curation|ann|pq|pack|semantic|relational|ingest|layout|all)")
+    require(Set("minhash", "resolve", "bushy", "spans", "curation", "ann", "pq", "pack", "semantic", "relational", "ingest", "layout", "jsonl", "all")(phase),
+      s"unknown phase '$phase' (want minhash|resolve|bushy|spans|curation|ann|pq|pack|semantic|relational|ingest|layout|jsonl|all)")
     // partition count scales with the probed data volume, exactly as a
     // cluster operator would size it: at 20M docs (1B token instances)
     // 32 shuffle partitions put a ~31M-group hash aggregate in every
@@ -421,6 +421,30 @@ object ScaleProbe {
         }
         println(f"[scale] bushy ${nDocs * 4 / 1000000}M-node tree (real dispatch, run $rep/$repeats): $tTree%.1f s")
         tree.unpersist(blocking = true)
+        settle()
+      }
+
+      if (phase == "jsonl" || phase == "all") {
+        import org.apache.spark.sql.functions._
+        // JSONL vs parquet ingest at nDocs (50-token docs): the same
+        // fingerprint pass over both encodings prices the JSON parse
+        // tax a 100 TB raw-corpus ingest pays before its first parquet
+        // conversion — and why that conversion is the first job
+        val tag = s"probe_jsonl_${ProcessHandle.current.pid}_$rep"
+        val docsN = BenchData.dupGroupDocs(spark, nDocs)
+        val jd = s"/tmp/graft_${tag}_j"; val pd = s"/tmp/graft_${tag}_p"
+        val tJw = time { sources.Jsonl.write(docsN, jd) }
+        docsN.write.mode("overwrite").parquet(pd)
+        val schema = new org.apache.spark.sql.types.StructType()
+          .add("doc_id", "long").add("text", "string")
+        def fpCount(df: org.apache.spark.sql.DataFrame): Long =
+          df.select(md5(col("text")).as("fp")).where(col("fp").isNotNull).count()
+        fpCount(sources.Jsonl.readStrict(spark, jd, schema)) // warm
+        val tJ = time { fpCount(sources.Jsonl.readStrict(spark, jd, schema)) }
+        fpCount(spark.read.parquet(pd)) // warm
+        val tP = time { fpCount(spark.read.parquet(pd)) }
+        println(f"[scale] jsonl ${nDocs / 1000000}M docs: write $tJw%.1f s; strict read+fp $tJ%.1f s vs parquet $tP%.1f s (run $rep/$repeats)")
+        Seq(jd, pd).foreach(BenchData.deleteRecursively)
         settle()
       }
 
