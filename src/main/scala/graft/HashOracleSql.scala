@@ -67,10 +67,14 @@ object HashOracleSql {
   /** documents -> th(doc_id, tpos, th): FNV-1a 64 of each whitespace
     * token over its UTF-16 code units (surrogate pairs expanded to
     * match the JVM's CharSequence view of astral code points).
+    * `docWhere` restricts the doc set (default: all non-null-text docs)
+    * — banding/signatures are per-doc, so a restricted replay equals
+    * the full replay filtered to those docs, at a fraction of the cost
+    * (the dedup_pr oracle replays only its fixed-size sample).
     */
-  private def tokenHashCtes: Seq[String] = Seq(
+  private def tokenHashCtes(docWhere: String = "TRUE"): Seq[String] = Seq(
     s"t0 AS (SELECT doc_id, list_filter(string_split_regex(text, '$ws'), x -> length(x) > 0) AS toks " +
-      "FROM documents WHERE text IS NOT NULL)",
+      s"FROM documents WHERE text IS NOT NULL AND ($docWhere))",
     "t1 AS (SELECT doc_id, toks, unnest(range(1, len(toks)+1)) AS tpos FROM t0)",
     "t2 AS (SELECT doc_id, tpos, toks[tpos] AS tok FROM t1)",
     "c0 AS (SELECT doc_id, tpos, tok, unnest(range(1, length(tok)+1)) AS cpos FROM t2)",
@@ -86,8 +90,8 @@ object HashOracleSql {
   /** CTEs from documents to sig(doc_id, sig list of 64 signed BIGINT) —
     * the exact mirror of `HashKernels.minhash(text, 64, 3, seed=13)`.
     */
-  private def minhashSigCtes: Seq[String] = {
-    var ctes = tokenHashCtes.toVector
+  private def minhashSigCtes(docWhere: String = "TRUE"): Seq[String] = {
+    var ctes = tokenHashCtes(docWhere).toVector
     ctes :+=
       "sh0 AS (SELECT a.doc_id, a.tpos AS spos, a.th AS th0, b.th AS th1, c.th AS th2 " +
         "FROM th a JOIN th b ON a.doc_id = b.doc_id AND b.tpos = a.tpos + 1 " +
@@ -116,8 +120,14 @@ object HashOracleSql {
   /** Oracle for `dedup_minhash`: banded LSH candidates (8 bands x 8
     * rows) with the full-signature jaccard estimate.
     */
-  lazy val minhashCandidates: String = {
-    val ctes = minhashSigCtes ++ Seq(
+  lazy val minhashCandidates: String = minhashCandidatesWhere("TRUE")
+
+  /** `minhashCandidates` over only the docs matching `docWhere` —
+    * identical per-pair semantics (LSH banding and signature agreement
+    * are pairwise properties), restricted replay cost.
+    */
+  def minhashCandidatesWhere(docWhere: String): String = {
+    val ctes = minhashSigCtes(docWhere) ++ Seq(
       "bands AS MATERIALIZED (SELECT doc_id, b, sig[b*8+1 : b*8+8] AS chunk FROM sig, " +
         "(SELECT unnest(range(0, 8)) AS b))",
       "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a " +
@@ -135,7 +145,7 @@ object HashOracleSql {
   lazy val simhashCandidates: String = {
     val pws = (0 until 64).map(b => s"($b, ${java.lang.Long.toUnsignedString(1L << b)}::HUGEINT)").mkString(", ")
     val cpws = (0 until 8).map(b => s"($b, ${java.lang.Long.toUnsignedString(1L << (8 * b))}::HUGEINT)").mkString(", ")
-    val ctes = tokenHashCtes ++ Seq(
+    val ctes = tokenHashCtes() ++ Seq(
       s"pw(bit, pw) AS (SELECT * FROM (VALUES $pws))",
       "votes AS (SELECT doc_id, bit, pw, " +
         "SUM(CASE WHEN (th // pw) % 2 = 1 THEN 1 ELSE -1 END) AS v " +
@@ -285,7 +295,7 @@ object HashOracleSql {
          |  FROM step$i s LEFT JOIN step$i j ON j.id = s.keep_id
          |)""".stripMargin
     }.mkString(", ")
-    val ctes = minhashSigCtes ++ Seq(
+    val ctes = minhashSigCtes() ++ Seq(
       "bands AS MATERIALIZED (SELECT doc_id, b, sig[b*8+1 : b*8+8] AS chunk FROM sig, " +
         "(SELECT unnest(range(0, 8)) AS b))",
       "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a " +

@@ -38,6 +38,19 @@ object Queries {
     s.read.parquet(s"$dir/documents.parquet")
       .where(org.apache.spark.sql.functions.col("text").isNotNull)
 
+  /** dedup_pr's fixed-size eval sample: the metric's quadratic truth
+    * leg is bounded at prSampleN^2/2 pairs no matter the corpus size.
+    */
+  private val prSampleN = 256
+
+  /** The DuckDB spelling of the same selection (self-contained, usable
+    * inside nested WITH chains).
+    */
+  private val prSampleSql: String =
+    "SELECT doc_id FROM documents WHERE text IS NOT NULL " +
+      "ORDER BY substr(md5(concat('pr', CAST(doc_id AS VARCHAR))), 1, 8), doc_id " +
+      s"LIMIT $prSampleN"
+
   /** First 9 embeddings by vec_id as a 3x3 codebook (driver-local, like
     * the reference's in-core codebook).
     */
@@ -603,18 +616,26 @@ object Queries {
 
       // MinHash banding quality metric: precision/recall of the LSH
       // candidate set against EXACT word-shingle jaccard >= 0.5 ground
-      // truth over a deterministic 50% hash sample — all pairs within
-      // the sample (bounded, eval-only quadratic: the same contract as
-      // ann_recall's brute-force leg). Truth jaccard runs on md5-hashed
-      // sorted shingle sets via the codegen sorted-merge intersect;
-      // banding is per-pair, so candidates-on-full restricted to
-      // sampled endpoints == candidates-on-sample. Pins banding
+      // truth over a deterministic FIXED-SIZE sample: the 256 docs with
+      // the smallest md5("pr"||doc_id) (tiebreak doc_id), selected by
+      // the bounded-heap topn_smallest aggregate — the truth cross-join
+      // is then <=256^2/2 pairs, CONSTANT in corpus size (the r7 50%-
+      // fraction sample made this eval metric's cost grow quadratically
+      // with the corpus). Truth jaccard runs on md5-hashed sorted
+      // shingle sets via the codegen sorted-merge intersect; banding
+      // and signature agreement are per-PAIR properties, so candidates-
+      // on-sample == candidates-on-full restricted to sampled endpoints
+      // (both engine and oracle band only the sample). Pins banding
       // regressions in CORRECTNESS the way ann_recall pins ANN recall.
       "dedup_pr" -> ((s, dir) => {
-        val d = docs(s, dir)
-        def inSample(c: org.apache.spark.sql.Column) =
-          substring(md5(concat(lit("pr"), c.cast("string"))), 1, 8) < "80000000"
-        val sh = d.where(inSample(col("doc_id")))
+        val d = docs(s, dir) // text IS NOT NULL already applied
+        val sel = d.agg(graft.plans.TopNFunctions.topn_smallest(
+            substring(md5(concat(lit("pr"), col("doc_id").cast("string"))), 1, 8),
+            col("doc_id").cast("long"), prSampleN).as("__pr_sel"))
+          .select(explode(col("__pr_sel.id")).as("__pr_id"))
+        val sample = d.join(broadcast(sel),
+            col("doc_id").cast("long") === col("__pr_id"), "left_semi")
+        val sh = sample
           .select(col("doc_id").cast("long").as("id"),
             array_sort(array_distinct(transform(wordShingles(col("text"), 3),
               x => conv(substring(md5(x), 1, 15), 16, 10).cast("long")))).as("hs"))
@@ -632,9 +653,8 @@ object Queries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         truth.count() // materialize: referenced by the count AND the hit semi-join
         sh.unpersist(blocking = false)
-        val pred = Dedup.minhashCandidates(d, "text", "doc_id")
-          .where(col("est_jaccard") >= 0.5 &&
-            inSample(col("id_a")) && inSample(col("id_b")))
+        val pred = Dedup.minhashCandidates(sample, "text", "doc_id")
+          .where(col("est_jaccard") >= 0.5)
           .select(col("id_a"), col("id_b"))
         val hit = pred.join(truth, Seq("id_a", "id_b"), "left_semi")
         truth.agg(count(lit(1)).as("n_truth"))
@@ -1543,7 +1563,32 @@ object Queries {
     s"CASE ${whens.mkString("\n            ")}\n            ELSE '${langs.last}' END"
   }
 
-  val oracles: Map[String, String] = pipelineOracles ++ relationalOracles ++ Map(
+  /** The oracle map the driver dumps (Verify → oracle_sql.json).
+    *
+    * Default mode substitutes PRECOMPUTED expected-row oracles for the
+    * handful of queries whose live DuckDB replay is minutes of CPU
+    * (full minhash/LSH signature chains, within-cell cosine products):
+    * the replay was run ONCE per scale factor by
+    * `tools/gen_precomputed_oracles.py`, its DuckDB result rows were
+    * embedded as sf-branched VALUES literals, and the gate then
+    * compares the engine against those DuckDB-derived rows at ~zero
+    * oracle cost. This keeps the whole 115-query sweep inside any
+    * driver timeout (round 7's full-replay gate exceeded it and the
+    * round recorded NO correctness rows). `GRAFT_FULL_REPLAY=1`
+    * re-selects the live replay SQL everywhere — that is also how the
+    * precomputed rows are (re)derived, so the cache's provenance is
+    * mechanically checkable at any time.
+    */
+  lazy val oracles: Map[String, String] =
+    if (sys.env.contains("GRAFT_FULL_REPLAY")) liveOracles
+    else liveOracles ++ PrecomputedOracles.sql.view
+      .filterKeys(liveOracles.contains).toMap
+
+  /** Every oracle in full-replay form (the precomputed entries' source
+    * of truth; `gen_precomputed_oracles.py` consumes this via
+    * GRAFT_FULL_REPLAY=1).
+    */
+  lazy val liveOracles: Map[String, String] = pipelineOracles ++ relationalOracles ++ Map(
     "som_winner" ->
       s"""$cbDistCte
          |SELECT CAST(vec_id AS BIGINT) AS vec_id,
@@ -2338,16 +2383,20 @@ object Queries {
         |       CAST(round(sum(nrm) / count(*), 6) AS DOUBLE) AS mean_norm
         |FROM n GROUP BY label""".stripMargin,
 
-    // ground truth = exact word-shingle jaccard over a deterministic
-    // 50% md5 sample, all in-sample pairs; shingles md5-hashed to
-    // 60-bit ints on BOTH engines so the sets compare as integers. The
-    // prediction leg nests the full minhash signature replay restricted
-    // to in-sample endpoints (banding is per-pair, so this equals
-    // banding the sample). /64 agreement fractions are exact at 6
-    // decimals, so the 0.5 cuts agree bit-for-bit across engines.
+    // ground truth = exact word-shingle jaccard over the deterministic
+    // FIXED-SIZE sample (the prSampleN docs with the smallest
+    // md5('pr'||doc_id), tiebreak doc_id — the DuckDB ORDER BY/LIMIT
+    // spelling of the engine's topn_smallest heap), all in-sample
+    // pairs; shingles md5-hashed to 60-bit ints on BOTH engines so the
+    // sets compare as integers. The prediction leg nests the minhash
+    // signature replay restricted to the SAME sample (banding is
+    // per-pair, so banding the sample equals banding the corpus
+    // restricted to sampled endpoints — and the oracle replay cost is
+    // now constant in corpus size). /64 agreement fractions are exact
+    // at 6 decimals, so the 0.5 cuts agree bit-for-bit across engines.
     "dedup_pr" ->
       s"""WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL
-         |           AND substr(md5(concat('pr', CAST(doc_id AS VARCHAR))), 1, 8) < '80000000'),
+         |           AND doc_id IN ($prSampleSql)),
          |t AS (SELECT doc_id, $duckToks AS toks FROM d),
          |sh AS MATERIALIZED (
          |  SELECT doc_id AS id,
@@ -2363,10 +2412,8 @@ object Queries {
          |        / greatest(len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)), 1) >= 0.5),
          |pr AS MATERIALIZED (
          |  SELECT id_a, id_b FROM (
-         |${HashOracleSql.minhashCandidates}
-         |  ) WHERE est_jaccard >= 0.5
-         |    AND substr(md5(concat('pr', CAST(id_a AS VARCHAR))), 1, 8) < '80000000'
-         |    AND substr(md5(concat('pr', CAST(id_b AS VARCHAR))), 1, 8) < '80000000'),
+         |${HashOracleSql.minhashCandidatesWhere(s"doc_id IN ($prSampleSql)")}
+         |  ) WHERE est_jaccard >= 0.5),
          |hit AS (SELECT tr.id_a FROM tr JOIN pr
          |        ON pr.id_a = tr.id_a AND pr.id_b = tr.id_b)
          |SELECT CAST((SELECT count(*) FROM tr) AS BIGINT) AS n_truth,

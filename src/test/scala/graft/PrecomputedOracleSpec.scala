@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the precomputed-oracle wiring: the resource must load, cover
+  * exactly the queries the generator claims (tools/
+  * gen_precomputed_oracles.py EXPENSIVE list), and substitute into the
+  * default oracle map while the full-replay SQL stays available for
+  * re-derivation.
+  */
+class PrecomputedOracleSpec extends AnyFunSuite {
+
+  private val expected = Set(
+    "dedup_semantic", "dedup_drop_near", "dedup_resolve_minhash",
+    "dedup_minhash", "dedup_edit_verify", "ann_lsh_topk", "ann_recall",
+    "dedup_keep_best", "dedup_resolve_clusters", "dedup_simhash")
+
+  test("resource loads and covers the expensive replay set") {
+    assert(PrecomputedOracles.sql.keySet == expected,
+      s"resource keys ${PrecomputedOracles.sql.keySet} != $expected — " +
+        "re-run tools/gen_precomputed_oracles.py after changing the set")
+  }
+
+  test("every precomputed oracle shadows a live replay oracle of the same name") {
+    val live = Queries.liveOracles
+    val orphans = PrecomputedOracles.sql.keySet.filterNot(live.contains)
+    assert(orphans.isEmpty, s"precomputed entries with no live source: $orphans")
+  }
+
+  test("precomputed SQL is VALUES-literal (no signature replay) and self-documenting") {
+    PrecomputedOracles.sql.foreach { case (name, sql) =>
+      assert(sql.startsWith("-- PRECOMPUTED oracle"), s"$name lacks provenance header")
+      assert(sql.contains("FROM (VALUES"), s"$name is not a VALUES oracle")
+      assert(sql.contains("md5(text)") && sql.contains("count(*) ="),
+        s"$name lacks the corpus-signature branch guard")
+      // the expensive chains must be gone from the cheap form
+      assert(!sql.contains("HUGEINT"), s"$name still carries the replay chain")
+    }
+  }
+
+  test("default oracle map substitutes the precomputed form (unless FULL_REPLAY)") {
+    val oracles = Queries.oracles
+    if (sys.env.contains("GRAFT_FULL_REPLAY")) {
+      expected.foreach { n =>
+        assert(!oracles(n).startsWith("-- PRECOMPUTED"), s"$n should be live replay")
+      }
+    } else {
+      expected.foreach { n =>
+        assert(oracles(n).startsWith("-- PRECOMPUTED"), s"$n should be precomputed")
+      }
+    }
+    // non-expensive oracles are identical in both modes
+    val live = Queries.liveOracles
+    (oracles.keySet -- expected).foreach { n =>
+      assert(oracles(n) == live(n), s"$n unexpectedly differs from live form")
+    }
+  }
+}

