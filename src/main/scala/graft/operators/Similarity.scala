@@ -393,6 +393,10 @@ object Similarity {
     * [[writePqIndex]] read-back) — the repeated-query path: per query
     * one codegen scan over the codes + TakeOrderedAndProject, the
     * embeddings untouched.
+    *
+    * PLANS ONE SCAN PER QUERY: right for a handful of ad-hoc queries
+    * (each scan is a tight TakeOrderedAndProject). For serving BATCHES
+    * use [[pqTopKFromCodesBatch]] — one scan for the whole batch.
     */
   def pqTopKFromCodes(codes: DataFrame, cb: Array[Double], m: Int, k: Int,
                       queries: Seq[(Long, Array[Double])], kNN: Int,
@@ -411,6 +415,48 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
         round(col("adc"), 6).as("adc"))
+  }
+
+  /** Batch ADC serving: ONE codegen scan of the codes table answers the
+    * WHOLE query batch — the 10k-query production regime where
+    * [[pqTopKFromCodes]]'s scan-per-query planning would be the
+    * bottleneck (10k plans over the same file).
+    *
+    * Shape: all per-query lookup tables stack into one broadcast
+    * double[]; each code row is decoded once and scored against every
+    * query inside a single fused kernel (`pq_adc_batch`); the exploded
+    * (query, nid, adc) stream reduces through the bounded-heap
+    * `topn_smallest_by_double` partial aggregate, so every map task
+    * emits at most kNN pairs per query BEFORE the shuffle — the
+    * exchange carries queries x partitions x kNN rows, never the scored
+    * corpus, and ranks fall out of the sorted heap (no window at all).
+    * Same (adc asc, nid asc) order and output schema as
+    * [[pqTopKFromCodes]]; `PqBatchSpec` pins row-for-row equality.
+    */
+  def pqTopKFromCodesBatch(codes: DataFrame, cb: Array[Double], m: Int,
+                           k: Int, queries: Seq[(Long, Array[Double])],
+                           kNN: Int,
+                           excludeSelf: Boolean = true): DataFrame = {
+    require(queries.nonEmpty, "pqTopKFromCodesBatch needs at least one query")
+    val nQ = queries.size
+    val tables = new Array[Double](nQ * m * k)
+    queries.zipWithIndex.foreach { case ((_, q), qi) =>
+      System.arraycopy(pqAdcTable(q, cb, m, k), 0, tables, qi * m * k, m * k)
+    }
+    val qidArr = array(queries.map(q => lit(q._1)): _*)
+    val scored = codes
+      .select(col("id").as("nid"),
+        posexplode(graft.plans.GraftFunctions.pq_adc_batch(
+          col("codes"), tables, nQ, k)).as(Seq("qidx", "adc")))
+      .select(element_at(qidArr, col("qidx") + 1).as("qid"),
+        col("nid"), col("adc"))
+      .where(if (excludeSelf) col("qid") =!= col("nid") else lit(true))
+    scored.groupBy("qid")
+      .agg(graft.plans.TopNFunctions.topn_smallest_by_double(
+        col("adc"), col("nid"), kNN).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("r", "p")))
+      .select(col("qid"), (col("r") + 1).cast("long").as("rank"),
+        col("p.id").as("nid"), round(col("p.s"), 6).as("adc"))
   }
 
   /** PQ approximate top-k by asymmetric distance: encode once, then each
@@ -483,6 +529,11 @@ object Similarity {
     * unprobed-cell I/O. Returns (qid, rank, nid, adc); recall < 1 by
     * construction from BOTH approximations (cell pruning + ADC), which
     * is the standard IVF-PQ trade.
+    *
+    * PLANS ONE SCAN PER QUERY — here that buys exact per-query
+    * partition pruning, so it is the right form for small ad-hoc
+    * batches; for large batches use [[ivfPqTopKFromCodesBatch]], which
+    * prunes to the probed-cell UNION and scores in one scan.
     */
   def ivfPqTopKFromCodes(codes: DataFrame, model: graft.som.SomModel,
                          cb: Array[Double], m: Int, k: Int,
@@ -505,6 +556,51 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
         round(col("adc"), 6).as("adc"))
+  }
+
+  /** Batch IVF+PQ serving: ONE scan answers the whole query batch.
+    * The scan statically prunes to the UNION of all probed cells
+    * (`isin` on the partition column — unprobed cells are never read),
+    * a broadcast (cell -> probing queries) join pairs each code row
+    * with exactly the queries probing its cell, `pq_adc_at` computes
+    * only that query's distance (m adds — not the whole batch's), and
+    * the bounded-heap partial aggregate reduces to kNN per query before
+    * the shuffle, ranks falling out of the sorted heap. Join fan-out is
+    * sum over cells of |rows in cell| x |queries probing cell| — the
+    * work IVF+PQ serving inherently does. Identical results to
+    * [[ivfPqTopKFromCodes]] (`PqBatchSpec` pins it); prefer this form
+    * once the batch is more than a handful of queries.
+    */
+  def ivfPqTopKFromCodesBatch(codes: DataFrame, model: graft.som.SomModel,
+                              cb: Array[Double], m: Int, k: Int,
+                              queries: Seq[(Long, Array[Double])], kNN: Int,
+                              nProbe: Int,
+                              excludeSelf: Boolean = true): DataFrame = {
+    require(queries.nonEmpty, "ivfPqTopKFromCodesBatch needs at least one query")
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val nQ = queries.size
+    val tables = new Array[Double](nQ * m * k)
+    queries.zipWithIndex.foreach { case ((_, q), qi) =>
+      System.arraycopy(pqAdcTable(q, cb, m, k), 0, tables, qi * m * k, m * k)
+    }
+    val probes = queries.zipWithIndex.flatMap { case ((qid, q), qi) =>
+      nearestCells(model, q, nProbe).map(c => (qi, qid, c))
+    }
+    val probeDf = probes.toDF("qidx", "qid", "bmu_id")
+    val allCells = probes.map(_._3).distinct
+    val scored = codes.where(col("bmu_id").isin(allCells: _*))
+      .join(broadcast(probeDf), Seq("bmu_id"))
+      .where(if (excludeSelf) col("qid") =!= col("id") else lit(true))
+      .select(col("qid"), col("id").as("nid"),
+        graft.plans.GraftFunctions.pq_adc_at(col("codes"), col("qidx"),
+          tables, k).as("adc"))
+    scored.groupBy("qid")
+      .agg(graft.plans.TopNFunctions.topn_smallest_by_double(
+        col("adc"), col("nid"), kNN).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("r", "p")))
+      .select(col("qid"), (col("r") + 1).cast("long").as("rank"),
+        col("p.id").as("nid"), round(col("p.s"), 6).as("adc"))
   }
 
   /** One-shot IVF+PQ: assign + encode inline (one scan of the floats),

@@ -75,6 +75,53 @@ object PqKernel {
     }
     d
   }
+
+  /** ADC for a whole QUERY BATCH in one kernel: `tables` stacks the
+    * per-query lookup tables [(query * m + subspace) * k + centroid];
+    * returns the nQueries approximate distances for this row's codes.
+    * The codes array is decoded ONCE and reused across every query —
+    * one scan serves the batch, vs one scan (and one plan) per query.
+    */
+  def adcBatch(codes: ArrayData, tables: Array[Double], nQueries: Int,
+               k: Int): ArrayData = {
+    val m = codes.numElements()
+    val c = new Array[Int](m)
+    var j = 0
+    while (j < m) { c(j) = codes.getInt(j); j += 1 }
+    val out = new Array[Double](nQueries)
+    var q = 0
+    while (q < nQueries) {
+      val base = q * m * k
+      var d = 0.0
+      j = 0
+      while (j < m) {
+        d += tables(base + j * k + c(j))
+        j += 1
+      }
+      out(q) = d
+      q += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** ADC for ONE query of a stacked batch (`tables` as in
+    * [[adcBatch]]): only query `qidx`'s m table reads run — the
+    * cell-pruned IVF+PQ batch join knows which query scores which row,
+    * so computing all nQueries distances would waste m*(nQueries-1)
+    * adds per row.
+    */
+  def adcAt(codes: ArrayData, tables: Array[Double], qidx: Int,
+            k: Int): Double = {
+    val m = codes.numElements()
+    val base = qidx * m * k
+    var d = 0.0
+    var j = 0
+    while (j < m) {
+      d += tables(base + j * k + codes.getInt(j))
+      j += 1
+    }
+    d
+  }
 }
 
 /** Encode a float/double vector into `m` PQ codes (array<int>). */
@@ -157,4 +204,89 @@ case class PqAdc(child: Expression, table: Array[Double], k: Int)
     case _ => false
   }
   override def hashCode(): Int = child.hashCode() * 31 + k
+}
+
+/** Approximate distances of an encoded vector to EVERY query of a
+  * batch (array<double>, one entry per query) — the serving form that
+  * keeps a 10k-query batch at ONE scan of the codes table.
+  */
+case class PqAdcBatch(child: Expression, tables: Array[Double],
+                      nQueries: Int, k: Int) extends UnaryExpression {
+  require(nQueries > 0 && tables.length % (nQueries * k) == 0,
+    s"stacked tables length ${tables.length} not a multiple of nQueries*k = ${nQueries * k}")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_adc_batch expects array<int> codes, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    PqKernel.adcBatch(input.asInstanceOf[ArrayData], tables, nQueries, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("pqTables", tables, "double[]")
+    val kernel = PqKernel.getClass.getName.stripSuffix("$") // mirror-class static forwarders — Janino cannot resolve MODULE$
+    defineCodeGen(ctx, ev, c => s"$kernel.adcBatch($c, $tRef, $nQueries, $k)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqAdcBatch =
+    copy(child = newChild)
+  override def prettyName: String = "pq_adc_batch"
+
+  override def equals(o: Any): Boolean = o match {
+    case p: PqAdcBatch => (p.child == child) && (p.tables eq tables) &&
+      p.nQueries == nQueries && p.k == k
+    case _ => false
+  }
+  override def hashCode(): Int = child.hashCode() * 31 + nQueries * 31 + k
+}
+
+/** Approximate distance of an encoded vector to the single batch query
+  * named by the `qidx` column — the IVF+PQ batch join's scoring arm,
+  * where each row is already paired with exactly the queries probing
+  * its cell.
+  */
+case class PqAdcAt(codes: Expression, qidx: Expression,
+                   tables: Array[Double], k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def left: Expression = codes
+  override def right: Expression = qidx
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (codes.dataType, qidx.dataType) match {
+      case (ArrayType(IntegerType, _), IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_adc_at expects (array<int>, int), got $other")
+    }
+
+  override protected def nullSafeEval(c: Any, q: Any): Any =
+    PqKernel.adcAt(c.asInstanceOf[ArrayData], tables, q.asInstanceOf[Int], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("pqTables", tables, "double[]")
+    val kernel = PqKernel.getClass.getName.stripSuffix("$") // mirror-class static forwarders — Janino cannot resolve MODULE$
+    defineCodeGen(ctx, ev, (c, q) => s"$kernel.adcAt($c, $tRef, $q, $k)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcAt =
+    copy(codes = newLeft, qidx = newRight)
+  override def prettyName: String = "pq_adc_at"
+
+  override def equals(o: Any): Boolean = o match {
+    case p: PqAdcAt => (p.codes == codes) && (p.qidx == qidx) &&
+      (p.tables eq tables) && p.k == k
+    case _ => false
+  }
+  override def hashCode(): Int = codes.hashCode() * 31 + qidx.hashCode() * 7 + k
 }

@@ -144,6 +144,119 @@ object TopNSmallestByKey {
     StructField("id", LongType, nullable = false))), containsNull = false)
 }
 
+/** Bounded per-group top-n over a DOUBLE score: keep the n smallest
+  * `(score, id)` pairs, ascending, ties on the full pair. Same partial-
+  * aggregate scale story as [[TopNSmallestByKey]] — this is the per-
+  * query reduction behind batch ANN serving: after the batch ADC scan
+  * explodes to (qid, nid, adc), the map-side partial trims every
+  * partition to n pairs per query BEFORE the shuffle, so the exchange
+  * carries queries x partitions x n rows, never the scored corpus (a
+  * row_number window there would shuffle every scored row and pin each
+  * query to one task).
+  *
+  * Returns `array<struct<s double, id bigint>>` sorted ascending. NaN
+  * scores order after every finite score (java.lang.Double ordering),
+  * NULL score or id is ignored.
+  */
+case class TopNSmallestByDouble(
+    score: Expression,
+    id: Expression,
+    n: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]] {
+
+  require(n > 0, s"topn_smallest_by_double needs n > 0, got $n")
+
+  override def children: Seq[Expression] = Seq(score, id)
+  override def nullable: Boolean = false
+  override def dataType: DataType = TopNSmallestByDouble.resultType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (score.dataType == DoubleType && id.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"topn_smallest_by_double expects (double, bigint), got " +
+          s"(${score.dataType.simpleString}, ${id.dataType.simpleString})")
+  }
+
+  // total order incl. NaN/-0.0 (java.lang.Double.compare), so retries
+  // and partitionings agree even on pathological scores
+  private def ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(a._1, b._1)
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    }
+  }
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long)] =
+    mutable.PriorityQueue.empty[(Double, Long)](ord)
+
+  override def update(
+      buf: mutable.PriorityQueue[(Double, Long)],
+      input: InternalRow): mutable.PriorityQueue[(Double, Long)] = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null) {
+      val pair = (s.asInstanceOf[Double], i.asInstanceOf[Long])
+      if (buf.size < n) buf.enqueue(pair)
+      else if (ord.lt(pair, buf.head)) { buf.dequeue(); buf.enqueue(pair) }
+    }
+    buf
+  }
+
+  override def merge(
+      buf: mutable.PriorityQueue[(Double, Long)],
+      other: mutable.PriorityQueue[(Double, Long)]): mutable.PriorityQueue[(Double, Long)] = {
+    other.foreach { pair =>
+      if (buf.size < n) buf.enqueue(pair)
+      else if (ord.lt(pair, buf.head)) { buf.dequeue(); buf.enqueue(pair) }
+    }
+    buf
+  }
+
+  override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any = {
+    val sorted = buf.toArray.sorted(ord)
+    new GenericArrayData(sorted.map { case (s, i) =>
+      InternalRow(s, i)
+    }.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: mutable.PriorityQueue[(Double, Long)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (s, i) => out.writeDouble(s); out.writeLong(i) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Double, Long)] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = createAggregationBuffer()
+    val m = in.readInt()
+    var j = 0
+    while (j < m) { buf.enqueue((in.readDouble(), in.readLong())); j += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopNSmallestByDouble =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopNSmallestByDouble =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopNSmallestByDouble =
+    copy(score = newChildren(0), id = newChildren(1))
+  override def prettyName: String = "topn_smallest_by_double"
+}
+
+object TopNSmallestByDouble {
+  val resultType: DataType = ArrayType(StructType(Seq(
+    StructField("s", DoubleType, nullable = false),
+    StructField("id", LongType, nullable = false))), containsNull = false)
+}
+
 object TopNFunctions {
   /** Aggregate Column: the n smallest (key, id) pairs of the group,
     * ascending — bounded state, map-side partial combine.
@@ -151,5 +264,13 @@ object TopNFunctions {
   def topn_smallest(key: Column, id: Column, n: Int): Column =
     GraftBridge.column(TopNSmallestByKey(
       GraftBridge.expression(key), GraftBridge.expression(id), n)
+      .toAggregateExpression())
+
+  /** Aggregate Column: the n smallest (score, id) pairs of the group,
+    * ascending — bounded state, map-side partial combine.
+    */
+  def topn_smallest_by_double(score: Column, id: Column, n: Int): Column =
+    GraftBridge.column(TopNSmallestByDouble(
+      GraftBridge.expression(score), GraftBridge.expression(id), n)
       .toAggregateExpression())
 }

@@ -654,6 +654,16 @@ object GraftFunctions {
   def pq_adc(codes: Column, table: Array[Double], k: Int): Column =
     GraftBridge.column(PqAdc(GraftBridge.expression(codes), table, k))
 
+  def pq_adc_batch(codes: Column, tables: Array[Double], nQueries: Int,
+                   k: Int): Column =
+    GraftBridge.column(PqAdcBatch(GraftBridge.expression(codes), tables,
+      nQueries, k))
+
+  def pq_adc_at(codes: Column, qidx: Column, tables: Array[Double],
+                k: Int): Column =
+    GraftBridge.column(PqAdcAt(GraftBridge.expression(codes),
+      GraftBridge.expression(qidx), tables, k))
+
   def bloom_contains(key: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column =
     GraftBridge.column(BloomContains(GraftBridge.expression(key), bloom))
 

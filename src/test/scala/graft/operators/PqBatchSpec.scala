@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Batch ADC serving: one scan must answer the whole query batch with
+  * results row-for-row identical to the scan-per-query forms.
+  */
+class PqBatchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkVecs(n: Int) = {
+    val rnd = new scala.util.Random(7)
+    (0L until n.toLong).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+  }
+
+  private def collectTopK(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+
+  test("pqTopKFromCodesBatch == pqTopKFromCodes, including self-exclusion and ties") {
+    val vecs = mkVecs(300)
+    val cb = Similarity.pqTrainCodebook(vecs, "embedding", m = 4, k = 4)
+    val codes = Similarity.pqEncode(vecs, "embedding", "vec_id", cb, m = 4, k = 4)
+      .persist()
+    val rnd = new scala.util.Random(11)
+    val qs = (0 until 23).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian())))
+    try {
+      val single = collectTopK(
+        Similarity.pqTopKFromCodes(codes, cb, m = 4, k = 4, qs, kNN = 7))
+      val batch = collectTopK(
+        Similarity.pqTopKFromCodesBatch(codes, cb, m = 4, k = 4, qs, kNN = 7))
+      assert(batch == single)
+      // excludeSelf=false leg too
+      val single2 = collectTopK(Similarity.pqTopKFromCodes(
+        codes, cb, m = 4, k = 4, qs, kNN = 7, excludeSelf = false))
+      val batch2 = collectTopK(Similarity.pqTopKFromCodesBatch(
+        codes, cb, m = 4, k = 4, qs, kNN = 7, excludeSelf = false))
+      assert(batch2 == single2)
+    } finally { codes.unpersist(blocking = false); () }
+  }
+
+  test("batch serving plans ONE file scan regardless of batch size") {
+    val vecs = mkVecs(200)
+    val cb = Similarity.pqTrainCodebook(vecs, "embedding", m = 4, k = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqbatch_").toString
+    try {
+      Similarity.writePqIndex(vecs, "embedding", "vec_id", cb, m = 4, k = 4,
+        s"$dir/index")
+      val (codes, cb2, m2, k2) = Similarity.readPqIndex(spark, s"$dir/index")
+      val rnd = new scala.util.Random(3)
+      val qs = (0 until 100).map(i => (i.toLong, Array.fill(8)(rnd.nextGaussian())))
+      def scanCount(df: org.apache.spark.sql.DataFrame): Int =
+        "(?m)Scan parquet".r
+          .findAllIn(df.queryExecution.executedPlan.toString).length
+      val batchPlanScans = scanCount(
+        Similarity.pqTopKFromCodesBatch(codes, cb2, m2, k2, qs, kNN = 5))
+      assert(batchPlanScans == 1,
+        s"batch form should plan exactly one scan, got $batchPlanScans")
+      val perQueryScans = scanCount(
+        Similarity.pqTopKFromCodes(codes, cb2, m2, k2, qs.take(5), kNN = 5))
+      assert(perQueryScans == 5, // documents the contrast the batch form removes
+        s"per-query form plans one scan per query, got $perQueryScans for 5")
+      // and the 100-query batch still answers correctly (5 ranks per qid)
+      val n = Similarity.pqTopKFromCodesBatch(codes, cb2, m2, k2, qs, kNN = 5)
+        .groupBy("qid").count().collect()
+      assert(n.length == 100 && n.forall(_.getLong(1) == 5))
+    } finally { graft.BenchData.deleteRecursively(dir) }
+  }
+
+  test("ivfPqTopKFromCodesBatch == ivfPqTopKFromCodes over a partitioned index") {
+    val vecs = mkVecs(400)
+    val model = new graft.som.Som(
+      graft.som.SomConfig(2, 2, seed = 42)).fit(vecs, "embedding", numEpochs = 2)
+    val cb = Similarity.pqTrainCodebook(vecs, "embedding", m = 4, k = 4)
+    val codes = Similarity.ivfPqAssign(vecs, "embedding", "vec_id", model, cb,
+      m = 4, k = 4).persist()
+    val rnd = new scala.util.Random(17)
+    val qs = (1000 until 1015).map(i => (i.toLong, Array.fill(8)(rnd.nextGaussian())))
+    try {
+      val single = collectTopK(Similarity.ivfPqTopKFromCodes(
+        codes, model, cb, m = 4, k = 4, qs, kNN = 6, nProbe = 2))
+      val batch = collectTopK(Similarity.ivfPqTopKFromCodesBatch(
+        codes, model, cb, m = 4, k = 4, qs, kNN = 6, nProbe = 2))
+      assert(batch == single)
+    } finally { codes.unpersist(blocking = false); () }
+  }
+
+  test("kernel agreement: adcBatch and adcAt match per-query adc tables") {
+    val rnd = new scala.util.Random(23)
+    val cb = Array.fill(4 * 4 * 2)(rnd.nextGaussian()) // m=4, k=4, subDim=2
+    val qs = (0 until 6).map(_ => Array.fill(8)(rnd.nextGaussian()))
+    val tables = new Array[Double](6 * 4 * 4)
+    qs.zipWithIndex.foreach { case (q, qi) =>
+      System.arraycopy(Similarity.pqAdcTable(q, cb, 4, 4), 0, tables, qi * 16, 16)
+    }
+    val codes = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array(1, 3, 0, 2))
+    val batch = graft.plans.PqKernel.adcBatch(codes, tables, 6, 4)
+    for (qi <- 0 until 6) {
+      val single = graft.plans.PqKernel.adc(codes,
+        Similarity.pqAdcTable(qs(qi), cb, 4, 4), 4)
+      assert(batch.getDouble(qi) == single)
+      assert(graft.plans.PqKernel.adcAt(codes, tables, qi, 4) == single)
+    }
+  }
+}
