@@ -1477,6 +1477,40 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("range join modes: bucket == naive == auto through one entry point") {
+    // dense key 10 (300 rows) + sparse keys — covers both physical regimes
+    val left = ((0 until 300).map(i => (i.toLong, 10L, (i * 7).toLong)) ++
+      Seq((900L, 20L, 100L), (901L, 30L, 50L))).toDF("lid", "k", "ts")
+    val right = ((0 until 300).map(i => (1000L + i, 10L, (i * 11).toLong)) ++
+      Seq((1900L, 20L, 120L), (1901L, 40L, 50L))).toDF("rid", "k", "ts")
+    def pairs(mode: String): Set[(Long, Long)] =
+      AsOfJoin.joinRange(left, right, "k", "ts", 0L, 40L, mode)
+        .select("l_lid", "r_rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = pairs("bucket")
+    assert(b == pairs("naive") && b == pairs("auto") && b.nonEmpty)
+    assert(pairs("bucket") == pairs("naive"))
+    intercept[IllegalArgumentException] {
+      AsOfJoin.joinRange(left, right, "k", "ts", 0L, 40L, "turbo")
+    }
+    // auto picks naive when the busiest key is small, bucket when dense
+    val sparse = (0 until 100).map(i => (i.toLong, (i % 50).toLong, i.toLong))
+      .toDF("rid", "k", "ts")
+    assert(AsOfJoin.autoRangeMode(sparse, "k", "ts") == "naive")
+    val dense = (0 until 1000).map(i => (i.toLong, 1L, i.toLong))
+      .toDF("rid", "k", "ts")
+    assert(AsOfJoin.autoRangeMode(dense, "k", "ts") == "bucket")
+    // an all-null right side degrades to naive (maxPerKey = 0), not a crash
+    val rn = spark.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](
+        org.apache.spark.sql.Row(1L, null, null)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rid", org.apache.spark.sql.types.LongType, false),
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType, true),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType, true))))
+    assert(AsOfJoin.autoRangeMode(rn, "k", "ts") == "naive")
+  }
+
   test("fixed-size per-stratum sample: bounded aggregate, exact counts") {
     val d = (0L until 500L).map(i => (i, if (i % 5 == 0) "a" else "b"))
       .toDF("doc_id", "lang")
