@@ -77,9 +77,36 @@ object BenchData {
   def deleteRecursively(dir: String): Unit = {
     import scala.jdk.CollectionConverters._
     val p = java.nio.file.Paths.get(dir)
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.walk(p).iterator().asScala
-        .toSeq.reverse.foreach(x => java.nio.file.Files.deleteIfExists(x))
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      val paths =
+        try walk.iterator().asScala.toSeq finally walk.close()
+      paths.reverse.foreach(x => java.nio.file.Files.deleteIfExists(x))
+    }
+  }
+
+  /** The final stdout line the driver parses. The driver keeps only the
+    * LAST ~2000 chars of stdout and sbt's "[success] ..." trailer eats
+    * ~80, so this line must stay well under that window: no suite_ms
+    * here (the per-suite-query numbers live in the suite_KofN chunk
+    * lines and BENCH_FULL.json), only the 6 contract bench entries by
+    * name plus the bench-section millisecond array in SORTED-NAME order
+    * (matching what the order label claims). `HeadlineSpec` pins
+    * length < 1500 and JSON-parseability.
+    */
+  def headline(total: Double, results: collection.Map[String, Double],
+               sfDir: String): String = {
+    def r4(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    def ms(v: Double): String = if (v < 0) "-1" else math.round(v * 1000).toString
+    val headlineKeys = Seq("bench_train_200k", "bench_bmu_200k",
+      "bench_minhash_200k", "bench_resolve_hybrid_200k",
+      "bench_bucketed_join_200k", "bench_plain_join_200k")
+    val benchQs = headlineKeys.filter(results.contains)
+      .map(kk => "\"" + kk + "\":" + r4(results(kk))).mkString("{", ",", "}")
+    val benchMs = results.toSeq.sortBy(_._1).map(kv => ms(kv._2)).mkString("[", ",", "]")
+    s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$benchQs,""" +
+      s""""bench_ms":$benchMs,"order":"bench_ms sorted by bench name; full map in BENCH_FULL.json","sf":"$sfDir"}"""
   }
 }
 
@@ -255,11 +282,7 @@ object Bench {
         graft.operators.Dedup.dropExistingDuplicatesIndexed(gateBatch, fpIdxDir,
           "text", "doc_id", gateBloom).count(); ()
       }
-      locally {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(java.nio.file.Paths.get(fpIdxDir)).iterator().asScala
-          .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
+      BenchData.deleteRecursively(fpIdxDir)
       bigDocs.unpersist(blocking = false)
     }
 
@@ -286,13 +309,11 @@ object Bench {
       ev.count()
       val hi = 10000000L
       def bucketed(): Long =
-        graft.operators.AsOfJoin.joinRange(ev, ev, "k", "ts", 0L, hi).count()
-      def naive(): Long = {
-        val l = ev.select(col("eid").as("l_eid"), col("k").as("l_k"), col("ts").as("l_ts"))
-        val r = ev.select(col("eid").as("r_eid"), col("k").as("r_k"), col("ts").as("r_ts"))
-        l.join(r, col("l_k") === col("r_k") &&
-          col("r_ts") >= col("l_ts") && col("r_ts") <= col("l_ts") + hi).count()
-      }
+        graft.operators.AsOfJoin.joinRange(ev, ev, "k", "ts", 0L, hi,
+          mode = "bucket").count()
+      def naive(): Long =
+        graft.operators.AsOfJoin.joinRange(ev, ev, "k", "ts", 0L, hi,
+          mode = "naive").count()
       val nb = bucketed(); val nn = naive() // warmup both + invariant
       if (nb != nn)
         System.err.println(s"[bench] RANGE-JOIN MISMATCH bucketed=$nb naive=$nn")
@@ -449,10 +470,7 @@ object Bench {
       }
 
       big.unpersist(blocking = false)
-      // best-effort temp cleanup
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(idxDir)).iterator().asScala
-        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      BenchData.deleteRecursively(idxDir)
     }
 
     // --- bucketed-vs-plain join head-to-head at 200k×200k on the same
@@ -530,15 +548,14 @@ object Bench {
     //   2. suite_KofN then bench_KofM chunk lines: full-name entries,
     //      4-decimal, each ≤800 chars, independently parseable; the
     //      window retains the trailing bench chunks.
-    //   3. LAST, the headline (~1.1 KB, grows ~5 bytes per future
-    //      query): total + per-entry MILLISECOND arrays "suite_ms" /
-    //      "bench_ms" ordered by sorted name (= CORRECTNESS rows /
-    //      BENCH_FULL keys), so EVERY number survives in the tail even
-    //      when the named chunks are cut, + the 6 contract-critical
-    //      bench entries by name.
+    //   3. LAST, the headline (BenchData.headline, <1500 chars pinned
+    //      by HeadlineSpec): total + the 6 contract bench entries by
+    //      name + the bench-section ms array in sorted-name order. The
+    //      r7 headline carried suite_ms too and overflowed the window
+    //      again (BENCH_r07 `parsed: null`, cut mid-array) — suite
+    //      numbers now live ONLY in the chunk lines + BENCH_FULL.json.
     def r4(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    def ms(v: Double): String = if (v < 0) "-1" else math.round(v * 1000).toString
     val ordered = suite ++ results
     // failed queries are recorded as -1 but must not reduce the total
     val total = ordered.values.filter(_ >= 0).sum
@@ -566,15 +583,7 @@ object Bench {
     }
     emitChunks("suite", suite)
     emitChunks("bench", results)
-    val headlineKeys = Seq("bench_train_200k", "bench_bmu_200k",
-      "bench_minhash_200k", "bench_resolve_hybrid_200k",
-      "bench_bucketed_join_200k", "bench_plain_join_200k")
-    val benchQs = headlineKeys.filter(results.contains)
-      .map(kk => "\"" + kk + "\":" + r4(results(kk))).mkString("{", ",", "}")
-    val suiteMs = suite.values.map(ms).mkString("[", ",", "]")
-    val benchMs = results.values.map(ms).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$benchQs,""" +
-      s""""suite_ms":$suiteMs,"bench_ms":$benchMs,"order":"sorted names; full map in BENCH_FULL.json","sf":"$sfDir"}""")
+    println(BenchData.headline(total, results, sfDir))
     spark.stop()
   }
 }

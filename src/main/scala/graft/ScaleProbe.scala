@@ -301,7 +301,7 @@ object ScaleProbe {
         ev.count()
         val tRange = time {
           println("  range pairs: " + operators.AsOfJoin
-            .joinRange(ev, ev, "k", "ts", 0L, 10000000L).count())
+            .joinRange(ev, ev, "k", "ts", 0L, 10000000L, mode = "bucket").count())
         }
         println(f"[scale] rangejoin ${nDocs / 1000000}M events (run $rep/$repeats): $tRange%.1f s")
         val strat = ev.withColumn("lang", pmod(col("eid"), lit(20)).cast("string"))
