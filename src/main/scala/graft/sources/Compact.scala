@@ -48,6 +48,16 @@ object Compact {
     val outQ = outFs.makeQualified(new Path(outDir))
     require(inQ != outQ,
       "compact in place is not atomic — write to a new directory and swap")
+    // nesting is as bad as equality: outDir under inDir would be listed
+    // by walk() as a partition subdirectory and compacted into itself
+    // (duplicating rows); inDir under outDir would be clobbered by the
+    // Overwrite of its ancestor
+    def isAncestor(a: Path, b: Path): Boolean =
+      a.toUri == b.toUri ||
+        (a.toUri.getScheme == b.toUri.getScheme &&
+          b.toUri.getPath.startsWith(a.toUri.getPath.stripSuffix("/") + "/"))
+    require(!isAncestor(inQ, outQ) && !isAncestor(outQ, inQ),
+      s"input and output directories must not be nested: $inQ vs $outQ")
 
     def walk(in: Path, out: Path): (Int, Int) = {
       val entries = inFs.listStatus(in)

@@ -71,5 +71,21 @@ class CompactSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Compact.compactParquet(spark, d, d + "_out", targetFileBytes = 0)
     }
+    // nested targets: outDir inside inDir would be walked as a partition
+    // subdirectory and compacted into itself (the retry-with-stale-output
+    // trap); inDir inside outDir would be overwritten mid-read
+    intercept[IllegalArgumentException] {
+      Compact.compactParquet(spark, d, d + "/out")
+    }
+    intercept[IllegalArgumentException] {
+      Compact.compactParquet(spark, d + "/in", d)
+    }
+    // a sibling whose name merely shares the prefix is NOT nested and
+    // must pass the guard (it fails later only for having no parquet)
+    intercept[IllegalArgumentException] {
+      Compact.compactParquet(spark, d, d + "_sibling")
+    }.getMessage match {
+      case m => assert(m.contains("no parquet files"), m)
+    }
   }
 }
