@@ -86,6 +86,32 @@ object StreamingSom {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** The full streaming ingest-to-release path in one composition:
+    * landing-directory JSONL stream (or any document stream) -> Gopher
+    * quality gate -> watermarked exact dedup -> content-keyed shard
+    * assignment, returning the DataFrame to hand a `partitionBy("shard")`
+    * file sink (append mode — shard assignment is a pure expression, so
+    * the sink lays out the same shard=K/ tree and every document lands
+    * in the SAME shard as the batch release writer; `StreamingSpec`
+    * pins batch==stream shard assignment through this composition).
+    * One watermark-bounded state store (the dedup fingerprints); the
+    * quality gate and sharding are stateless.
+    */
+  def curationExportStream(stream: DataFrame, textCol: String,
+                           idCol: String, tsCol: String,
+                           watermarkDur: String, numShards: Int,
+                           minTok: Int = 50, maxTok: Int = 100000,
+                           minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                           minAlphaRatio: Double = 0.8, minStopHits: Int = 2,
+                           stopWords: Seq[String] =
+                             graft.functions.TextFunctions.langMarkers.toMap.apply("en")): DataFrame = {
+    val kept = graft.operators.Corpus.gopherKeep(stream, textCol,
+      minTok, maxTok, minMeanLen, maxMeanLen, minAlphaRatio,
+      minStopHits, stopWords)
+    dropDuplicatesStream(kept, textCol, tsCol, watermarkDur)
+      .withColumn("shard", graft.sources.Shards.shardOf(col(idCol), numShards))
+  }
+
   /** Windowed token frequencies over a document stream — the streaming
     * face of `Corpus.tokenFrequencies` (vocabulary drift monitoring,
     * per-window token counts). The token array is materialized in a

@@ -444,4 +444,66 @@ class StreamingSpec extends SparkSpec {
       assert(got === Map(1L -> 2L, 2L -> 1L, 3L -> 3L))
     } finally q.stop()
   }
+
+  test("composed ingest-to-release: JSONL landing -> curation -> sharded sink == batch") {
+    // the full production path as ONE streaming query: a landing
+    // directory of JSONL files, the Gopher gate + watermarked dedup
+    // (curationExportStream), and a partitionBy(shard) parquet sink —
+    // pinned row-for-row (kept set AND shard assignment) against the
+    // equivalent batch pipeline over the same files
+    val land = java.nio.file.Files.createTempDirectory("graft_e2e_land")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_e2e_out")
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_e2e_ck")
+    Seq(land, outDir, ckDir).foreach(_.toFile.deleteOnExit())
+    def doc(id: Long, text: String): String =
+      s"""{"doc_id": $id, "text": "$text", "lang": "en", "source": "s", "n_chars": ${text.length}}"""
+    def drop(name: String, lines: Seq[String]): Unit = {
+      val tmp = java.nio.file.Files.createTempFile("graft_e2e_part", ".tmp")
+      java.nio.file.Files.write(tmp, lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, land.resolve(s"$name.jsonl"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    val good = "the quick brown fox jumps over the lazy dog again and again"
+    val junk = "x9 q7" // fails the token-count gate
+    drop("b0", Seq(doc(1L, good + " one"), doc(2L, good + " two"), doc(9L, junk)))
+    def ingest(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("ts", to_timestamp(from_unixtime(lit(1700000000L) + col("doc_id"))))
+    val stream = ingest(spark.readStream
+      .schema(graft.sources.Jsonl.documentsSchema)
+      .option("maxFilesPerTrigger", 1).json(land.toString))
+    val curated = graft.streaming.StreamingSom.curationExportStream(
+      stream, "text", "doc_id", "ts", watermarkDur = "1 hour", numShards = 3,
+      minTok = 5, minStopHits = 1, minMeanLen = 1.0, maxMeanLen = 10.0,
+      minAlphaRatio = 0.5)
+    val q = curated.writeStream.format("parquet")
+      .option("path", outDir.toString)
+      .option("checkpointLocation", ckDir.toString)
+      .partitionBy("shard").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // a later landing file: one new doc + an exact duplicate of doc 1
+      // (higher id, later arrival — batch keeps min id, stream keeps
+      // first arrival: the same survivor)
+      drop("b1", Seq(doc(3L, good + " three"), doc(8L, good + " one")))
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(outDir.toString)
+        .select(col("doc_id"), col("shard").cast("long").as("shard"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // batch twin over the same landing directory
+      val batchIn = ingest(graft.sources.Jsonl.readStrict(spark, land.toString,
+        graft.sources.Jsonl.documentsSchema))
+      val batchKept = graft.operators.Dedup.dropExactDuplicates(
+        graft.operators.Corpus.gopherKeep(batchIn, "text",
+          minTok = 5, minStopHits = 1, minMeanLen = 1.0, maxMeanLen = 10.0,
+          minAlphaRatio = 0.5), "text", "doc_id")
+        .withColumn("shard", graft.sources.Shards.shardOf(col("doc_id"), 3))
+        .select(col("doc_id"), col("shard"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed === batchKept)
+      assert(streamed.keySet === Set(1L, 2L, 3L)) // junk gated, dup dropped
+      val dirs = outDir.toFile.listFiles().filter(_.isDirectory).map(_.getName)
+        .filterNot(_.startsWith("_"))
+      assert(dirs.forall(_.startsWith("shard=")))
+    } finally q.stop()
+  }
 }
