@@ -469,6 +469,26 @@ object Bench {
           m = 8, k = 16, qvecs, kNN = 10, nProbe = 4).count(); ()
       }
 
+      // batch-ADC head-to-head at 100 queries on the SAME codes in the
+      // SAME JVM: the per-query form plans one scan per query (100
+      // plans + 100 scans of the same file); the batch form answers
+      // all 100 with ONE codegen scan + the bounded-heap reduction.
+      // The ratio is the point — it widens with batch size, which is
+      // why serving batches route through pqTopKFromCodesBatch.
+      val q100 = big.where(col("id") < 100).collect().map { r =>
+        (r.getLong(0), r.getSeq[Double](1).toArray)
+      }.toSeq
+      graft.operators.Similarity.pqTopKFromCodesBatch(pqCodes, pqCb,
+        m = 8, k = 16, q100.take(5), kNN = 10).count() // warmup
+      results("bench_pq_batch100_200k") = time2 {
+        graft.operators.Similarity.pqTopKFromCodesBatch(pqCodes, pqCb,
+          m = 8, k = 16, q100, kNN = 10).count(); ()
+      }
+      results("bench_pq_perq100_200k") = time2 {
+        graft.operators.Similarity.pqTopKFromCodes(pqCodes, pqCb,
+          m = 8, k = 16, q100, kNN = 10).count(); ()
+      }
+
       big.unpersist(blocking = false)
       BenchData.deleteRecursively(idxDir)
     }

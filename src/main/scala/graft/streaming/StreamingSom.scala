@@ -284,6 +284,48 @@ object StreamingSom {
       .toDF("user_id", "n_sessions", "n_events")
   }
 
+  /** Online ANN serving: a static PQ index answers a STREAM of query
+    * vectors — the production topology where the index is the big side
+    * (billions of m-byte codes, disk-partitioned, loaded once) and the
+    * queries arrive in bounded micro-batches. Call `answer` from
+    * `foreachBatch`: the micro-batch's query vectors are collected to
+    * the driver (bounded by contract — `maxQueriesPerBatch` enforces
+    * it, the trigger sizes it) and the WHOLE batch is answered by ONE
+    * codegen scan of the codes ([[graft.operators.Similarity.pqTopKFromCodesBatch]]),
+    * so per-micro-batch cost is one scan + a bounded-heap reduction
+    * regardless of how many queries the trigger packed in. Queries are
+    * external by default (`excludeSelf = false`: a query id is not a
+    * corpus id). Per-query answers are independent, so the union of
+    * micro-batch answers equals one batch answer over all queries —
+    * `StreamingSpec` pins that equality.
+    */
+  final class PqServer(codes: DataFrame, cb: Array[Double], m: Int, k: Int,
+                       kNN: Int, maxQueriesPerBatch: Int = 10000,
+                       excludeSelf: Boolean = false) extends Serializable {
+    def answer(microBatch: DataFrame, idCol: String = "id",
+               vecCol: String = "embedding"): DataFrame = {
+      val rows = microBatch
+        .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+        .collect()
+      require(rows.length <= maxQueriesPerBatch,
+        s"micro-batch carries ${rows.length} queries > maxQueriesPerBatch " +
+          s"$maxQueriesPerBatch — size the trigger down or raise the bound")
+      if (rows.isEmpty) {
+        val spark = codes.sparkSession
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("qid", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("nid", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("adc", org.apache.spark.sql.types.DoubleType))))
+      } else {
+        val queries = rows.toSeq.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        graft.operators.Similarity.pqTopKFromCodesBatch(
+          codes, cb, m, k, queries, kNN, excludeSelf = excludeSelf)
+      }
+    }
+  }
+
   /** Incremental trainer: call `update` from `foreachBatch`. Each
     * micro-batch runs one epoch (broadcast + deterministic tree combine +
     * merge) at the

@@ -64,6 +64,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("PqServer: streamed query micro-batches get the same answers as one batch") {
+    // online ANN serving: static PQ index, query stream; each
+    // micro-batch is answered by ONE scan of the codes via
+    // pqTopKFromCodesBatch, and per-query independence means the union
+    // of micro-batch answers == the single all-queries batch answer
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 4
+    def vec(seed: Long): Array[Double] =
+      Array.tabulate(dim)(j => math.sin(seed * 0.7 + j * 1.3))
+    val corpus = (0L until 64L).map(i => (i, vec(i).toSeq)).toDF("id", "embedding")
+    val cb = graft.operators.Similarity.pqCodebookFromRows(
+      (0 until 16).map(i => vec(i * 37L + 5)), m = 2)
+    val codes = graft.operators.Similarity.pqEncode(
+      corpus, "embedding", "id", cb, m = 2, k = 16)
+    codes.persist(); codes.count()
+    try {
+      val server = new StreamingSom.PqServer(codes, cb, m = 2, k = 16, kNN = 3)
+      val queries = (100L until 110L).map(q => (q, vec(q * 3 + 1).toSeq))
+      val input = MemoryStream[(Long, Seq[Double])]
+      val answers = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double)]()
+      val q = input.toDF().toDF("id", "embedding").writeStream
+        .foreachBatch { (mb: org.apache.spark.sql.DataFrame, _: Long) =>
+          answers.synchronized {
+            answers ++= server.answer(mb).collect()
+              .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+          }; ()
+        }.start()
+      try {
+        input.addData(queries.take(4): _*); q.processAllAvailable()
+        input.addData(queries.drop(4): _*); q.processAllAvailable()
+      } finally q.stop()
+      val batch = graft.operators.Similarity.pqTopKFromCodesBatch(
+          codes, cb, m = 2, k = 16,
+          queries.map(p => (p._1, p._2.toArray)), kNN = 3, excludeSelf = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(answers.sorted == batch.toSeq.sorted)
+      assert(answers.map(_._1).distinct.sorted == queries.map(_._1))
+      // the bound is enforced, not advisory
+      val tiny = new StreamingSom.PqServer(codes, cb, 2, 16, 3, maxQueriesPerBatch = 2)
+      val err = intercept[IllegalArgumentException] {
+        tiny.answer(queries.take(3).toDF("id", "embedding"))
+      }
+      assert(err.getMessage.contains("maxQueriesPerBatch"))
+      // an empty micro-batch answers empty with the contract schema
+      val empty = server.answer(queries.take(0).toDF("id", "embedding"))
+      assert(empty.columns.toSeq == Seq("qid", "rank", "nid", "adc"))
+      assert(empty.count() == 0)
+    } finally codes.unpersist()
+  }
+
   test("curation filters run stateless on a stream, matching batch") {
     // gopherFilter / quality scoring are pure expression pipelines, so
     // they apply to a streaming DataFrame unchanged (no state, append
