@@ -11,6 +11,20 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The per-round bench driver keeps only the tail of stdout and parses
+// the LAST line as the headline JSON. With the default LoggedOutput
+// strategy sbt prefixes every forked-process line with "[info] " and
+// appends its own "[success] Total time..." trailer, so the headline is
+// never the literal last line (BENCH_r06..r08 all recorded
+// `parsed: null` for exactly this reason). StdoutOutput passes the
+// forked JVM's stdout through verbatim; showSuccess drops the trailer.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by sbt's command layer, not by another setting —
+// the lintUnused warning is a false positive (verified: the trailer is
+// gone from run output with this set)
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -60,4 +60,39 @@ class HeadlineSpec extends AnyFunSuite {
     val line = BenchData.headline(1.0, fakeResults, "/tmp/x")
     assert(!line.contains("suite_ms"))
   }
+
+  test("headline carries the bandwidth stamp when one was measured") {
+    val line = BenchData.headline(1.0, fakeResults, "/tmp/x", bwGbps = 9.71)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(node.get("bw_gbps").asDouble() == 9.71)
+    // and omits it cleanly (still valid JSON) when no stamp exists
+    val bare = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(BenchData.headline(1.0, fakeResults, "/tmp/x"))
+    assert(!bare.has("bw_gbps"))
+  }
+
+  /** Replays the driver's extraction: it keeps the last ~2000 chars of
+    * stdout and parses the LAST line as JSON. BENCH_r08 proved a
+    * complete headline merely *inside* the tail is not enough — sbt's
+    * "[info] " prefix and "[success]" trailer kept it from being the
+    * last line, and `parsed` came back null three rounds running.
+    * build.sbt now sets StdoutOutput + showSuccess := false and Bench
+    * prints the headline after spark.stop(), so the headline IS the
+    * final line; this test pins that the extraction recovers it from a
+    * realistic stdout (chunk lines before it, trailing newline).
+    */
+  test("driver tail extraction: last line of the last 2000 chars parses") {
+    val headline = BenchData.headline(126.37, fakeResults,
+      "/root/testdata/sf0.1", bwGbps = 9.7)
+    val chunkNoise = (1 to 8).map(i =>
+      s"""{"metric":"bench_${i}of8","unit":"sec","queries":{"bench_x_$i":1.0}}""")
+    val stdout = chunkNoise.mkString("\n") + "\n" + headline + "\n"
+    val tail = stdout.takeRight(2000)
+    val lastLine = tail.linesIterator.filter(_.nonEmpty)
+      .foldLeft("")((_, l) => l)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(lastLine) // throws on malformed JSON
+    assert(node.get("metric").asText() == "total")
+    assert(node.get("queries").has("bench_train_200k"))
+  }
 }
