@@ -51,12 +51,33 @@ def connect(sf_dir):
     return con
 
 
-# corpus signature: row count + an md5-prefix checksum of the text
-# column. count alone is NOT an identity here (the sf0.001 and sf0.01
+# corpus signature: row count + an md5-prefix checksum, over BOTH the
+# documents table (text) and the embeddings table (vec_id + vector
+# content). count alone is NOT an identity here (the sf0.001 and sf0.01
 # documents/embeddings tables have identical row counts with different
-# content), and DuckDB's hash() is not stable across versions — md5 is.
+# content), and a documents-only checksum is not either: several cached
+# oracles (ann_recall, ann_lsh_topk, dedup_semantic, dedup_drop_near,
+# dedup_keep_best) read embeddings, and a corpus with identical
+# documents but different embeddings must NOT match a stale branch.
+# DuckDB's hash() is not stable across versions — md5 is; the
+# embedding::VARCHAR rendering is stable for the generating and
+# checking DuckDB (the same driver-side install), and any cross-version
+# drift fails CLOSED (no branch matches -> sentinel row -> loud
+# row-count mismatch).
 SIG_SQL = ("SELECT count(*), sum(('0x' || substr(md5(text), 1, 12))::BIGINT) "
            "FROM documents WHERE text IS NOT NULL")
+SIG_EMB_SQL = ("SELECT count(*), sum(('0x' || substr(md5(vec_id::VARCHAR || ':' "
+               "|| embedding::VARCHAR), 1, 12))::BIGINT) FROM embeddings")
+
+
+def emb_guard_sql(ne, he):
+    return (f"(SELECT count(*) = {ne} AND sum(('0x' || substr(md5(vec_id::VARCHAR || ':' "
+            f"|| embedding::VARCHAR), 1, 12))::BIGINT) = {he} FROM embeddings)")
+
+
+def doc_guard_sql(nd, hd):
+    return (f"(SELECT count(*) = {nd} AND sum(('0x' || substr(md5(text), 1, 12))::BIGINT) = {hd} "
+            f"FROM documents WHERE text IS NOT NULL)")
 
 
 def run_one(task):
@@ -65,21 +86,33 @@ def run_one(task):
     t0 = time.time()
     df = con.execute(sql).df()
     nd, hd = con.execute(SIG_SQL).fetchone()
+    ne, he = con.execute(SIG_EMB_SQL).fetchone()
     con.close()
-    return name, sf_dir, int(nd), int(hd), df, time.time() - t0
+    return name, sf_dir, (int(nd), int(hd), int(ne), int(he)), df, time.time() - t0
 
 
 def lit(v, dtype):
     import pandas as pd
-    if v is None or (isinstance(v, float) and math.isnan(v)) or pd.isna(v):
-        return "NULL"
     k = dtype.kind
-    if k in "iu":
-        return str(int(v))
     if k == "f":
+        # pandas float columns conflate SQL NULL with NaN (DuckDB's df()
+        # renders both as nan), and a bare nan/inf token would not parse
+        # back inside a VALUES list — either way a cached row would
+        # silently diverge from the live replay. Fail generation instead:
+        # a query whose expected rows carry non-finite doubles must stay
+        # on the live replay oracle.
+        if v is None or pd.isna(v) or not math.isfinite(float(v)):
+            raise ValueError(
+                "non-finite or NULL double in expected rows — cannot cache "
+                "faithfully (NULL/NaN are indistinguishable via df()); keep "
+                "this query on the live replay oracle")
         # repr round-trips float64 exactly; DuckDB parses it back to the
         # identical double, so the exact-equality gate compare holds
         return repr(float(v))
+    if v is None or pd.isna(v):
+        return "NULL"
+    if k in "iu":
+        return str(int(v))
     if k == "b":
         return "TRUE" if v else "FALSE"
     s = str(v).replace("'", "''")
@@ -97,24 +130,58 @@ def duck_type(dtype):
     return "VARCHAR"
 
 
-def branch_sql(df, nd, hd):
+def branch_sql(df, sig):
+    """One corpus branch: (select_sql, guard_sql). The guard covers BOTH
+    tables (documents + embeddings) for every cached oracle — stricter
+    than each query strictly needs, but it can only fail CLOSED (a
+    mismatched table the query ignores drops to the sentinel branch,
+    never to wrong expected rows)."""
+    nd, hd, ne, he = sig
+    guard = f"({doc_guard_sql(nd, hd)} AND {emb_guard_sql(ne, he)})"
     cols = list(df.columns)
     decls = ", ".join(f'"{c}"' for c in cols)
     casts = ", ".join(
         f'CAST("{c}" AS {duck_type(df[c].dtype)}) AS "{c}"' for c in cols)
     if len(df) == 0:
         # an intentionally-empty expected set still needs the schema: a
-        # single dummy row filtered out unconditionally
+        # single dummy row filtered out unconditionally (the guard still
+        # registers this corpus as KNOWN via the sentinel's NOT(...))
         dummy = ", ".join("NULL" for _ in cols)
         return (f"SELECT {casts} FROM (VALUES ({dummy})) AS t({decls}) "
-                f"WHERE FALSE")
+                f"WHERE FALSE"), guard
     rows = ", ".join(
         "(" + ", ".join(lit(row[c], df[c].dtype) for c in cols) + ")"
         for _, row in df.iterrows())
-    guard = f"(SELECT count(*) = {nd} AND sum(('0x' || substr(md5(text), 1, 12))::BIGINT) = {hd} " \
-            f"FROM documents WHERE text IS NOT NULL)"
     return (f"SELECT {casts} FROM (VALUES {rows}) AS t({decls}) "
-            f"WHERE {guard}")
+            f"WHERE {guard}"), guard
+
+
+def sentinel_sql(df, guards):
+    """The unknown-corpus branch: when NO captured signature matches,
+    emit one impossible row instead of zero rows — a query that
+    legitimately returns 0 rows on an unknown corpus must FAIL the gate
+    (row-count mismatch), not silently pass against an empty expected
+    set. The engine cannot produce these values, so a match is
+    impossible."""
+    cols = list(df.columns)
+    decls = ", ".join(f'"{c}"' for c in cols)
+    casts = ", ".join(
+        f'CAST("{c}" AS {duck_type(df[c].dtype)}) AS "{c}"' for c in cols)
+
+    def sval(dtype):
+        k = dtype.kind
+        if k in "iu":
+            return "-314159265358979"
+        if k == "f":
+            return "-3.141592653589793e+101"
+        if k == "b":
+            return "TRUE"
+        return "'GRAFT_UNKNOWN_CORPUS'"
+
+    row = ", ".join(sval(df[c].dtype) for c in cols)
+    known = " OR ".join(guards)
+    return (f"SELECT {casts} FROM (VALUES ({row})) AS t({decls}) "
+            f"WHERE NOT ({known})")
 
 
 def main(oracle_path, outfile, sf_dirs):
@@ -129,15 +196,22 @@ def main(oracle_path, outfile, sf_dirs):
         "_meta": ("expected rows captured from the FULL DuckDB replay oracles "
                   "(Queries.liveOracles under GRAFT_FULL_REPLAY=1) by "
                   "tools/gen_precomputed_oracles.py over " + ", ".join(sf_dirs) +
-                  "; branch guards are (documents row count, md5-prefix text checksum)"),
+                  "; branch guards are (documents row count + md5-prefix text "
+                  "checksum, embeddings row count + md5-prefix content checksum); "
+                  "an unmatched corpus yields the GRAFT_UNKNOWN_CORPUS sentinel "
+                  "row so the gate fails loudly instead of comparing empty-vs-empty"),
     }
     for name in EXPENSIVE:
-        branches = []
-        for rn, sf_dir, nd, hd, df, dt in results:
+        branches, guards, schema_df = [], [], None
+        for rn, sf_dir, sig, df, dt in results:
             if rn != name:
                 continue
             print(f"  {name} @ {sf_dir}: {len(df)} rows ({dt:.1f}s replay)")
-            branches.append(branch_sql(df, nd, hd))
+            sel, guard = branch_sql(df, sig)
+            branches.append(sel)
+            guards.append(guard)
+            schema_df = df if schema_df is None else schema_df
+        branches.append(sentinel_sql(schema_df, guards))
         header = (f"-- PRECOMPUTED oracle for {name}: rows are the full DuckDB "
                   f"replay's output, captured per scale factor by "
                   f"tools/gen_precomputed_oracles.py (GRAFT_FULL_REPLAY=1 "
