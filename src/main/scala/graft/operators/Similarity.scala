@@ -459,11 +459,28 @@ object Similarity {
         col("p.id").as("nid"), round(col("p.s"), 6).as("adc"))
   }
 
-  /** PQ approximate top-k by asymmetric distance: encode once, then each
-    * query is ONE codegen'd scan over the m-int codes with its broadcast
-    * lookup table (m array reads + m adds per row — no float vectors in
-    * the hot path) feeding a TakeOrderedAndProject (no global sort).
-    * Returns (qid, rank, nid, adc), ranked by (adc asc, nid asc).
+  /** Query-batch size at or above which the convenience serving entry
+    * points ([[pqTopK]], [[ivfPqTopK]]) route to the one-scan
+    * `*FromCodesBatch` forms instead of scan-per-query. The per-query
+    * form plans (and runs) one scan per query — benched at 32.8 s for a
+    * 100-query batch against 0.85 s for the batch form on the same
+    * codes (38x) — so anything beyond a handful of ad-hoc queries
+    * belongs on the batch path. Kept small rather than 1 because for
+    * 1-2 queries the per-query form's exact per-query partition pruning
+    * (IVF) and simpler plan are marginally cheaper. The two forms
+    * return identical rows (`PqBatchSpec`), so the dispatch is purely a
+    * physical-plan choice, like `joinRange(mode = "auto")`.
+    */
+  val pqBatchDispatchMinQueries = 6
+
+  /** PQ approximate top-k by asymmetric distance: encode once, then
+    * serve the batch — via ONE codegen scan of the m-int codes for the
+    * whole batch ([[pqTopKFromCodesBatch]]) when it has
+    * [[pqBatchDispatchMinQueries]]+ queries, else scan-per-query with
+    * a broadcast lookup table per query ([[pqTopKFromCodes]]); both
+    * feed bounded-heap top-k reductions (no global sort) and return
+    * identical rows. Returns (qid, rank, nid, adc), ranked by
+    * (adc asc, nid asc).
     *
     * The result is materialized and the internal codes cache released
     * before returning — no caller-side cache management. A standing
@@ -478,8 +495,11 @@ object Similarity {
     require(queries.nonEmpty, "pqTopK needs at least one query")
     val codes = pqEncode(df, vecCol, idCol, cb, m, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = pqTopKFromCodes(codes, cb, m, k, queries, kNN, excludeSelf)
-      .localCheckpoint(true)
+    val served =
+      if (queries.size >= pqBatchDispatchMinQueries)
+        pqTopKFromCodesBatch(codes, cb, m, k, queries, kNN, excludeSelf)
+      else pqTopKFromCodes(codes, cb, m, k, queries, kNN, excludeSelf)
+    val out = served.localCheckpoint(true)
     codes.unpersist(blocking = false)
     out
   }
@@ -604,10 +624,13 @@ object Similarity {
   }
 
   /** One-shot IVF+PQ: assign + encode inline (one scan of the floats),
-    * then serve the batch via [[ivfPqTopKFromCodes]]. The result is
-    * materialized and the internal codes cache released before
-    * returning; a standing deployment uses [[writeIvfPqIndex]] instead
-    * and serves every later batch from the partitioned codes.
+    * then serve the batch — via [[ivfPqTopKFromCodesBatch]] (one scan,
+    * probed-cell union) at [[pqBatchDispatchMinQueries]]+ queries, else
+    * [[ivfPqTopKFromCodes]] (scan-per-query with exact per-query cell
+    * pruning); identical rows either way. The result is materialized
+    * and the internal codes cache released before returning; a standing
+    * deployment uses [[writeIvfPqIndex]] instead and serves every later
+    * batch from the partitioned codes.
     */
   def ivfPqTopK(df: DataFrame, vecCol: String, idCol: String,
                 model: graft.som.SomModel, cb: Array[Double],
@@ -616,9 +639,13 @@ object Similarity {
                 nProbe: Int, excludeSelf: Boolean = true): DataFrame = {
     val codes = ivfPqAssign(df, vecCol, idCol, model, cb, m, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = ivfPqTopKFromCodes(codes, model, cb, m, k, queries, kNN,
+    val served =
+      if (queries.size >= pqBatchDispatchMinQueries)
+        ivfPqTopKFromCodesBatch(codes, model, cb, m, k, queries, kNN,
+          nProbe, excludeSelf)
+      else ivfPqTopKFromCodes(codes, model, cb, m, k, queries, kNN,
         nProbe, excludeSelf)
-      .localCheckpoint(true)
+    val out = served.localCheckpoint(true)
     codes.unpersist(blocking = false)
     out
   }

@@ -88,6 +88,37 @@ class PqBatchSpec extends SparkSpec {
     } finally { codes.unpersist(blocking = false); () }
   }
 
+  /** The convenience entry points dispatch to the batch form at
+    * `pqBatchDispatchMinQueries` — this pins the boundary value and
+    * that results are identical on BOTH sides of it (so the dispatch
+    * stays a pure physical-plan choice; a caller can never observe
+    * which form ran).
+    */
+  test("pqTopK auto-dispatch: identical rows on both sides of the boundary") {
+    assert(Similarity.pqBatchDispatchMinQueries == 6,
+      "dispatch boundary moved — re-verify the per-query-vs-batch crossover")
+    val vecs = mkVecs(200)
+    val cb = Similarity.pqTrainCodebook(vecs, "embedding", m = 4, k = 4)
+    val codes = Similarity.pqEncode(vecs, "embedding", "vec_id", cb, m = 4, k = 4)
+      .persist()
+    val rnd = new scala.util.Random(31)
+    val qs = (0 until Similarity.pqBatchDispatchMinQueries + 1).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian())))
+    try {
+      for (n <- Seq(Similarity.pqBatchDispatchMinQueries - 1, // per-query side
+                    Similarity.pqBatchDispatchMinQueries,     // batch side
+                    Similarity.pqBatchDispatchMinQueries + 1)) {
+        val sub = qs.take(n)
+        val viaEntry = collectTopK(
+          Similarity.pqTopK(vecs, "embedding", "vec_id", cb, m = 4, k = 4,
+            sub, kNN = 5))
+        val perQuery = collectTopK(
+          Similarity.pqTopKFromCodes(codes, cb, m = 4, k = 4, sub, kNN = 5))
+        assert(viaEntry == perQuery, s"dispatch changed results at n=$n")
+      }
+    } finally { codes.unpersist(blocking = false); () }
+  }
+
   test("kernel agreement: adcBatch and adcAt match per-query adc tables") {
     val rnd = new scala.util.Random(23)
     val cb = Array.fill(4 * 4 * 2)(rnd.nextGaussian()) // m=4, k=4, subDim=2
