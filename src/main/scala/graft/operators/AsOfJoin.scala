@@ -103,12 +103,14 @@ object AsOfJoin {
     *    and a single hot key pins one executor (AQE cannot split a
     *    θ-join);
     *  - `"auto"` (default): runs one bounded planning aggregate over
-    *    the right side — per-key counts reduce map-side, the exchange
+    *    EACH side — per-key counts reduce map-side, the exchange
     *    carries one row per distinct key, the answer is one MAX — and
-    *    picks naive iff the BUSIEST key holds <= `autoNaiveMaxPerKey`
-    *    rows (max, not mean: skew is exactly what kills naive, and a
-    *    mean would hide the one hot key). The estimate costs one
-    *    narrow pass over (key); callers re-joining in a tight loop
+    *    picks naive iff the BUSIEST key across both sides holds <=
+    *    `autoNaiveMaxPerKey` rows (max, not mean: skew is exactly what
+    *    kills naive, and a mean would hide the one hot key; both
+    *    sides, because a hot left key against a sparse right is just
+    *    as quadratic as the reverse). The estimate costs one narrow
+    *    pass per side over (key); callers re-joining in a tight loop
     *    should measure once and pin the mode explicitly.
     */
   def joinRange(left: DataFrame, right: DataFrame, keyCol: String,
@@ -118,7 +120,7 @@ object AsOfJoin {
     require(Set("auto", "bucket", "naive").contains(mode),
       s"mode must be auto|bucket|naive, got '$mode'")
     val chosen =
-      if (mode == "auto") autoRangeMode(right, keyCol, tsCol) else mode
+      if (mode == "auto") autoRangeMode(left, right, keyCol, tsCol) else mode
     if (chosen == "naive") joinRangeNaive(left, right, keyCol, tsCol, lo, hi)
     else joinRangeBucketed(left, right, keyCol, tsCol, lo, hi)
   }
@@ -135,18 +137,44 @@ object AsOfJoin {
 
   /** The `mode="auto"` decision, exposed for tests and for callers who
     * want to estimate once and pin the mode across repeated joins.
+    * Takes the busiest key over BOTH sides: the naive θ-join's per-key
+    * work is |left rows| x |right rows| for that key, so a hot LEFT key
+    * against a sparse right is just as quadratic as the reverse — a
+    * right-only estimate would steer exactly that shape onto the naive
+    * plan. Two bounded planning aggregates (map-side-reduced per-key
+    * counts, one row per distinct key on the exchange, answer is one
+    * MAX each).
     */
-  def autoRangeMode(right: DataFrame, keyCol: String, tsCol: String): String = {
-    val row = right
+  def autoRangeMode(left: DataFrame, right: DataFrame, keyCol: String,
+                    tsCol: String): String = {
+    val busiest = math.max(maxRowsPerKey(left, keyCol, tsCol),
+      maxRowsPerKey(right, keyCol, tsCol))
+    if (busiest <= autoNaiveMaxPerKey) "naive" else "bucket"
+  }
+
+  /** Rows held by the busiest non-null (key, ts)-valid key of `df` —
+    * the planning statistic `mode="auto"` compares against
+    * [[autoNaiveMaxPerKey]].
+    */
+  def maxRowsPerKey(df: DataFrame, keyCol: String, tsCol: String): Long = {
+    val row = df
       .where(col(keyCol).isNotNull && col(tsCol).isNotNull)
       .groupBy(col(keyCol)).agg(count(lit(1)).as("__rj_n"))
       .agg(max("__rj_n")).head()
-    val maxPerKey = if (row.isNullAt(0)) 0L else row.getLong(0)
-    if (maxPerKey <= autoNaiveMaxPerKey) "naive" else "bucket"
+    if (row.isNullAt(0)) 0L else row.getLong(0)
   }
 
   /** The θ-spelling (see `mode="naive"` above): same rows, same output
     * schema, one equi-join on the key with the range as a filter.
+    *
+    * The range predicate is spelled as a DIFFERENCE (`r_ts - l_ts`
+    * between lo and hi) rather than `r_ts >= l_ts + lo`: for same-sign
+    * timestamps (every epoch-based domain) the difference cannot
+    * overflow Long, whereas the addition wraps silently under non-ANSI
+    * sessions when `l_ts` sits within `hi` of Long.MaxValue. Mixed-sign
+    * inputs beyond +-2^62 remain the caller's documented domain
+    * assumption (under the default ANSI mode any genuine overflow
+    * throws loudly rather than wrapping).
     */
   private def joinRangeNaive(left: DataFrame, right: DataFrame,
                              keyCol: String, tsCol: String,
@@ -155,10 +183,10 @@ object AsOfJoin {
     val rPref = right.columns.map(c => col(c).as(s"r_$c"))
     val l = left.select(lPref.toIndexedSeq: _*)
     val r = right.select(rPref.toIndexedSeq: _*)
+    val diff = col(s"r_$tsCol") - col(s"l_$tsCol")
     l.join(r,
       col(s"l_$keyCol") === col(s"r_$keyCol") &&
-      col(s"r_$tsCol") >= col(s"l_$tsCol") + lit(lo) &&
-      col(s"r_$tsCol") <= col(s"l_$tsCol") + lit(hi))
+      diff >= lit(lo) && diff <= lit(hi))
   }
 
   private def joinRangeBucketed(left: DataFrame, right: DataFrame,
@@ -179,11 +207,14 @@ object AsOfJoin {
         bucketOf(col(s"l_$tsCol") + lit(hi))))))
     val rBuck = right.select(rPref.toIndexedSeq: _*)
       .withColumn("__rj_b", bucketOf(col(s"r_$tsCol")))
+    // difference-form range check, as in joinRangeNaive (same-sign ts
+    // cannot overflow; the bucket-probe additions above stay covered by
+    // the documented ts-domain assumption + ANSI's loud overflow)
+    val diff = col(s"r_$tsCol") - col(s"l_$tsCol")
     lExpl.join(rBuck,
         lExpl("__rj_b") === rBuck("__rj_b") &&
         col(s"l_$keyCol") === col(s"r_$keyCol") &&
-        col(s"r_$tsCol") >= col(s"l_$tsCol") + lit(lo) &&
-        col(s"r_$tsCol") <= col(s"l_$tsCol") + lit(hi))
+        diff >= lit(lo) && diff <= lit(hi))
       .drop("__rj_b")
   }
 }

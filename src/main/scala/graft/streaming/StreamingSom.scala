@@ -319,6 +319,14 @@ object StreamingSom {
             org.apache.spark.sql.types.StructField("nid", org.apache.spark.sql.types.LongType),
             org.apache.spark.sql.types.StructField("adc", org.apache.spark.sql.types.DoubleType))))
       } else {
+        // a null id or embedding in the query stream would otherwise
+        // surface as an opaque NPE inside foreachBatch — fail with the
+        // offending row instead, before anything is scanned
+        rows.foreach { r =>
+          require(!r.isNullAt(0) && !r.isNullAt(1),
+            s"PqServer: query micro-batch row has a null $idCol or $vecCol " +
+              s"($r) — filter or fix the query stream upstream")
+        }
         val queries = rows.toSeq.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
         graft.operators.Similarity.pqTopKFromCodesBatch(
           codes, cb, m, k, queries, kNN, excludeSelf = excludeSelf)

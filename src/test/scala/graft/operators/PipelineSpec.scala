@@ -1496,10 +1496,14 @@ class PipelineSpec extends SparkSpec {
     // auto picks naive when the busiest key is small, bucket when dense
     val sparse = (0 until 100).map(i => (i.toLong, (i % 50).toLong, i.toLong))
       .toDF("rid", "k", "ts")
-    assert(AsOfJoin.autoRangeMode(sparse, "k", "ts") == "naive")
+    assert(AsOfJoin.autoRangeMode(sparse, sparse, "k", "ts") == "naive")
     val dense = (0 until 1000).map(i => (i.toLong, 1L, i.toLong))
       .toDF("rid", "k", "ts")
-    assert(AsOfJoin.autoRangeMode(dense, "k", "ts") == "bucket")
+    assert(AsOfJoin.autoRangeMode(dense, dense, "k", "ts") == "bucket")
+    // a hot LEFT key against a sparse right is just as quadratic for
+    // the naive plan — the busiest key over BOTH sides must steer auto
+    assert(AsOfJoin.autoRangeMode(dense, sparse, "k", "ts") == "bucket")
+    assert(AsOfJoin.autoRangeMode(sparse, dense, "k", "ts") == "bucket")
     // an all-null right side degrades to naive (maxPerKey = 0), not a crash
     val rn = spark.createDataFrame(
       java.util.List.of[org.apache.spark.sql.Row](
@@ -1508,7 +1512,7 @@ class PipelineSpec extends SparkSpec {
         org.apache.spark.sql.types.StructField("rid", org.apache.spark.sql.types.LongType, false),
         org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType, true),
         org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType, true))))
-    assert(AsOfJoin.autoRangeMode(rn, "k", "ts") == "naive")
+    assert(AsOfJoin.autoRangeMode(rn, rn, "k", "ts") == "naive")
   }
 
   test("fixed-size per-stratum sample: bounded aggregate, exact counts") {
