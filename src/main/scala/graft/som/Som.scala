@@ -102,34 +102,42 @@ final class Som(val config: SomConfig) extends Serializable {
     // float32 vectors: half the cache footprint of double, and exactly
     // the reference's training dtype (`xpysom.py:485,510`); all math
     // still runs in double inside the kernels
+    // tiny-input fast path, tried BEFORE any RDD conversion: ONE job
+    // over the same physical plan `toFloatVectors` would execute either
+    // collects the whole input (with partition ids — bit-identity with
+    // the distributed path depends on replaying the same partition
+    // structure) or proves it is too big. Probing the DataFrame
+    // directly (internal rows, no Dataset encoder) halves the
+    // fixed-cost floor vs converting to the vector RDD first.
+    val probed = Som.collectIfSmallDf(df, featuresCol, config.localFitThreshold)
+    probed match {
+      case Some((chunks, numParts)) =>
+        val dim = chunks.iterator.flatMap(_._2.iterator).next().length
+        val cb0 = Option(init).getOrElse(
+          Codebook.randomUniform(config.x, config.y, dim, config.seed))
+        require(cb0.dim == dim, s"Received $dim features, expected ${cb0.dim}.")
+        require(cb0.x == config.x && cb0.y == config.y,
+          s"init codebook grid ${cb0.x}x${cb0.y} does not match config ${config.x}x${config.y}")
+        val model = new SomModel(config,
+          fitLocalChunks(chunks, numParts, cb0, numEpochs, verbose, iterBeg, end))
+        if (verbose)
+          println(s"\n quantization error: ${model.quantizationError(df, featuresCol)}")
+        return model
+      case None => ()
+    }
     val data = SomData.toFloatVectors(df, featuresCol)
     data.persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // tiny-input fast path: ONE fused job either collects the whole
-      // input (with partition ids — bit-identity with the distributed
-      // path depends on replaying the same partition structure) or
-      // proves it is too big, in which case the distributed path below
-      // reads the now-warm cache. Capped per task at the threshold, so
-      // an oversized partition transfers nothing.
-      val chunks = Som.collectIfSmall(data, config.localFitThreshold)
-      val dim = chunks match {
-        case Some(cs) => cs.iterator.flatMap(_._2.iterator).next().length
-        case None =>
-          val first = data.take(1)
-          require(first.nonEmpty, "cannot fit a SOM on an empty dataset")
-          first.head.length
-      }
+      val first = data.take(1)
+      require(first.nonEmpty, "cannot fit a SOM on an empty dataset")
+      val dim = first.head.length
       val cb0 = Option(init).getOrElse(
         Codebook.randomUniform(config.x, config.y, dim, config.seed))
       require(cb0.dim == dim, s"Received $dim features, expected ${cb0.dim}.")
       require(cb0.x == config.x && cb0.y == config.y,
         s"init codebook grid ${cb0.x}x${cb0.y} does not match config ${config.x}x${config.y}")
-      val trained = chunks match {
-        case Some(cs) => fitLocalChunks(cs, data.getNumPartitions, cb0,
-          numEpochs, verbose, iterBeg, end)
-        case None => fitFrom(data, cb0, numEpochs, verbose, iterBeg, end)
-      }
-      val model = new SomModel(config, trained)
+      val model = new SomModel(config,
+        fitFrom(data, cb0, numEpochs, verbose, iterBeg, end))
       // end-of-train QE print (`xpysom.py:591-592`)
       if (verbose)
         println(s"\n quantization error: ${model.quantizationError(df, featuresCol)}")
@@ -302,6 +310,59 @@ object Som {
     * over this many partitions is not "tiny" anyway.
     */
   val localFitMaxPartitions = 64
+
+  /** DataFrame-level fast-path probe: same cap-and-collect contract as
+    * [[collectIfSmall]], but reads the query's INTERNAL rows directly
+    * (`queryExecution.toRdd` over the same where+cast plan
+    * `SomData.toFloatVectors` executes) — no Dataset-encoder planning
+    * and no second plan compilation, which halves the fixed-cost floor
+    * of a tiny fit. Partitioning is the physical scan's, identical to
+    * the RDD `toFloatVectors` would produce (no exchange in between),
+    * so the collected chunks replay the same partition structure the
+    * distributed path would see — the bit-identity contract
+    * (`SomLocalFitSpec`). Array-typed feature columns only; other
+    * containers (VectorUDT, struct) return None and take the RDD path.
+    */
+  private[som] def collectIfSmallDf(df: DataFrame, featuresCol: String,
+      threshold: Long): Option[(Array[(Int, Array[Array[Float]])], Int)] = {
+    import org.apache.spark.sql.functions.{col => c}
+    if (threshold <= 0) return None
+    df.schema(featuresCol).dataType match {
+      case _: org.apache.spark.sql.types.ArrayType => ()
+      case _ => return None
+    }
+    val rdd = df.where(c(featuresCol).isNotNull)
+      .select(c(featuresCol).cast("array<float>"))
+      .queryExecution.toRdd
+    if (rdd.getNumPartitions > localFitMaxPartitions) return None
+    val parts = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val buf = scala.collection.mutable.ArrayBuffer[Array[Float]]()
+      var nVals = 0L
+      var overflow = false
+      while (it.hasNext && !overflow) {
+        val ad = it.next().getArray(0)
+        val n = ad.numElements()
+        // null ELEMENTS must fail exactly like the Dataset encoder on
+        // the distributed path (ArrayData.toFloatArray would silently
+        // read them as 0.0)
+        var i = 0
+        while (i < n) {
+          if (ad.isNullAt(i))
+            throw new NullPointerException(
+              s"Null value appeared in non-nullable field: $featuresCol element")
+          i += 1
+        }
+        val v = ad.toFloatArray()
+        nVals += v.length
+        if (nVals <= threshold) buf += v else overflow = true
+      }
+      Iterator.single((pid, if (overflow) null else buf.toArray))
+    }.collect().sortBy(_._1)
+    if (parts.exists(_._2 == null)) return None
+    val totalVals = parts.iterator.flatMap(_._2.iterator).map(_.length.toLong).sum
+    require(totalVals > 0, "cannot fit a SOM on an empty dataset")
+    if (totalVals <= threshold) Some((parts, rdd.getNumPartitions)) else None
+  }
 
   /** The fast-path probe: one job that returns every partition (with
     * its id, empty partitions included) when the input's total value
