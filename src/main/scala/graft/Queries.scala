@@ -374,6 +374,21 @@ object Queries {
       model.activationResponse(df, "embedding")
         .select(col("bmu_id").cast("long").as("bmu_id"),
                 col("n_wins").cast("long").as("n_wins"))
+    }),
+
+    // same training replay FORCED onto the distributed epoch loop
+    // (localFitThreshold = 0): at verify scale every other som_* query
+    // takes the tiny-input local fast path, so this is the driver-gate
+    // pin that the DISTRIBUTED trainer still produces the oracle's
+    // exact result — the local==distributed bit-identity contract,
+    // checked by DuckDB rather than only by sbt
+    "som_train_distributed" -> ((s, dir) => {
+      val df = emb(s, dir)
+      val model = new Som(SomConfig(6, 6, seed = 42, localFitThreshold = 0L))
+        .fit(df, "embedding", numEpochs = 3)
+      model.activationResponse(df, "embedding")
+        .select(col("bmu_id").cast("long").as("bmu_id"),
+                col("n_wins").cast("long").as("n_wins"))
     })
   )
 
@@ -2116,6 +2131,7 @@ object Queries {
     // see TrainOracleSql for the scope and the documented edge-corpus
     // limitation
     "som_train_activation_response" -> TrainOracleSql.trainActivationResponse,
+    "som_train_distributed" -> TrainOracleSql.trainActivationResponse,
     "ann_som_topk" -> TrainOracleSql.annSomTopK,
 
     // byte-histogram stub feature recomputed from hex pairs: byte value
