@@ -587,6 +587,47 @@ object Bench {
         .foreach(BenchData.deleteRecursively)
     }
 
+    // --- retrieval / selection / tokenizer-training at 200k docs:
+    // BM25 over a 16-query batch (query-vocab-filtered pairs, bounded-
+    // heap top-k), DSIR histogram + score + select, and the BPE merge
+    // loop (whose per-round cost is vocabulary-, not corpus-, sized —
+    // the 10k-word synthetic vocab exercises exactly that regime)
+    {
+      val bigDocs = BenchData.dupGroupDocs(spark, 200000)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      bigDocs.count()
+      val q16 = (0L until 16L).map(i =>
+        i -> (s"w${i * 13 % 10000} w${(i * 131 + 7) % 10000} w${(i * 997 + 3) % 10000}"))
+      results("bench_bm25_200k") = time2 {
+        graft.operators.Retrieval.bm25TopK(bigDocs, "text", "doc_id",
+          q16, k = 10).count(); ()
+      }
+      val dsirTarget = bigDocs.where(col("doc_id") % 97 === 0)
+      val dsirRaw = bigDocs.where(col("doc_id") % 97 =!= 0)
+      results("bench_dsir_200k") = time2 {
+        val ratios = graft.operators.Dsir.logRatios(dsirTarget, dsirRaw,
+          "text", "doc_id", buckets = 4096)
+        val w = graft.operators.Dsir.logWeights(dsirRaw, "text", "doc_id",
+          ratios, 4096)
+        graft.operators.Dsir.selectTopK(w, 1000).count(); ()
+      }
+      results("bench_bpe_train16_200k") = time {
+        graft.operators.Bpe.trainMerges(bigDocs, "text", numMerges = 16)
+          .count(); ()
+      }
+      var benchMerges: Seq[(String, String)] = null
+      results("bench_bpe_train64_200k") = time {
+        benchMerges = graft.operators.Bpe.collectMerges(
+          graft.operators.Bpe.trainMerges(bigDocs, "text", numMerges = 64))
+      }
+      results("bench_bpe_encode_200k") = time2 {
+        graft.operators.Bpe.encodeStats(bigDocs, "text", "doc_id",
+          benchMerges).agg(sum("n_subwords")).collect(); ()
+      }
+      bigDocs.unpersist(blocking = false)
+    }
+    stampBw("retrieval_done")
+
     // --- full query suite: 1 warmup + 1 timed rep each (the reference
     // bench methodology, bench_utils.py:56-78) — steady-state numbers,
     // not JIT/classload noise. NOTE (measured r7): `.count()` lets

@@ -39,7 +39,8 @@ object Explain {
         "events_funnel", "dedup_bloom_index", "ttr_stats", "corpus_diff",
         "bucketed_meta_join", "docs_jsonl_source",
         "events_props_extract", "routed_lang_read", "redact_pii",
-        "export_manifest", "oov_rate").foreach(show)
+        "export_manifest", "oov_rate", "bm25_topk", "dsir_weights",
+        "dsir_sample").foreach(show)
     spark.stop()
   }
 }

@@ -1291,9 +1291,87 @@ object Queries {
                   length(col("payload")).cast("long").as("n_bytes"),
                   col("resized_bytes"),
                   hex(col("resized")).as("resized_hex"))
+      }),
+
+      // lexical retrieval: BM25 top-10 for a fixed 4-query batch
+      // (Operators.Retrieval; DECIMAL-exact scores, bounded-heap top-k)
+      "bm25_topk" -> ((s, dir) =>
+        graft.operators.Retrieval.bm25TopK(docs(s, dir), "text", "doc_id",
+            bm25Queries, k = 10)
+          .select(col("qid"), col("rank"), col("doc_id"),
+                  round(col("score"), 6).as("score"))),
+
+      // DSIR importance weights: hashed-unigram log-likelihood ratio of
+      // every raw doc against the deterministic target slice
+      // (doc_id % 97 == 0 — the contamination queries' eval-set
+      // convention); DECIMAL-exact sums, md5 bucket hash replayed by
+      // the oracle
+      "dsir_weights" -> ((s, dir) => {
+        val d = docs(s, dir)
+        val target = d.where(pmod(col("doc_id").cast("long"), lit(97)) === 0)
+        val raw = d.where(pmod(col("doc_id").cast("long"), lit(97)) =!= 0)
+        val ratios = graft.operators.Dsir.logRatios(target, raw, "text",
+          "doc_id", buckets = 4096)
+        graft.operators.Dsir.logWeights(raw, "text", "doc_id", ratios, 4096)
+          .select(col("doc_id"), round(col("weight"), 6).as("weight"))
+      }),
+
+      // DSIR selection: top-100 most target-like raw docs by
+      // (weight desc, doc_id asc) — the resampling cut
+      "dsir_sample" -> ((s, dir) => {
+        val d = docs(s, dir)
+        val target = d.where(pmod(col("doc_id").cast("long"), lit(97)) === 0)
+        val raw = d.where(pmod(col("doc_id").cast("long"), lit(97)) =!= 0)
+        val ratios = graft.operators.Dsir.logRatios(target, raw, "text",
+          "doc_id", buckets = 4096)
+        val w = graft.operators.Dsir.logWeights(raw, "text", "doc_id",
+          ratios, 4096)
+        graft.operators.Dsir.selectTopK(w, k = 100)
+          .select(col("rank"), col("doc_id"),
+                  round(col("weight"), 6).as("weight"))
+      }),
+
+      // distributed BPE tokenizer training: first 24 merges of the
+      // corpus vocabulary (oracle: an INDEPENDENT Python implementation,
+      // tools/gen_bpe_oracle.py, via the precomputed-rows gate)
+      "bpe_merges" -> ((s, dir) =>
+        graft.operators.Bpe.trainMerges(docs(s, dir), "text",
+            numMerges = 24)
+          .select(col("rank").cast("long").as("rank"), col("left"),
+                  col("right"), col("n"))),
+
+      // BPE encode with the learned table, rolled up per language:
+      // every document's token/subword counts contribute (a single
+      // mis-encoded word anywhere moves a sum), so the aggregate pins
+      // the whole encode path with a bounded oracle (same
+      // independent-Python derivation as bpe_merges)
+      "bpe_encode_stats" -> ((s, dir) => {
+        val d = docs(s, dir)
+        val merges = graft.operators.Bpe.collectMerges(
+          graft.operators.Bpe.trainMerges(d, "text", numMerges = 24))
+        graft.operators.Bpe.encodeStats(d, "text", "doc_id", merges)
+          .join(d.select(col("doc_id").cast("long").as("doc_id"),
+            col("lang")), Seq("doc_id"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("n_tok"),
+            sum(col("n_subwords")).as("n_subwords"))
+          .select(col("lang"), col("n_docs"), col("n_tok"), col("n_subwords"),
+            round(col("n_subwords").cast("double") /
+              col("n_tok").cast("double"), 6).as("fertility"))
       })
     )
   }
+
+  /** The fixed BM25 query batch (terms from the synthetic corpus
+    * vocabulary — TESTDATA.md). Literal in both the Spark query and
+    * the DuckDB oracle.
+    */
+  private val bm25Queries: Seq[(Long, String)] = Seq(
+    0L -> "hash join",
+    1L -> "fast scan filter",
+    2L -> "stream window agg",
+    3L -> "customer order data big query")
 
   // ---------------------------------------------- relational / events
 
@@ -1544,6 +1622,44 @@ object Queries {
   private val duckToks: String =
     """list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> length(t) > 0)"""
 
+  /** DSIR oracle CTE (shared by dsir_weights / dsir_sample): the exact
+    * arithmetic of Dsir.logRatios/logWeights — md5-prefix bucket hash,
+    * add-one smoothing, 9-decimal-rounded DECIMAL(18,9) log-ratios,
+    * exact DECIMAL weight sums.
+    */
+  private lazy val dsirWeightsCte: String =
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks
+       |     FROM documents WHERE text IS NOT NULL),
+       |tf AS MATERIALIZED (
+       |  SELECT doc_id, u.t AS token, count(*) AS tf
+       |  FROM t, LATERAL (SELECT unnest(toks) AS t) u GROUP BY doc_id, u.t),
+       |bk AS MATERIALIZED (
+       |  SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT % 4096 AS bucket, tf
+       |  FROM tf),
+       |tc AS (SELECT bucket, sum(tf) AS ct FROM bk WHERE doc_id % 97 = 0 GROUP BY bucket),
+       |rc AS (SELECT bucket, sum(tf) AS cr FROM bk WHERE doc_id % 97 <> 0 GROUP BY bucket),
+       |tt AS (SELECT COALESCE(sum(ct), 0) AS nt FROM tc),
+       |rt AS (SELECT COALESCE(sum(cr), 0) AS nr FROM rc),
+       |sp AS (SELECT unnest(generate_series(0, 4095)) AS bucket),
+       |lr AS (
+       |  SELECT sp.bucket,
+       |         CAST(round(
+       |           ln((CAST(COALESCE(tc.ct, 0) AS DOUBLE) + 1.0) / CAST(tt.nt + 4096 AS DOUBLE))
+       |           - ln((CAST(COALESCE(rc.cr, 0) AS DOUBLE) + 1.0) / CAST(rt.nr + 4096 AS DOUBLE)),
+       |           9) AS DECIMAL(18, 9)) AS lnr
+       |  FROM sp LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)
+       |       CROSS JOIN tt CROSS JOIN rt),
+       |w AS (
+       |  SELECT b.doc_id,
+       |         CAST(sum(CAST(b.tf AS DECIMAL(10, 0)) * lr.lnr) AS DOUBLE) AS weight
+       |  FROM bk b JOIN lr USING (bucket) WHERE b.doc_id % 97 <> 0 GROUP BY b.doc_id)""".stripMargin
+
+  private lazy val dsirWeightsSql: String =
+    s"""$dsirWeightsCte
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |       CAST(round(weight, 6) AS DOUBLE) AS weight
+       |FROM w""".stripMargin
+
   private val allMarkers: String =
     graft.functions.TextFunctions.langMarkers.flatMap(_._2).distinct
       .map(w => s"'$w'").mkString("[", ", ", "]")
@@ -1595,9 +1711,11 @@ object Queries {
     * mechanically checkable at any time.
     */
   lazy val oracles: Map[String, String] =
-    if (sys.env.contains("GRAFT_FULL_REPLAY")) liveOracles
-    else liveOracles ++ PrecomputedOracles.sql.view
-      .filterKeys(liveOracles.contains).toMap
+    // IndependentOracles entries (BPE) have no live SQL form in ANY
+    // mode — the independent Python derivation is their only oracle
+    (if (sys.env.contains("GRAFT_FULL_REPLAY")) liveOracles
+     else liveOracles ++ PrecomputedOracles.sql.view
+       .filterKeys(liveOracles.contains).toMap) ++ IndependentOracles.sql
 
   /** Every oracle in full-replay form (the precomputed entries' source
     * of truth; `gen_precomputed_oracles.py` consumes this via
@@ -1919,6 +2037,61 @@ object Queries {
   }
 
   private lazy val pipelineOracles: Map[String, String] = Map(
+    // BM25: same query batch (pre-tokenized literals), same Robertson
+    // constants, per-term contributions rounded to 9 decimals and
+    // summed as DECIMAL(28,9) — the formula is spelled with the exact
+    // association the Spark side uses, so the doubles agree bitwise
+    "bm25_topk" ->
+      s"""WITH q(qid, token) AS (VALUES
+         |  (0, 'hash'), (0, 'join'),
+         |  (1, 'fast'), (1, 'scan'), (1, 'filter'),
+         |  (2, 'stream'), (2, 'window'), (2, 'agg'),
+         |  (3, 'customer'), (3, 'order'), (3, 'data'), (3, 'big'), (3, 'query')),
+         |t AS MATERIALIZED (SELECT doc_id, $duckToks AS toks
+         |     FROM documents WHERE text IS NOT NULL),
+         |st AS (SELECT count(*) AS n_docs, sum(len(toks)) AS sum_dl FROM t),
+         |dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+         |tf AS MATERIALIZED (
+         |  SELECT doc_id, u.t AS token, count(*) AS tf
+         |  FROM t, LATERAL (SELECT unnest(toks) AS t) u
+         |  WHERE u.t IN (SELECT token FROM q) GROUP BY doc_id, u.t),
+         |dfs AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         |c AS (
+         |  SELECT q.qid, tf.doc_id,
+         |         CAST(round(
+         |           round(ln(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(dfs.df AS DOUBLE) + 0.5)
+         |                          / (CAST(dfs.df AS DOUBLE) + 0.5)), 6)
+         |           * ((CAST(tf.tf AS DOUBLE) * 2.2)
+         |              / (CAST(tf.tf AS DOUBLE)
+         |                 + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+         |                     / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))),
+         |           9) AS DECIMAL(28, 9)) AS c
+         |  FROM tf JOIN dfs USING (token) JOIN dl USING (doc_id)
+         |       JOIN q USING (token) CROSS JOIN st),
+         |s AS (SELECT qid, doc_id, CAST(sum(c) AS DOUBLE) AS score
+         |      FROM c GROUP BY qid, doc_id),
+         |r AS (SELECT qid, doc_id, score,
+         |             row_number() OVER (PARTITION BY qid
+         |               ORDER BY score DESC, doc_id) AS rank FROM s)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+         |       CAST(doc_id AS BIGINT) AS doc_id,
+         |       CAST(round(score, 6) AS DOUBLE) AS score
+         |FROM r WHERE rank <= 10""".stripMargin,
+
+    // DSIR: md5-prefix hashed-unigram buckets, add-one smoothing,
+    // log-ratios rounded to 9 decimals as DECIMAL(18,9), per-doc
+    // weights as exact DECIMAL sums of tf x ratio
+    "dsir_weights" -> dsirWeightsSql,
+
+    "dsir_sample" ->
+      s"""$dsirWeightsCte
+         |, r AS (SELECT doc_id, weight,
+         |          row_number() OVER (ORDER BY weight DESC, doc_id) AS rank
+         |        FROM w)
+         |SELECT CAST(rank AS BIGINT) AS rank, CAST(doc_id AS BIGINT) AS doc_id,
+         |       CAST(round(weight, 6) AS DOUBLE) AS weight
+         |FROM r WHERE rank <= 100""".stripMargin,
+
     "som_winner_cosine" ->
       """WITH cb AS (
         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS nid, embedding AS w

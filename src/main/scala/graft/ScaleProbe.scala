@@ -27,8 +27,8 @@ object ScaleProbe {
     val phase = args.headOption.getOrElse("all")
     val repeats = args.lift(1).map(_.toInt).getOrElse(1)
     val nDocs = args.lift(2).map(_.toLong).getOrElse(2000000L)
-    require(Set("minhash", "resolve", "bushy", "spans", "curation", "ann", "pq", "pack", "semantic", "relational", "ingest", "layout", "jsonl", "all")(phase),
-      s"unknown phase '$phase' (want minhash|resolve|bushy|spans|curation|ann|pq|pack|semantic|relational|ingest|layout|jsonl|all)")
+    require(Set("minhash", "resolve", "bushy", "spans", "curation", "ann", "pq", "pack", "semantic", "relational", "ingest", "layout", "jsonl", "retrieval", "all")(phase),
+      s"unknown phase '$phase' (want minhash|resolve|bushy|spans|curation|ann|pq|pack|semantic|relational|ingest|layout|jsonl|retrieval|all)")
     // partition count scales with the probed data volume, exactly as a
     // cluster operator would size it: at 20M docs (1B token instances)
     // 32 shuffle partitions put a ~31M-group hash aggregate in every
@@ -89,6 +89,50 @@ object ScaleProbe {
             .collect().head.get(0))
         }
         println(f"[scale] span_dedup ${nDocs / 1000000}M docs (run $rep/$repeats): $tDedup%.1f s")
+        docs2m.unpersist(blocking = true)
+        settle()
+      }
+
+      if (phase == "retrieval" || phase == "all") {
+        // BM25 / DSIR / BPE a decade above their bench entries: pins
+        // that retrieval stays query-vocab-bounded, DSIR stays
+        // histogram-bounded, and the BPE merge loop's per-round cost is
+        // vocabulary-sized (the 10k-word generator vocab is CONSTANT in
+        // nDocs, so super-linear growth here would mean corpus-shaped
+        // work leaked into the loop)
+        val docs2m = BenchData.dupGroupDocs(spark, nDocs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        docs2m.count()
+        val q16 = (0L until 16L).map(i =>
+          i -> (s"w${i * 13 % 10000} w${(i * 131 + 7) % 10000} w${(i * 997 + 3) % 10000}"))
+        val tBm25 = time {
+          println("  bm25 rows: " + operators.Retrieval.bm25TopK(
+            docs2m, "text", "doc_id", q16, k = 10).count())
+        }
+        println(f"[scale] bm25 ${nDocs / 1000000}M docs (run $rep/$repeats): $tBm25%.1f s")
+        val tgt = docs2m.where(org.apache.spark.sql.functions.col("doc_id") % 97 === 0)
+        val raw = docs2m.where(org.apache.spark.sql.functions.col("doc_id") % 97 =!= 0)
+        val tDsir = time {
+          val ratios = operators.Dsir.logRatios(tgt, raw, "text", "doc_id", 4096)
+          println("  dsir selected: " + operators.Dsir.selectTopK(
+            operators.Dsir.logWeights(raw, "text", "doc_id", ratios, 4096),
+            1000).count())
+        }
+        println(f"[scale] dsir ${nDocs / 1000000}M docs (run $rep/$repeats): $tDsir%.1f s")
+        var probeMerges: Seq[(String, String)] = Seq.empty
+        val tBpe = time {
+          probeMerges = operators.Bpe.collectMerges(
+            operators.Bpe.trainMerges(docs2m, "text", numMerges = 64))
+          println("  bpe merges: " + probeMerges.size)
+        }
+        println(f"[scale] bpe_train64 ${nDocs / 1000000}M docs (run $rep/$repeats): $tBpe%.1f s")
+        val tEnc = time {
+          println("  bpe subwords: " + operators.Bpe.encodeStats(
+            docs2m, "text", "doc_id", probeMerges)
+            .agg(org.apache.spark.sql.functions.sum("n_subwords"))
+            .collect().head.get(0))
+        }
+        println(f"[scale] bpe_encode ${nDocs / 1000000}M docs (run $rep/$repeats): $tEnc%.1f s")
         docs2m.unpersist(blocking = true)
         settle()
       }

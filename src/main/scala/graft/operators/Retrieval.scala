@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.TextFunctions
+
+/** Full-text retrieval over a document corpus: BM25 scoring of a small
+  * query batch against every document, top-k per query.
+  *
+  * This is the retrieval half of a training-data curation loop (mine
+  * documents matching benchmark/eval queries, audit what a corpus
+  * contains for a topic) and the lexical complement of the embedding
+  * ANN path in [[Similarity]].
+  *
+  * Scale shape (the part that matters at 100 TB):
+  *  - the query batch is driver-literal and broadcast — the corpus
+  *    never shuffles on anything query-sized;
+  *  - per-document `(token, tf)` pairs come from the one-pass
+  *    `token_tf` kernel and are filtered to the query vocabulary by a
+  *    broadcast join BEFORE any exchange, so every shuffle in the plan
+  *    carries query-vocabulary-shaped rows (docs x |query terms|
+  *    matches, never total token instances);
+  *  - corpus statistics (N, total length) and per-term document
+  *    frequencies are partial-aggregated (map-side combine) and
+  *    broadcast back — each is at most |query vocabulary| rows;
+  *  - per-(query, doc) scores reduce through the bounded-heap
+  *    `topn_smallest_by_double` aggregate, so each map task emits at
+  *    most k candidates per query before the shuffle and no window
+  *    function ever pins a query's full candidate set to one task.
+  *
+  * Determinism: per-term contributions round to 9 decimals and sum as
+  * DECIMAL(28,9) — exact and order-independent, so the scores (and the
+  * (score desc, doc_id asc) top-k cut) are bit-stable across
+  * partitionings and engines; the DuckDB oracle replays the identical
+  * formula.
+  */
+object Retrieval {
+
+  /** BM25 top-k per query. `queries` are (qid, free text); text is
+    * tokenized with the corpus tokenizer's semantics (lower,
+    * whitespace). Returns (qid, rank, doc_id, score) with rank 1..k in
+    * (score desc, doc_id asc) order; queries none of whose terms occur
+    * in the corpus return no rows.
+    *
+    * k1/b are the standard Robertson defaults; idf is the
+    * non-negative `ln(1 + (N - df + 0.5)/(df + 0.5))` variant (Lucene's
+    * choice), so rare-term contributions stay positive.
+    */
+  def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
+               queries: Seq[(Long, String)], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "bm25TopK needs at least one query")
+    require(k > 0, s"bm25TopK needs k > 0, got $k")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "bm25TopK query ids must be distinct")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    // driver-side tokenization of the (tiny, literal) query batch —
+    // same lower+whitespace semantics as TextKernels.tokensOf
+    val qTerms: Seq[(Long, String)] = queries.flatMap { case (qid, q) =>
+      q.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+        .map(t => (qid, t))
+    }
+    require(qTerms.nonEmpty, "bm25TopK queries contain no tokens")
+    val qdf = broadcast(qTerms.toDF("qid", "token"))
+    val qvocab = broadcast(qTerms.map(_._2).distinct.toDF("token"))
+
+    // one schema-narrow pass over the corpus: id, doc length, and the
+    // per-doc (token, tf) pairs (two fused kernel evals per row, no
+    // shuffle — the document is the group)
+    val d = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("dl"),
+        graft.plans.GraftFunctions.token_tf(col(textCol)).as("__kvs"))
+
+    // corpus stats: exact longs (count + sum of longs), so avgdl is the
+    // same double on every engine and partitioning
+    val stats = d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+
+    // (doc, term, tf) restricted to the query vocabulary BEFORE any
+    // shuffle — the broadcast inner join is the filter
+    val pairs = d
+      .select(col("doc_id"), col("dl"), explode(col("__kvs")).as("kv"))
+      .select(col("doc_id"), col("dl"),
+        col("kv.token").as("token"), col("kv.tf").as("tf"))
+      .join(qvocab, Seq("token"))
+
+    // document frequency per query term: `pairs` rows are per-doc
+    // DISTINCT terms, so count(*) IS df; ≤ |query vocab| rows out
+    val dfs = pairs.groupBy("token").agg(count(lit(1)).as("df"))
+
+    // per-(query, doc, term) contribution, rounded to 9 decimals and
+    // cast DECIMAL so the per-(query, doc) sum is order-independent.
+    // Formula spelled exactly as the DuckDB oracle spells it (same
+    // literals, same association) so the doubles agree bitwise.
+    val tfD = col("tf").cast("double")
+    val dlNorm = col("dl").cast("double") /
+      (col("sum_dl").cast("double") / col("n_docs").cast("double"))
+    val idf = round(log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))), 6)
+    val norm = tfD * lit(k1 + 1.0) /
+      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * dlNorm))
+    val contrib = pairs
+      .join(broadcast(dfs), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .join(qdf, Seq("token"))
+      .select(col("qid"), col("doc_id"),
+        round(idf * norm, 9).cast(DecimalType(28, 9)).as("c"))
+
+    val scores = contrib.groupBy("qid", "doc_id")
+      .agg(sum(col("c")).as("sdec"))
+      .select(col("qid"), col("doc_id"),
+        col("sdec").cast("double").as("score"))
+
+    // bounded-heap top-k on (-score, doc_id): ascending heap order ==
+    // (score desc, doc_id asc) — deterministic under score ties
+    scores.groupBy("qid")
+      .agg(graft.plans.TopNFunctions.topn_smallest_by_double(
+        negate(col("score")), col("doc_id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("r", "p")))
+      .select(col("qid"), (col("r") + 1).cast("long").as("rank"),
+        col("p.id").as("doc_id"), negate(col("p.s")).as("score"))
+  }
+}

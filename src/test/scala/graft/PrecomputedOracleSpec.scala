@@ -49,10 +49,26 @@ class PrecomputedOracleSpec extends AnyFunSuite {
         assert(oracles(n).startsWith("-- PRECOMPUTED"), s"$n should be precomputed")
       }
     }
-    // non-expensive oracles are identical in both modes
+    // non-expensive oracles are identical in both modes (the
+    // INDEPENDENT-implementation oracles have no live form at all)
     val live = Queries.liveOracles
-    (oracles.keySet -- expected).foreach { n =>
+    (oracles.keySet -- expected -- IndependentOracles.sql.keySet).foreach { n =>
       assert(oracles(n) == live(n), s"$n unexpectedly differs from live form")
+    }
+  }
+
+  test("independent oracles cover exactly the no-live-form queries, fail-loud") {
+    assert(IndependentOracles.sql.keySet ==
+      Set("bpe_merges", "bpe_encode_stats"))
+    IndependentOracles.sql.foreach { case (name, sql) =>
+      assert(sql.startsWith("-- INDEPENDENT oracle"), s"$name lacks provenance header")
+      assert(sql.contains("FROM (VALUES"), s"$name is not a VALUES oracle")
+      assert(sql.contains("md5(text)") && sql.contains("count(*) ="),
+        s"$name lacks the corpus-signature branch guard")
+      assert(sql.contains("GRAFT_UNKNOWN_CORPUS"), s"$name lacks the sentinel branch")
+      // no live counterpart — these must NOT shadow a replay oracle
+      assert(!Queries.liveOracles.contains(name),
+        s"$name has a live oracle; it belongs in the precomputed set instead")
     }
   }
 }

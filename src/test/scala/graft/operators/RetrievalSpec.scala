@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BM25 retrieval coverage: hand-computed scores on a toy corpus, the
+  * deterministic (score desc, doc_id asc) cut, and partitioning
+  * invariance of the DECIMAL score sums.
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "apple banana apple"),
+    (1L, "apple cherry"),
+    (2L, "banana banana banana date"),
+    (3L, "elderberry fig"),
+    (4L, "Apple BANANA") // tokenizer lowers: matches apple/banana
+  ).toDF("doc_id", "text")
+
+  /** The operator's exact arithmetic, re-derived with plain doubles
+    * (rounding differences vs the DECIMAL path are below the 1e-9
+    * assert tolerance on this corpus).
+    */
+  private def bm25(tf: Long, df: Long, dl: Long, nDocs: Long, sumDl: Long,
+                   k1: Double = 1.2, b: Double = 0.75): Double = {
+    val idf = BigDecimal(math.log(1.0 + (nDocs.toDouble - df + 0.5) / (df + 0.5)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dlNorm = dl.toDouble / (sumDl.toDouble / nDocs.toDouble)
+    val norm = tf.toDouble * (k1 + 1.0) / (tf.toDouble + k1 * ((1.0 - b) + b * dlNorm))
+    BigDecimal(idf * norm).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("scores match the hand formula; non-matching docs absent") {
+    val r = Retrieval.bm25TopK(docs, "text", "doc_id",
+        Seq(0L -> "apple", 1L -> "banana date", 2L -> "missingterm"), k = 10)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> (x.getLong(2), x.getDouble(3)))
+      .toMap
+    // corpus stats: N=5, sum_dl = 3+2+4+2+2 = 13
+    // 'apple' df=3 (docs 0,1,4): doc0 tf=2 dl=3; doc1 tf=1 dl=2; doc4 tf=1 dl=2
+    val a0 = bm25(2, 3, 3, 5, 13); val a1 = bm25(1, 3, 2, 5, 13)
+    assert(a0 > a1)
+    val q0 = (1L to 3L).flatMap(rk => r.get((0L, rk)))
+    assert(q0.map(_._1) == Seq(0L, 1L, 4L)) // tf breaks first, then id on the 1/4 tie
+    assert(math.abs(q0(0)._2 - a0) < 1e-9)
+    assert(math.abs(q0(1)._2 - a1) < 1e-9)
+    assert(q0(1)._2 == q0(2)._2) // identical tf/dl -> identical score, id asc
+    // 'banana date': doc2 matches both terms, summed contributions
+    val b2 = bm25(3, 3, 4, 5, 13) + bm25(1, 1, 4, 5, 13)
+    assert(math.abs(r((1L, 1L))._2 - b2) < 1e-9)
+    assert(r((1L, 1L))._1 == 2L)
+    // query 2 has no corpus hits: no rows at all
+    assert(!r.keys.exists(_._1 == 2L))
+  }
+
+  test("k cuts the ranking; ranks contiguous from 1") {
+    val r = Retrieval.bm25TopK(docs, "text", "doc_id",
+        Seq(0L -> "apple banana"), k = 2).collect()
+    assert(r.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L))
+    assert(r.length == 2)
+  }
+
+  test("partitioning-invariant (DECIMAL contribution sums)") {
+    val q = Seq(0L -> "apple banana", 1L -> "cherry fig")
+    val a = Retrieval.bm25TopK(docs, "text", "doc_id", q, 10)
+      .orderBy("qid", "rank").collect().toSeq
+    val b = Retrieval.bm25TopK(docs.repartition(7), "text", "doc_id", q, 10)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(a == b)
+  }
+
+  test("validation: empty/duplicate queries rejected") {
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(docs, "text", "doc_id", Seq.empty, 5)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(docs, "text", "doc_id",
+        Seq(0L -> "a", 0L -> "b"), 5)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(docs, "text", "doc_id", Seq(0L -> "a"), 0)
+    }
+  }
+}

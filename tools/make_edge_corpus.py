@@ -122,9 +122,21 @@ def main(out_dir="/tmp/edgecorpus", sf_dir="/root/testdata/sf0.001"):
                    "dedup_edit_verify", "ann_lsh_topk", "ann_recall",
                    "dedup_keep_best", "dedup_resolve_clusters",
                    "dedup_simhash"]
+    # the BPE oracles are independent-Python-derived VALUES rows with
+    # the same signature-branch scheme (tools/gen_bpe_oracle.py); on an
+    # unmatched corpus they return the fail-loud sentinel — re-derive
+    # with gen_bpe_oracle.py over this corpus for a real check here
+    ind = ("independent-implementation oracle branches match only the "
+           "standard sf corpora; re-run tools/gen_bpe_oracle.py over "
+           "this corpus for a live derivation")
+    independent = ["bpe_merges", "bpe_encode_stats"]
     skips = {"som_train_activation_response": reason,
+             # the same seeded replay forced onto the distributed epoch
+             # loop (localFitThreshold=0) — identical degeneracy
+             "som_train_distributed": reason,
              "ann_som_topk": reason}
     skips.update({q: pre for q in precomputed})
+    skips.update({q: ind for q in independent})
     with open(os.path.join(out_dir, "ORACLE_SKIP.json"), "w") as f:
         json.dump(skips, f, indent=1)
     print(f"edge corpus at {out_dir} (base: {sf_dir})")
