@@ -230,6 +230,22 @@ object Bench {
     results("bench_inference") = time2 {
       model.activationResponse(emb, "embedding").count()
     }
+    // in-core head-to-head: the SAME comparison shape as
+    // tools/bench_reference.py's train_sf_10ep, which reads the parquet
+    // OUTSIDE its timed region and times NumPy on the in-memory matrix.
+    // bench_epoch_train above (DataFrame in, scan+collect+train per
+    // rep) keeps the honest end-to-end number; this entry isolates the
+    // training kernels on the reference's own terms via Som.fitMatrix
+    // (the analogue of the reference's in-memory train API).
+    locally {
+      val matrix: Array[Array[Float]] = emb
+        .select(col("embedding").cast("array<float>"))
+        .collect().map(_.getSeq[Float](0).toArray)
+      new Som(SomConfig(6, 6, seed = 42)).fitMatrix(matrix, numEpochs = 2) // warmup
+      results("bench_epoch_train_incore") = time2 {
+        new Som(SomConfig(6, 6, seed = 42)).fitMatrix(matrix, numEpochs = 10); ()
+      }
+    }
     // hexagonal epoch throughput (BASELINE.md: reference hex is
     // "significantly slower"; our hex kernels hoist the coordinate grid)
     new Som(SomConfig(6, 6, topology = "hexagonal", seed = 42))
@@ -602,6 +618,21 @@ object Bench {
         graft.operators.Retrieval.bm25TopK(bigDocs, "text", "doc_id",
           q16, k = 10).count(); ()
       }
+      // serving index: build priced once (amortizes over every future
+      // batch), bucket-pruned serving priced per batch
+      val bm25Tag = s"bench_${ProcessHandle.current.pid}"
+      val bm25Name = s"graft_bm25_$bm25Tag"
+      results("bench_bm25_idx_build_200k") = time {
+        graft.operators.Retrieval.writeBm25Index(bigDocs, "text", "doc_id",
+          bm25Name, s"/tmp/$bm25Name", nBuckets = 32)
+      }
+      results("bench_bm25_idx_serve_200k") = time2 {
+        graft.operators.Retrieval.bm25TopKIndexed(spark, bm25Name,
+          s"/tmp/$bm25Name", q16, k = 10).count(); ()
+      }
+      graft.sources.Bucketed.drop(spark, bm25Name)
+      BenchData.deleteRecursively(s"/tmp/$bm25Name")
+      BenchData.deleteRecursively(s"/tmp/${bm25Name}_stats")
       val dsirTarget = bigDocs.where(col("doc_id") % 97 === 0)
       val dsirRaw = bigDocs.where(col("doc_id") % 97 =!= 0)
       results("bench_dsir_200k") = time2 {

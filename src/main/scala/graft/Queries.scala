@@ -1301,6 +1301,20 @@ object Queries {
           .select(col("qid"), col("rank"), col("doc_id"),
                   round(col("score"), 6).as("score"))),
 
+      // the SERVING path end-to-end: build the token-bucketed postings
+      // index, then answer the same batch from bucket-pruned reads —
+      // same oracle SQL as bm25_topk (identical output is the contract)
+      "bm25_indexed" -> ((s, dir) => {
+        val tag = s"${ProcessHandle.current.pid}_${dir.hashCode.toHexString}"
+        val name = s"graft_bm25_$tag"
+        graft.operators.Retrieval.writeBm25Index(docs(s, dir), "text",
+          "doc_id", name, s"/tmp/$name", nBuckets = 8)
+        graft.operators.Retrieval.bm25TopKIndexed(s, name, s"/tmp/$name",
+            bm25Queries, k = 10)
+          .select(col("qid"), col("rank"), col("doc_id"),
+                  round(col("score"), 6).as("score"))
+      }),
+
       // DSIR importance weights: hashed-unigram log-likelihood ratio of
       // every raw doc against the deterministic target slice
       // (doc_id % 97 == 0 — the contamination queries' eval-set
@@ -1659,6 +1673,50 @@ object Queries {
        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
        |       CAST(round(weight, 6) AS DOUBLE) AS weight
        |FROM w""".stripMargin
+
+  /** BM25 oracle (shared by `bm25_topk` and `bm25_indexed` — the
+    * serving index must answer byte-identically to the scan path):
+    * same pre-tokenized query batch, same Robertson constants, per-term
+    * contributions rounded to 9 decimals and summed as DECIMAL(28,9) —
+    * the formula is spelled with the exact association the Spark side
+    * (`Retrieval.contribCol`) uses, so the doubles agree bitwise.
+    */
+  private lazy val bm25TopkSql: String =
+    s"""WITH q(qid, token) AS (VALUES
+       |  (0, 'hash'), (0, 'join'),
+       |  (1, 'fast'), (1, 'scan'), (1, 'filter'),
+       |  (2, 'stream'), (2, 'window'), (2, 'agg'),
+       |  (3, 'customer'), (3, 'order'), (3, 'data'), (3, 'big'), (3, 'query')),
+       |t AS MATERIALIZED (SELECT doc_id, $duckToks AS toks
+       |     FROM documents WHERE text IS NOT NULL),
+       |st AS (SELECT count(*) AS n_docs, sum(len(toks)) AS sum_dl FROM t),
+       |dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+       |tf AS MATERIALIZED (
+       |  SELECT doc_id, u.t AS token, count(*) AS tf
+       |  FROM t, LATERAL (SELECT unnest(toks) AS t) u
+       |  WHERE u.t IN (SELECT token FROM q) GROUP BY doc_id, u.t),
+       |dfs AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |c AS (
+       |  SELECT q.qid, tf.doc_id,
+       |         CAST(round(
+       |           round(ln(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(dfs.df AS DOUBLE) + 0.5)
+       |                          / (CAST(dfs.df AS DOUBLE) + 0.5)), 6)
+       |           * ((CAST(tf.tf AS DOUBLE) * 2.2)
+       |              / (CAST(tf.tf AS DOUBLE)
+       |                 + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+       |                     / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))),
+       |           9) AS DECIMAL(28, 9)) AS c
+       |  FROM tf JOIN dfs USING (token) JOIN dl USING (doc_id)
+       |       JOIN q USING (token) CROSS JOIN st),
+       |s AS (SELECT qid, doc_id, CAST(sum(c) AS DOUBLE) AS score
+       |      FROM c GROUP BY qid, doc_id),
+       |r AS (SELECT qid, doc_id, score,
+       |             row_number() OVER (PARTITION BY qid
+       |               ORDER BY score DESC, doc_id) AS rank FROM s)
+       |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+       |       CAST(doc_id AS BIGINT) AS doc_id,
+       |       CAST(round(score, 6) AS DOUBLE) AS score
+       |FROM r WHERE rank <= 10""".stripMargin
 
   private val allMarkers: String =
     graft.functions.TextFunctions.langMarkers.flatMap(_._2).distinct
@@ -2041,42 +2099,11 @@ object Queries {
     // constants, per-term contributions rounded to 9 decimals and
     // summed as DECIMAL(28,9) — the formula is spelled with the exact
     // association the Spark side uses, so the doubles agree bitwise
-    "bm25_topk" ->
-      s"""WITH q(qid, token) AS (VALUES
-         |  (0, 'hash'), (0, 'join'),
-         |  (1, 'fast'), (1, 'scan'), (1, 'filter'),
-         |  (2, 'stream'), (2, 'window'), (2, 'agg'),
-         |  (3, 'customer'), (3, 'order'), (3, 'data'), (3, 'big'), (3, 'query')),
-         |t AS MATERIALIZED (SELECT doc_id, $duckToks AS toks
-         |     FROM documents WHERE text IS NOT NULL),
-         |st AS (SELECT count(*) AS n_docs, sum(len(toks)) AS sum_dl FROM t),
-         |dl AS (SELECT doc_id, len(toks) AS dl FROM t),
-         |tf AS MATERIALIZED (
-         |  SELECT doc_id, u.t AS token, count(*) AS tf
-         |  FROM t, LATERAL (SELECT unnest(toks) AS t) u
-         |  WHERE u.t IN (SELECT token FROM q) GROUP BY doc_id, u.t),
-         |dfs AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
-         |c AS (
-         |  SELECT q.qid, tf.doc_id,
-         |         CAST(round(
-         |           round(ln(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(dfs.df AS DOUBLE) + 0.5)
-         |                          / (CAST(dfs.df AS DOUBLE) + 0.5)), 6)
-         |           * ((CAST(tf.tf AS DOUBLE) * 2.2)
-         |              / (CAST(tf.tf AS DOUBLE)
-         |                 + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
-         |                     / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))),
-         |           9) AS DECIMAL(28, 9)) AS c
-         |  FROM tf JOIN dfs USING (token) JOIN dl USING (doc_id)
-         |       JOIN q USING (token) CROSS JOIN st),
-         |s AS (SELECT qid, doc_id, CAST(sum(c) AS DOUBLE) AS score
-         |      FROM c GROUP BY qid, doc_id),
-         |r AS (SELECT qid, doc_id, score,
-         |             row_number() OVER (PARTITION BY qid
-         |               ORDER BY score DESC, doc_id) AS rank FROM s)
-         |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
-         |       CAST(doc_id AS BIGINT) AS doc_id,
-         |       CAST(round(score, 6) AS DOUBLE) AS score
-         |FROM r WHERE rank <= 10""".stripMargin,
+    "bm25_topk" -> bm25TopkSql,
+
+    // the serving-index path must produce byte-identical results to
+    // the scan path — one oracle, two engine spellings
+    "bm25_indexed" -> bm25TopkSql,
 
     // DSIR: md5-prefix hashed-unigram buckets, add-one smoothing,
     // log-ratios rounded to 9 decimals as DECIMAL(18,9), per-doc

@@ -46,13 +46,42 @@ object Bpe {
     * vocabulary without compression, the reference formulation's stop
     * condition).
     */
+  /** Vocabulary size at or under which the merge loop runs
+    * driver-locally on the collected (word, count) table. Corpus-scale
+    * work (the word-count shuffle) is identical either way; what the
+    * local regime removes is the 2-Spark-jobs-PER-MERGE floor
+    * (pair aggregation + checkpoint materialization) — for a 10k-word
+    * vocabulary and 64 merges that is 128 scheduled jobs doing
+    * microseconds of real work each. 2M entries x ~60 bytes is ~100 MB
+    * of driver heap, well inside the probe/driver sizing; a 100 TB
+    * web-crawl vocabulary (tens of millions of distinct tokens) stays
+    * on the distributed loop. Both regimes share the tie-break and
+    * greedy-pass semantics bit-for-bit (`BpeSpec` pins local ==
+    * distributed on the same corpus).
+    */
+  val localVocabThreshold = 2000000L
+
   def trainMerges(docs: DataFrame, textCol: String, numMerges: Int,
-                  minPairCount: Long = 2L): DataFrame = {
+                  minPairCount: Long = 2L,
+                  localThreshold: Long = localVocabThreshold): DataFrame = {
     require(numMerges > 0, s"trainMerges needs numMerges > 0, got $numMerges")
     val spark = docs.sparkSession
     import spark.implicits._
 
-    var words = wordCounts(docs, textCol)
+    val wc = wordCounts(docs, textCol)
+    if (localThreshold > 0) {
+      // cap-and-collect probe: one job that either returns the whole
+      // vocabulary or proves it is too big (same contract as the
+      // tiny-input training fast path)
+      val capped = wc.limit((math.min(localThreshold, Int.MaxValue - 1L) + 1).toInt)
+        .collect()
+      if (capped.length <= localThreshold)
+        return trainMergesLocal(
+          capped.map(r => (r.getString(0), r.getLong(1))),
+          numMerges, minPairCount).toSeq.toDF("rank", "left", "right", "n")
+    }
+
+    var words = wc
       .select(BpeFunctions.bpe_symbolize(col("word")).as("syms"), col("n"))
       .localCheckpoint(true)
 
@@ -89,6 +118,97 @@ object Bpe {
     }
     words.unpersist(blocking = false)
     merges.toSeq.toDF("rank", "left", "right", "n")
+  }
+
+  /** Code-point lexicographic comparison — the order UTF8String's
+    * binary comparison (and DuckDB/Python string ordering) uses.
+    * `String.compareTo` is UTF-16 code-UNIT order, which ranks
+    * supplementary characters below U+E000..U+FFFF — a tie-break
+    * divergence the distributed path would not have.
+    */
+  private def cpCompare(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** The driver-local merge loop: same symbols, same greedy pass, same
+    * (count desc, left asc, right asc) code-point tie-break as the
+    * distributed rounds — a pure execution strategy.
+    */
+  private def trainMergesLocal(wordCounts: Array[(String, Long)],
+                               numMerges: Int, minPairCount: Long)
+      : Array[(Int, String, String, Long)] = {
+    var words: Array[(Array[String], Long)] = wordCounts.map { case (w, n) =>
+      val syms = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < w.length) {
+        val cc = Character.charCount(w.codePointAt(i))
+        syms += w.substring(i, i + cc); i += cc
+      }
+      syms += graft.plans.BpeKernels.END_MARKER
+      (syms.toArray, n)
+    }
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var round = 1
+    var done = false
+    while (round <= numMerges && !done) {
+      val pairs = new java.util.HashMap[(String, String), java.lang.Long]()
+      words.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val key = (syms(i), syms(i + 1))
+          val prev = pairs.get(key)
+          pairs.put(key, if (prev == null) n else prev + n)
+          i += 1
+        }
+      }
+      var bestL: String = null; var bestR: String = null; var bestN = 0L
+      val it = pairs.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val (l, r) = e.getKey
+        val n = e.getValue.longValue()
+        val better =
+          if (bestL == null) true
+          else if (n != bestN) n > bestN
+          else {
+            val c = cpCompare(l, bestL)
+            if (c != 0) c < 0 else cpCompare(r, bestR) < 0
+          }
+        if (better) { bestL = l; bestR = r; bestN = n }
+      }
+      if (bestL == null || bestN < minPairCount) done = true
+      else {
+        merges += ((round, bestL, bestR, bestN))
+        val merged = bestL + bestR
+        words = words.map { case (syms, n) =>
+          var has = false
+          var i = 0
+          while (!has && i < syms.length - 1) {
+            if (syms(i) == bestL && syms(i + 1) == bestR) has = true
+            i += 1
+          }
+          if (!has) (syms, n)
+          else {
+            val out = scala.collection.mutable.ArrayBuffer[String]()
+            var p = 0
+            while (p < syms.length) {
+              if (p < syms.length - 1 && syms(p) == bestL && syms(p + 1) == bestR) {
+                out += merged; p += 2
+              } else { out += syms(p); p += 1 }
+            }
+            (out.toArray, n)
+          }
+        }
+        round += 1
+      }
+    }
+    merges.toArray
   }
 
   /** Collect a merge table into the driver-side (left, right) list the

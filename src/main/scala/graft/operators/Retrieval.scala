@@ -37,6 +37,57 @@ import graft.functions.TextFunctions
   */
 object Retrieval {
 
+  /** Driver-side query tokenization (tiny, literal batches) — same
+    * lower+whitespace semantics as `TextKernels.tokensOf`.
+    */
+  private def queryTerms(queries: Seq[(Long, String)]): Seq[(Long, String)] = {
+    require(queries.nonEmpty, "bm25 needs at least one query")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "bm25 query ids must be distinct")
+    val qTerms = queries.flatMap { case (qid, q) =>
+      q.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+        .map(t => (qid, t))
+    }
+    require(qTerms.nonEmpty, "bm25 queries contain no tokens")
+    qTerms
+  }
+
+  /** The per-(query, doc, term) BM25 contribution over attribute
+    * columns (tf, df, dl, n_docs, sum_dl): 6-dp-rounded Lucene idf x
+    * Robertson tf norm, rounded to 9 decimals as DECIMAL(28,9) so the
+    * per-(query, doc) sum is order-independent. ONE definition —
+    * the scan path, the serving index, and (transitively) the DuckDB
+    * oracle's spelled-out copy stay bitwise-identical by construction.
+    */
+  private def contribCol(k1: Double, b: Double): Column = {
+    val tfD = col("tf").cast("double")
+    val dlNorm = col("dl").cast("double") /
+      (col("sum_dl").cast("double") / col("n_docs").cast("double"))
+    val idf = round(log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))), 6)
+    val norm = tfD * lit(k1 + 1.0) /
+      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * dlNorm))
+    round(idf * norm, 9).cast(DecimalType(28, 9))
+  }
+
+  /** DECIMAL-exact per-(query, doc) score reduction + bounded-heap
+    * top-k on (-score, doc_id): ascending heap order == (score desc,
+    * doc_id asc) — deterministic under score ties, at most k rows per
+    * partition per query cross the wire.
+    */
+  private def topKByScore(contrib: DataFrame, k: Int): DataFrame =
+    contrib.groupBy("qid", "doc_id")
+      .agg(sum(col("c")).as("sdec"))
+      .select(col("qid"), col("doc_id"),
+        col("sdec").cast("double").as("score"))
+      .groupBy("qid")
+      .agg(graft.plans.TopNFunctions.topn_smallest_by_double(
+        negate(col("score")), col("doc_id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("r", "p")))
+      .select(col("qid"), (col("r") + 1).cast("long").as("rank"),
+        col("p.id").as("doc_id"), negate(col("p.s")).as("score"))
+
   /** BM25 top-k per query. `queries` are (qid, free text); text is
     * tokenized with the corpus tokenizer's semantics (lower,
     * whitespace). Returns (qid, rank, doc_id, score) with rank 1..k in
@@ -50,20 +101,11 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
                queries: Seq[(Long, String)], k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(queries.nonEmpty, "bm25TopK needs at least one query")
     require(k > 0, s"bm25TopK needs k > 0, got $k")
-    require(queries.map(_._1).distinct.size == queries.size,
-      "bm25TopK query ids must be distinct")
     val spark = docs.sparkSession
     import spark.implicits._
 
-    // driver-side tokenization of the (tiny, literal) query batch —
-    // same lower+whitespace semantics as TextKernels.tokensOf
-    val qTerms: Seq[(Long, String)] = queries.flatMap { case (qid, q) =>
-      q.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
-        .map(t => (qid, t))
-    }
-    require(qTerms.nonEmpty, "bm25TopK queries contain no tokens")
+    val qTerms = queryTerms(queries)
     val qdf = broadcast(qTerms.toDF("qid", "token"))
     val qvocab = broadcast(qTerms.map(_._2).distinct.toDF("token"))
 
@@ -91,37 +133,74 @@ object Retrieval {
     // DISTINCT terms, so count(*) IS df; ≤ |query vocab| rows out
     val dfs = pairs.groupBy("token").agg(count(lit(1)).as("df"))
 
-    // per-(query, doc, term) contribution, rounded to 9 decimals and
-    // cast DECIMAL so the per-(query, doc) sum is order-independent.
-    // Formula spelled exactly as the DuckDB oracle spells it (same
-    // literals, same association) so the doubles agree bitwise.
-    val tfD = col("tf").cast("double")
-    val dlNorm = col("dl").cast("double") /
-      (col("sum_dl").cast("double") / col("n_docs").cast("double"))
-    val idf = round(log(lit(1.0) +
-      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
-        (col("df").cast("double") + lit(0.5))), 6)
-    val norm = tfD * lit(k1 + 1.0) /
-      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * dlNorm))
+    // per-(query, doc, term) contribution via the shared formula
+    // (spelled identically by the DuckDB oracle — bitwise parity)
     val contrib = pairs
       .join(broadcast(dfs), Seq("token"))
       .crossJoin(broadcast(stats))
       .join(qdf, Seq("token"))
-      .select(col("qid"), col("doc_id"),
-        round(idf * norm, 9).cast(DecimalType(28, 9)).as("c"))
+      .select(col("qid"), col("doc_id"), contribCol(k1, b).as("c"))
 
-    val scores = contrib.groupBy("qid", "doc_id")
-      .agg(sum(col("c")).as("sdec"))
-      .select(col("qid"), col("doc_id"),
-        col("sdec").cast("double").as("score"))
+    topKByScore(contrib, k)
+  }
 
-    // bounded-heap top-k on (-score, doc_id): ascending heap order ==
-    // (score desc, doc_id asc) — deterministic under score ties
-    scores.groupBy("qid")
-      .agg(graft.plans.TopNFunctions.topn_smallest_by_double(
-        negate(col("score")), col("doc_id"), k).as("top"))
-      .select(col("qid"), posexplode(col("top")).as(Seq("r", "p")))
-      .select(col("qid"), (col("r") + 1).cast("long").as("rank"),
-        col("p.id").as("doc_id"), negate(col("p.s")).as("score"))
+  /** Build a BM25 SERVING index: the repeated-query path. The scan
+    * form above re-reads the corpus per batch (three passes); this
+    * amortizes everything corpus-sized into a one-time build —
+    * postings `(token, doc_id, tf, dl, df)` (df denormalized onto each
+    * row so serving never joins a frequency table) written as a
+    * token-bucketed, token-sorted table, plus a 1-row stats file
+    * (`<path>_stats`). Serving then reads ONLY the buckets holding the
+    * batch's terms (Spark bucket pruning on the `isin` filter —
+    * `RetrievalSpec` pins SelectedBucketsCount < total), so per-batch
+    * cost is bounded by the query vocabulary's postings, flat in
+    * corpus size.
+    *
+    * The build is one corpus scan + a token-shuffle join of postings
+    * with their frequencies — the exchange the bucketed write needed
+    * anyway.
+    */
+  def writeBm25Index(docs: DataFrame, textCol: String, idCol: String,
+                     name: String, path: String, nBuckets: Int): Unit = {
+    require(nBuckets > 0, s"writeBm25Index needs nBuckets > 0, got $nBuckets")
+    val spark = docs.sparkSession
+    val d = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long").as("dl"),
+        graft.plans.GraftFunctions.token_tf(col(textCol)).as("__kvs"))
+    val pairs = d
+      .select(col("doc_id"), col("dl"), explode(col("__kvs")).as("kv"))
+      .select(col("kv.token").as("token"), col("doc_id"), col("dl"),
+        col("kv.tf").as("tf"))
+    val dfs = pairs.groupBy("token").agg(count(lit(1)).as("df"))
+    val full = pairs.join(dfs, Seq("token")) // token-shuffle join, build-time only
+      .select(col("token"), col("doc_id"), col("tf"), col("dl"), col("df"))
+    graft.sources.Bucketed.writeBucketed(full, name, path, "token", nBuckets)
+    d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(path + "_stats")
+  }
+
+  /** Serve a query batch from a [[writeBm25Index]] index: same output,
+    * same arithmetic, same (score desc, doc_id asc) cut as
+    * [[bm25TopK]] (`RetrievalSpec` pins row-for-row equality) — but
+    * the only corpus-sized input is the bucket-pruned postings scan
+    * for the batch's terms.
+    */
+  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                      name: String, path: String,
+                      queries: Seq[(Long, String)], k: Int,
+                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"bm25TopKIndexed needs k > 0, got $k")
+    import spark.implicits._
+    val qTerms = queryTerms(queries)
+    val qdf = broadcast(qTerms.toDF("qid", "token"))
+    val terms = qTerms.map(_._2).distinct
+    val stats = spark.read.parquet(path + "_stats") // 1 row
+    val contrib = graft.sources.Bucketed.table(spark, name)
+      .where(col("token").isin(terms: _*)) // bucket-pruned scan
+      .crossJoin(broadcast(stats))
+      .join(qdf, Seq("token"))
+      .select(col("qid"), col("doc_id"), contribCol(k1, b).as("c"))
+    topKByScore(contrib, k)
   }
 }

@@ -153,6 +153,37 @@ final class Som(val config: SomConfig) extends Serializable {
     * would produce on the same RDD (`SomLocalFitSpec` pins it), with
     * zero Spark jobs per epoch.
     */
+  /** In-core training on an already-materialized matrix — the direct
+    * analogue of the reference's own API, which trains on in-memory
+    * arrays (`xpysom.py:560-575` processes them in `n_parallel`
+    * batches on one node). Zero Spark jobs: the epoch loop is
+    * [[fitLocalChunks]] over one chunk, the same kernels the cluster
+    * path runs. Use this when the data already lives on the driver
+    * (notebook-scale exploration, per-group sub-SOMs inside a larger
+    * job); `fit` remains the entry point for anything DataFrame-shaped
+    * and dispatches to this regime automatically under
+    * `localFitThreshold`.
+    */
+  def fitMatrix(data: Array[Array[Float]], numEpochs: Int,
+                init: Codebook = null, verbose: Boolean = false,
+                iterBeg: Int = 0, iterEnd: Int = -1): SomModel = {
+    require(numEpochs >= 1, s"numEpochs must be >= 1, got $numEpochs")
+    require(data.nonEmpty, "cannot fit a SOM on an empty dataset")
+    val end = if (iterEnd < 0) numEpochs else iterEnd
+    require(iterBeg >= 0 && iterBeg <= end && end <= numEpochs,
+      s"need 0 <= iterBeg ($iterBeg) <= iterEnd ($end) <= numEpochs ($numEpochs)")
+    val dim = data(0).length
+    data.foreach(v => require(v.length == dim,
+      s"Received ${v.length} features, expected $dim."))
+    val cb0 = Option(init).getOrElse(
+      Codebook.randomUniform(config.x, config.y, dim, config.seed))
+    require(cb0.dim == dim, s"Received $dim features, expected ${cb0.dim}.")
+    require(cb0.x == config.x && cb0.y == config.y,
+      s"init codebook grid ${cb0.x}x${cb0.y} does not match config ${config.x}x${config.y}")
+    new SomModel(config,
+      fitLocalChunks(Array((0, data)), 1, cb0, numEpochs, verbose, iterBeg, end))
+  }
+
   private def fitLocalChunks(chunks: Array[(Int, Array[Array[Float]])],
                              numPartitions: Int, init: Codebook,
                              numEpochs: Int, verbose: Boolean,

@@ -155,6 +155,13 @@ class BpeSpec extends SparkSpec {
       .orderBy("rank").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
     assert(gotMerges == expMerges)
+    // the driver-local vocabulary regime is a pure execution strategy:
+    // forcing the distributed merge loop gives the identical table
+    val gotDist = Bpe.trainMerges(df, "text", numMerges = 12,
+        localThreshold = 0L)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(gotDist == expMerges, "distributed merge loop diverged from local")
 
     val ranks = expMerges.map { case (rk, l, r, _) => (l, r) -> (rk - 1) }.toMap
     val expStats = docsSeq.map { case (id, text) =>

@@ -70,6 +70,33 @@ class RetrievalSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("serving index answers byte-identically to the scan path, bucket-pruned") {
+    val tag = s"spec_${System.nanoTime()}"
+    val name = s"graft_bm25_$tag"
+    val path = s"/tmp/$name"
+    try {
+      Retrieval.writeBm25Index(docs, "text", "doc_id", name, path, nBuckets = 8)
+      val q = Seq(0L -> "apple banana", 1L -> "cherry date", 2L -> "missingterm")
+      val viaScan = Retrieval.bm25TopK(docs, "text", "doc_id", q, 10)
+        .orderBy("qid", "rank").collect().toSeq
+      val served = Retrieval.bm25TopKIndexed(spark, name, path, q, 10)
+      val viaIndex = served.orderBy("qid", "rank").collect().toSeq
+      assert(viaIndex == viaScan)
+      // the isin filter must prune buckets: the postings scan reads
+      // fewer than the 8 written buckets for a 5-term batch
+      val scanNode = served.queryExecution.executedPlan.toString
+      val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(scanNode)
+      assert(m.isDefined, s"no bucket pruning in plan:\n$scanNode")
+      assert(m.get.group(1).toInt < m.get.group(2).toInt,
+        s"isin filter selected every bucket: ${m.get.matched}")
+    } finally {
+      graft.sources.Bucketed.drop(spark, name)
+      graft.BenchData.deleteRecursively(path)
+      graft.BenchData.deleteRecursively(path + "_stats")
+    }
+  }
+
   test("validation: empty/duplicate queries rejected") {
     intercept[IllegalArgumentException] {
       Retrieval.bm25TopK(docs, "text", "doc_id", Seq.empty, 5)

@@ -28,6 +28,23 @@ class SomLocalFitSpec extends SparkSpec {
       "local fit diverged from the distributed epoch loop")
   }
 
+  test("fitMatrix == fit on the same rows as one partition (the in-core analogue)") {
+    val df = synth(350, 8, parts = 1).coalesce(1)
+    val matrix = df.select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val inCore = new Som(cfg).fitMatrix(matrix, numEpochs = 4)
+    val viaDf = new Som(cfg).fit(df, "embedding", numEpochs = 4)
+    assert(inCore.codebook.weights.sameElements(viaDf.codebook.weights),
+      "fitMatrix diverged from the 1-partition DataFrame fit")
+    // validation parity with fit
+    intercept[IllegalArgumentException] {
+      new Som(cfg).fitMatrix(Array.empty[Array[Float]], numEpochs = 2)
+    }
+    intercept[IllegalArgumentException] {
+      new Som(cfg).fitMatrix(Array(Array(1f, 2f), Array(1f)), numEpochs = 2)
+    }
+  }
+
   test("bit-identity holds for hex topology and cosine distance too") {
     val df = synth(300, 6, parts = 4)
     val c = SomConfig(3, 4, topology = "hexagonal", distance = "cosine", seed = 5)
