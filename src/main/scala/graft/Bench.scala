@@ -276,6 +276,13 @@ object Bench {
       results("bench_bmu_200k") = time3 {
         bigModel.withBmu(big, "embedding").groupBy("bmu_id").count().count()
       }
+      // k-means on the same 200k x 64: same data volume per iteration
+      // as a SOM epoch (one codegen assignment scan + a centroid-table-
+      // shaped shuffle), priced side by side with bench_train_200k
+      results("bench_kmeans_200k") = time2 {
+        graft.operators.Kmeans.fit(big, "embedding", "id", k = 64,
+          iters = 3); ()
+      }
       big.unpersist(blocking = false)
     }
 

@@ -1373,6 +1373,40 @@ object Queries {
           .select(col("lang"), col("n_docs"), col("n_tok"), col("n_subwords"),
             round(col("n_subwords").cast("double") /
               col("n_tok").cast("double"), 6).as("fertility"))
+      }),
+
+      // Lloyd's k-means over the embeddings: trained centroid table in
+      // long form (oracle: an INDEPENDENT Python implementation,
+      // tools/gen_kmeans_oracle.py — same md5-seeded init, sequential
+      // distance loops, DECIMAL update sums)
+      "kmeans_centroids" -> ((s, dir) => {
+        val e = emb(s, dir)
+        val m = graft.operators.Kmeans.fit(e, "embedding", "vec_id",
+          k = 8, iters = 6)
+        graft.operators.Kmeans.centroidsDf(e, "embedding", "vec_id", m)
+          .select(col("cid"), col("dim"), round(col("w"), 6).as("w"),
+            col("n"))
+      }),
+
+      // the assignment pass: every vector's cell and squared distance
+      // (pins each row's argmin AND its d2 arithmetic)
+      "kmeans_assign" -> ((s, dir) => {
+        val e = emb(s, dir)
+        val m = graft.operators.Kmeans.fit(e, "embedding", "vec_id",
+          k = 8, iters = 6)
+        graft.operators.Kmeans.assign(e, "embedding", "vec_id", m)
+          .select(col("vec_id"), col("cid"), round(col("d2"), 6).as("d2"))
+      }),
+
+      // IVF ANN with the k-means coarse quantizer (the standard-IVF
+      // sibling of ann_som_topk): probe 3 of 8 cells per query
+      "ann_ivf_kmeans" -> ((s, dir) => {
+        val e = emb(s, dir)
+        val qs = e.orderBy("vec_id").limit(5).collect()
+          .map(r => (r.getLong(r.fieldIndex("vec_id")),
+            r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)).toSeq
+        graft.operators.Kmeans.ivfTopK(e, "embedding", "vec_id", qs, k = 5,
+          kClusters = 8, iters = 4, nProbe = 3)
       })
     )
   }

@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.storage.StorageLevel
+
+import graft.plans.KmeansFunctions
+
+/** Distributed Lloyd's k-means over an embedding column — the standard
+  * coarse quantizer / corpus-clustering primitive (IVF cells, SemDeDup
+  * buckets, data-mixing domains). Complements the SOM trainer: same
+  * role, no neighborhood smoothing, the clustering everyone reaches
+  * for first.
+  *
+  * Scale shape (per iteration, over a cached slim `(id, vec)`
+  * projection):
+  *  - assignment is the [[graft.plans.KmeansAssign]] codegen kernel —
+  *    the centroid table rides in the expression (broadcast-sized:
+  *    k x dim doubles), no join, no shuffle;
+  *  - the update is the `posexplode -> groupBy(cid, dim)` aggregation
+  *    (the [[Similarity.groupCentroids]] shape): map-side combine
+  *    reduces every partition to <= k x dim partial rows BEFORE the
+  *    exchange, so the shuffle is centroid-table-shaped, never
+  *    data-shaped;
+  *  - k x dim (sum, count) rows collect to the driver (bounded by
+  *    construction), which forms the next centroid table.
+  * At 100 TB the standard deployment trains on a sampled fraction and
+  * runs ONE full assignment pass — both are these same two kernels.
+  *
+  * Determinism (the correctness contract):
+  *  - init is content-keyed: the k rows with the smallest
+  *    `(md5(salt:id), id)` seed the centroids — partitioning-invariant
+  *    and engine-portable (DuckDB/Python spell the same md5);
+  *  - per-dimension update sums round each element to 9 decimals and
+  *    accumulate as DECIMAL(28,9) — exact, order-independent; the
+  *    driver divides by the exact count at scale 9 HALF_UP;
+  *  - assignment distance is a SEQUENTIAL `(x_i - w_i)^2` loop with
+  *    ties to the lowest cid, so an independent implementation
+  *    (`tools/gen_kmeans_oracle.py`) reproduces every argmin
+  *    bit-for-bit.
+  */
+object Kmeans {
+
+  /** Driver-side model: row-major `k x dim` centroid matrix. */
+  final case class Model(centroids: Array[Array[Double]]) {
+    require(centroids.nonEmpty, "kmeans model needs at least one centroid")
+    val dim: Int = centroids(0).length
+    require(centroids.forall(_.length == dim),
+      "kmeans centroids must share one dimensionality")
+    def k: Int = centroids.length
+    def flat: Array[Double] = {
+      val out = new Array[Double](k * dim)
+      var j = 0
+      while (j < k) {
+        System.arraycopy(centroids(j), 0, out, j * dim, dim); j += 1
+      }
+      out
+    }
+    /** Nearest centroid ids for one query vector — same sequential
+      * loop and lowest-cid tie-break as the distributed kernel.
+      * Driver-local: the centroid table is at most a few thousand
+      * doubles.
+      */
+    def nearest(q: Array[Double], n: Int): Seq[Int] = {
+      require(q.length == dim, s"Received ${q.length} features, expected $dim.")
+      (0 until k).map { j =>
+        var s = 0.0
+        var i = 0
+        while (i < dim) { val t = q(i) - centroids(j)(i); s += t * t; i += 1 }
+        (j, s)
+      }.sortBy(t => (t._2, t._1)).take(n).map(_._1)
+    }
+  }
+
+  private def slim(df: DataFrame, vecCol: String, idCol: String): DataFrame =
+    df.where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+
+  /** Content-keyed seeded init: the k vectors with the smallest
+    * `(md5(salt:id), id)` — a deterministic pseudo-random sample that
+    * is partitioning-invariant and needs no stateful RNG. Runs as a
+    * TakeOrderedAndProject (per-partition top-k, k rows collected).
+    */
+  def initCentroids(df: DataFrame, vecCol: String, idCol: String, k: Int,
+                    salt: String = "km"): Array[Array[Double]] = {
+    require(k > 0, s"kmeans needs k > 0, got $k")
+    val rows = slim(df, vecCol, idCol)
+      .withColumn("__h", md5(concat_ws(":", lit(salt), col("__id"))))
+      .orderBy(col("__h"), col("__id"))
+      .limit(k)
+      .collect()
+    require(rows.length == k,
+      s"kmeans init needs >= $k non-null vectors, found ${rows.length}")
+    rows.map(_.getSeq[Double](1).toArray)
+  }
+
+  /** `iters` Lloyd's iterations from the seeded init. Empty clusters
+    * keep their previous centroid (the standard convention; the guard
+    * mirrors `_merge_updates`' zero-denominator rule).
+    */
+  def fit(df: DataFrame, vecCol: String, idCol: String, k: Int, iters: Int,
+          salt: String = "km"): Model = {
+    require(iters >= 0, s"kmeans needs iters >= 0, got $iters")
+    val data = slim(df, vecCol, idCol).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val c = initCentroids(data, "__v", "__id", k, salt)
+      val dim = c(0).length
+      var it = 0
+      while (it < iters) {
+        val flat = Model(c).flat
+        val sums = data
+          .select(KmeansFunctions.kmeans_assign(col("__v"), flat, dim)
+            .getField("cid").as("cid"), col("__v"))
+          .select(col("cid"), posexplode(col("__v")).as(Seq("d", "x")))
+          .groupBy("cid", "d")
+          .agg(sum(round(col("x"), 9).cast(DecimalType(28, 9))).as("s"),
+            count(lit(1)).as("n"))
+          .collect()
+        sums.foreach { r =>
+          val (cid, d) = (r.getInt(0), r.getInt(1))
+          val s = r.getDecimal(2)
+          val n = r.getLong(3)
+          c(cid)(d) = s.divide(java.math.BigDecimal.valueOf(n), 9,
+            java.math.RoundingMode.HALF_UP).doubleValue
+        }
+        it += 1
+      }
+      Model(c)
+    } finally { data.unpersist(); () }
+  }
+
+  /** One assignment pass: (vec_id, cid, d2) for every non-null vector —
+    * a single codegen scan, no shuffle.
+    */
+  def assign(df: DataFrame, vecCol: String, idCol: String,
+             model: Model): DataFrame =
+    slim(df, vecCol, idCol)
+      .select(col("__id").as("vec_id"),
+        KmeansFunctions.kmeans_assign(col("__v"), model.flat, model.dim).as("a"))
+      .select(col("vec_id"), col("a.cid").cast("long").as("cid"),
+        col("a.d2").as("d2"))
+
+  /** The trained-centroid table in oracle-friendly long form:
+    * (cid, dim, w, n) with n = final cluster population (one extra
+    * assignment pass, aggregated to k rows).
+    */
+  def centroidsDf(df: DataFrame, vecCol: String, idCol: String,
+                  model: Model): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = for (j <- 0 until model.k; d <- 0 until model.dim)
+      yield (j.toLong, d.toLong, model.centroids(j)(d))
+    val cdf = rows.toDF("cid", "dim", "w")
+    val sizes = assign(df, vecCol, idCol, model)
+      .groupBy("cid").agg(count(lit(1)).as("n"))
+    cdf.join(sizes, Seq("cid"), "left")
+      .select(col("cid"), col("dim"), col("w"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** IVF ANN with a k-means coarse quantizer: assign the corpus to its
+    * nearest centroid, probe only the `nProbe` cells whose centroids
+    * are closest to each query, cosine-rank inside them. The sibling of
+    * [[Similarity.somTopK]] with the standard quantizer; the repeated-
+    * query deployment writes the assigned corpus out partitioned by
+    * `cid` once ([[Similarity.writeAssignedIndex]] shape) so the probe
+    * filter becomes a static partition filter.
+    */
+  def ivfTopK(df: DataFrame, vecCol: String, idCol: String,
+              queries: Seq[(Long, Array[Double])], k: Int,
+              kClusters: Int, iters: Int, nProbe: Int,
+              salt: String = "km"): DataFrame = {
+    require(k > 0, s"ivfTopK needs k > 0, got $k")
+    require(nProbe > 0, s"ivfTopK needs nProbe > 0, got $nProbe")
+    val model = fit(df, vecCol, idCol, kClusters, iters, salt)
+    val spark = df.sparkSession
+    val probe = queries.flatMap { case (qid, q) =>
+      model.nearest(q, nProbe).map(c => (qid, c.toLong))
+    }
+    val probeDf = spark.createDataFrame(probe).toDF("qid", "cid")
+    val qDf = spark.createDataFrame(
+      queries.map { case (qid, v) => (qid, v.toSeq) }).toDF("qid", "qv")
+    val probedCells = probe.map(_._2).distinct
+    // assignment inline, ONE scan (vector kept alongside its cell) —
+    // the persisted-index deployment replaces this with a pruned read
+    val assigned = slim(df, vecCol, idCol)
+      .select(col("__id").as("vec_id"), col("__v"),
+        KmeansFunctions.kmeans_assign(col("__v"), model.flat, model.dim)
+          .getField("cid").cast("long").as("cid"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    assigned.where(col("cid").isin(probedCells: _*))
+      .join(broadcast(probeDf), "cid")
+      .join(broadcast(qDf), "qid")
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        graft.plans.VecFunctions.vec_cosine(col("__v"), col("qv")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+        round(col("sim"), 6).as("sim"))
+  }
+}

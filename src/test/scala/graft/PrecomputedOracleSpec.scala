@@ -59,13 +59,21 @@ class PrecomputedOracleSpec extends AnyFunSuite {
 
   test("independent oracles cover exactly the no-live-form queries, fail-loud") {
     assert(IndependentOracles.sql.keySet ==
-      Set("bpe_merges", "bpe_encode_stats"))
+      Set("bpe_merges", "bpe_encode_stats",
+        "kmeans_centroids", "kmeans_assign", "ann_ivf_kmeans"))
     IndependentOracles.sql.foreach { case (name, sql) =>
       assert(sql.startsWith("-- INDEPENDENT oracle"), s"$name lacks provenance header")
       assert(sql.contains("FROM (VALUES"), s"$name is not a VALUES oracle")
-      assert(sql.contains("md5(text)") && sql.contains("count(*) ="),
+      // BPE guards hash the documents table; k-means guards hash the
+      // embeddings table (each query's ONLY input)
+      assert((sql.contains("md5(text)") ||
+          sql.contains("md5(vec_id::VARCHAR")) && sql.contains("count(*) ="),
         s"$name lacks the corpus-signature branch guard")
-      assert(sql.contains("GRAFT_UNKNOWN_CORPUS"), s"$name lacks the sentinel branch")
+      // all-numeric schemas (k-means) carry the numeric sentinel values
+      // instead of the GRAFT_UNKNOWN_CORPUS string (gen tool sval())
+      assert(sql.contains("GRAFT_UNKNOWN_CORPUS") ||
+          sql.contains("-314159265358979"),
+        s"$name lacks the sentinel branch")
       // no live counterpart — these must NOT shadow a replay oracle
       assert(!Queries.liveOracles.contains(name),
         s"$name has a live oracle; it belongs in the precomputed set instead")

@@ -1,0 +1,158 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** k-means coverage: a naive third Scala implementation differential
+  * (the engine's oracle is an independent Python implementation, so the
+  * spec adds an independent SCALA one — three implementations must
+  * agree), hand-checked tiny geometry, argmin tie-breaks, empty-cluster
+  * retention, partitioning invariance of the DECIMAL update sums, and
+  * the IVF serving path's cell pruning.
+  */
+class KmeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Naive reference: same init order, same sequential distance loop,
+    * same DECIMAL update arithmetic, written independently of the
+    * operator (driver-side loops over plain collections).
+    */
+  private def naiveFit(rows: Seq[(Long, Array[Double])], k: Int,
+                       iters: Int, salt: String): Array[Array[Double]] = {
+    def h(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"$salt:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val c = rows.sortBy { case (id, _) => (h(id), id) }.take(k)
+      .map(_._2.clone()).toArray
+    val dim = c(0).length
+    for (_ <- 0 until iters) {
+      val members = Array.fill(k)(List.newBuilder[Array[Double]])
+      rows.foreach { case (_, v) =>
+        var best = 0; var bestD = Double.MaxValue
+        for (j <- 0 until k) {
+          var d = 0.0
+          for (i <- 0 until dim) { val t = v(i) - c(j)(i); d += t * t }
+          if (d < bestD) { bestD = d; best = j }
+        }
+        members(best) += v
+      }
+      for (j <- 0 until k) {
+        val m = members(j).result()
+        if (m.nonEmpty) for (i <- 0 until dim) {
+          val s = m.map(v => BigDecimal(v(i))
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum
+          c(j)(i) = (s / m.size).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble
+        }
+      }
+    }
+    c
+  }
+
+  private def synth(n: Int, dim: Int, parts: Int) = {
+    val rows = (0 until n).map { i =>
+      val rnd = new scala.util.Random(i * 7919 + 13)
+      (i.toLong, Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    }
+    (rows, spark.createDataFrame(rows.map { case (id, v) => (id, v.toSeq) })
+      .toDF("vec_id", "embedding").repartition(parts))
+  }
+
+  test("engine == naive third implementation (init, every iteration, assignment)") {
+    val (rows, df) = synth(120, 6, parts = 5)
+    val exp = naiveFit(rows, k = 4, iters = 4, salt = "spec")
+    val got = Kmeans.fit(df, "embedding", "vec_id", k = 4, iters = 4,
+      salt = "spec")
+    assert(got.k == 4 && got.dim == 6)
+    for (j <- 0 until 4)
+      assert(got.centroids(j).sameElements(exp(j)),
+        s"centroid $j diverged from the naive implementation")
+  }
+
+  test("hand geometry: two obvious clusters land on their means") {
+    // two tight groups on a line; k=2 separates them in one iteration
+    val pts = Seq(
+      (0L, Array(0.0, 0.0)), (1L, Array(0.2, 0.0)), (2L, Array(0.4, 0.0)),
+      (10L, Array(10.0, 0.0)), (11L, Array(10.2, 0.0)), (12L, Array(10.4, 0.0)))
+    val df = spark.createDataFrame(pts.map { case (i, v) => (i, v.toSeq) })
+      .toDF("vec_id", "embedding")
+    val m = Kmeans.fit(df, "embedding", "vec_id", k = 2, iters = 3)
+    val xs = m.centroids.map(_(0)).sorted
+    assert(math.abs(xs(0) - 0.2) < 1e-9 && math.abs(xs(1) - 10.2) < 1e-9)
+    val a = Kmeans.assign(df, "embedding", "vec_id", m)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(a(0L), a(1L), a(2L)).size == 1)
+    assert(Set(a(10L), a(11L), a(12L)).size == 1)
+    assert(a(0L) != a(10L))
+  }
+
+  test("argmin ties go to the lowest cid; empty clusters keep their centroid") {
+    // centroids at -1 and +1; the point at 0 is equidistant -> cid of
+    // the LOWER-id centroid. One far point owns the other cluster.
+    val m = Kmeans.Model(Array(Array(-1.0), Array(1.0)))
+    val df = Seq((0L, Seq(0.0))).toDF("vec_id", "embedding")
+    val got = Kmeans.assign(df, "embedding", "vec_id", m).head()
+    assert(got.getLong(1) == 0L, "equidistant point must take the lowest cid")
+    assert(got.getDouble(2) == 1.0)
+
+    // k=2 over two identical points: both land in one cluster; the
+    // other cluster's centroid must survive the update untouched
+    val dup = Seq((0L, Seq(5.0)), (1L, Seq(5.0))).toDF("vec_id", "embedding")
+    val m2 = Kmeans.fit(dup, "embedding", "vec_id", k = 2, iters = 2)
+    assert(m2.centroids.exists(_.sameElements(Array(5.0))))
+    // the empty cluster still holds one of the two (identical) init
+    // vectors — unchanged by iterations with no members
+    assert(m2.centroids.forall(_.sameElements(Array(5.0))))
+  }
+
+  test("fit is partitioning-invariant (DECIMAL update sums)") {
+    val (_, df1) = synth(90, 5, parts = 1)
+    val (_, df7) = synth(90, 5, parts = 7)
+    val a = Kmeans.fit(df1, "embedding", "vec_id", k = 3, iters = 3)
+    val b = Kmeans.fit(df7, "embedding", "vec_id", k = 3, iters = 3)
+    for (j <- 0 until 3)
+      assert(a.centroids(j).sameElements(b.centroids(j)),
+        s"centroid $j moved under repartitioning")
+  }
+
+  test("centroidsDf populations sum to the corpus; ivfTopK prunes to probed cells") {
+    val (rows, df) = synth(100, 4, parts = 4)
+    val m = Kmeans.fit(df, "embedding", "vec_id", k = 4, iters = 2)
+    val cdf = Kmeans.centroidsDf(df, "embedding", "vec_id", m).collect()
+    assert(cdf.length == 16) // k * dim
+    val perCid = cdf.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(3)).toSet)
+    assert(perCid.values.forall(_.size == 1), "n must be constant per cid")
+    assert(perCid.values.map(_.head).sum == 100L)
+
+    val qs = rows.take(3).map { case (id, v) => (id, v) }
+    val topk = Kmeans.ivfTopK(df, "embedding", "vec_id", qs, k = 5,
+      kClusters = 4, iters = 2, nProbe = 2)
+    val got = topk.collect()
+    assert(got.nonEmpty)
+    // ranks contiguous from 1 per qid; neighbors never include the query
+    got.groupBy(_.getLong(0)).foreach { case (qid, g) =>
+      assert(g.map(_.getLong(1)).sorted.sameElements(1L to g.length))
+      assert(!g.exists(_.getLong(2) == qid))
+    }
+    // recall sanity vs brute force: probing 2/4 cells finds most of
+    // the true top-5 (deterministic inputs -> deterministic recall)
+    val brute = Similarity.bruteForceTopK(df, "embedding", "vec_id", qs, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = got.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert((brute & ivf).size >= brute.size / 2)
+  }
+
+  test("validation: bad k, too-few rows, mismatched dims rejected") {
+    val df = Seq((0L, Seq(1.0, 2.0))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Kmeans.fit(df, "embedding", "vec_id", k = 0, iters = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Kmeans.fit(df, "embedding", "vec_id", k = 2, iters = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Kmeans.Model(Array(Array(1.0), Array(1.0, 2.0)))
+    }
+  }
+}

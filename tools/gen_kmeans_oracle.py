@@ -1,0 +1,219 @@
+#!/usr/bin/env python3
+"""Generate INDEPENDENT expected-row oracles for the k-means queries.
+
+Lloyd's k-means is a sequential fixpoint loop — like BPE training,
+there is no tractable ANSI-SQL replay for DuckDB to run live. This tool
+is a from-the-paper pure-Python implementation mirroring the engine's
+DETERMINISM CONTRACT (documented on graft.operators.Kmeans):
+
+  - init: the k vectors with the smallest (md5("km:" + id), id);
+  - assignment: squared euclidean accumulated SEQUENTIALLY over
+    dimensions in index order, ties to the LOWEST centroid id;
+  - update: per-dimension element values rounded to 9 decimals,
+    summed exactly (Decimal), divided by the exact member count at
+    scale 9 HALF_UP; empty clusters keep their centroid;
+  - outputs rounded to 6 decimals HALF_UP.
+
+Because every floating step is either pinned to a decimal grid or a
+sequential IEEE-754 loop both sides spell identically, the expected
+rows are exact — no tolerance.
+
+Independence argument: this implementation shares no code with the
+engine (plain Python dict/list loops vs Spark codegen kernels +
+DataFrame aggregations), and the engine side is additionally
+differential-tested against a third naive Scala implementation in
+`KmeansSpec`.
+
+Guards are EMBEDDINGS-table signatures (the queries read nothing
+else): row count + md5-prefix checksum over vec_id:embedding::VARCHAR,
+computed by DuckDB exactly as gen_precomputed_oracles.py does. An
+unmatched corpus yields the GRAFT_UNKNOWN_CORPUS sentinel row.
+
+Usage:
+  python3 tools/gen_kmeans_oracle.py <independent_oracles.json> <sfDir> [...]
+
+Merges its three query keys into the existing file, preserving the BPE
+entries.
+"""
+import sys, os, json, hashlib
+from decimal import Decimal, ROUND_HALF_UP
+from fractions import Fraction
+
+import pandas as pd
+
+from gen_precomputed_oracles import lit, duck_type, connect, SIG_EMB_SQL, emb_guard_sql
+from gen_bpe_oracle import branch_sql, sentinel_sql
+
+K, ITERS = 8, 6            # kmeans_centroids / kmeans_assign
+IVF_K, IVF_ITERS, NPROBE, TOPK, NQ = 8, 4, 3, 5, 5  # ann_ivf_kmeans
+SALT = "km"
+
+E9 = Decimal("1E-9")
+E6 = Decimal("1E-6")
+
+
+def round_dec(x, q):
+    """Spark round(double, s): BigDecimal(Double.toString(x)).setScale(s,
+    HALF_UP). Python repr() is the same shortest-round-trip decimal."""
+    return Decimal(repr(float(x))).quantize(q, ROUND_HALF_UP)
+
+
+def div_half_up_9(num_scaled9, n):
+    """(sum at scale 9) / n, rounded HALF_UP at scale 9, exactly —
+    mirrors java.math.BigDecimal.divide(n, 9, HALF_UP)."""
+    f = Fraction(num_scaled9, n)  # value * 10^9 as an exact rational
+    sign = -1 if f < 0 else 1
+    a = abs(f)
+    i, frac = a.numerator // a.denominator, None
+    frac = a - (a.numerator // a.denominator)
+    if frac >= Fraction(1, 2):
+        i += 1
+    return sign * i  # unscaled value at scale 9
+
+
+def load_vectors(sf_dir):
+    df = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    rows = []
+    for vid, emb in zip(df["vec_id"], df["embedding"]):
+        if emb is None:
+            continue
+        rows.append((int(vid), [float(x) for x in emb]))  # f32 -> f64 exact
+    return rows
+
+
+def init_centroids(rows, k):
+    def key(r):
+        return (hashlib.md5(f"{SALT}:{r[0]}".encode()).hexdigest(), r[0])
+    picked = sorted(rows, key=key)[:k]
+    assert len(picked) == k, f"need >= {k} vectors"
+    return [list(v) for _, v in picked]
+
+
+def assign_one(v, c):
+    best, best_d = 0, float("inf")
+    for j, w in enumerate(c):
+        d = 0.0
+        for i in range(len(w)):
+            t = v[i] - w[i]
+            d += t * t
+        if d < best_d:
+            best_d, best = d, j
+    return best, best_d
+
+
+def fit(rows, k, iters):
+    c = init_centroids(rows, k)
+    dim = len(c[0])
+    for _ in range(iters):
+        sums = [[0] * dim for _ in range(k)]  # unscaled at 1e-9
+        counts = [0] * k
+        for _, v in rows:
+            j, _ = assign_one(v, c)
+            counts[j] += 1
+            sj = sums[j]
+            for i in range(dim):
+                sj[i] += int(round_dec(v[i], E9).scaleb(9))
+        for j in range(k):
+            if counts[j] == 0:
+                continue
+            for i in range(dim):
+                u = div_half_up_9(sums[j][i], counts[j])
+                c[j][i] = float(Decimal(u).scaleb(-9))
+    return c
+
+
+def cosine(a, b):
+    dot = na = nb = 0.0
+    for i in range(min(len(a), len(b))):
+        x, y = a[i], b[i]
+        dot += x * y
+        na += x * x
+        nb += y * y
+    den = (na * nb) ** 0.5
+    return 0.0 if den == 0.0 else dot / den
+
+
+def derive(sf_dir):
+    rows = load_vectors(sf_dir)
+
+    c = fit(rows, K, ITERS)
+    assigns = [(vid, *assign_one(v, c)) for vid, v in rows]
+    counts = {}
+    for _, j, _ in assigns:
+        counts[j] = counts.get(j, 0) + 1
+    centroids_df = pd.DataFrame(
+        [(j, d, float(round_dec(c[j][d], E6)), counts.get(j, 0))
+         for j in range(K) for d in range(len(c[0]))],
+        columns=["cid", "dim", "w", "n"]).astype(
+        {"cid": "int64", "dim": "int64", "w": "float64", "n": "int64"})
+    assign_df = pd.DataFrame(
+        [(vid, j, float(round_dec(d2, E6))) for vid, j, d2 in assigns],
+        columns=["vec_id", "cid", "d2"]).astype(
+        {"vec_id": "int64", "cid": "int64", "d2": "float64"})
+
+    # ann_ivf_kmeans: its own (smaller-iteration) model
+    ci = fit(rows, IVF_K, IVF_ITERS)
+    cells = {vid: assign_one(v, ci)[0] for vid, v in rows}
+    by_id = dict(rows)
+    qids = sorted(by_id)[:NQ]
+    out = []
+    for qid in qids:
+        q = by_id[qid]
+        probed = sorted(
+            ((sum((q[i] - w[i]) ** 2 for i in range(len(w))), j)
+             for j, w in enumerate(ci)))[:NPROBE]
+        probe_set = {j for _, j in probed}
+        cand = [(vid, cosine(v, q)) for vid, v in rows
+                if cells[vid] in probe_set and vid != qid]
+        cand.sort(key=lambda t: (-t[1], t[0]))
+        for r, (nid, sim) in enumerate(cand[:TOPK], start=1):
+            out.append((qid, r, nid, float(round_dec(sim, E6))))
+    ivf_df = pd.DataFrame(out, columns=["qid", "rank", "nid", "sim"]).astype(
+        {"qid": "int64", "rank": "int64", "nid": "int64", "sim": "float64"})
+
+    con = connect(sf_dir)
+    ne, he = con.execute(SIG_EMB_SQL).fetchone()
+    con.close()
+    return (int(ne), int(he)), centroids_df, assign_df, ivf_df
+
+
+def main(outfile, sf_dirs):
+    per_query = {"kmeans_centroids": [], "kmeans_assign": [],
+                 "ann_ivf_kmeans": []}
+    guards, schema = [], {}
+    for sf_dir in sf_dirs:
+        (ne, he), cdf, adf, idf = derive(sf_dir)
+        guard = f"({emb_guard_sql(ne, he)})"
+        guards.append(guard)
+        print(f"  {sf_dir}: {len(cdf)} centroid rows, {len(adf)} assigns, "
+              f"{len(idf)} ivf rows (emb sig {ne}/{he})")
+        per_query["kmeans_centroids"].append(branch_sql(cdf, guard))
+        per_query["kmeans_assign"].append(branch_sql(adf, guard))
+        per_query["ann_ivf_kmeans"].append(branch_sql(idf, guard))
+        schema = {"kmeans_centroids": cdf, "kmeans_assign": adf,
+                  "ann_ivf_kmeans": idf}
+    existing = json.load(open(outfile)) if os.path.exists(outfile) else {}
+    existing["_meta_kmeans"] = (
+        "k-means expected rows derived by tools/gen_kmeans_oracle.py — an "
+        "INDEPENDENT pure-Python Lloyd's implementation (md5-seeded init, "
+        "sequential distance loops, DECIMAL update sums) over " +
+        ", ".join(sf_dirs) + "; branch guards are (embeddings row count + "
+        "md5-prefix vec_id:embedding checksum); an unmatched corpus yields "
+        "the GRAFT_UNKNOWN_CORPUS sentinel row")
+    for name, branches in per_query.items():
+        branches = branches + [sentinel_sql(schema[name], guards)]
+        header = (f"-- INDEPENDENT oracle for {name}: rows derived by an "
+                  f"independent Python k-means implementation "
+                  f"(tools/gen_kmeans_oracle.py re-derives them); branches "
+                  f"select on the embeddings-table md5 signature\n")
+        existing[name] = header + "\nUNION ALL\n".join(branches)
+    with open(outfile, "w") as f:
+        json.dump(existing, f, indent=1)
+    print(f"wrote {outfile} ({os.path.getsize(outfile)} bytes)")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) < 3:
+        sys.exit(__doc__)
+    main(sys.argv[1], sys.argv[2:])
