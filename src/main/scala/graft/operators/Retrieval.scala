@@ -156,9 +156,17 @@ object Retrieval {
     * cost is bounded by the query vocabulary's postings, flat in
     * corpus size.
     *
-    * The build is one corpus scan + a token-shuffle join of postings
-    * with their frequencies — the exchange the bucketed write needed
-    * anyway.
+    * The build is one corpus scan + ONE token shuffle — the exchange
+    * the bucketed write needs anyway. Document frequencies come from a
+    * count window over the already-shuffled postings, not a separate
+    * aggregate + join: the postings cross the wire once instead of
+    * three times (agg, join, re-bucket), which cut the 200k-doc build
+    * from 8.6 s to 5.2 s (`Bm25BuildProbe`). A hot token (stopword at
+    * 100 TB) makes one window group in one task — but the token-
+    * bucketed LAYOUT already serializes that token's postings through
+    * one bucket writer, so the window adds no new skew ceiling, and
+    * WindowExec spills; the write's `sortBy(token)` reuses the
+    * window's sort order.
     */
   def writeBm25Index(docs: DataFrame, textCol: String, idCol: String,
                      name: String, path: String, nBuckets: Int): Unit = {
@@ -172,10 +180,14 @@ object Retrieval {
       .select(col("doc_id"), col("dl"), explode(col("__kvs")).as("kv"))
       .select(col("kv.token").as("token"), col("doc_id"), col("dl"),
         col("kv.tf").as("tf"))
-    val dfs = pairs.groupBy("token").agg(count(lit(1)).as("df"))
-    val full = pairs.join(dfs, Seq("token")) // token-shuffle join, build-time only
+    val full = pairs
+      .repartition(nBuckets, col("token")) // THE bucket exchange (explicit count: AQE never coalesces it)
+      .withColumn("df", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("token")))
       .select(col("token"), col("doc_id"), col("tf"), col("dl"), col("df"))
-    graft.sources.Bucketed.writeBucketed(full, name, path, "token", nBuckets)
+    graft.sources.Bucketed.writeBucketed(full, name, path, "token", nBuckets,
+      compactFirst = false) // already one bucket per task
+
     d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .coalesce(1).write.mode("overwrite").parquet(path + "_stats")
   }
