@@ -27,8 +27,8 @@ object ScaleProbe {
     val phase = args.headOption.getOrElse("all")
     val repeats = args.lift(1).map(_.toInt).getOrElse(1)
     val nDocs = args.lift(2).map(_.toLong).getOrElse(2000000L)
-    require(Set("minhash", "resolve", "bushy", "spans", "curation", "ann", "pq", "pack", "semantic", "relational", "ingest", "layout", "jsonl", "retrieval", "all")(phase),
-      s"unknown phase '$phase' (want minhash|resolve|bushy|spans|curation|ann|pq|pack|semantic|relational|ingest|layout|jsonl|retrieval|all)")
+    require(Set("minhash", "resolve", "bushy", "spans", "curation", "ann", "pq", "pack", "semantic", "relational", "ingest", "layout", "jsonl", "retrieval", "kmeans", "all")(phase),
+      s"unknown phase '$phase' (want minhash|resolve|bushy|spans|curation|ann|pq|pack|semantic|relational|ingest|layout|jsonl|retrieval|kmeans|all)")
     // partition count scales with the probed data volume, exactly as a
     // cluster operator would size it: at 20M docs (1B token instances)
     // 32 shuffle partitions put a ~31M-group hash aggregate in every
@@ -133,7 +133,49 @@ object ScaleProbe {
             .collect().head.get(0))
         }
         println(f"[scale] bpe_encode ${nDocs / 1000000}M docs (run $rep/$repeats): $tEnc%.1f s")
+        // serving index a decade above bench: build once, then answer
+        // the batch from bucket-pruned reads — serve time must be
+        // query-vocab-bounded (flat in nDocs), build ~linear
+        val tag = s"sp_${ProcessHandle.current.pid}_$rep"
+        val tIdxBuild = time {
+          operators.Retrieval.writeBm25Index(docs2m, "text", "doc_id",
+            s"graft_bm25_$tag", s"/tmp/graft_bm25_$tag", nBuckets = 64)
+        }
+        println(f"[scale] bm25_idx_build ${nDocs / 1000000}M docs (run $rep/$repeats): $tIdxBuild%.1f s")
+        val tIdxServe = time {
+          println("  bm25 indexed rows: " + operators.Retrieval.bm25TopKIndexed(
+            spark, s"graft_bm25_$tag", s"/tmp/graft_bm25_$tag", q16, k = 10).count())
+        }
+        println(f"[scale] bm25_idx_serve ${nDocs / 1000000}M docs (run $rep/$repeats): $tIdxServe%.1f s")
+        graft.sources.Bucketed.drop(spark, s"graft_bm25_$tag")
+        BenchData.deleteRecursively(s"/tmp/graft_bm25_$tag")
+        BenchData.deleteRecursively(s"/tmp/graft_bm25_${tag}_stats")
         docs2m.unpersist(blocking = true)
+        settle()
+      }
+
+      if (phase == "kmeans" || phase == "all") {
+        // Lloyd's at 10x the bench entry: 2M x 64 synthetic embeddings,
+        // k=64, 3 iterations. Per-iteration cost must scale with the
+        // assignment scan (the shuffle is centroid-table-shaped: k x dim
+        // DECIMAL partials per partition, constant in nDocs)
+        import org.apache.spark.sql.functions._
+        val emb2m = spark.range(nDocs).select(col("id"),
+          transform(sequence(lit(1), lit(64)),
+            i => sin(col("id") * i * 0.7 + i * 1.3).cast("float")).as("embedding"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        emb2m.count()
+        var km: operators.Kmeans.Model = null
+        val tFit = time {
+          km = operators.Kmeans.fit(emb2m, "embedding", "id", k = 64, iters = 3)
+        }
+        println(f"[scale] kmeans_fit64x3 ${nDocs / 1000000}M vecs (run $rep/$repeats): $tFit%.1f s")
+        val tAssign = time {
+          println("  kmeans cells: " + operators.Kmeans.assign(
+            emb2m, "embedding", "id", km).groupBy("cid").count().count())
+        }
+        println(f"[scale] kmeans_assign ${nDocs / 1000000}M vecs (run $rep/$repeats): $tAssign%.1f s")
+        emb2m.unpersist(blocking = true)
         settle()
       }
 

@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.storage.StorageLevel
 
 import graft.plans.KmeansFunctions
@@ -19,11 +18,12 @@ import graft.plans.KmeansFunctions
   *  - assignment is the [[graft.plans.KmeansAssign]] codegen kernel —
   *    the centroid table rides in the expression (broadcast-sized:
   *    k x dim doubles), no join, no shuffle;
-  *  - the update is the `posexplode -> groupBy(cid, dim)` aggregation
-  *    (the [[Similarity.groupCentroids]] shape): map-side combine
-  *    reduces every partition to <= k x dim partial rows BEFORE the
-  *    exchange, so the shuffle is centroid-table-shaped, never
-  *    data-shaped;
+  *  - the update is the [[graft.plans.VecSumCount]] partial aggregate
+  *    over pre-scaled long vectors ([[graft.plans.VecScale9]], computed
+  *    once before the loop): every partition reduces to <= k buffers of
+  *    (dim + 1) longs BEFORE the exchange, so the shuffle is
+  *    centroid-table-shaped, never data-shaped, and iterations pay no
+  *    per-element decimal work;
   *  - k x dim (sum, count) rows collect to the driver (bounded by
   *    construction), which forms the next centroid table.
   * At 100 TB the standard deployment trains on a sampled fraction and
@@ -34,8 +34,9 @@ import graft.plans.KmeansFunctions
   *    `(md5(salt:id), id)` seed the centroids — partitioning-invariant
   *    and engine-portable (DuckDB/Python spell the same md5);
   *  - per-dimension update sums round each element to 9 decimals and
-  *    accumulate as DECIMAL(28,9) — exact, order-independent; the
-  *    driver divides by the exact count at scale 9 HALF_UP;
+  *    accumulate exactly as scale-9 longs (the same values a
+  *    DECIMAL(28,9) sum produces) — order-independent; the driver
+  *    divides by the exact count at scale 9 HALF_UP;
   *  - assignment distance is a SEQUENTIAL `(x_i - w_i)^2` loop with
   *    ties to the lowest cid, so an independent implementation
   *    (`tools/gen_kmeans_oracle.py`) reproduces every argmin
@@ -104,7 +105,15 @@ object Kmeans {
   def fit(df: DataFrame, vecCol: String, idCol: String, k: Int, iters: Int,
           salt: String = "km"): Model = {
     require(iters >= 0, s"kmeans needs iters >= 0, got $iters")
-    val data = slim(df, vecCol, idCol).persist(StorageLevel.MEMORY_AND_DISK)
+    // the update sums each element's scale-9 decimal value (exact,
+    // order-independent). Those per-element roundings never change
+    // across iterations, so they are computed ONCE here (`vec_scale9`
+    // longs cached next to the doubles); each iteration then pays one
+    // codegen assignment scan + a plain-long-addition aggregate whose
+    // state is k buffers of (dim + 1) longs per partition.
+    val data = slim(df, vecCol, idCol)
+      .withColumn("__vl", KmeansFunctions.vec_scale9(col("__v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val c = initCentroids(data, "__v", "__id", k, salt)
       val dim = c(0).length
@@ -113,18 +122,24 @@ object Kmeans {
         val flat = Model(c).flat
         val sums = data
           .select(KmeansFunctions.kmeans_assign(col("__v"), flat, dim)
-            .getField("cid").as("cid"), col("__v"))
-          .select(col("cid"), posexplode(col("__v")).as(Seq("d", "x")))
-          .groupBy("cid", "d")
-          .agg(sum(round(col("x"), 9).cast(DecimalType(28, 9))).as("s"),
-            count(lit(1)).as("n"))
+            .getField("cid").as("cid"), col("__vl"))
+          .groupBy("cid")
+          .agg(KmeansFunctions.vec_sum_count(col("__vl"), dim).as("sc"))
+          .select(col("cid"), col("sc.sums"), col("sc.n"))
           .collect()
         sums.foreach { r =>
-          val (cid, d) = (r.getInt(0), r.getInt(1))
-          val s = r.getDecimal(2)
-          val n = r.getLong(3)
-          c(cid)(d) = s.divide(java.math.BigDecimal.valueOf(n), 9,
-            java.math.RoundingMode.HALF_UP).doubleValue
+          val cid = r.getInt(0)
+          val s = r.getSeq[Long](1)
+          val n = r.getLong(2)
+          var d = 0
+          while (d < dim) {
+            // BigDecimal(unscaled, 9) / n at scale 9 HALF_UP — the same
+            // numbers the DECIMAL(28,9)-sum spelling produced
+            c(cid)(d) = java.math.BigDecimal.valueOf(s(d), 9)
+              .divide(java.math.BigDecimal.valueOf(n), 9,
+                java.math.RoundingMode.HALF_UP).doubleValue
+            d += 1
+          }
         }
         it += 1
       }

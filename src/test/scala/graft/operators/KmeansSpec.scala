@@ -143,6 +143,30 @@ class KmeansSpec extends SparkSpec {
     assert((brute & ivf).size >= brute.size / 2)
   }
 
+  test("scale9 fast path == BigDecimal derivation on adversarial values") {
+    def slow(x: Double): Long =
+      new java.math.BigDecimal(java.lang.Double.toString(x))
+        .setScale(9, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+    val tricky = Seq(
+      0.0, -0.0, 1.0, -1.0, 0.5e-9, -0.5e-9, 1.5e-9, -1.5e-9, // exact ties
+      2.5e-9, 0.1234567895, -0.1234567895, 0.12345678949999,
+      1e-10, -1e-10, 4.9999999999e-10, 5.0000000001e-10,
+      123.456789123456, -987.654321987654, 1.0f.toDouble, 0.1f.toDouble)
+    val rnd = new scala.util.Random(11)
+    val fuzz = Seq.fill(20000)(rnd.nextDouble() * 200 - 100) ++
+      Seq.fill(20000)((rnd.nextInt(2000001) - 1000000).toDouble / 2e9) // midpoint-dense
+    (tricky ++ fuzz).foreach { x =>
+      assert(graft.plans.VecScale9Kernel.scale9(x) == slow(x), s"x=$x")
+    }
+    intercept[IllegalArgumentException] {
+      graft.plans.VecScale9Kernel.scale9(Double.NaN)
+    }
+    intercept[ArithmeticException] {
+      graft.plans.VecScale9Kernel.scale9(1e10)
+    }
+  }
+
   test("validation: bad k, too-few rows, mismatched dims rejected") {
     val df = Seq((0L, Seq(1.0, 2.0))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {
