@@ -134,8 +134,11 @@ object ScaleProbe {
         }
         println(f"[scale] bpe_encode ${nDocs / 1000000}M docs (run $rep/$repeats): $tEnc%.1f s")
         // serving index a decade above bench: build once, then answer
-        // the batch from bucket-pruned reads — serve time must be
-        // query-vocab-bounded (flat in nDocs), build ~linear
+        // the batch from bucket-pruned reads — serve cost tracks the
+        // batch terms' POSTING LISTS (this generator's 10k-word vocab
+        // makes every term corpus-proportional, so serve grows with
+        // nDocs here; a heavy-tail real vocabulary prunes far harder),
+        // build ~linear
         val tag = s"sp_${ProcessHandle.current.pid}_$rep"
         val tIdxBuild = time {
           operators.Retrieval.writeBm25Index(docs2m, "text", "doc_id",

@@ -188,10 +188,43 @@ object Kmeans {
               queries: Seq[(Long, Array[Double])], k: Int,
               kClusters: Int, iters: Int, nProbe: Int,
               salt: String = "km"): DataFrame = {
-    require(k > 0, s"ivfTopK needs k > 0, got $k")
-    require(nProbe > 0, s"ivfTopK needs nProbe > 0, got $nProbe")
     val model = fit(df, vecCol, idCol, kClusters, iters, salt)
-    val spark = df.sparkSession
+    // assignment inline, ONE scan (vector kept alongside its cell) —
+    // the persisted-index deployment replaces this with a pruned read
+    val assigned = slim(df, vecCol, idCol)
+      .select(col("__id").as("vec_id"), col("__v").as("vec"),
+        KmeansFunctions.kmeans_assign(col("__v"), model.flat, model.dim)
+          .getField("cid").cast("long").as("cid"))
+    topKAssigned(assigned, model, "vec", "vec_id", queries, k, nProbe)
+  }
+
+  /** Persist the assigned corpus partitioned by cell — the build half
+    * of the repeated-query IVF deployment (the k-means sibling of
+    * [[Similarity.writeAssignedIndex]]): serving reads back through
+    * [[topKAssigned]] and the probe `isin` becomes a STATIC partition
+    * filter, so only the probed cells' directories are ever listed.
+    */
+  def writeAssignedIndex(df: DataFrame, vecCol: String, idCol: String,
+                         model: Model, path: String): Unit =
+    slim(df, vecCol, idCol)
+      .select(col("__id").as("vec_id"), col("__v").as("vec"),
+        KmeansFunctions.kmeans_assign(col("__v"), model.flat, model.dim)
+          .getField("cid").cast("long").as("cid"))
+      .write.partitionBy("cid").parquet(path)
+
+  /** Serve a query batch over a pre-assigned corpus — `assigned` is
+    * either the inline assignment ([[ivfTopK]]) or a
+    * [[writeAssignedIndex]] read-back (columns `idCol`, `vecCol`,
+    * `cid`); with the latter the probed-cell `isin` prunes partitions
+    * statically, so per-batch cost tracks the probed fraction, not the
+    * corpus.
+    */
+  def topKAssigned(assigned: DataFrame, model: Model, vecCol: String,
+                   idCol: String, queries: Seq[(Long, Array[Double])],
+                   k: Int, nProbe: Int): DataFrame = {
+    require(k > 0, s"topKAssigned needs k > 0, got $k")
+    require(nProbe > 0, s"topKAssigned needs nProbe > 0, got $nProbe")
+    val spark = assigned.sparkSession
     val probe = queries.flatMap { case (qid, q) =>
       model.nearest(q, nProbe).map(c => (qid, c.toLong))
     }
@@ -199,19 +232,13 @@ object Kmeans {
     val qDf = spark.createDataFrame(
       queries.map { case (qid, v) => (qid, v.toSeq) }).toDF("qid", "qv")
     val probedCells = probe.map(_._2).distinct
-    // assignment inline, ONE scan (vector kept alongside its cell) —
-    // the persisted-index deployment replaces this with a pruned read
-    val assigned = slim(df, vecCol, idCol)
-      .select(col("__id").as("vec_id"), col("__v"),
-        KmeansFunctions.kmeans_assign(col("__v"), model.flat, model.dim)
-          .getField("cid").cast("long").as("cid"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
     assigned.where(col("cid").isin(probedCells: _*))
       .join(broadcast(probeDf), "cid")
       .join(broadcast(qDf), "qid")
-      .where(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nid"),
-        graft.plans.VecFunctions.vec_cosine(col("__v"), col("qv")).as("sim"))
+      .where(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol).cast("long").as("nid"),
+        graft.plans.VecFunctions.vec_cosine(col(vecCol), col("qv")).as("sim"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),

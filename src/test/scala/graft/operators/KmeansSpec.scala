@@ -143,6 +143,49 @@ class KmeansSpec extends SparkSpec {
     assert((brute & ivf).size >= brute.size / 2)
   }
 
+  test("partitioned index serves identically to inline ivfTopK and PRUNES to probed cells") {
+    val (rows, df) = synth(300, 8, parts = 4)
+    val qs = rows.take(2).map { case (id, v) => (id, v) }
+    val model = Kmeans.fit(df, "embedding", "vec_id", k = 9, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("kmindex").toFile
+    val path = new java.io.File(dir, "index").getAbsolutePath
+    try {
+      Kmeans.writeAssignedIndex(df, "embedding", "vec_id", model, path)
+      val index = spark.read.parquet(path)
+      val got = Kmeans.topKAssigned(index, model, "vec", "vec_id", qs,
+        k = 5, nProbe = 2)
+      val inline = Kmeans.ivfTopK(df, "embedding", "vec_id", qs, k = 5,
+        kClusters = 9, iters = 2, nProbe = 2)
+      assert(got.collect().map(_.toString).sorted
+        .sameElements(inline.collect().map(_.toString).sorted))
+      // static partition pruning: the isin on the partition column must
+      // reach the scan, and only the probed cells' dirs get listed
+      def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        p.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scansOf(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            scansOf(q.plan)
+        }.flatten
+      val scans = scansOf(got.queryExecution.executedPlan)
+      assert(scans.nonEmpty, "expected a file scan over the index")
+      val scan = scans.head
+      assert(scan.partitionFilters.exists(_.references.exists(_.name == "cid")),
+        s"no partition filter on cid: ${scan.metadata.get("PartitionFilters")}")
+      val partsRead = scan.relation.location
+        .listFiles(scan.partitionFilters, scan.dataFilters).length
+      assert(partsRead <= 4, // 2 queries x nProbe=2, minus shared cells
+        s"index scan read $partsRead partitions, expected <= 4 of 9")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("scale9 fast path == BigDecimal derivation on adversarial values") {
     def slow(x: Double): Long =
       new java.math.BigDecimal(java.lang.Double.toString(x))
