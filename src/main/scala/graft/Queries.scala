@@ -1398,6 +1398,16 @@ object Queries {
           .select(col("vec_id"), col("cid"), round(col("d2"), 6).as("d2"))
       }),
 
+      // per-cluster quality: population, mean simplified silhouette
+      // (own vs second-nearest centroid, both from the one argmin
+      // pass), mean own-centroid distance — DECIMAL-exact means
+      "kmeans_quality" -> ((s, dir) => {
+        val e = emb(s, dir)
+        val m = graft.operators.Kmeans.fit(e, "embedding", "vec_id",
+          k = 8, iters = 6)
+        graft.operators.Kmeans.qualityDf(e, "embedding", "vec_id", m)
+      }),
+
       // IVF ANN with the k-means coarse quantizer (the standard-IVF
       // sibling of ann_som_topk): probe 3 of 8 cells per query
       "ann_ivf_kmeans" -> ((s, dir) => {

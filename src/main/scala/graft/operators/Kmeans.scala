@@ -176,6 +176,38 @@ object Kmeans {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Per-cluster quality metrics in ONE assignment scan: population,
+    * mean simplified silhouette — `(b - a) / max(a, b)` with `a` the
+    * distance to the own centroid and `b` to the SECOND-nearest (the
+    * standard O(n·k) surrogate for the O(n²) pairwise silhouette; both
+    * distances fall out of the same argmin pass via the kernel's `d2b`
+    * slot) — and mean own-centroid distance. Per-row terms round to 9
+    * decimals and sum as DECIMAL(28,9), so the means are exact and
+    * order-independent; a row equidistant at 0 from two centroids
+    * scores 0 by convention.
+    */
+  def qualityDf(df: DataFrame, vecCol: String, idCol: String,
+                model: Model): DataFrame = {
+    require(model.k >= 2, "silhouette needs k >= 2 centroids")
+    import org.apache.spark.sql.types.DecimalType
+    val scored = slim(df, vecCol, idCol)
+      .select(KmeansFunctions.kmeans_assign(col("__v"), model.flat, model.dim)
+        .as("a"))
+      .select(col("a.cid").cast("long").as("cid"),
+        sqrt(col("a.d2")).as("ad"), sqrt(col("a.d2b")).as("bd"))
+      .select(col("cid"),
+        round(when(greatest(col("ad"), col("bd")) === 0.0, 0.0)
+          .otherwise((col("bd") - col("ad")) / greatest(col("ad"), col("bd"))), 9)
+          .cast(DecimalType(28, 9)).as("s"),
+        round(col("ad"), 9).cast(DecimalType(28, 9)).as("adr"))
+    scored.groupBy("cid")
+      .agg(count(lit(1)).as("n"), sum(col("s")).as("ssum"),
+        sum(col("adr")).as("asum"))
+      .select(col("cid"), col("n"),
+        round(col("ssum").cast("double") / col("n"), 6).as("silhouette"),
+        round(col("asum").cast("double") / col("n"), 6).as("avg_dist"))
+  }
+
   /** IVF ANN with a k-means coarse quantizer: assign the corpus to its
     * nearest centroid, probe only the `nProbe` cells whose centroids
     * are closest to each query, cosine-rank inside them. The sibling of

@@ -21,9 +21,11 @@ import org.apache.spark.sql.types._
   * from-the-paper implementation writes down. Ties go to the LOWEST
   * centroid id (strict `<` keeps the first minimum).
   *
-  * Returns struct<cid int, d2 double>: the assignment and its squared
-  * distance from one pass, so inertia and radius metrics don't need a
-  * second scan.
+  * Returns struct<cid int, d2 double, d2b double>: the assignment, its
+  * squared distance, and the squared distance to the SECOND-nearest
+  * centroid — all from one pass, so inertia, radius, and
+  * silhouette-style separation metrics never need a second scan. With
+  * one centroid, `d2b` is NaN.
   */
 object KmeansKernel {
   /** argmin over `w.length / dim` centroids; sequential double math. */
@@ -41,16 +43,19 @@ object KmeansKernel {
     val k = w.length / dim
     var best = 0
     var bestV = Double.MaxValue
+    var secondV = Double.MaxValue
     var j = 0
     while (j < k) {
       val base = j * dim
       var d = 0.0
       i = 0
       while (i < dim) { val t = x(i) - w(base + i); d += t * t; i += 1 }
-      if (d < bestV) { bestV = d; best = j }
+      if (d < bestV) { secondV = bestV; bestV = d; best = j }
+      else if (d < secondV) { secondV = d }
       j += 1
     }
-    new GenericInternalRow(Array[Any](best, bestV))
+    new GenericInternalRow(Array[Any](best, bestV,
+      if (k < 2) Double.NaN else secondV))
   }
 }
 
@@ -136,7 +141,8 @@ case class KmeansAssign(child: Expression, weights: Array[Double], dim: Int)
     extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("cid", IntegerType, nullable = false),
-    StructField("d2", DoubleType, nullable = false)))
+    StructField("d2", DoubleType, nullable = false),
+    StructField("d2b", DoubleType, nullable = false)))
   override def nullIntolerant: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =

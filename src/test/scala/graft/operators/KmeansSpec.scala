@@ -143,6 +143,33 @@ class KmeansSpec extends SparkSpec {
     assert((brute & ivf).size >= brute.size / 2)
   }
 
+  test("qualityDf: tight separated clusters score near 1; zero-distance ties score 0") {
+    val pts = Seq(
+      (0L, Array(0.0, 0.0)), (1L, Array(0.2, 0.0)), (2L, Array(0.4, 0.0)),
+      (10L, Array(10.0, 0.0)), (11L, Array(10.2, 0.0)), (12L, Array(10.4, 0.0)))
+    val df = spark.createDataFrame(pts.map { case (i, v) => (i, v.toSeq) })
+      .toDF("vec_id", "embedding")
+    val m = Kmeans.fit(df, "embedding", "vec_id", k = 2, iters = 3)
+    val q = Kmeans.qualityDf(df, "embedding", "vec_id", m).collect()
+    assert(q.length == 2)
+    q.foreach { r =>
+      assert(r.getLong(1) == 3L)
+      // a <= 0.2, b ~ 9.8..10.2 -> silhouette ~ (b-a)/b > 0.97
+      assert(r.getDouble(2) > 0.97, s"silhouette ${r.getDouble(2)}")
+      assert(r.getDouble(3) < 0.21, s"avg_dist ${r.getDouble(3)}")
+    }
+    // a point sitting exactly ON two coincident centroids: a = b = 0
+    // -> the 0-by-convention branch (not NaN)
+    val m2 = Kmeans.Model(Array(Array(5.0), Array(5.0)))
+    val one = Seq((0L, Seq(5.0))).toDF("vec_id", "embedding")
+    val r2 = Kmeans.qualityDf(one, "embedding", "vec_id", m2).head()
+    assert(r2.getDouble(2) == 0.0 && r2.getDouble(3) == 0.0)
+    intercept[IllegalArgumentException] {
+      Kmeans.qualityDf(one, "embedding", "vec_id",
+        Kmeans.Model(Array(Array(5.0))))
+    }
+  }
+
   test("partitioned index serves identically to inline ivfTopK and PRUNES to probed cells") {
     val (rows, df) = synth(300, 8, parts = 4)
     val qs = rows.take(2).map { case (id, v) => (id, v) }

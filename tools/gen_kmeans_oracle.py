@@ -91,15 +91,19 @@ def init_centroids(rows, k):
 
 
 def assign_one(v, c):
-    best, best_d = 0, float("inf")
+    """(cid, d2, d2b) — own and second-nearest squared distances,
+    mirroring the engine kernel's one-pass best/second tracking."""
+    best, best_d, second_d = 0, float("inf"), float("inf")
     for j, w in enumerate(c):
         d = 0.0
         for i in range(len(w)):
             t = v[i] - w[i]
             d += t * t
         if d < best_d:
-            best_d, best = d, j
-    return best, best_d
+            second_d, best_d, best = best_d, d, j
+        elif d < second_d:
+            second_d = d
+    return best, best_d, second_d
 
 
 def fit(rows, k, iters):
@@ -109,7 +113,7 @@ def fit(rows, k, iters):
         sums = [[0] * dim for _ in range(k)]  # unscaled at 1e-9
         counts = [0] * k
         for _, v in rows:
-            j, _ = assign_one(v, c)
+            j, _, _ = assign_one(v, c)
             counts[j] += 1
             sj = sums[j]
             for i in range(dim):
@@ -140,7 +144,7 @@ def derive(sf_dir):
     c = fit(rows, K, ITERS)
     assigns = [(vid, *assign_one(v, c)) for vid, v in rows]
     counts = {}
-    for _, j, _ in assigns:
+    for _, j, _, _ in assigns:
         counts[j] = counts.get(j, 0) + 1
     centroids_df = pd.DataFrame(
         [(j, d, float(round_dec(c[j][d], E6)), counts.get(j, 0))
@@ -148,9 +152,28 @@ def derive(sf_dir):
         columns=["cid", "dim", "w", "n"]).astype(
         {"cid": "int64", "dim": "int64", "w": "float64", "n": "int64"})
     assign_df = pd.DataFrame(
-        [(vid, j, float(round_dec(d2, E6))) for vid, j, d2 in assigns],
+        [(vid, j, float(round_dec(d2, E6))) for vid, j, d2, _ in assigns],
         columns=["vec_id", "cid", "d2"]).astype(
         {"vec_id": "int64", "cid": "int64", "d2": "float64"})
+
+    # kmeans_quality: per-cluster mean simplified silhouette + mean
+    # own-centroid distance; per-row terms at scale 9, double means
+    qsums = {}
+    for _, j, d2, d2b in assigns:
+        a, b = d2 ** 0.5, d2b ** 0.5
+        m = a if a > b else b
+        s9 = 0 if m == 0.0 else int(round_dec((b - a) / m, E9).scaleb(9))
+        a9 = int(round_dec(a, E9).scaleb(9))
+        n, ss, aa = qsums.get(j, (0, 0, 0))
+        qsums[j] = (n + 1, ss + s9, aa + a9)
+    quality_df = pd.DataFrame(
+        [(j, n,
+          float(round_dec(float(Decimal(ss).scaleb(-9)) / n, E6)),
+          float(round_dec(float(Decimal(aa).scaleb(-9)) / n, E6)))
+         for j, (n, ss, aa) in sorted(qsums.items())],
+        columns=["cid", "n", "silhouette", "avg_dist"]).astype(
+        {"cid": "int64", "n": "int64", "silhouette": "float64",
+         "avg_dist": "float64"})
 
     # ann_ivf_kmeans: its own (smaller-iteration) model
     ci = fit(rows, IVF_K, IVF_ITERS)
@@ -175,24 +198,25 @@ def derive(sf_dir):
     con = connect(sf_dir)
     ne, he = con.execute(SIG_EMB_SQL).fetchone()
     con.close()
-    return (int(ne), int(he)), centroids_df, assign_df, ivf_df
+    return (int(ne), int(he)), centroids_df, assign_df, quality_df, ivf_df
 
 
 def main(outfile, sf_dirs):
     per_query = {"kmeans_centroids": [], "kmeans_assign": [],
-                 "ann_ivf_kmeans": []}
+                 "kmeans_quality": [], "ann_ivf_kmeans": []}
     guards, schema = [], {}
     for sf_dir in sf_dirs:
-        (ne, he), cdf, adf, idf = derive(sf_dir)
+        (ne, he), cdf, adf, qdf, idf = derive(sf_dir)
         guard = f"({emb_guard_sql(ne, he)})"
         guards.append(guard)
         print(f"  {sf_dir}: {len(cdf)} centroid rows, {len(adf)} assigns, "
-              f"{len(idf)} ivf rows (emb sig {ne}/{he})")
+              f"{len(qdf)} quality rows, {len(idf)} ivf rows (emb sig {ne}/{he})")
         per_query["kmeans_centroids"].append(branch_sql(cdf, guard))
         per_query["kmeans_assign"].append(branch_sql(adf, guard))
+        per_query["kmeans_quality"].append(branch_sql(qdf, guard))
         per_query["ann_ivf_kmeans"].append(branch_sql(idf, guard))
         schema = {"kmeans_centroids": cdf, "kmeans_assign": adf,
-                  "ann_ivf_kmeans": idf}
+                  "kmeans_quality": qdf, "ann_ivf_kmeans": idf}
     existing = json.load(open(outfile)) if os.path.exists(outfile) else {}
     existing["_meta_kmeans"] = (
         "k-means expected rows derived by tools/gen_kmeans_oracle.py — an "
