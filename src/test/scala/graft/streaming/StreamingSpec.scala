@@ -36,6 +36,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("k-means assignment runs stateless on a stream, matching batch") {
+    // kmeans_assign is a pure codegen expression (centroids ride in the
+    // expression), so a trained model serves a stream with no state —
+    // the online half of the cluster-routing story
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0 until 40).map { i =>
+      val rnd = new scala.util.Random(i * 31 + 5)
+      (i.toLong, Seq.fill(6)(rnd.nextDouble() * 2 - 1))
+    }
+    val batchDf = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val model = graft.operators.Kmeans.fit(batchDf, "embedding", "vec_id",
+      k = 4, iters = 2)
+    val expected = graft.operators.Kmeans.assign(
+      batchDf, "embedding", "vec_id", model)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    val input = MemoryStream[(Long, Seq[Double])]
+    val assigned = graft.operators.Kmeans.assign(
+      input.toDF().toDF("vec_id", "embedding"), "embedding", "vec_id", model)
+    val q = assigned.writeStream.format("memory").queryName("km_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.take(25): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(25): _*)
+      q.processAllAvailable()
+      val got = spark.table("km_stream").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(got == expected, "stream assignment diverged from batch")
+    } finally q.stop()
+  }
+
   test("PQ encoding runs stateless on a stream, matching batch") {
     // pq_encode is a pure codegen expression (codebook rides in the
     // expression), so an ingest pipeline can emit the compact codes
