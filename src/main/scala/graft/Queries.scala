@@ -1398,6 +1398,17 @@ object Queries {
           .select(col("vec_id"), col("cid"), round(col("d2"), 6).as("d2"))
       }),
 
+      // the farthest-first (Gonzalez) init path at sf scale: the
+      // quality option's centroid table, same independent derivation
+      "kmeans_farthest" -> ((s, dir) => {
+        val e = emb(s, dir)
+        val m = graft.operators.Kmeans.fit(e, "embedding", "vec_id",
+          k = 8, iters = 4, initMethod = "farthest")
+        graft.operators.Kmeans.centroidsDf(e, "embedding", "vec_id", m)
+          .select(col("cid"), col("dim"), round(col("w"), 6).as("w"),
+            col("n"))
+      }),
+
       // per-cluster quality: population, mean simplified silhouette
       // (own vs second-nearest centroid, both from the one argmin
       // pass), mean own-centroid distance — DECIMAL-exact means

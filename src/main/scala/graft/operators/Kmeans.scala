@@ -98,13 +98,48 @@ object Kmeans {
     rows.map(_.getSeq[Double](1).toArray)
   }
 
-  /** `iters` Lloyd's iterations from the seeded init. Empty clusters
-    * keep their previous centroid (the standard convention; the guard
-    * mirrors `_merge_updates`' zero-denominator rule).
+  /** Farthest-first traversal (Gonzalez k-center) init: seed with the
+    * md5-smallest row, then repeatedly add the vector FARTHEST from the
+    * chosen set (max over rows of min squared distance to the set, ties
+    * to the lowest id). Better-spread seeds than the hashed sample —
+    * the quality option when k is small and clusters matter more than
+    * init cost. k-1 extra scans, each a TakeOrdered top-1 (per-
+    * partition max, k-1 jobs over the cached projection); the min-
+    * distance-to-set IS the assignment kernel's `d2`, so no new kernel.
+    * Deterministic and independently replayable like the hashed init.
+    */
+  def initFarthestCentroids(df: DataFrame, vecCol: String, idCol: String,
+                            k: Int, salt: String = "km"): Array[Array[Double]] = {
+    require(k > 0, s"kmeans needs k > 0, got $k")
+    val data = slim(df, vecCol, idCol)
+    val first = initCentroids(data, "__v", "__id", 1, salt)
+    val picked = scala.collection.mutable.ArrayBuffer[Array[Double]](first(0))
+    val dim = first(0).length
+    while (picked.length < k) {
+      val flat = Model(picked.toArray).flat
+      val next = data
+        .select(col("__id"), col("__v"),
+          KmeansFunctions.kmeans_assign(col("__v"), flat, dim)
+            .getField("d2").as("d2"))
+        .orderBy(col("d2").desc, col("__id").asc)
+        .limit(1).collect()
+      require(next.nonEmpty, s"kmeans farthest init needs >= 1 vector")
+      picked += next(0).getSeq[Double](1).toArray
+    }
+    picked.toArray
+  }
+
+  /** `iters` Lloyd's iterations from the seeded init (`initMethod` =
+    * "hash" for the md5-keyed sample, "farthest" for Gonzalez
+    * farthest-first traversal). Empty clusters keep their previous
+    * centroid (the standard convention; the guard mirrors
+    * `_merge_updates`' zero-denominator rule).
     */
   def fit(df: DataFrame, vecCol: String, idCol: String, k: Int, iters: Int,
-          salt: String = "km"): Model = {
+          salt: String = "km", initMethod: String = "hash"): Model = {
     require(iters >= 0, s"kmeans needs iters >= 0, got $iters")
+    require(initMethod == "hash" || initMethod == "farthest",
+      s"initMethod must be 'hash' or 'farthest', got '$initMethod'")
     // the update sums each element's scale-9 decimal value (exact,
     // order-independent). Those per-element roundings never change
     // across iterations, so they are computed ONCE here (`vec_scale9`
@@ -115,7 +150,9 @@ object Kmeans {
       .withColumn("__vl", KmeansFunctions.vec_scale9(col("__v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val c = initCentroids(data, "__v", "__id", k, salt)
+      val c =
+        if (initMethod == "farthest") initFarthestCentroids(data, "__v", "__id", k, salt)
+        else initCentroids(data, "__v", "__id", k, salt)
       val dim = c(0).length
       var it = 0
       while (it < iters) {

@@ -18,13 +18,32 @@ class KmeansSpec extends SparkSpec {
     * operator (driver-side loops over plain collections).
     */
   private def naiveFit(rows: Seq[(Long, Array[Double])], k: Int,
-                       iters: Int, salt: String): Array[Array[Double]] = {
+                       iters: Int, salt: String,
+                       farthest: Boolean = false): Array[Array[Double]] = {
     def h(id: Long): String = {
       val md = java.security.MessageDigest.getInstance("MD5")
       md.digest(s"$salt:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
     }
-    val c = rows.sortBy { case (id, _) => (h(id), id) }.take(k)
-      .map(_._2.clone()).toArray
+    def d2To(v: Array[Double], set: Seq[Array[Double]]): Double =
+      set.map { w =>
+        var d = 0.0
+        for (i <- w.indices) { val t = v(i) - w(i); d += t * t }
+        d
+      }.min
+    val seeded = rows.sortBy { case (id, _) => (h(id), id) }
+    val c =
+      if (!farthest) seeded.take(k).map(_._2.clone()).toArray
+      else {
+        val picked = scala.collection.mutable.ArrayBuffer(seeded.head._2.clone())
+        while (picked.length < k) {
+          // max min-distance to the set, ties to the LOWEST id
+          val best = rows.map { case (id, v) =>
+            (d2To(v, picked.toSeq), id, v)
+          }.minBy { case (d, id, _) => (-d, id) }
+          picked += best._3.clone()
+        }
+        picked.toArray
+      }
     val dim = c(0).length
     for (_ <- 0 until iters) {
       val members = Array.fill(k)(List.newBuilder[Array[Double]])
@@ -68,6 +87,35 @@ class KmeansSpec extends SparkSpec {
     for (j <- 0 until 4)
       assert(got.centroids(j).sameElements(exp(j)),
         s"centroid $j diverged from the naive implementation")
+  }
+
+  test("farthest-first init == naive third implementation; picks the extremes") {
+    val (rows, df) = synth(80, 5, parts = 3)
+    val exp = naiveFit(rows, k = 3, iters = 3, salt = "spec", farthest = true)
+    val got = Kmeans.fit(df, "embedding", "vec_id", k = 3, iters = 3,
+      salt = "spec", initMethod = "farthest")
+    for (j <- 0 until 3)
+      assert(got.centroids(j).sameElements(exp(j)),
+        s"farthest-init centroid $j diverged from the naive implementation")
+
+    // geometry: on a line of points the second seed is the extreme
+    // farthest from the first, and the third matches the naive
+    // max-min-distance rule (ties at equal min-distance go to the
+    // LOWEST id — e.g. first=7 picks 0, then 3, not the far end: ids
+    // 3, 4 and 10 all sit at min-d2 = 9 from {7, 0})
+    val line = (0L until 11L).map(i => (i, Seq(i.toDouble)))
+    val ldf = spark.createDataFrame(line).toDF("vec_id", "embedding")
+    val init = Kmeans.initFarthestCentroids(ldf, "embedding", "vec_id", k = 3)
+    val first = init(0)(0)
+    assert(init(1)(0) == (if (first <= 5.0) 10.0 else 0.0),
+      s"second seed ${init(1)(0)} is not the extreme farthest from $first")
+    val naiveLine = naiveFit(line.map { case (i, v) => (i, v.toArray) },
+      k = 3, iters = 0, salt = "km", farthest = true)
+    assert(init.map(_(0)).sameElements(naiveLine.map(_(0))))
+    intercept[IllegalArgumentException] {
+      Kmeans.fit(ldf, "embedding", "vec_id", k = 2, iters = 1,
+        initMethod = "kmeans++")
+    }
   }
 
   test("hand geometry: two obvious clusters land on their means") {

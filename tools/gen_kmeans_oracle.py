@@ -106,8 +106,22 @@ def assign_one(v, c):
     return best, best_d, second_d
 
 
-def fit(rows, k, iters):
-    c = init_centroids(rows, k)
+def init_farthest(rows, k):
+    """Gonzalez farthest-first traversal: md5-smallest seed, then the
+    max-min-squared-distance point (ties to the lowest id) k-1 times."""
+    picked = [list(init_centroids(rows, 1)[0])]
+    while len(picked) < k:
+        best_id, best_d, best_v = None, -1.0, None
+        for vid, v in rows:
+            d = assign_one(v, picked)[1]
+            if d > best_d or (d == best_d and vid < best_id):
+                best_id, best_d, best_v = vid, d, v
+        picked.append(list(best_v))
+    return picked
+
+
+def fit(rows, k, iters, init="hash"):
+    c = init_farthest(rows, k) if init == "farthest" else init_centroids(rows, k)
     dim = len(c[0])
     for _ in range(iters):
         sums = [[0] * dim for _ in range(k)]  # unscaled at 1e-9
@@ -175,6 +189,18 @@ def derive(sf_dir):
         {"cid": "int64", "n": "int64", "silhouette": "float64",
          "avg_dist": "float64"})
 
+    # kmeans_farthest: the Gonzalez-init path at sf scale (k=8, 4 iters)
+    cf = fit(rows, 8, 4, init="farthest")
+    fcounts = {}
+    for _, v in rows:
+        j = assign_one(v, cf)[0]
+        fcounts[j] = fcounts.get(j, 0) + 1
+    farthest_df = pd.DataFrame(
+        [(j, d, float(round_dec(cf[j][d], E6)), fcounts.get(j, 0))
+         for j in range(8) for d in range(len(cf[0]))],
+        columns=["cid", "dim", "w", "n"]).astype(
+        {"cid": "int64", "dim": "int64", "w": "float64", "n": "int64"})
+
     # ann_ivf_kmeans: its own (smaller-iteration) model
     ci = fit(rows, IVF_K, IVF_ITERS)
     cells = {vid: assign_one(v, ci)[0] for vid, v in rows}
@@ -198,15 +224,16 @@ def derive(sf_dir):
     con = connect(sf_dir)
     ne, he = con.execute(SIG_EMB_SQL).fetchone()
     con.close()
-    return (int(ne), int(he)), centroids_df, assign_df, quality_df, ivf_df
+    return (int(ne), int(he)), centroids_df, assign_df, quality_df, farthest_df, ivf_df
 
 
 def main(outfile, sf_dirs):
     per_query = {"kmeans_centroids": [], "kmeans_assign": [],
-                 "kmeans_quality": [], "ann_ivf_kmeans": []}
+                 "kmeans_quality": [], "kmeans_farthest": [],
+                 "ann_ivf_kmeans": []}
     guards, schema = [], {}
     for sf_dir in sf_dirs:
-        (ne, he), cdf, adf, qdf, idf = derive(sf_dir)
+        (ne, he), cdf, adf, qdf, fdf, idf = derive(sf_dir)
         guard = f"({emb_guard_sql(ne, he)})"
         guards.append(guard)
         print(f"  {sf_dir}: {len(cdf)} centroid rows, {len(adf)} assigns, "
@@ -214,9 +241,11 @@ def main(outfile, sf_dirs):
         per_query["kmeans_centroids"].append(branch_sql(cdf, guard))
         per_query["kmeans_assign"].append(branch_sql(adf, guard))
         per_query["kmeans_quality"].append(branch_sql(qdf, guard))
+        per_query["kmeans_farthest"].append(branch_sql(fdf, guard))
         per_query["ann_ivf_kmeans"].append(branch_sql(idf, guard))
         schema = {"kmeans_centroids": cdf, "kmeans_assign": adf,
-                  "kmeans_quality": qdf, "ann_ivf_kmeans": idf}
+                  "kmeans_quality": qdf, "kmeans_farthest": fdf,
+                  "ann_ivf_kmeans": idf}
     existing = json.load(open(outfile)) if os.path.exists(outfile) else {}
     existing["_meta_kmeans"] = (
         "k-means expected rows derived by tools/gen_kmeans_oracle.py — an "

@@ -130,7 +130,8 @@ def main(out_dir="/tmp/edgecorpus", sf_dir="/root/testdata/sf0.001"):
            "standard sf corpora; re-run tools/gen_bpe_oracle.py over "
            "this corpus for a live derivation")
     independent = ["bpe_merges", "bpe_encode_stats", "kmeans_centroids",
-                   "kmeans_assign", "kmeans_quality", "ann_ivf_kmeans"]
+                   "kmeans_assign", "kmeans_quality", "kmeans_farthest",
+                   "ann_ivf_kmeans"]
     skips = {"som_train_activation_response": reason,
              # the same seeded replay forced onto the distributed epoch
              # loop (localFitThreshold=0) — identical degeneracy
