@@ -40,7 +40,8 @@ object Explain {
         "bucketed_meta_join", "docs_jsonl_source",
         "events_props_extract", "routed_lang_read", "redact_pii",
         "export_manifest", "oov_rate", "bm25_topk", "dsir_weights",
-        "dsir_sample").foreach(show)
+        "dsir_sample", "bm25_indexed", "kmeans_assign", "kmeans_quality",
+        "ann_ivf_kmeans").foreach(show)
     spark.stop()
   }
 }
