@@ -184,6 +184,23 @@ object Kmeans {
     } finally { data.unpersist(); () }
   }
 
+  /** One assignment-and-reduce pass: per cluster, the exact scale-9
+    * per-dimension sums and member count of `df` under `model`'s
+    * centroids — the building block of one Lloyd's iteration, exposed
+    * for incremental (micro-batch) training. Collects ≤ k rows.
+    */
+  def assignSums(df: DataFrame, vecCol: String, idCol: String,
+                 model: Model): Seq[(Int, Array[Long], Long)] =
+    slim(df, vecCol, idCol)
+      .select(KmeansFunctions.kmeans_assign(col("__v"), model.flat, model.dim)
+        .getField("cid").as("cid"),
+        KmeansFunctions.vec_scale9(col("__v")).as("__vl"))
+      .groupBy("cid")
+      .agg(KmeansFunctions.vec_sum_count(col("__vl"), model.dim).as("sc"))
+      .select(col("cid"), col("sc.sums"), col("sc.n"))
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+
   /** One assignment pass: (vec_id, cid, d2) for every non-null vector —
     * a single codegen scan, no shuffle.
     */

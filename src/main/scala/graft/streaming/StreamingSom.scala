@@ -334,6 +334,50 @@ object StreamingSom {
     }
   }
 
+  /** Incremental k-means (mini-batch, Sculley 2010 shape): call
+    * `update` from `foreachBatch`. Cumulative per-cluster scale-9 sums
+    * and counts accumulate across micro-batches — each batch is
+    * assigned under the CURRENT centroids (one codegen scan + the
+    * `VecSumCount` partial aggregate, ≤ k rows collected), then every
+    * touched centroid moves to its cumulative exact mean. One update
+    * over the whole dataset therefore equals one batch Lloyd's
+    * iteration (spec-pinned); clusters no batch has touched keep their
+    * initial centroid. Deterministic given the micro-batch sequence.
+    */
+  final class IncrementalKmeans(initial: graft.operators.Kmeans.Model)
+      extends Serializable {
+    import graft.operators.Kmeans
+    @volatile private var c: Array[Array[Double]] =
+      initial.centroids.map(_.clone())
+    private val sums = Array.fill(initial.k)(new Array[Long](initial.dim))
+    private val counts = new Array[Long](initial.k)
+
+    def model: Kmeans.Model = Kmeans.Model(c.map(_.clone()))
+
+    def update(batch: DataFrame, vecCol: String, idCol: String): Unit =
+      synchronized {
+        if (!batch.isEmpty) {
+          val next = c.map(_.clone())
+          Kmeans.assignSums(batch, vecCol, idCol, Kmeans.Model(c))
+            .foreach { case (cid, s, n) =>
+              var d = 0
+              while (d < initial.dim) {
+                sums(cid)(d) = Math.addExact(sums(cid)(d), s(d)); d += 1
+              }
+              counts(cid) = Math.addExact(counts(cid), n)
+              d = 0
+              while (d < initial.dim) {
+                next(cid)(d) = java.math.BigDecimal.valueOf(sums(cid)(d), 9)
+                  .divide(java.math.BigDecimal.valueOf(counts(cid)), 9,
+                    java.math.RoundingMode.HALF_UP).doubleValue
+                d += 1
+              }
+            }
+          c = next
+        }
+      }
+  }
+
   /** Incremental trainer: call `update` from `foreachBatch`. Each
     * micro-batch runs one epoch (broadcast + deterministic tree combine +
     * merge) at the

@@ -68,6 +68,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental k-means over micro-batches: one full batch == one Lloyd's iteration, inertia drops") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0 until 60).map { i =>
+      val rnd = new scala.util.Random(i * 17 + 3)
+      (i.toLong, Seq.fill(5)(rnd.nextDouble() * 2 - 1))
+    }
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val init = graft.operators.Kmeans.Model(
+      graft.operators.Kmeans.initCentroids(df, "embedding", "vec_id", 4))
+
+    // ONE update over the whole dataset == one batch Lloyd's iteration
+    // (fit with the same salt/k and iters=1)
+    val inc1 = new StreamingSom.IncrementalKmeans(init)
+    inc1.update(df, "embedding", "vec_id")
+    val oneIter = graft.operators.Kmeans.fit(df, "embedding", "vec_id",
+      k = 4, iters = 1)
+    for (j <- 0 until 4)
+      assert(inc1.model.centroids(j).sameElements(oneIter.centroids(j)),
+        s"one-shot incremental update diverged from fit(iters=1) at $j")
+
+    // streamed micro-batches == the same updates applied sequentially,
+    // and the final model's inertia beats the init's
+    val trainer = new StreamingSom.IncrementalKmeans(init)
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        trainer.update(b, "embedding", "vec_id")
+      }.start()
+    try {
+      input.addData(rows.take(30): _*); q.processAllAvailable()
+      input.addData(rows.drop(30): _*); q.processAllAvailable()
+    } finally q.stop()
+    val replay = new StreamingSom.IncrementalKmeans(init)
+    replay.update(spark.createDataFrame(rows.take(30))
+      .toDF("vec_id", "embedding"), "embedding", "vec_id")
+    replay.update(spark.createDataFrame(rows.drop(30))
+      .toDF("vec_id", "embedding"), "embedding", "vec_id")
+    for (j <- 0 until 4)
+      assert(trainer.model.centroids(j).sameElements(replay.model.centroids(j)),
+        s"streamed updates diverged from the sequential replay at $j")
+    def inertia(m: graft.operators.Kmeans.Model): Double =
+      graft.operators.Kmeans.assign(df, "embedding", "vec_id", m)
+        .agg(org.apache.spark.sql.functions.sum("d2")).head().getDouble(0)
+    assert(inertia(trainer.model) < inertia(init),
+      "incremental training did not reduce inertia")
+  }
+
   test("PQ encoding runs stateless on a stream, matching batch") {
     // pq_encode is a pure codegen expression (codebook rides in the
     // expression), so an ingest pipeline can emit the compact codes
