@@ -318,6 +318,34 @@ object Similarity {
     cb
   }
 
+  /** TRAINED per-subspace PQ codebooks via k-means — the PQ
+    * literature's standard subquantizer (Jégou et al. 2011 train one
+    * k-means per subspace): `m` Lloyd's fits over sliced subvectors,
+    * flattened into the [[PqEncode]] layout. Same serving path as the
+    * SOM-ring variant ([[pqTrainCodebook]]); pick this one when
+    * centroid QUALITY is the goal (no neighborhood smoothing pulls
+    * centroids off the data), the SOM one when the codebook should
+    * inherit the engine's topological ordering. Deterministic
+    * (md5-seeded per-subspace salt).
+    */
+  def pqTrainCodebookKmeans(df: DataFrame, vecCol: String, idCol: String,
+                            m: Int, k: Int, iters: Int = 4): Array[Double] = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    val cb = new Array[Double](m * k * subDim)
+    for (j <- 0 until m) {
+      val sub = df.select(col(idCol).cast("long").as("id"),
+        slice(col(vecCol), j * subDim + 1, subDim).as("sub"))
+      val model = graft.operators.Kmeans.fit(sub, "sub", "id", k, iters,
+        salt = s"pq$j")
+      for (c <- 0 until k)
+        System.arraycopy(model.centroids(c), 0, cb,
+          (j * k + c) * subDim, subDim)
+    }
+    cb
+  }
+
   /** Encode every vector into `m` PQ codes — one codegen'd scan, output
     * m small ints per row (~32x smaller than float32 at subDim=8). At
     * 100 TB the encoded table is what you keep hot: ADC serving never

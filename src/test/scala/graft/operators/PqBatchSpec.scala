@@ -19,6 +19,41 @@ class PqBatchSpec extends SparkSpec {
     df.collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
 
+  test("k-means-trained PQ codebooks: same layout, lower quantization error than sampling") {
+    val vecs = mkVecs(400).persist()
+    try {
+      val (m, k) = (4, 4)
+      val subDim = 2
+      val cbKm = Similarity.pqTrainCodebookKmeans(vecs, "embedding", "vec_id",
+        m = m, k = k, iters = 4)
+      assert(cbKm.length == m * k * subDim)
+      // deterministic: a second training run is bit-identical
+      assert(cbKm.sameElements(Similarity.pqTrainCodebookKmeans(
+        vecs, "embedding", "vec_id", m = m, k = k, iters = 4)))
+      // serving runs unchanged on the same layout
+      val codes = Similarity.pqEncode(vecs, "embedding", "vec_id", cbKm, m, k)
+      assert(codes.count() == 400)
+      // quality: per-subspace quantization error (mean d2 of each
+      // subvector to its nearest centroid) beats the first-k-by-id
+      // sampled codebook on every subspace
+      val sample = Similarity.pqCodebookFromRows(
+        vecs.orderBy("vec_id").limit(k).collect()
+          .map(_.getSeq[Float](1).map(_.toDouble).toArray).toSeq, m)
+      def qe(cb: Array[Double], j: Int): Double = {
+        val sub = vecs.select(col("vec_id").as("id"),
+          slice(col("embedding"), j * subDim + 1, subDim).as("sub"))
+        val centroids = (0 until k).map(c =>
+          java.util.Arrays.copyOfRange(cb, (j * k + c) * subDim,
+            (j * k + c + 1) * subDim)).toArray
+        Kmeans.assign(sub, "sub", "id", Kmeans.Model(centroids))
+          .agg(avg(col("d2"))).head().getDouble(0)
+      }
+      for (j <- 0 until m)
+        assert(qe(cbKm, j) < qe(sample, j),
+          s"k-means codebook not better than sampling on subspace $j")
+    } finally { vecs.unpersist(); () }
+  }
+
   test("pqTopKFromCodesBatch == pqTopKFromCodes, including self-exclusion and ties") {
     val vecs = mkVecs(300)
     val cb = Similarity.pqTrainCodebook(vecs, "embedding", m = 4, k = 4)
