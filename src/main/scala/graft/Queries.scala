@@ -1409,6 +1409,17 @@ object Queries {
             col("n"))
       }),
 
+      // cluster-balanced selection: a fixed content-keyed sample per
+      // embedding cluster (the SemDeDup/DataComp-style density
+      // flattener) — bounded-heap per cell, no window
+      "kmeans_balanced_sample" -> ((s, dir) => {
+        val e = emb(s, dir)
+        val m = graft.operators.Kmeans.fit(e, "embedding", "vec_id",
+          k = 8, iters = 6)
+        graft.operators.Kmeans.balancedSample(e, "embedding", "vec_id", m,
+          perCell = 20)
+      }),
+
       // per-cluster quality: population, mean simplified silhouette
       // (own vs second-nearest centroid, both from the one argmin
       // pass), mean own-centroid distance — DECIMAL-exact means

@@ -262,6 +262,32 @@ object Kmeans {
         round(col("asum").cast("double") / col("n"), 6).as("avg_dist"))
   }
 
+  /** Cluster-balanced sampling: a fixed-size, content-keyed sample PER
+    * EMBEDDING CLUSTER — the SemDeDup/DataComp-style selection that
+    * flattens a corpus's semantic density (oversampled topics
+    * contribute the same n rows as rare ones). One assignment scan
+    * feeds the bounded-heap `topn_smallest` aggregate (k groups, ≤
+    * `perCell` pairs of state per group per partition — no window, no
+    * corpus shuffle); the sample key is `(md5(salt:id), id)`, so the
+    * selection is deterministic, partitioning-invariant and
+    * independently replayable. Returns (cid, vec_id), ≤ k × perCell
+    * rows.
+    */
+  def balancedSample(df: DataFrame, vecCol: String, idCol: String,
+                     model: Model, perCell: Int,
+                     salt: String = "bs"): DataFrame = {
+    require(perCell > 0, s"balancedSample needs perCell > 0, got $perCell")
+    slim(df, vecCol, idCol)
+      .select(KmeansFunctions.kmeans_assign(col("__v"), model.flat, model.dim)
+        .getField("cid").cast("long").as("cid"),
+        md5(concat_ws(":", lit(salt), col("__id"))).as("__h"), col("__id"))
+      .groupBy("cid")
+      .agg(graft.plans.TopNFunctions.topn_smallest(col("__h"), col("__id"),
+        perCell).as("picked"))
+      .select(col("cid"), explode(col("picked")).as("p"))
+      .select(col("cid"), col("p.id").as("vec_id"))
+  }
+
   /** IVF ANN with a k-means coarse quantizer: assign the corpus to its
     * nearest centroid, probe only the `nProbe` cells whose centroids
     * are closest to each query, cosine-rank inside them. The sibling of

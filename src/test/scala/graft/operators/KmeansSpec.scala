@@ -261,6 +261,26 @@ class KmeansSpec extends SparkSpec {
     }
   }
 
+  test("balancedSample: exact n per populous cell, undersized cells keep all, invariant") {
+    val (_, df) = synth(200, 4, parts = 5)
+    val m = Kmeans.fit(df, "embedding", "vec_id", k = 4, iters = 3)
+    val sizes = Kmeans.assign(df, "embedding", "vec_id", m)
+      .groupBy("cid").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sample = Kmeans.balancedSample(df, "embedding", "vec_id", m, perCell = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val perCell = sample.groupBy(_._1).view.mapValues(_.length).toMap
+    sizes.foreach { case (cid, n) =>
+      assert(perCell(cid) == math.min(15L, n).toInt,
+        s"cell $cid: ${perCell(cid)} sampled of $n")
+    }
+    assert(sample.map(_._2).distinct.length == sample.length, "duplicate picks")
+    // content-keyed: repartitioning does not move the selection
+    val again = Kmeans.balancedSample(df.repartition(13), "embedding",
+      "vec_id", m, perCell = 15).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sample.sorted.sameElements(again.sorted))
+  }
+
   test("scale9 fast path == BigDecimal derivation on adversarial values") {
     def slow(x: Double): Long =
       new java.math.BigDecimal(java.lang.Double.toString(x))

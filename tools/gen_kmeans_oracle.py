@@ -201,6 +201,18 @@ def derive(sf_dir):
         columns=["cid", "dim", "w", "n"]).astype(
         {"cid": "int64", "dim": "int64", "w": "float64", "n": "int64"})
 
+    # kmeans_balanced_sample: per cell, the 20 rows with the smallest
+    # (md5("bs:" + vec_id), vec_id) — same model as centroids/assign
+    bs = []
+    for vid, j, _, _ in assigns:
+        bs.append((j, hashlib.md5(f"bs:{vid}".encode()).hexdigest(), vid))
+    bal = []
+    for j in sorted({c for c, _, _ in bs}):
+        cell = sorted([(h, vid) for c, h, vid in bs if c == j])[:20]
+        bal.extend((j, vid) for _, vid in cell)
+    balanced_df = pd.DataFrame(bal, columns=["cid", "vec_id"]).astype(
+        {"cid": "int64", "vec_id": "int64"})
+
     # ann_ivf_kmeans: its own (smaller-iteration) model
     ci = fit(rows, IVF_K, IVF_ITERS)
     cells = {vid: assign_one(v, ci)[0] for vid, v in rows}
@@ -224,16 +236,16 @@ def derive(sf_dir):
     con = connect(sf_dir)
     ne, he = con.execute(SIG_EMB_SQL).fetchone()
     con.close()
-    return (int(ne), int(he)), centroids_df, assign_df, quality_df, farthest_df, ivf_df
+    return (int(ne), int(he)), centroids_df, assign_df, quality_df, farthest_df, balanced_df, ivf_df
 
 
 def main(outfile, sf_dirs):
     per_query = {"kmeans_centroids": [], "kmeans_assign": [],
                  "kmeans_quality": [], "kmeans_farthest": [],
-                 "ann_ivf_kmeans": []}
+                 "kmeans_balanced_sample": [], "ann_ivf_kmeans": []}
     guards, schema = [], {}
     for sf_dir in sf_dirs:
-        (ne, he), cdf, adf, qdf, fdf, idf = derive(sf_dir)
+        (ne, he), cdf, adf, qdf, fdf, bdf, idf = derive(sf_dir)
         guard = f"({emb_guard_sql(ne, he)})"
         guards.append(guard)
         print(f"  {sf_dir}: {len(cdf)} centroid rows, {len(adf)} assigns, "
@@ -242,10 +254,11 @@ def main(outfile, sf_dirs):
         per_query["kmeans_assign"].append(branch_sql(adf, guard))
         per_query["kmeans_quality"].append(branch_sql(qdf, guard))
         per_query["kmeans_farthest"].append(branch_sql(fdf, guard))
+        per_query["kmeans_balanced_sample"].append(branch_sql(bdf, guard))
         per_query["ann_ivf_kmeans"].append(branch_sql(idf, guard))
         schema = {"kmeans_centroids": cdf, "kmeans_assign": adf,
                   "kmeans_quality": qdf, "kmeans_farthest": fdf,
-                  "ann_ivf_kmeans": idf}
+                  "kmeans_balanced_sample": bdf, "ann_ivf_kmeans": idf}
     existing = json.load(open(outfile)) if os.path.exists(outfile) else {}
     existing["_meta_kmeans"] = (
         "k-means expected rows derived by tools/gen_kmeans_oracle.py — an "
