@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -336,6 +335,7 @@ object Kmeans {
                    k: Int, nProbe: Int): DataFrame = {
     require(k > 0, s"topKAssigned needs k > 0, got $k")
     require(nProbe > 0, s"topKAssigned needs nProbe > 0, got $nProbe")
+    require(queries.nonEmpty, "topKAssigned needs at least one query")
     val spark = assigned.sparkSession
     val probe = queries.flatMap { case (qid, q) =>
       model.nearest(q, nProbe).map(c => (qid, c.toLong))
@@ -344,16 +344,22 @@ object Kmeans {
     val qDf = spark.createDataFrame(
       queries.map { case (qid, v) => (qid, v.toSeq) }).toDF("qid", "qv")
     val probedCells = probe.map(_._2).distinct
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    // bounded-heap top-k on (-sim, nid): ascending heap order ==
+    // (sim desc, nid asc). A per-qid row_number window would funnel
+    // each query's ENTIRE probed-cell candidate set through one task;
+    // the aggregate reduces every partition to <= k pairs per query
+    // BEFORE the exchange (the BM25/DSIR selection shape).
     assigned.where(col("cid").isin(probedCells: _*))
       .join(broadcast(probeDf), "cid")
       .join(broadcast(qDf), "qid")
       .where(col(idCol) =!= col("qid"))
       .select(col("qid"), col(idCol).cast("long").as("nid"),
         graft.plans.VecFunctions.vec_cosine(col(vecCol), col("qv")).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
-        round(col("sim"), 6).as("sim"))
+      .groupBy("qid")
+      .agg(graft.plans.TopNFunctions.topn_smallest_by_double(
+        negate(col("sim")), col("nid"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("r", "p")))
+      .select(col("qid"), (col("r") + 1).cast("long").as("rank"),
+        col("p.id").as("nid"), round(negate(col("p.s")), 6).as("sim"))
   }
 }
