@@ -146,22 +146,28 @@ object Similarity {
       .select(col("nid"), col("__v"),
         posexplode(col("__b")).as(Seq("table", "bucket")))
 
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
     // rerank BEFORE deduplicating: the multi-table candidate dedup then
     // shuffles only (qid, nid, sim) — 24 bytes — instead of dragging the
     // full embedding through the distinct (3 KB+ per row at 768-dim
     // scale). Cosine is deterministic per (qid, nid), so distinct on the
     // scored rows yields the identical candidate set; the re-scored
     // duplicates are bounded by numTables and cost CPU, not shuffle.
+    // The distinct must run BEFORE the top-k heap (a nid hit in several
+    // tables would otherwise occupy several rank slots); after it, the
+    // bounded-heap aggregate reduces each partition to <= k pairs per
+    // query before the final exchange — a per-qid row_number window
+    // would funnel every query's whole candidate set through one task.
     bucketed.join(broadcast(probeDf), Seq("table", "bucket"))
       .where(col("nid") =!= col("qid"))
       .join(broadcast(qDf), "qid")
       .select(col("qid"), col("nid"), cosine(col("__v"), col("qv")).as("sim"))
       .distinct()
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
-              round(col("sim"), 6).as("sim"))
+      .groupBy("qid")
+      .agg(graft.plans.TopNFunctions.topn_smallest_by_double(
+        negate(col("sim")), col("nid"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("r", "p")))
+      .select(col("qid"), (col("r") + 1).cast("long").as("rank"),
+              col("p.id").as("nid"), round(negate(col("p.s")), 6).as("sim"))
   }
 
   /** IVF-style ANN: train a small SOM as the coarse quantizer, assign
@@ -229,13 +235,15 @@ object Similarity {
     val probeDf = spark.createDataFrame(probe).toDF("qid", "bmu_id")
     val qDf = spark.createDataFrame(
       queries.map { case (qid, v) => (qid, v.toSeq) }).toDF("qid", "qv")
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
     // the probed cell set is driver-known and tiny, so pruning is an
     // EXPLICIT isin on the partition column — static partition pruning,
     // guaranteed on a [[writeAssignedIndex]] read (PartitionFilters in
     // the scan; only probed directories are listed), rather than
     // relying on the optimizer's dynamic-pruning heuristics to derive
-    // it from the probe join
+    // it from the probe join. The top-k cut is the bounded-heap
+    // aggregate (<= k pairs per query cross the wire from every map
+    // task); a per-qid window would rank each query's whole probed-cell
+    // population in one task.
     val probedCells = probe.map(_._2).distinct
     assigned.where(col("bmu_id").isin(probedCells: _*))
       .join(broadcast(probeDf), "bmu_id")
@@ -243,10 +251,12 @@ object Similarity {
       .where(col(idCol) =!= col("qid"))
       .select(col("qid"), col(idCol).cast("long").as("nid"),
               cosine(col(vecCol), col("qv")).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
-              round(col("sim"), 6).as("sim"))
+      .groupBy("qid")
+      .agg(graft.plans.TopNFunctions.topn_smallest_by_double(
+        negate(col("sim")), col("nid"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("r", "p")))
+      .select(col("qid"), (col("r") + 1).cast("long").as("rank"),
+              col("p.id").as("nid"), round(negate(col("p.s")), 6).as("sim"))
   }
 
   /** Per-group embedding centroids (class centroids): element-wise mean
