@@ -98,6 +98,15 @@ class CodegenGuardSpec extends SparkSpec {
       assert(bmus.map(_.getInt(0)).toSeq == Seq(1, 1))
       assert(bmus.map(_.getDouble(1)).forall(_ >= 0.0))
 
+      // k-means kernels: struct-returning argmin + the scale-9 array
+      val km = vecs.select(
+          KmeansFunctions.kmeans_assign(col("v"), weights, 3).as("a"),
+          KmeansFunctions.vec_scale9(col("v")).as("vl"))
+        .collect()
+      assert(km.map(_.getStruct(0).getInt(0)).toSeq == Seq(1, 1))
+      assert(km.forall(_.getStruct(0).getDouble(1) >= 0.0))
+      assert(km.head.getSeq[Long](1).length == 3)
+
       // PQ: m=1 subspace of 3 dims, 2 centroids = the two vectors
       // themselves; each encodes to itself and ADC to an all-zeros
       // table is 0
