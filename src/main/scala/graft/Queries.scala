@@ -1409,6 +1409,17 @@ object Queries {
             col("n"))
       }),
 
+      // SemDeDup with the paper's own quantizer (k-means cells) — the
+      // SOM-celled dedup_semantic's sibling; same pair/resolve core
+      "dedup_semantic_kmeans" -> ((s, dir) => {
+        val e = emb(s, dir)
+        val m = graft.operators.Kmeans.fit(e, "embedding", "vec_id",
+          k = 8, iters = 6)
+        graft.operators.Dedup.semanticDupClustersKmeans(e, "embedding",
+            "vec_id", m, threshold = 0.25)
+          .select(col("id").as("vec_id"), col("cid"), col("keep_id"))
+      }),
+
       // cluster-balanced selection: a fixed content-keyed sample per
       // embedding cluster (the SemDeDup/DataComp-style density
       // flattener) — bounded-heap per cell, no window

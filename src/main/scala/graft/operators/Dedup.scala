@@ -765,21 +765,45 @@ object Dedup {
     */
   def semanticDupClusters(df: DataFrame, vecCol: String, idCol: String,
                           model: graft.som.SomModel,
-                          threshold: Double): DataFrame = {
-    val slim = model.transform(df, vecCol)
-      .select(col(idCol).cast("long").as("id"), col("bmu_id"),
-        col(vecCol).as("v"))
+                          threshold: Double): DataFrame =
+    semanticDupFromAssigned(
+      model.transform(df, vecCol)
+        .select(col(idCol).cast("long").as("id"),
+          col("bmu_id").cast("long").as("__cell"), col(vecCol).as("v")),
+      threshold, "bmu_id")
+
+  /** [[semanticDupClusters]] with the SemDeDup paper's own quantizer
+    * (Abbas et al. 2023 cluster with k-means): identical pair /
+    * resolve / report machinery over [[Kmeans]] cells. Returns
+    * (id, cid, keep_id) for every duplicate-component member.
+    */
+  def semanticDupClustersKmeans(df: DataFrame, vecCol: String,
+                                idCol: String,
+                                model: graft.operators.Kmeans.Model,
+                                threshold: Double): DataFrame =
+    semanticDupFromAssigned(
+      df.where(col(vecCol).isNotNull)
+        .select(col(idCol).cast("long").as("id"),
+          graft.plans.KmeansFunctions.kmeans_assign(
+              col(vecCol).cast("array<double>"), model.flat, model.dim)
+            .getField("cid").cast("long").as("__cell"),
+          col(vecCol).as("v")),
+      threshold, "cid")
+
+  /** The quantizer-agnostic core: `slimIn` is (id, __cell, v). */
+  private def semanticDupFromAssigned(slimIn: DataFrame, threshold: Double,
+                                      cellName: String): DataFrame = {
+    val slim = slimIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one cached scan feeds both join sides and the final re-attach
     val pairs = slim.as("a").join(slim.as("b"),
-        col("a.bmu_id") === col("b.bmu_id") && col("b.id") > col("a.id"))
+        col("a.__cell") === col("b.__cell") && col("b.id") > col("a.id"))
       .where(round(Similarity.cosine(col("a.v"), col("b.v")), 6) >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     val clusters = resolveDuplicateClusters(pairs)
-    val out = slim.select(col("id"), col("bmu_id"))
+    val out = slim.select(col("id"), col("__cell"))
       .join(clusters, "id")
-      .select(col("id"), col("bmu_id").cast("long").as("bmu_id"),
-        col("keep_id"))
+      .select(col("id"), col("__cell").as(cellName), col("keep_id"))
       .localCheckpoint(true)
     org.apache.spark.sql.GraftBridge.freeCheckpoint(clusters)
     slim.unpersist(blocking = false)

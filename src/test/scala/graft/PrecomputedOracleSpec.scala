@@ -61,7 +61,8 @@ class PrecomputedOracleSpec extends AnyFunSuite {
     assert(IndependentOracles.sql.keySet ==
       Set("bpe_merges", "bpe_encode_stats", "kmeans_centroids",
         "kmeans_assign", "kmeans_quality", "kmeans_farthest",
-        "kmeans_balanced_sample", "ann_ivf_kmeans"))
+        "kmeans_balanced_sample", "dedup_semantic_kmeans",
+        "ann_ivf_kmeans"))
     IndependentOracles.sql.foreach { case (name, sql) =>
       assert(sql.startsWith("-- INDEPENDENT oracle"), s"$name lacks provenance header")
       assert(sql.contains("FROM (VALUES"), s"$name is not a VALUES oracle")

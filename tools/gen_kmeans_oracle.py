@@ -213,6 +213,38 @@ def derive(sf_dir):
     balanced_df = pd.DataFrame(bal, columns=["cid", "vec_id"]).astype(
         {"cid": "int64", "vec_id": "int64"})
 
+    # dedup_semantic_kmeans: SemDeDup over the SAME k=8/6-iter model —
+    # within-cell pairs with round6(cosine) >= 0.25, connected
+    # components via union-find, keep = min id; members of non-trivial
+    # components only
+    TH = 0.25
+    cells_by_id = {vid: j for vid, j, _, _ in assigns}
+    by_cell = {}
+    for vid, v in rows:
+        by_cell.setdefault(cells_by_id[vid], []).append((vid, v))
+    parent = {}
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    dup_ids = set()
+    for j, members in by_cell.items():
+        members.sort()
+        for ai in range(len(members)):
+            for bi in range(ai + 1, len(members)):
+                (ia, va), (ib, vb) = members[ai], members[bi]
+                if float(round_dec(cosine(va, vb), E6)) >= TH:
+                    union(ia, ib)
+                    dup_ids.add(ia); dup_ids.add(ib)
+    sem = sorted((vid, cells_by_id[vid], find(vid)) for vid in dup_ids)
+    sem_df = pd.DataFrame(sem, columns=["vec_id", "cid", "keep_id"]).astype(
+        {"vec_id": "int64", "cid": "int64", "keep_id": "int64"})
+
     # ann_ivf_kmeans: its own (smaller-iteration) model
     ci = fit(rows, IVF_K, IVF_ITERS)
     cells = {vid: assign_one(v, ci)[0] for vid, v in rows}
@@ -236,16 +268,17 @@ def derive(sf_dir):
     con = connect(sf_dir)
     ne, he = con.execute(SIG_EMB_SQL).fetchone()
     con.close()
-    return (int(ne), int(he)), centroids_df, assign_df, quality_df, farthest_df, balanced_df, ivf_df
+    return (int(ne), int(he)), centroids_df, assign_df, quality_df, farthest_df, balanced_df, sem_df, ivf_df
 
 
 def main(outfile, sf_dirs):
     per_query = {"kmeans_centroids": [], "kmeans_assign": [],
                  "kmeans_quality": [], "kmeans_farthest": [],
-                 "kmeans_balanced_sample": [], "ann_ivf_kmeans": []}
+                 "kmeans_balanced_sample": [], "dedup_semantic_kmeans": [],
+                 "ann_ivf_kmeans": []}
     guards, schema = [], {}
     for sf_dir in sf_dirs:
-        (ne, he), cdf, adf, qdf, fdf, bdf, idf = derive(sf_dir)
+        (ne, he), cdf, adf, qdf, fdf, bdf, sdf, idf = derive(sf_dir)
         guard = f"({emb_guard_sql(ne, he)})"
         guards.append(guard)
         print(f"  {sf_dir}: {len(cdf)} centroid rows, {len(adf)} assigns, "
@@ -255,10 +288,12 @@ def main(outfile, sf_dirs):
         per_query["kmeans_quality"].append(branch_sql(qdf, guard))
         per_query["kmeans_farthest"].append(branch_sql(fdf, guard))
         per_query["kmeans_balanced_sample"].append(branch_sql(bdf, guard))
+        per_query["dedup_semantic_kmeans"].append(branch_sql(sdf, guard))
         per_query["ann_ivf_kmeans"].append(branch_sql(idf, guard))
         schema = {"kmeans_centroids": cdf, "kmeans_assign": adf,
                   "kmeans_quality": qdf, "kmeans_farthest": fdf,
-                  "kmeans_balanced_sample": bdf, "ann_ivf_kmeans": idf}
+                  "kmeans_balanced_sample": bdf,
+                  "dedup_semantic_kmeans": sdf, "ann_ivf_kmeans": idf}
     existing = json.load(open(outfile)) if os.path.exists(outfile) else {}
     existing["_meta_kmeans"] = (
         "k-means expected rows derived by tools/gen_kmeans_oracle.py — an "
