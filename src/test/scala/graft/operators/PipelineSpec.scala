@@ -1155,6 +1155,42 @@ class PipelineSpec extends SparkSpec {
     assert(kept == Set(0L, 2L, 4L))
   }
 
+  test("semantic dedup, k-means cells: same core, paper quantizer") {
+    import graft.som.{SomConfig, SomModel}
+    // same two far-apart cells as the SOM test, expressed as k-means
+    // centroids: the quantizer-agnostic core must behave identically
+    val km = Kmeans.Model(Array(Array(0.0, 0.0, 1.0), Array(10.0, 0.0, 1.0)))
+    val vecs = Seq(
+      (0L, Array(0.0f, 1.0f, 1.0f)),   // cell 0
+      (1L, Array(0.0f, 1.0f, 1.0f)),   // cell 0, exact dup of 0
+      (2L, Array(0.0f, -1.0f, 1.0f)),  // cell 0, dissimilar to 0/1
+      (3L, Array(0.0f, 1.0f, 1.01f)),  // cell 0, near dup of 0/1
+      (4L, Array(9.0f, 1.0f, 1.0f)),   // cell 1 (same direction as 0)
+      (5L, Array(9.0f, 1.0f, 1.0f))    // cell 1, exact dup of 4
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDupClustersKmeans(vecs, "embedding", "vec_id",
+        km, threshold = 0.99)
+    // the k-means variant reports its cell column as `cid`
+    assert(out.columns.toSeq == Seq("id", "cid", "keep_id"))
+    val byId = out.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byId(0L)._2 == 0L && byId(1L)._2 == 0L && byId(3L)._2 == 0L)
+    assert(!byId.contains(2L)) // singleton: not a duplicate-component member
+    assert(byId(4L)._2 == 4L && byId(5L)._2 == 4L)
+    assert(byId(4L)._1 != byId(0L)._1) // cross-cell pairs never tested
+    assert(byId.size == 5)
+
+    // agreement with the SOM variant when both quantizers induce the
+    // same cells (codebook == centroids): identical (id, keep_id) sets
+    val som = SomModel.fromWeights(SomConfig(1, 2),
+      Seq(Array(0.0, 0.0, 1.0), Array(10.0, 0.0, 1.0)))
+    val viaSom = Dedup.semanticDupClusters(vecs, "embedding", "vec_id",
+        som, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val viaKm = byId.map { case (id, (_, keep)) => (id, keep) }.toSet
+    assert(viaSom == viaKm)
+  }
+
   test("duplicate-cluster resolution: chains collapse to min id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (3L, 9L))
       .toDF("id_a", "id_b")
