@@ -1315,6 +1315,24 @@ object Queries {
                   round(col("score"), 6).as("score"))
       }),
 
+      // hybrid retrieval: reciprocal-rank fusion of the lexical BM25
+      // ranking with the embedding brute-force-cosine ranking (the two
+      // independently-oracled rankings above); a qid present in only
+      // one leg fuses over that leg alone
+      "retrieval_rrf" -> ((s, dir) => {
+        val lex = graft.operators.Retrieval.bm25TopK(docs(s, dir), "text",
+          "doc_id", bm25Queries, k = 10)
+        val qs = emb(s, dir).orderBy("vec_id").limit(5).collect()
+          .map(r => (r.getLong(r.fieldIndex("vec_id")),
+            r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)).toSeq
+        val sem = Similarity.bruteForceTopK(emb(s, dir), "embedding",
+            "vec_id", qs, k = 5)
+          .withColumnRenamed("nid", "doc_id")
+        graft.operators.Retrieval.rrfFuse(Seq(lex, sem), kRrf = 60, topK = 10)
+          .select(col("qid"), col("rank"), col("doc_id"),
+                  round(col("score"), 6).as("score"))
+      }),
+
       // DSIR importance weights: hashed-unigram log-likelihood ratio of
       // every raw doc against the deterministic target slice
       // (doc_id % 97 == 0 — the contamination queries' eval-set
@@ -1758,8 +1776,13 @@ object Queries {
     * the formula is spelled with the exact association the Spark side
     * (`Retrieval.contribCol`) uses, so the doubles agree bitwise.
     */
-  private lazy val bm25TopkSql: String =
-    s"""WITH q(qid, token) AS (VALUES
+  /** The BM25 CTE chain up to the ranked rows `r` (qid, doc_id, score,
+    * rank) — shared verbatim by the `bm25_topk`/`bm25_indexed` oracles
+    * and the lexical leg of the `retrieval_rrf` fusion oracle, so the
+    * rankings being fused are the ones being independently verified.
+    */
+  private lazy val bm25RankedCtes: String =
+    s"""q(qid, token) AS (VALUES
        |  (0, 'hash'), (0, 'join'),
        |  (1, 'fast'), (1, 'scan'), (1, 'filter'),
        |  (2, 'stream'), (2, 'window'), (2, 'agg'),
@@ -1789,11 +1812,41 @@ object Queries {
        |      FROM c GROUP BY qid, doc_id),
        |r AS (SELECT qid, doc_id, score,
        |             row_number() OVER (PARTITION BY qid
-       |               ORDER BY score DESC, doc_id) AS rank FROM s)
+       |               ORDER BY score DESC, doc_id) AS rank FROM s)""".stripMargin
+
+  private lazy val bm25TopkSql: String =
+    s"""WITH $bm25RankedCtes
        |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
        |       CAST(doc_id AS BIGINT) AS doc_id,
        |       CAST(round(score, 6) AS DOUBLE) AS score
        |FROM r WHERE rank <= 10""".stripMargin
+
+  /** The brute-force-cosine CTE chain up to the ranked rows `ranked`
+    * (qid, nid, sim, rn) — shared by the `ann_cosine_topk` oracle and
+    * the embedding leg of the `retrieval_rrf` fusion oracle.
+    */
+  private lazy val annRankedCtes: String =
+    """ex AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |         CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings
+      |), norms AS (SELECT vec_id, sum(v * v) AS nrm FROM ex GROUP BY vec_id),
+      |qids AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT 5),
+      |dots AS (
+      |  SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.v * b.v) AS dot
+      |  FROM ex a JOIN ex b ON a.i = b.i AND b.vec_id <> a.vec_id
+      |  WHERE a.vec_id IN (SELECT qid FROM qids)
+      |  GROUP BY a.vec_id, b.vec_id),
+      |ranked AS (
+      |  SELECT d.qid, d.nid,
+      |         CASE WHEN sqrt(nq.nrm * nn.nrm) = 0 THEN 0
+      |              ELSE d.dot / sqrt(nq.nrm * nn.nrm) END AS sim,
+      |         row_number() OVER (PARTITION BY d.qid
+      |           ORDER BY (CASE WHEN sqrt(nq.nrm * nn.nrm) = 0 THEN 0
+      |                          ELSE d.dot / sqrt(nq.nrm * nn.nrm) END) DESC,
+      |                    d.nid ASC) AS rn
+      |  FROM dots d JOIN norms nq ON nq.vec_id = d.qid
+      |              JOIN norms nn ON nn.vec_id = d.nid)""".stripMargin
 
   private val allMarkers: String =
     graft.functions.TextFunctions.langMarkers.flatMap(_._2).distinct
@@ -2765,30 +2818,37 @@ object Queries {
          |FROM lab16 l JOIN bmu b ON b.vec_id = l.id""".stripMargin,
 
     "ann_cosine_topk" ->
-      """WITH ex AS (
-        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-        |         CAST(unnest(embedding) AS DOUBLE) AS v
-        |  FROM embeddings
-        |), norms AS (SELECT vec_id, sum(v * v) AS nrm FROM ex GROUP BY vec_id),
-        |qids AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT 5),
-        |dots AS (
-        |  SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.v * b.v) AS dot
-        |  FROM ex a JOIN ex b ON a.i = b.i AND b.vec_id <> a.vec_id
-        |  WHERE a.vec_id IN (SELECT qid FROM qids)
-        |  GROUP BY a.vec_id, b.vec_id),
-        |ranked AS (
-        |  SELECT d.qid, d.nid,
-        |         CASE WHEN sqrt(nq.nrm * nn.nrm) = 0 THEN 0
-        |              ELSE d.dot / sqrt(nq.nrm * nn.nrm) END AS sim,
-        |         row_number() OVER (PARTITION BY d.qid
-        |           ORDER BY (CASE WHEN sqrt(nq.nrm * nn.nrm) = 0 THEN 0
-        |                          ELSE d.dot / sqrt(nq.nrm * nn.nrm) END) DESC,
-        |                    d.nid ASC) AS rn
-        |  FROM dots d JOIN norms nq ON nq.vec_id = d.qid
-        |              JOIN norms nn ON nn.vec_id = d.nid)
+      s"""WITH $annRankedCtes
         |SELECT CAST(qid AS BIGINT) AS qid, CAST(rn AS BIGINT) AS rank,
         |       CAST(nid AS BIGINT) AS nid, CAST(round(sim, 6) AS DOUBLE) AS sim
         |FROM ranked WHERE rn <= 5""".stripMargin,
+
+    // hybrid retrieval: reciprocal-rank fusion of the bm25_topk and
+    // ann_cosine_topk rankings — both legs replay their own (already
+    // independently verified) oracle CTE chains, then fuse with the
+    // identical round9-DECIMAL 1/(60+rank) convention the engine uses
+    "retrieval_rrf" ->
+      s"""WITH $bm25RankedCtes,
+        |$annRankedCtes,
+        |rrf_u AS (
+        |  SELECT qid, doc_id,
+        |         CAST(round(1.0 / (60.0 + CAST(rank AS DOUBLE)), 9)
+        |              AS DECIMAL(28, 9)) AS c
+        |  FROM r WHERE rank <= 10
+        |  UNION ALL
+        |  SELECT qid, nid AS doc_id,
+        |         CAST(round(1.0 / (60.0 + CAST(rn AS DOUBLE)), 9)
+        |              AS DECIMAL(28, 9)) AS c
+        |  FROM ranked WHERE rn <= 5),
+        |rrf_s AS (SELECT qid, doc_id, CAST(sum(c) AS DOUBLE) AS score
+        |          FROM rrf_u GROUP BY qid, doc_id),
+        |rrf_r AS (SELECT qid, doc_id, score,
+        |                 row_number() OVER (PARTITION BY qid
+        |                   ORDER BY score DESC, doc_id) AS rank FROM rrf_s)
+        |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+        |       CAST(doc_id AS BIGINT) AS doc_id,
+        |       CAST(round(score, 6) AS DOUBLE) AS score
+        |FROM rrf_r WHERE rank <= 10""".stripMargin,
 
     // thresholds are round(rate * 2^32) in lowercase hex; hex-prefix
     // string comparison is ASCII-ordered so both engines draw uniformly

@@ -215,4 +215,41 @@ object Retrieval {
       .select(col("qid"), col("doc_id"), contribCol(k1, b).as("c"))
     topKByScore(contrib, k)
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
+    * of per-query rankings — the standard calibration-free way to
+    * combine lexical ([[bm25TopK]]) and embedding
+    * ([[Similarity.bruteForceTopK]] and friends) retrieval into one
+    * hybrid ranking: every list contributes `1 / (kRrf + rank)` for
+    * each (qid, id) it ranks, items sum contributions across lists,
+    * and ties break on the lower id. A qid present in only some lists
+    * fuses over those lists alone; kRrf = 60 is the paper's constant.
+    *
+    * Each input must expose `qid`, `rank` (1-based) and `idCol`
+    * columns (rename first when a ranking calls its id something else,
+    * e.g. the ANN paths' `nid`); extra columns are ignored.
+    *
+    * Scale shape: the inputs are already top-k-bounded, so fusion cost
+    * is independent of corpus size by construction — the union carries
+    * at most |lists| x |queries| x k rows, the per-(qid, id) sum
+    * partial-aggregates map-side, and the final cut reuses the
+    * bounded-heap (score desc, id asc) reduction. Determinism: the
+    * shared BM25 convention — contributions round to 9 decimals as
+    * DECIMAL(28,9) and sum exactly, order-independent.
+    *
+    * Returns (qid, rank, doc_id, score) with rank 1..topK.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String = "doc_id",
+              kRrf: Int = 60, topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(kRrf > 0, s"rrfFuse needs kRrf > 0, got $kRrf")
+    require(topK > 0, s"rrfFuse needs topK > 0, got $topK")
+    val contribs = rankings.map { r =>
+      r.select(col("qid").cast("long").as("qid"),
+        col(idCol).cast("long").as("doc_id"),
+        round(lit(1.0) / (lit(kRrf.toDouble) + col("rank").cast("double")), 9)
+          .cast(DecimalType(28, 9)).as("c"))
+    }
+    topKByScore(contribs.reduce(_ union _), topK)
+  }
 }

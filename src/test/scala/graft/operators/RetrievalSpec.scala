@@ -109,4 +109,57 @@ class RetrievalSpec extends SparkSpec {
       Retrieval.bm25TopK(docs, "text", "doc_id", Seq(0L -> "a"), 0)
     }
   }
+
+  private def rrfTerm(rank: Long, kRrf: Int = 60): Double =
+    BigDecimal(1.0 / (kRrf + rank.toDouble))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("rrf: hand-computed fusion of two lists, cross-list sum wins") {
+    // list A ranks (10, 20, 30); list B ranks (20, 10, 40):
+    // doc 10: 1/61 + 1/62, doc 20: 1/62 + 1/61 (TIE with 10 -> lower
+    // id first), doc 30: 1/63, doc 40: 1/63 (tie -> 30 first)
+    val a = Seq((0L, 1L, 10L), (0L, 2L, 20L), (0L, 3L, 30L))
+      .toDF("qid", "rank", "doc_id")
+    val b = Seq((0L, 1L, 20L), (0L, 2L, 10L), (0L, 3L, 40L))
+      .toDF("qid", "rank", "doc_id")
+    val got = Retrieval.rrfFuse(Seq(a, b)).orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(x => (x._1, x._2)).toSeq ==
+      Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+    val both = rrfTerm(1) + rrfTerm(2)
+    assert(math.abs(got(0)._3 - both) < 1e-9)
+    assert(math.abs(got(1)._3 - both) < 1e-9)
+    assert(math.abs(got(2)._3 - rrfTerm(3)) < 1e-9)
+    assert(math.abs(got(3)._3 - rrfTerm(3)) < 1e-9)
+  }
+
+  test("rrf: single-list qids fuse over that list alone; topK cuts") {
+    val a = Seq((0L, 1L, 10L), (0L, 2L, 11L), (0L, 3L, 12L),
+      (7L, 1L, 99L)).toDF("qid", "rank", "doc_id")
+    // qid 7 appears only in list A; list B renames its id column (the
+    // ANN paths' nid) and is fused after normalization
+    val b = Seq((0L, 1L, 10L)).toDF("qid", "rank", "nid")
+      .withColumnRenamed("nid", "doc_id")
+    val got = Retrieval.rrfFuse(Seq(a, b), topK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // qid 0: doc 10 fused from both lists leads; topK=2 drops doc 12
+    assert(got == Set((0L, 1L, 10L), (0L, 2L, 11L), (7L, 1L, 99L)))
+  }
+
+  test("rrf: partitioning-invariant (DECIMAL contribution sums)") {
+    val a = (1L to 40L).map(i => (i % 4, (i % 10) + 1, i))
+      .toDF("qid", "rank", "doc_id")
+    val one = Retrieval.rrfFuse(Seq(a.coalesce(1), a.coalesce(1)))
+      .orderBy("qid", "rank").collect().toSeq
+    val many = Retrieval.rrfFuse(Seq(a.repartition(7), a.repartition(13)))
+      .orderBy("qid", "rank").collect().toSeq
+    assert(one == many)
+  }
+
+  test("rrf: validation") {
+    intercept[IllegalArgumentException] { Retrieval.rrfFuse(Seq.empty) }
+    val a = Seq((0L, 1L, 10L)).toDF("qid", "rank", "doc_id")
+    intercept[IllegalArgumentException] { Retrieval.rrfFuse(Seq(a), kRrf = 0) }
+    intercept[IllegalArgumentException] { Retrieval.rrfFuse(Seq(a), topK = 0) }
+  }
 }
