@@ -115,6 +115,24 @@ object Queries {
       |  FROM pqsd GROUP BY vec_id, sub_id
       |)""".stripMargin
 
+  /** Shared int8 scalar-quantization replay prefix: per-dimension
+    * corpus [min, max], then the affine 0..255 codes — the identical
+    * round-HALF_UP expression the engine's `Similarity.sqEncode`
+    * evaluates, so codes are bit-equal on both engines.
+    */
+  private val sqCodesCtes: String =
+    """sqex AS MATERIALIZED (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |         CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings
+      |), sqmm AS MATERIALIZED (
+      |  SELECT i, min(v) AS mn, max(v) AS mx FROM sqex GROUP BY i
+      |), sqcodes AS MATERIALIZED (
+      |  SELECT e.vec_id, e.i, CASE WHEN m.mx = m.mn THEN 0
+      |         ELSE CAST(round((e.v - m.mn) * 255.0 / (m.mx - m.mn), 0) AS BIGINT)
+      |         END AS code
+      |  FROM sqex e JOIN sqmm m USING (i))""".stripMargin
+
   // ------------------------------------------------------------ queries
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
@@ -785,6 +803,33 @@ object Queries {
             posexplode(col("codes")).as(Seq("sub_id", "code")))
           .select(col("vec_id"), col("sub_id").cast("long").as("sub_id"),
             col("code").cast("long").as("code"))
+      }),
+
+      // int8 scalar quantization: per-dimension [min, max] learned from
+      // the corpus in one pass, every embedding affinely coded to
+      // 0..255 ints (bit-packs to ~1 byte/dim in parquet — the 4x
+      // scan-bandwidth serving tier); codes exploded to
+      // (vec_id, dim_id, code) for the oracle
+      "sq_encode" -> ((s, dir) => {
+        val m = Similarity.sqTrain(emb(s, dir), "embedding")
+        Similarity.sqEncode(emb(s, dir), "embedding", "vec_id", m)
+          .select(col("id").as("vec_id"),
+            posexplode(col("codes")).as(Seq("dim_id", "code")))
+          .select(col("vec_id"), col("dim_id").cast("long").as("dim_id"),
+            col("code").cast("long").as("code"))
+      }),
+
+      // SQ serving: decode-on-the-fly cosine top-k of the float queries
+      // against the int8-coded corpus (deterministic decoded grid —
+      // the oracle replays encode + decode + ranking exactly)
+      "sq_topk" -> ((s, dir) => {
+        val model = Similarity.sqTrain(emb(s, dir), "embedding")
+        val codes = Similarity.sqEncode(emb(s, dir), "embedding", "vec_id",
+          model)
+        val qs = emb(s, dir).orderBy("vec_id").limit(5).collect()
+          .map(r => (r.getLong(r.fieldIndex("vec_id")),
+            r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)).toSeq
+        Similarity.sqTopK(codes, "codes", "id", model, qs, k = 5)
       }),
 
       // PQ quality pin: recall@5 of the ADC ranking against the exact
@@ -2553,6 +2598,46 @@ object Queries {
          |       CAST(sub_id AS BIGINT) AS sub_id,
          |       CAST(code AS BIGINT) AS code
          |FROM codes""".stripMargin,
+
+    "sq_encode" ->
+      s"""WITH $sqCodesCtes
+         |SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         |       CAST(i - 1 AS BIGINT) AS dim_id,
+         |       CAST(code AS BIGINT) AS code
+         |FROM sqcodes""".stripMargin,
+
+    // SQ serving replay: decode each code against the per-dimension
+    // grid (same affine spelling as the engine), then the
+    // raw-query-vs-decoded-candidate cosine ranking of ann_cosine_topk
+    "sq_topk" ->
+      s"""WITH $sqCodesCtes,
+         |sqdec AS MATERIALIZED (
+         |  SELECT c.vec_id, c.i, CASE WHEN m.mx = m.mn THEN m.mn
+         |         ELSE m.mn + CAST(c.code AS DOUBLE) * (m.mx - m.mn) / 255.0
+         |         END AS dv
+         |  FROM sqcodes c JOIN sqmm m USING (i)),
+         |sqq AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT 5),
+         |sqqn AS (SELECT vec_id, sum(v * v) AS nrm FROM sqex
+         |         WHERE vec_id IN (SELECT qid FROM sqq) GROUP BY vec_id),
+         |sqdn AS (SELECT vec_id, sum(dv * dv) AS nrm FROM sqdec GROUP BY vec_id),
+         |sqdots AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.v * b.dv) AS dot
+         |  FROM sqex a JOIN sqdec b ON a.i = b.i AND b.vec_id <> a.vec_id
+         |  WHERE a.vec_id IN (SELECT qid FROM sqq)
+         |  GROUP BY a.vec_id, b.vec_id),
+         |sqranked AS (
+         |  SELECT d.qid, d.nid,
+         |         CASE WHEN sqrt(nq.nrm * nn.nrm) = 0 THEN 0
+         |              ELSE d.dot / sqrt(nq.nrm * nn.nrm) END AS sim,
+         |         row_number() OVER (PARTITION BY d.qid
+         |           ORDER BY (CASE WHEN sqrt(nq.nrm * nn.nrm) = 0 THEN 0
+         |                          ELSE d.dot / sqrt(nq.nrm * nn.nrm) END) DESC,
+         |                    d.nid ASC) AS rn
+         |  FROM sqdots d JOIN sqqn nq ON nq.vec_id = d.qid
+         |              JOIN sqdn nn ON nn.vec_id = d.nid)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(rn AS BIGINT) AS rank,
+         |       CAST(nid AS BIGINT) AS nid, CAST(round(sim, 6) AS DOUBLE) AS sim
+         |FROM sqranked WHERE rn <= 5""".stripMargin,
 
     // ADC replay: the query's exact per-(subspace, centroid) squared L2
     // joined to each vector's codes, summed over subspaces — the same

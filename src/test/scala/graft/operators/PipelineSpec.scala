@@ -992,6 +992,65 @@ class PipelineSpec extends SparkSpec {
     assert(top.toSeq == Seq((1L, 1L, 2.0), (2L, 0L, 200.0)), top.toSeq)
   }
 
+  test("scalar quantization: bounds, hand-computed codes, constant dims") {
+    val df = Seq((0L, Array(0.0f, 10.0f)), (1L, Array(1.0f, 20.0f)),
+      (2L, Array(0.5f, 15.0f)), (3L, Array(0.25f, 12.5f)))
+      .toDF("vec_id", "embedding")
+    val m = Similarity.sqTrain(df, "embedding")
+    assert(m.mins.toSeq == Seq(0.0, 10.0) && m.maxs.toSeq == Seq(1.0, 20.0))
+    val codes = Similarity.sqEncode(df, "embedding", "vec_id", m)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(codes(0L) == Seq(0, 0) && codes(1L) == Seq(255, 255))
+    assert(codes(2L) == Seq(128, 128)) // 127.5 rounds HALF_UP, both dims
+    assert(codes(3L) == Seq(64, 64))   // 63.75 -> 64
+    // a constant dimension (mx == mn) encodes 0 everywhere
+    val cdf = Seq((0L, Array(3.0f, 7.0f)), (1L, Array(4.0f, 7.0f)))
+      .toDF("vec_id", "embedding")
+    val cc = Similarity.sqEncode(cdf, "embedding", "vec_id",
+        Similarity.sqTrain(cdf, "embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(cc(0L) == Seq(0, 0) && cc(1L) == Seq(255, 0))
+    // validation
+    intercept[IllegalArgumentException] {
+      Similarity.SqModel(Array(0.0), Array(1.0, 2.0))
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.sqTrain(df.where(col("vec_id") < 0), "embedding")
+    }
+  }
+
+  test("scalar quantization serving: decoded-grid ranking, self excluded") {
+    val rows = Seq(
+      (0L, Array(1.0f, 0.1f)),
+      (1L, Array(0.9f, 0.2f)),
+      (2L, Array(0.1f, 1.0f)),
+      (3L, Array(0.5f, 0.6f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val m = Similarity.sqTrain(df, "embedding")
+    val codes = Similarity.sqEncode(df, "embedding", "vec_id", m)
+    val q = rows.head._2.map(_.toDouble)
+    val got = Similarity.sqTopK(codes, "codes", "id", m, Seq((0L, q)), k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    // hand re-derivation on the same decoded grid
+    def code(v: Double, i: Int): Long =
+      if (m.maxs(i) == m.mins(i)) 0L
+      else BigDecimal((v - m.mins(i)) * 255.0 / (m.maxs(i) - m.mins(i)))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def dec(v: Double, i: Int): Double =
+      if (m.maxs(i) == m.mins(i)) m.mins(i)
+      else m.mins(i) + code(v, i).toDouble * (m.maxs(i) - m.mins(i)) / 255.0
+    val expect = rows.drop(1).map { case (id, v) =>
+      val d = v.map(_.toDouble).zipWithIndex.map { case (x, i) => dec(x, i) }
+      val dot = d.zip(q).map { case (a, b) => a * b }.sum
+      val sim = dot / math.sqrt(d.map(x => x * x).sum * q.map(x => x * x).sum)
+      (id, BigDecimal(sim).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(x => (-x._2, x._1)).zipWithIndex
+      .map { case ((id, sim), r) => (r + 1L, id, sim) }
+    assert(got.toSeq == expect, s"got ${got.toSeq} expect $expect")
+    assert(!got.exists(_._2 == 0L)) // self excluded
+  }
+
   test("as-of join: latest at-or-before match, ties, misses, null keys") {
     val left = Seq(
       (100L, 1L, 50L),  // matches r2 (ts 40 > ts 10)
