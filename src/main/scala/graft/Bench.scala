@@ -565,6 +565,27 @@ object Bench {
           m = 8, k = 16, q100, kNN = 10).count(); ()
       }
 
+      // --- int8 SQ on the same corpus: the parameter-free compression
+      // tier — encode is one codegen scan against broadcast per-dim
+      // bounds; serve decodes on the fly and runs the bounded cosine
+      // pass over codes that bit-pack to ~1 byte/dim at rest
+      val sqModel = graft.operators.Similarity.sqTrain(big, "embedding")
+      results("bench_sq_encode_200k") = time2 {
+        graft.operators.Similarity.sqEncode(big, "embedding", "id", sqModel)
+          .agg(sum(element_at(col("codes"), 1))).collect(); ()
+      }
+      val sqCodes = graft.operators.Similarity
+        .sqEncode(big, "embedding", "id", sqModel)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sqCodes.count()
+      graft.operators.Similarity.sqTopK(sqCodes, "codes", "id", sqModel,
+        qvecs, k = 10).count() // warmup
+      results("bench_sq_topk_200k") = time2 {
+        graft.operators.Similarity.sqTopK(sqCodes, "codes", "id", sqModel,
+          qvecs, k = 10).count(); ()
+      }
+      sqCodes.unpersist(blocking = false)
+
       big.unpersist(blocking = false)
       BenchData.deleteRecursively(idxDir)
     }

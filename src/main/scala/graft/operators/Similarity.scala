@@ -720,6 +720,17 @@ object Similarity {
     SqModel(rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
   }
 
+  /** The model's (mn, mx) pairs as one foldable array-of-structs
+    * literal: every child is a literal, so Catalyst's ConstantFolding
+    * collapses the whole array to ONE Literal at plan time — the
+    * per-row kernels never rebuild the bounds (a nested
+    * `zip_with(minsLit, maxsLit, struct)` is a higher-order function
+    * and does NOT fold; it cost ~18x on the encode bench).
+    */
+  private def sqBounds(model: SqModel): Column =
+    array(model.mins.zip(model.maxs).map { case (mn, mx) =>
+      struct(lit(mn).as("mn"), lit(mx).as("mx")) }: _*)
+
   /** int8-encode every vector: `code_i = round((v_i - mn_i) * 255 /
     * (mx_i - mn_i))` (HALF_UP, the shared engine/oracle convention),
     * constant dimensions (mx == mn) encode 0. Pure built-in
@@ -727,31 +738,23 @@ object Similarity {
     * Returns (id, codes array<int> of 0..255).
     */
   def sqEncode(df: DataFrame, vecCol: String, idCol: String,
-               model: SqModel): DataFrame = {
-    val mins = array(model.mins.map(lit(_)): _*)
-    val maxs = array(model.maxs.map(lit(_)): _*)
+               model: SqModel): DataFrame =
     df.where(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"),
-        zip_with(col(vecCol).cast("array<double>"),
-          zip_with(mins, maxs, (mn, mx) => struct(mn.as("mn"), mx.as("mx"))),
+        zip_with(col(vecCol).cast("array<double>"), sqBounds(model),
           (v, b) => when(b("mx") === b("mn"), lit(0))
             .otherwise(round((v - b("mn")) * lit(255.0) /
               (b("mx") - b("mn")), 0).cast("int"))).as("codes"))
-  }
 
   /** Decode column for a codes array against the model's per-dimension
     * grid: `mn_i + code_i * (mx_i - mn_i) / 255` (spelled identically
     * by the oracle, so decoded doubles are bit-equal on both engines).
     */
-  private def sqDecodeCol(codesCol: Column, model: SqModel): Column = {
-    val mins = array(model.mins.map(lit(_)): _*)
-    val maxs = array(model.maxs.map(lit(_)): _*)
-    zip_with(codesCol,
-      zip_with(mins, maxs, (mn, mx) => struct(mn.as("mn"), mx.as("mx"))),
+  private def sqDecodeCol(codesCol: Column, model: SqModel): Column =
+    zip_with(codesCol, sqBounds(model),
       (c, b) => when(b("mx") === b("mn"), b("mn"))
         .otherwise(b("mn") + c.cast("double") * (b("mx") - b("mn")) /
           lit(255.0)))
-  }
 
   /** Serve exact-over-compressed top-k: decode each stored code vector
     * on the fly (codegen `zip_with`, no shuffle added) and rank decoded
