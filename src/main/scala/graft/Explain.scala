@@ -41,7 +41,8 @@ object Explain {
         "events_props_extract", "routed_lang_read", "redact_pii",
         "export_manifest", "oov_rate", "bm25_topk", "dsir_weights",
         "dsir_sample", "bm25_indexed", "kmeans_assign", "kmeans_quality",
-        "ann_ivf_kmeans").foreach(show)
+        "ann_ivf_kmeans", "retrieval_rrf", "sq_encode",
+        "sq_topk").foreach(show)
     spark.stop()
   }
 }

@@ -812,8 +812,15 @@ object Queries {
       // (vec_id, dim_id, code) for the oracle
       "sq_encode" -> ((s, dir) => {
         val m = Similarity.sqTrain(emb(s, dir), "embedding")
-        Similarity.sqEncode(emb(s, dir), "embedding", "vec_id", m)
-          .select(col("id").as("vec_id"),
+        // Materialize.once for the same reason as pq_encode: the
+        // posexplode pushdown would re-evaluate the encode kernel in
+        // its own size/notnull filters
+        graft.operators.Materialize.once(
+            emb(s, dir).where(col("embedding").isNotNull)
+              .select(col("vec_id").cast("long").as("vec_id"),
+                col("embedding")),
+            "codes", Similarity.sqEncodeCol(col("embedding"), m))
+          .select(col("vec_id"),
             posexplode(col("codes")).as(Seq("dim_id", "code")))
           .select(col("vec_id"), col("dim_id").cast("long").as("dim_id"),
             col("code").cast("long").as("code"))

@@ -734,17 +734,28 @@ object Similarity {
   /** int8-encode every vector: `code_i = round((v_i - mn_i) * 255 /
     * (mx_i - mn_i))` (HALF_UP, the shared engine/oracle convention),
     * constant dimensions (mx == mn) encode 0. Pure built-in
-    * expressions — the whole encode stays in whole-stage codegen.
+    * expressions — `zip_with` is CodegenFallback (higher-order
+    * functions interpret inside the codegen stage), which at one
+    * arithmetic expression per element is still scan-bound here; the
+    * bounds literal folding above is what actually mattered (18x).
     * Returns (id, codes array<int> of 0..255).
     */
   def sqEncode(df: DataFrame, vecCol: String, idCol: String,
                model: SqModel): DataFrame =
     df.where(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"),
-        zip_with(col(vecCol).cast("array<double>"), sqBounds(model),
-          (v, b) => when(b("mx") === b("mn"), lit(0))
-            .otherwise(round((v - b("mn")) * lit(255.0) /
-              (b("mx") - b("mn")), 0).cast("int"))).as("codes"))
+        sqEncodeCol(col(vecCol), model).as("codes"))
+
+  /** The encode kernel as a bare column (callers composing with
+    * generators should wrap it in `Materialize.once` — posexplode's
+    * generator pushdown otherwise re-evaluates it inside its own
+    * size/notnull filters).
+    */
+  def sqEncodeCol(vec: Column, model: SqModel): Column =
+    zip_with(vec.cast("array<double>"), sqBounds(model),
+      (v, b) => when(b("mx") === b("mn"), lit(0))
+        .otherwise(round((v - b("mn")) * lit(255.0) /
+          (b("mx") - b("mn")), 0).cast("int")))
 
   /** Decode column for a codes array against the model's per-dimension
     * grid: `mn_i + code_i * (mx_i - mn_i) / 255` (spelled identically
