@@ -767,6 +767,37 @@ object Similarity {
         .otherwise(b("mn") + c.cast("double") * (b("mx") - b("mn")) /
           lit(255.0)))
 
+  /** Persist the SQ serving artifact — build once, serve forever: the
+    * int8 codes (0..255 ints bit-pack to ~1 byte/dim in parquet) plus
+    * the per-dimension bounds as a 1-file params JSON. The
+    * [[writePqIndex]] layout convention.
+    */
+  def writeSqIndex(df: DataFrame, vecCol: String, idCol: String,
+                   model: SqModel, path: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    sqEncode(df, vecCol, idCol, model)
+      .write.mode("overwrite").parquet(s"$path/codes")
+    val json = s"""{"mins":[${model.mins.mkString(",")}],""" +
+      s""""maxs":[${model.maxs.mkString(",")}]}"""
+    spark.createDataset(Seq(json)).coalesce(1)
+      .write.mode("overwrite").text(s"$path/params")
+  }
+
+  /** Read an SQ index back: (codes DataFrame, model). Double.toString
+    * round-trips exactly, so the read-back decoded grid is bit-equal
+    * to the writer's.
+    */
+  def readSqIndex(spark: org.apache.spark.sql.SparkSession,
+                  path: String): (DataFrame, SqModel) = {
+    val json = spark.read.textFile(s"$path/params").head()
+    def arr(key: String): Array[Double] =
+      ("\"" + key + "\":\\[([^\\]]*)\\]").r.findFirstMatchIn(json)
+        .map(_.group(1).split(",").map(_.toDouble))
+        .getOrElse(sys.error(s"missing $key"))
+    (spark.read.parquet(s"$path/codes"), SqModel(arr("mins"), arr("maxs")))
+  }
+
   /** Serve exact-over-compressed top-k: decode each stored code vector
     * on the fly (codegen `zip_with`, no shuffle added) and rank decoded
     * candidates against the FLOAT queries with the same bounded-heap

@@ -1051,6 +1051,26 @@ class PipelineSpec extends SparkSpec {
     assert(!got.exists(_._2 == 0L)) // self excluded
   }
 
+  test("scalar quantization index: write/read round-trip serves identically") {
+    val rows = Seq((0L, Array(1.0f, 0.1f)), (1L, Array(0.9f, 0.2f)),
+      (2L, Array(0.1f, 1.0f)), (3L, Array(0.5f, 0.6f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val m = Similarity.sqTrain(df, "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sq_").toString
+    try {
+      Similarity.writeSqIndex(df, "embedding", "vec_id", m, dir)
+      val (codes, m2) = Similarity.readSqIndex(spark, dir)
+      assert(m2.mins.toSeq == m.mins.toSeq && m2.maxs.toSeq == m.maxs.toSeq)
+      val q = Seq((0L, rows.head._2.map(_.toDouble)))
+      val direct = Similarity.sqTopK(
+        Similarity.sqEncode(df, "embedding", "vec_id", m), "codes", "id",
+        m, q, k = 3).orderBy("qid", "rank").collect().toSeq
+      val viaIndex = Similarity.sqTopK(codes, "codes", "id", m2, q, k = 3)
+        .orderBy("qid", "rank").collect().toSeq
+      assert(viaIndex == direct)
+    } finally graft.BenchData.deleteRecursively(dir)
+  }
+
   test("as-of join: latest at-or-before match, ties, misses, null keys") {
     val left = Seq(
       (100L, 1L, 50L),  // matches r2 (ts 40 > ts 10)
