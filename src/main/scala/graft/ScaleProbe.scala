@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
   *    the same code path at 200k edges).
   *
   * Usage: `runMain graft.ScaleProbe
-  * [minhash|resolve|bushy|spans|curation|ann|pq|pack|semantic|relational|ingest|layout|jsonl|all]
+  * [minhash|resolve|bushy|spans|curation|ann|pq|pack|semantic|relational|ingest|layout|jsonl|retrieval|kmeans|sq|all]
   * [repeats] [nDocs]`. Run each phase in its OWN JVM (`all` exists for
   * convenience only): round 5 recorded a 103 s resolve outlier that was
   * same-JVM memory pressure from the preceding 2M-doc minhash phase, not
@@ -27,8 +27,8 @@ object ScaleProbe {
     val phase = args.headOption.getOrElse("all")
     val repeats = args.lift(1).map(_.toInt).getOrElse(1)
     val nDocs = args.lift(2).map(_.toLong).getOrElse(2000000L)
-    require(Set("minhash", "resolve", "bushy", "spans", "curation", "ann", "pq", "pack", "semantic", "relational", "ingest", "layout", "jsonl", "retrieval", "kmeans", "all")(phase),
-      s"unknown phase '$phase' (want minhash|resolve|bushy|spans|curation|ann|pq|pack|semantic|relational|ingest|layout|jsonl|retrieval|kmeans|all)")
+    require(Set("minhash", "resolve", "bushy", "spans", "curation", "ann", "pq", "pack", "semantic", "relational", "ingest", "layout", "jsonl", "retrieval", "kmeans", "sq", "all")(phase),
+      s"unknown phase '$phase' (want minhash|resolve|bushy|spans|curation|ann|pq|pack|semantic|relational|ingest|layout|jsonl|retrieval|kmeans|sq|all)")
     // partition count scales with the probed data volume, exactly as a
     // cluster operator would size it: at 20M docs (1B token instances)
     // 32 shuffle partitions put a ~31M-group hash aggregate in every
@@ -374,6 +374,42 @@ object ScaleProbe {
             .count())
         }
         println(f"[scale] pq_perq10 ${nDocs / 1000000}M codes, 10 queries, scan-per-query (run $rep/$repeats): $tPerQ10%.1f s")
+        codes.unpersist(blocking = true)
+        big.unpersist(blocking = true)
+        settle()
+      }
+
+      if (phase == "sq" || phase == "all") {
+        // int8 scalar quantization at nDocs embeddings (64-dim, same
+        // generator as pq): train (one partial-aggregated min/max pass),
+        // encode throughput, and decode-on-the-fly serving over the
+        // persisted codes — the ~1-byte/dim artifact is the point
+        import org.apache.spark.sql.functions._
+        val big = spark.range(nDocs).select(col("id"),
+          transform(sequence(lit(1), lit(64)),
+            i => sin(col("id") * i * 0.7 + i * 1.3).cast("float").cast("double"))
+            .as("embedding"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        big.count()
+        var model: operators.Similarity.SqModel = null
+        val tTrain = time { model = operators.Similarity.sqTrain(big, "embedding") }
+        println(f"[scale] sq_train ${nDocs / 1000000}M vecs (run $rep/$repeats): $tTrain%.1f s")
+        val tEncode = time {
+          println("  code checksum: " + operators.Similarity
+            .sqEncode(big, "embedding", "id", model)
+            .agg(sum(element_at(col("codes"), 1))).collect().head.get(0))
+        }
+        println(f"[scale] sq_encode ${nDocs / 1000000}M vecs (run $rep/$repeats): $tEncode%.1f s")
+        val codes = operators.Similarity.sqEncode(big, "embedding", "id", model)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        codes.count()
+        val qvecs = big.where(col("id") < 5).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+        val tServe = time {
+          println("  top-k rows: " + operators.Similarity
+            .sqTopK(codes, "codes", "id", model, qvecs, k = 10).count())
+        }
+        println(f"[scale] sq_topk ${nDocs / 1000000}M codes, 5 queries (run $rep/$repeats): $tServe%.1f s")
         codes.unpersist(blocking = true)
         big.unpersist(blocking = true)
         settle()
