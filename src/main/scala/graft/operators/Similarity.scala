@@ -720,24 +720,13 @@ object Similarity {
     SqModel(rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
   }
 
-  /** The model's (mn, mx) pairs as one foldable array-of-structs
-    * literal: every child is a literal, so Catalyst's ConstantFolding
-    * collapses the whole array to ONE Literal at plan time — the
-    * per-row kernels never rebuild the bounds (a nested
-    * `zip_with(minsLit, maxsLit, struct)` is a higher-order function
-    * and does NOT fold; it cost ~18x on the encode bench).
-    */
-  private def sqBounds(model: SqModel): Column =
-    array(model.mins.zip(model.maxs).map { case (mn, mx) =>
-      struct(lit(mn).as("mn"), lit(mx).as("mx")) }: _*)
-
   /** int8-encode every vector: `code_i = round((v_i - mn_i) * 255 /
     * (mx_i - mn_i))` (HALF_UP, the shared engine/oracle convention),
-    * constant dimensions (mx == mn) encode 0. Pure built-in
-    * expressions — `zip_with` is CodegenFallback (higher-order
-    * functions interpret inside the codegen stage), which at one
-    * arithmetic expression per element is still scan-bound here; the
-    * bounds literal folding above is what actually mattered (18x).
+    * constant dimensions (mx == mn) encode 0. The native codegen
+    * `SqEncode` kernel — a `zip_with` spelling of the same arithmetic
+    * interprets its lambda per element (1.28B boxed evals at 20M x 64,
+    * 167.7 s vs the kernel's one primitive loop; see
+    * `plans/SqExpressions.scala` for the rounding-parity proof).
     * Returns (id, codes array<int> of 0..255).
     */
   def sqEncode(df: DataFrame, vecCol: String, idCol: String,
@@ -752,20 +741,15 @@ object Similarity {
     * size/notnull filters).
     */
   def sqEncodeCol(vec: Column, model: SqModel): Column =
-    zip_with(vec.cast("array<double>"), sqBounds(model),
-      (v, b) => when(b("mx") === b("mn"), lit(0))
-        .otherwise(round((v - b("mn")) * lit(255.0) /
-          (b("mx") - b("mn")), 0).cast("int")))
+    graft.plans.SqFunctions.sq_encode(vec, model.mins, model.maxs)
 
   /** Decode column for a codes array against the model's per-dimension
-    * grid: `mn_i + code_i * (mx_i - mn_i) / 255` (spelled identically
-    * by the oracle, so decoded doubles are bit-equal on both engines).
+    * grid: `mn_i + code_i * (mx_i - mn_i) / 255` (the `SqDecode`
+    * kernel evaluates the identical expression the oracle spells, so
+    * decoded doubles are bit-equal on both engines).
     */
   private def sqDecodeCol(codesCol: Column, model: SqModel): Column =
-    zip_with(codesCol, sqBounds(model),
-      (c, b) => when(b("mx") === b("mn"), b("mn"))
-        .otherwise(b("mn") + c.cast("double") * (b("mx") - b("mn")) /
-          lit(255.0)))
+    graft.plans.SqFunctions.sq_decode(codesCol, model.mins, model.maxs)
 
   /** Persist the SQ serving artifact — build once, serve forever: the
     * int8 codes (0..255 ints bit-pack to ~1 byte/dim in parquet) plus

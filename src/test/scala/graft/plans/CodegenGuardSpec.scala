@@ -119,6 +119,20 @@ class CodegenGuardSpec extends SparkSpec {
       assert(pq.map(_.getSeq[Int](0).head).toSeq == Seq(0, 1))
       assert(pq.forall(_.getDouble(1) == 0.0))
 
+      // SQ: per-dim bounds spanning the two vectors — encode round-trips
+      // through decode onto the exact grid ends (0 -> mn, 255 -> mx)
+      val sqMn = Array(1.0, 2.0, 1.0)
+      val sqMx = Array(3.0, 2.0, 3.0) // dim 1 constant: code 0, decode mn
+      val sq = vecs.select(
+          SqFunctions.sq_encode(col("v"), sqMn, sqMx).as("codes"))
+        .select(col("codes"),
+          SqFunctions.sq_decode(col("codes"), sqMn, sqMx).as("dec"))
+        .collect()
+      assert(sq.map(_.getSeq[Int](0)).toSeq ==
+        Seq(Seq(0, 0, 255), Seq(255, 0, 0)))
+      assert(sq.map(_.getSeq[Double](1)).toSeq ==
+        Seq(Seq(1.0, 2.0, 3.0), Seq(3.0, 2.0, 1.0)))
+
       // bloom probe: the Serializable sketch must survive the
       // reference-object wiring into the generated class
       val bloom = org.apache.spark.util.sketch.BloomFilter.create(16, 0.01)
