@@ -143,6 +143,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("SQ encoding runs stateless on a stream, matching batch") {
+    // sq_encode is a pure codegen expression (per-dim bounds ride in
+    // the expression), so the int8 ingest tier emits codes at stream
+    // time — no state, append mode
+    implicit val sqlCtx = spark.sqlContext
+    val model = graft.operators.Similarity.SqModel(
+      Array(0.0, 0.0), Array(5.0, 5.0))
+    val rows = Seq((0L, Seq(0.0f, 5.0f)), (1L, Seq(2.5f, 1.25f)))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val encoded = graft.operators.Similarity.sqEncode(
+      input.toDF().toDF("vec_id", "embedding"), "embedding", "vec_id",
+      model)
+    val q = encoded.writeStream.format("memory").queryName("sq_out")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sq_out").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val batch = graft.operators.Similarity.sqEncode(
+        rows.toDF("vec_id", "embedding"), "embedding", "vec_id", model)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      assert(streamed == batch)
+      // 0.0 -> 0, 5.0 -> 255, 2.5 -> 127.5 HALF_UP 128, 1.25 -> 63.75 -> 64
+      assert(streamed(0L) == Seq(0, 255) && streamed(1L) == Seq(128, 64))
+    } finally q.stop()
+  }
+
   test("PqServer: streamed query micro-batches get the same answers as one batch") {
     // online ANN serving: static PQ index, query stream; each
     // micro-batch is answered by ONE scan of the codes via
