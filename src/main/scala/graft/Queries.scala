@@ -889,6 +889,21 @@ object Queries {
           m = 8, k = 16, qs, kNN = 5, nProbe = 3)
       }),
 
+      // composed IVF+SQ (the higher-resolution compressed tier): same
+      // 3x3 coarse quantizer and probe discipline as ann_ivfpq, but the
+      // probed cells' int8 codes decode on the fly and rank by EXACT
+      // cosine of the decoded grid — cell pruning is the only ranking
+      // approximation. Both stages replayed exactly in SQL
+      "ann_ivfsq" -> ((s, dir) => {
+        val model = fixedModel(s, dir)
+        val sq = Similarity.sqTrain(emb(s, dir), "embedding")
+        val qs = emb(s, dir).orderBy("vec_id").limit(5).collect()
+          .map(r => (r.getLong(r.fieldIndex("vec_id")),
+            r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)).toSeq
+        Similarity.ivfSqTopK(emb(s, dir), "embedding", "vec_id", model, sq,
+          qs, kNN = 5, nProbe = 3)
+      }),
+
       // deterministic content-hash sampling: reproducible across engines
       // and partitionings (pipeline-scale sampling must not depend on RNG
       // stream position)
@@ -2722,6 +2737,57 @@ object Queries {
          |       CAST(nid AS BIGINT) AS nid,
          |       CAST(round(adc, 6) AS DOUBLE) AS adc
          |FROM irk WHERE rank <= 5""".stripMargin,
+
+    // composed IVF+SQ replay: cell assignment + probe sets from
+    // cbDistCte's exact distances (the ann_ivfpq pattern), candidates
+    // ranked by cosine of the raw query against the sqCodesCtes-decoded
+    // grid (the sq_topk pattern) — both approximations replayed exactly
+    "ann_ivfsq" ->
+      s"""$cbDistCte,
+         |$sqCodesCtes,
+         |assign AS (
+         |  SELECT vec_id, (array_agg(nid ORDER BY dist2 ASC, nid ASC))[1] AS bmu
+         |  FROM d GROUP BY vec_id
+         |), iq AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT 5),
+         |probe AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT d.vec_id AS qid, d.nid,
+         |           row_number() OVER (PARTITION BY d.vec_id
+         |                              ORDER BY d.dist2 ASC, d.nid ASC) AS rn
+         |    FROM d WHERE d.vec_id IN (SELECT qid FROM iq)) WHERE rn <= 3
+         |), isqdec AS MATERIALIZED (
+         |  SELECT c.vec_id, c.i, CASE WHEN m.mx = m.mn THEN m.mn
+         |         ELSE m.mn + CAST(c.code AS DOUBLE) * (m.mx - m.mn) / 255.0
+         |         END AS dv
+         |  FROM sqcodes c JOIN sqmm m USING (i)),
+         |isqn AS (SELECT vec_id, sum(dv * dv) AS nrm FROM isqdec GROUP BY vec_id),
+         |isqqn AS (SELECT vec_id, sum(v * v) AS nrm FROM sqex
+         |          WHERE vec_id IN (SELECT qid FROM iq) GROUP BY vec_id),
+         |cand AS (
+         |  SELECT p.qid, a.vec_id AS nid
+         |  FROM probe p JOIN assign a ON a.bmu = p.nid
+         |  WHERE a.vec_id <> p.qid
+         |), idots AS (
+         |  SELECT ca.qid, ca.nid, sum(e.v * dd.dv) AS dot
+         |  FROM cand ca
+         |  JOIN sqex e ON e.vec_id = ca.qid
+         |  JOIN isqdec dd ON dd.vec_id = ca.nid AND dd.i = e.i
+         |  GROUP BY ca.qid, ca.nid
+         |), isim AS (
+         |  SELECT dt.qid, dt.nid,
+         |         CASE WHEN sqrt(nq.nrm * nn.nrm) = 0 THEN 0
+         |              ELSE dt.dot / sqrt(nq.nrm * nn.nrm) END AS sim
+         |  FROM idots dt JOIN isqqn nq ON nq.vec_id = dt.qid
+         |               JOIN isqn nn ON nn.vec_id = dt.nid
+         |), isrk AS (
+         |  SELECT qid, nid, sim,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY sim DESC, nid ASC) AS rank
+         |  FROM isim)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+         |       CAST(nid AS BIGINT) AS nid,
+         |       CAST(round(sim, 6) AS DOUBLE) AS sim
+         |FROM isrk WHERE rank <= 5""".stripMargin,
 
     // both rankings replayed: the ADC ranking (codes + query tables) and
     // the exact squared-L2 ranking over the full vectors, intersected

@@ -782,6 +782,82 @@ object Similarity {
     (spark.read.parquet(s"$path/codes"), SqModel(arr("mins"), arr("maxs")))
   }
 
+  /** Assign each vector to its coarse SOM cell and int8-encode it: the
+    * composed IVF+SQ row layout (id, bmu_id, codes) — the SQ sibling
+    * of [[ivfPqAssign]]. One scan computes both kernels per row.
+    */
+  def ivfSqAssign(df: DataFrame, vecCol: String, idCol: String,
+                  model: graft.som.SomModel, sq: SqModel): DataFrame =
+    model.withBmu(df, vecCol)
+      .select(col(idCol).cast("long").as("id"), col("bmu_id"),
+        sqEncodeCol(col(vecCol), sq).as("codes"))
+
+  /** Persist the composed IVF+SQ index: codes partitioned on disk by
+    * coarse cell (probe filters become PARTITION filters) + the
+    * per-dimension bounds as a params file — the [[writeIvfPqIndex]]
+    * layout with SQ's higher-resolution (and 8x larger) codes. The
+    * coarse quantizer itself persists via `SomModel.save`.
+    */
+  def writeIvfSqIndex(df: DataFrame, vecCol: String, idCol: String,
+                      model: graft.som.SomModel, sq: SqModel,
+                      path: String): Unit = {
+    val spark = df.sparkSession
+    ivfSqAssign(df, vecCol, idCol, model, sq)
+      .write.mode("overwrite").partitionBy("bmu_id").parquet(s"$path/codes")
+    val json = s"""{"mins":[${sq.mins.mkString(",")}],""" +
+      s""""maxs":[${sq.maxs.mkString(",")}]}"""
+    spark.createDataset(Seq(json))(org.apache.spark.sql.Encoders.STRING)
+      .coalesce(1).write.mode("overwrite").text(s"$path/params")
+  }
+
+  /** Serve cosine top-k from an assigned-codes table (inline
+    * [[ivfSqAssign]] output or a [[writeIvfSqIndex]] read-back): per
+    * query, one scan of its nProbe probed cells' int8 codes, decoded
+    * on the fly by the `SqDecode` kernel and ranked by exact cosine
+    * against the FLOAT query — cell pruning is the only approximation
+    * beyond the quantization grid (no ADC table). With the partitioned
+    * index the `isin` on `bmu_id` statically prunes to the probed
+    * directories; neither unprobed cells nor any float vector is read.
+    * Returns (qid, rank, nid, sim).
+    */
+  def ivfSqTopKFromCodes(codes: DataFrame, model: graft.som.SomModel,
+                         sq: SqModel, queries: Seq[(Long, Array[Double])],
+                         kNN: Int, nProbe: Int,
+                         excludeSelf: Boolean = true): DataFrame = {
+    require(queries.nonEmpty, "ivfSqTopKFromCodes needs at least one query")
+    val perQuery = queries.map { case (qid, q) =>
+      val cells = nearestCells(model, q, nProbe)
+      val qLit = array(q.map(lit(_)): _*)
+      codes.where(col("bmu_id").isin(cells: _*))
+        .where(if (excludeSelf) col("id") =!= qid else lit(true))
+        .select(lit(qid).as("qid"), col("id").as("nid"),
+          cosine(sqDecodeCol(col("codes"), sq), qLit).as("sim"))
+        .orderBy(col("sim").desc, col("nid").asc)
+        .limit(kNN)
+    }
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    perQuery.reduce(_ unionAll _)
+      .withColumn("rank", row_number().over(w))
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** End-to-end composed IVF+SQ: assign + encode once, serve the
+    * batch — [[ivfPqTopK]]'s shape for the SQ tier.
+    */
+  def ivfSqTopK(df: DataFrame, vecCol: String, idCol: String,
+                model: graft.som.SomModel, sq: SqModel,
+                queries: Seq[(Long, Array[Double])], kNN: Int,
+                nProbe: Int, excludeSelf: Boolean = true): DataFrame = {
+    val codes = ivfSqAssign(df, vecCol, idCol, model, sq)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val served = ivfSqTopKFromCodes(codes, model, sq, queries, kNN,
+      nProbe, excludeSelf)
+    val out = served.localCheckpoint(true)
+    codes.unpersist(blocking = false)
+    out
+  }
+
   /** Serve exact-over-compressed top-k: decode each stored code vector
     * on the fly (codegen `zip_with`, no shuffle added) and rank decoded
     * candidates against the FLOAT queries with the same bounded-heap

@@ -945,6 +945,66 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("IVF+SQ index: partitioned int8 codes serve cosine queries, pruned to probed cells") {
+    val rnd = new scala.util.Random(29)
+    val vecs = (0L until 300L).map(i => (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val qs = vecs.take(2).map { case (i, v) => (i, v.map(_.toDouble).toArray) }
+    val model = new graft.som.Som(
+      graft.som.SomConfig(3, 3, seed = 42)).fit(df, "embedding", numEpochs = 2)
+    val sq = Similarity.sqTrain(df, "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfsqindex").toFile
+    val path = new java.io.File(dir, "index").getAbsolutePath
+    try {
+      Similarity.writeIvfSqIndex(df, "embedding", "vec_id", model, sq, path)
+      val codes = spark.read.parquet(s"$path/codes")
+      val got = Similarity.ivfSqTopKFromCodes(codes, model, sq, qs,
+        kNN = 5, nProbe = 2)
+      // identical to the inline (assign-and-scan) path
+      val inline = Similarity.ivfSqTopK(df, "embedding", "vec_id", model,
+        sq, qs, kNN = 5, nProbe = 2)
+      assert(got.collect().map(_.toString).sorted
+        .sameElements(inline.collect().map(_.toString).sorted))
+      // static pruning: <= nProbe directories listed per query subplan
+      def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        p.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scansOf(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            scansOf(q.plan)
+        }.flatten
+      val scans = scansOf(got.queryExecution.executedPlan)
+      assert(scans.size == qs.size, s"expected one pruned scan per query: $scans")
+      scans.foreach { scan =>
+        assert(scan.partitionFilters.exists(_.references.exists(_.name == "bmu_id")),
+          s"no partition filter on bmu_id: ${scan.metadata.get("PartitionFilters")}")
+        val partsRead = scan.relation.location
+          .listFiles(scan.partitionFilters, scan.dataFilters).length
+        assert(partsRead <= 2,
+          s"IVF+SQ scan read $partsRead partitions, expected <= nProbe=2 of 9")
+      }
+      // cosine within probed cells must agree with the flat SQ serving
+      // restricted to the same candidates (composition adds pruning,
+      // not a new distance)
+      val flat = Similarity.sqTopK(
+        Similarity.sqEncode(df, "embedding", "vec_id", sq), "codes", "id",
+        sq, qs, k = 300).collect()
+        .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+      got.collect().foreach { r =>
+        val key = (r.getLong(0), r.getLong(2))
+        assert(flat.contains(key) && math.abs(flat(key) - r.getDouble(3)) < 1e-9,
+          s"cosine mismatch vs flat SQ at $key")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("multimodal decode stub: histogram is normalized, frames sampled") {
     val df = docs.where(length(col("text")) > 0)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
