@@ -133,6 +133,36 @@ object Queries {
       |         END AS code
       |  FROM sqex e JOIN sqmm m USING (i))""".stripMargin
 
+  /** The SQ serving chain over `sqCodesCtes` up to the ranked rows
+    * `sqranked` (qid, nid, sim, rn) — shared by the `sq_topk` and
+    * `sq_recall` oracles.
+    */
+  private val sqServeCtes: String =
+    """sqdec AS MATERIALIZED (
+      |  SELECT c.vec_id, c.i, CASE WHEN m.mx = m.mn THEN m.mn
+      |         ELSE m.mn + CAST(c.code AS DOUBLE) * (m.mx - m.mn) / 255.0
+      |         END AS dv
+      |  FROM sqcodes c JOIN sqmm m USING (i)),
+      |sqq AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT 5),
+      |sqqn AS (SELECT vec_id, sum(v * v) AS nrm FROM sqex
+      |         WHERE vec_id IN (SELECT qid FROM sqq) GROUP BY vec_id),
+      |sqdn AS (SELECT vec_id, sum(dv * dv) AS nrm FROM sqdec GROUP BY vec_id),
+      |sqdots AS (
+      |  SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.v * b.dv) AS dot
+      |  FROM sqex a JOIN sqdec b ON a.i = b.i AND b.vec_id <> a.vec_id
+      |  WHERE a.vec_id IN (SELECT qid FROM sqq)
+      |  GROUP BY a.vec_id, b.vec_id),
+      |sqranked AS (
+      |  SELECT d.qid, d.nid,
+      |         CASE WHEN sqrt(nq.nrm * nn.nrm) = 0 THEN 0
+      |              ELSE d.dot / sqrt(nq.nrm * nn.nrm) END AS sim,
+      |         row_number() OVER (PARTITION BY d.qid
+      |           ORDER BY (CASE WHEN sqrt(nq.nrm * nn.nrm) = 0 THEN 0
+      |                          ELSE d.dot / sqrt(nq.nrm * nn.nrm) END) DESC,
+      |                    d.nid ASC) AS rn
+      |  FROM sqdots d JOIN sqqn nq ON nq.vec_id = d.qid
+      |              JOIN sqdn nn ON nn.vec_id = d.nid)""".stripMargin
+
   // ------------------------------------------------------------ queries
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
@@ -837,6 +867,29 @@ object Queries {
           .map(r => (r.getLong(r.fieldIndex("vec_id")),
             r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)).toSeq
         Similarity.sqTopK(codes, "codes", "id", model, qs, k = 5)
+      }),
+
+      // SQ quality pin: recall@5 of the decoded-grid ranking vs the
+      // exact float ranking (both deterministic — the pq_recall
+      // convention; high recall expected since SQ keeps per-dimension
+      // resolution, unlike PQ's worst-case-noise codebook)
+      "sq_recall" -> ((s, dir) => {
+        val model = Similarity.sqTrain(emb(s, dir), "embedding")
+        val codes = Similarity.sqEncode(emb(s, dir), "embedding", "vec_id",
+          model)
+        val qs = emb(s, dir).orderBy("vec_id").limit(5).collect()
+          .map(r => (r.getLong(r.fieldIndex("vec_id")),
+            r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)).toSeq
+        val sqr = Similarity.sqTopK(codes, "codes", "id", model, qs, k = 5)
+        val bf = Similarity.bruteForceTopK(emb(s, dir), "embedding",
+          "vec_id", qs, k = 5)
+        val hits = sqr.select("qid", "nid").intersect(bf.select("qid", "nid"))
+          .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+        val qidsDf = s.createDataFrame(qs.map(q => Tuple1(q._1))).toDF("qid")
+        qidsDf.join(broadcast(hits), Seq("qid"), "left")
+          .select(col("qid"),
+            round(coalesce(col("n_hit"), lit(0L)).cast("double") / 5.0, 6)
+              .as("recall"))
       }),
 
       // PQ quality pin: recall@5 of the ADC ranking against the exact
@@ -2633,33 +2686,28 @@ object Queries {
     // raw-query-vs-decoded-candidate cosine ranking of ann_cosine_topk
     "sq_topk" ->
       s"""WITH $sqCodesCtes,
-         |sqdec AS MATERIALIZED (
-         |  SELECT c.vec_id, c.i, CASE WHEN m.mx = m.mn THEN m.mn
-         |         ELSE m.mn + CAST(c.code AS DOUBLE) * (m.mx - m.mn) / 255.0
-         |         END AS dv
-         |  FROM sqcodes c JOIN sqmm m USING (i)),
-         |sqq AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT 5),
-         |sqqn AS (SELECT vec_id, sum(v * v) AS nrm FROM sqex
-         |         WHERE vec_id IN (SELECT qid FROM sqq) GROUP BY vec_id),
-         |sqdn AS (SELECT vec_id, sum(dv * dv) AS nrm FROM sqdec GROUP BY vec_id),
-         |sqdots AS (
-         |  SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.v * b.dv) AS dot
-         |  FROM sqex a JOIN sqdec b ON a.i = b.i AND b.vec_id <> a.vec_id
-         |  WHERE a.vec_id IN (SELECT qid FROM sqq)
-         |  GROUP BY a.vec_id, b.vec_id),
-         |sqranked AS (
-         |  SELECT d.qid, d.nid,
-         |         CASE WHEN sqrt(nq.nrm * nn.nrm) = 0 THEN 0
-         |              ELSE d.dot / sqrt(nq.nrm * nn.nrm) END AS sim,
-         |         row_number() OVER (PARTITION BY d.qid
-         |           ORDER BY (CASE WHEN sqrt(nq.nrm * nn.nrm) = 0 THEN 0
-         |                          ELSE d.dot / sqrt(nq.nrm * nn.nrm) END) DESC,
-         |                    d.nid ASC) AS rn
-         |  FROM sqdots d JOIN sqqn nq ON nq.vec_id = d.qid
-         |              JOIN sqdn nn ON nn.vec_id = d.nid)
+         |$sqServeCtes
          |SELECT CAST(qid AS BIGINT) AS qid, CAST(rn AS BIGINT) AS rank,
          |       CAST(nid AS BIGINT) AS nid, CAST(round(sim, 6) AS DOUBLE) AS sim
          |FROM sqranked WHERE rn <= 5""".stripMargin,
+
+    // SQ quality pin: recall@5 of the decoded-grid cosine ranking
+    // against the exact float ranking — both deterministic, so a
+    // bounds/kernel regression flips these values in CORRECTNESS (the
+    // pq_recall convention)
+    "sq_recall" ->
+      s"""WITH $annRankedCtes,
+         |${sqCodesCtes},
+         |$sqServeCtes,
+         |sqhits AS (
+         |  SELECT e.qid, count(*) AS n_hit
+         |  FROM (SELECT qid, nid FROM ranked WHERE rn <= 5) e
+         |  JOIN (SELECT qid, nid FROM sqranked WHERE rn <= 5) s2
+         |    USING (qid, nid)
+         |  GROUP BY e.qid)
+         |SELECT CAST(q.qid AS BIGINT) AS qid,
+         |       CAST(round(COALESCE(h.n_hit, 0) / 5.0, 6) AS DOUBLE) AS recall
+         |FROM qids q LEFT JOIN sqhits h ON h.qid = q.qid""".stripMargin,
 
     // ADC replay: the query's exact per-(subspace, centroid) squared L2
     // joined to each vector's codes, summed over subspaces — the same
