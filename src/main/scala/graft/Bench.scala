@@ -565,11 +565,29 @@ object Bench {
           m = 8, k = 16, q100, kNN = 10).count(); ()
       }
 
+      // --- composed IVF+SQ beside IVF+PQ on the same corpus: cell
+      // pruning x int8 codes with exact decoded-grid cosine (the
+      // higher-resolution serving tier; build = assign+encode+
+      // partitioned write, serve = nProbe pruned directories/query)
+      val sqM = graft.operators.Similarity.sqTrain(big, "embedding")
+      val ivfSqPath = s"$idxDir/ivfsq"
+      results("bench_ivfsq_build_200k") = time {
+        graft.operators.Similarity.writeIvfSqIndex(big, "embedding", "id",
+          model, sqM, ivfSqPath)
+      }
+      val sqIdxCodes = spark.read.parquet(s"$ivfSqPath/codes")
+      graft.operators.Similarity.ivfSqTopKFromCodes(sqIdxCodes, model, sqM,
+        qvecs, kNN = 10, nProbe = 4).count() // warmup
+      results("bench_ivfsq_serve_200k") = time2 {
+        graft.operators.Similarity.ivfSqTopKFromCodes(sqIdxCodes, model, sqM,
+          qvecs, kNN = 10, nProbe = 4).count(); ()
+      }
+
       // --- int8 SQ on the same corpus: the parameter-free compression
       // tier — encode is one codegen scan against broadcast per-dim
       // bounds; serve decodes on the fly and runs the bounded cosine
       // pass over codes that bit-pack to ~1 byte/dim at rest
-      val sqModel = graft.operators.Similarity.sqTrain(big, "embedding")
+      val sqModel = sqM
       results("bench_sq_encode_200k") = time2 {
         graft.operators.Similarity.sqEncode(big, "embedding", "id", sqModel)
           .agg(sum(element_at(col("codes"), 1))).collect(); ()
