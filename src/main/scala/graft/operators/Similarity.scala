@@ -842,8 +842,48 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** Batch IVF+SQ serving: ONE scan answers the whole query batch.
+    * The scan prunes to the UNION of all probed cells, each row's
+    * codes decode ONCE (projection below the join), a broadcast
+    * (cell -> probing queries, query vector attached) join pairs each
+    * decoded row with exactly the queries probing its cell, `VecCosine`
+    * scores the pair, and the bounded-heap aggregate reduces to kNN
+    * per query before the shuffle. Identical rows to
+    * [[ivfSqTopKFromCodes]] (spec-pinned); prefer this form past a
+    * handful of queries — the per-query form's value is exact
+    * per-query partition pruning on a persisted index.
+    */
+  def ivfSqTopKFromCodesBatch(codes: DataFrame, model: graft.som.SomModel,
+                              sq: SqModel,
+                              queries: Seq[(Long, Array[Double])],
+                              kNN: Int, nProbe: Int,
+                              excludeSelf: Boolean = true): DataFrame = {
+    require(queries.nonEmpty, "ivfSqTopKFromCodesBatch needs at least one query")
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val probes = queries.flatMap { case (qid, q) =>
+      nearestCells(model, q, nProbe).map(c => (qid, c, q.toSeq))
+    }
+    val probeDf = probes.toDF("qid", "bmu_id", "qv")
+    val allCells = probes.map(_._2).distinct
+    val dec = codes.where(col("bmu_id").isin(allCells: _*))
+      .select(col("id"), col("bmu_id"),
+        sqDecodeCol(col("codes"), sq).as("dv"))
+    dec.join(broadcast(probeDf), Seq("bmu_id"))
+      .where(if (excludeSelf) col("qid") =!= col("id") else lit(true))
+      .select(col("qid"), col("id").as("nid"),
+        cosine(col("dv"), col("qv")).as("sim"))
+      .groupBy("qid")
+      .agg(graft.plans.TopNFunctions.topn_smallest_by_double(
+        negate(col("sim")), col("nid"), kNN).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("r", "p")))
+      .select(col("qid"), (col("r") + 1).cast("long").as("rank"),
+        col("p.id").as("nid"), round(negate(col("p.s")), 6).as("sim"))
+  }
+
   /** End-to-end composed IVF+SQ: assign + encode once, serve the
-    * batch — [[ivfPqTopK]]'s shape for the SQ tier.
+    * batch — [[ivfPqTopK]]'s shape for the SQ tier, with the same
+    * [[pqBatchDispatchMinQueries]] batch/per-query dispatch.
     */
   def ivfSqTopK(df: DataFrame, vecCol: String, idCol: String,
                 model: graft.som.SomModel, sq: SqModel,
@@ -851,8 +891,12 @@ object Similarity {
                 nProbe: Int, excludeSelf: Boolean = true): DataFrame = {
     val codes = ivfSqAssign(df, vecCol, idCol, model, sq)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val served = ivfSqTopKFromCodes(codes, model, sq, queries, kNN,
-      nProbe, excludeSelf)
+    val served =
+      if (queries.size >= pqBatchDispatchMinQueries)
+        ivfSqTopKFromCodesBatch(codes, model, sq, queries, kNN, nProbe,
+          excludeSelf)
+      else ivfSqTopKFromCodes(codes, model, sq, queries, kNN, nProbe,
+        excludeSelf)
     val out = served.localCheckpoint(true)
     codes.unpersist(blocking = false)
     out

@@ -985,6 +985,12 @@ class PipelineSpec extends SparkSpec {
         assert(partsRead <= 2,
           s"IVF+SQ scan read $partsRead partitions, expected <= nProbe=2 of 9")
       }
+      // the batch form (one scan over the probed-cell union + broadcast
+      // probe join + bounded heap) returns identical rows
+      val batched = Similarity.ivfSqTopKFromCodesBatch(codes, model, sq,
+        qs, kNN = 5, nProbe = 2)
+      assert(batched.collect().map(_.toString).sorted
+        .sameElements(got.collect().map(_.toString).sorted))
       // cosine within probed cells must agree with the flat SQ serving
       // restricted to the same candidates (composition adds pruning,
       // not a new distance)
