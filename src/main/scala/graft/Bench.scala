@@ -587,19 +587,18 @@ object Bench {
       // tier — encode is one codegen scan against broadcast per-dim
       // bounds; serve decodes on the fly and runs the bounded cosine
       // pass over codes that bit-pack to ~1 byte/dim at rest
-      val sqModel = sqM
       results("bench_sq_encode_200k") = time2 {
-        graft.operators.Similarity.sqEncode(big, "embedding", "id", sqModel)
+        graft.operators.Similarity.sqEncode(big, "embedding", "id", sqM)
           .agg(sum(element_at(col("codes"), 1))).collect(); ()
       }
       val sqCodes = graft.operators.Similarity
-        .sqEncode(big, "embedding", "id", sqModel)
+        .sqEncode(big, "embedding", "id", sqM)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       sqCodes.count()
-      graft.operators.Similarity.sqTopK(sqCodes, "codes", "id", sqModel,
+      graft.operators.Similarity.sqTopK(sqCodes, "codes", "id", sqM,
         qvecs, k = 10).count() // warmup
       results("bench_sq_topk_200k") = time2 {
-        graft.operators.Similarity.sqTopK(sqCodes, "codes", "id", sqModel,
+        graft.operators.Similarity.sqTopK(sqCodes, "codes", "id", sqM,
           qvecs, k = 10).count(); ()
       }
       sqCodes.unpersist(blocking = false)

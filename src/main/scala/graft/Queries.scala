@@ -38,6 +38,16 @@ object Queries {
     s.read.parquet(s"$dir/documents.parquet")
       .where(org.apache.spark.sql.functions.col("text").isNotNull)
 
+  /** The ANN-family query batch: the first 5 embeddings by vec_id as
+    * (qid, double vector). ONE definition — every query that fuses or
+    * compares rankings (rrf, recall) depends on all of them selecting
+    * the same batch the oracles' LIMIT 5 replays.
+    */
+  private def embQueries(s: SparkSession, dir: String): Seq[(Long, Array[Double])] =
+    emb(s, dir).orderBy("vec_id").limit(5).collect()
+      .map(r => (r.getLong(r.fieldIndex("vec_id")),
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)).toSeq
+
   /** dedup_pr's fixed-size eval sample: the metric's quadratic truth
     * leg is bounded at prSampleN^2/2 pairs no matter the corpus size.
     */
@@ -137,12 +147,19 @@ object Queries {
     * `sqranked` (qid, nid, sim, rn) — shared by the `sq_topk` and
     * `sq_recall` oracles.
     */
-  private val sqServeCtes: String =
+  /** The decode CTE alone — the affine spelling that must stay
+    * bit-identical to the `SqDecode` kernel lives in exactly ONE
+    * string (sq_topk/sq_recall via [[sqServeCtes]], and ann_ivfsq).
+    */
+  private val sqDecCte: String =
     """sqdec AS MATERIALIZED (
       |  SELECT c.vec_id, c.i, CASE WHEN m.mx = m.mn THEN m.mn
       |         ELSE m.mn + CAST(c.code AS DOUBLE) * (m.mx - m.mn) / 255.0
       |         END AS dv
-      |  FROM sqcodes c JOIN sqmm m USING (i)),
+      |  FROM sqcodes c JOIN sqmm m USING (i))""".stripMargin
+
+  private val sqServeCtes: String =
+    s"""$sqDecCte,
       |sqq AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT 5),
       |sqqn AS (SELECT vec_id, sum(v * v) AS nrm FROM sqex
       |         WHERE vec_id IN (SELECT qid FROM sqq) GROUP BY vec_id),
@@ -767,18 +784,14 @@ object Queries {
 
       // brute-force cosine top-k (exact ANN baseline)
       "ann_cosine_topk" -> ((s, dir) => {
-        val qs = emb(s, dir).orderBy("vec_id").limit(5).collect()
-          .map(r => (r.getLong(r.fieldIndex("vec_id")),
-            r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)).toSeq
+        val qs = embQueries(s, dir)
         Similarity.bruteForceTopK(emb(s, dir), "embedding", "vec_id", qs, k = 5)
       }),
 
       // random-hyperplane LSH ANN — oracled via seeded-plane replay
       // (HashOracleSql.lshTopK)
       "ann_lsh_topk" -> ((s, dir) => {
-        val qs = emb(s, dir).orderBy("vec_id").limit(5).collect()
-          .map(r => (r.getLong(r.fieldIndex("vec_id")),
-            r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)).toSeq
+        val qs = embQueries(s, dir)
         Similarity.lshCosineTopK(emb(s, dir), "embedding", "vec_id", qs, k = 5,
           numPlanes = 6, numTables = 8)
       }),
@@ -790,9 +803,7 @@ object Queries {
       // recall REGRESSIONS (a bucketing bug that silently drops true
       // neighbors) in CORRECTNESS, not just in the sbt suite.
       "ann_recall" -> ((s, dir) => {
-        val qs = emb(s, dir).orderBy("vec_id").limit(5).collect()
-          .map(r => (r.getLong(r.fieldIndex("vec_id")),
-            r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)).toSeq
+        val qs = embQueries(s, dir)
         val lsh = Similarity.lshCosineTopK(emb(s, dir), "embedding", "vec_id", qs,
           k = 5, numPlanes = 6, numTables = 8)
         val bf = Similarity.bruteForceTopK(emb(s, dir), "embedding", "vec_id", qs, k = 5)
@@ -807,9 +818,7 @@ object Queries {
       // SOM-bucketed (IVF-style) ANN — oracled by replaying the seeded
       // quantizer training in SQL (TrainOracleSql.annSomTopK)
       "ann_som_topk" -> ((s, dir) => {
-        val qs = emb(s, dir).orderBy("vec_id").limit(5).collect()
-          .map(r => (r.getLong(r.fieldIndex("vec_id")),
-            r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)).toSeq
+        val qs = embQueries(s, dir)
         Similarity.somTopK(emb(s, dir), "embedding", "vec_id", qs, k = 5)
       }),
 
@@ -863,9 +872,7 @@ object Queries {
         val model = Similarity.sqTrain(emb(s, dir), "embedding")
         val codes = Similarity.sqEncode(emb(s, dir), "embedding", "vec_id",
           model)
-        val qs = emb(s, dir).orderBy("vec_id").limit(5).collect()
-          .map(r => (r.getLong(r.fieldIndex("vec_id")),
-            r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)).toSeq
+        val qs = embQueries(s, dir)
         Similarity.sqTopK(codes, "codes", "id", model, qs, k = 5)
       }),
 
@@ -877,9 +884,7 @@ object Queries {
         val model = Similarity.sqTrain(emb(s, dir), "embedding")
         val codes = Similarity.sqEncode(emb(s, dir), "embedding", "vec_id",
           model)
-        val qs = emb(s, dir).orderBy("vec_id").limit(5).collect()
-          .map(r => (r.getLong(r.fieldIndex("vec_id")),
-            r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)).toSeq
+        val qs = embQueries(s, dir)
         val sqr = Similarity.sqTopK(codes, "codes", "id", model, qs, k = 5)
         val bf = Similarity.bruteForceTopK(emb(s, dir), "embedding",
           "vec_id", qs, k = 5)
@@ -900,9 +905,7 @@ object Queries {
       // exploit), so the pin is exact determinism, not retrieval quality
       "pq_recall" -> ((s, dir) => {
         val cb = Similarity.pqCodebookFromRows(pqRows(s, dir), m = 8)
-        val qs = emb(s, dir).orderBy("vec_id").limit(5).collect()
-          .map(r => (r.getLong(r.fieldIndex("vec_id")),
-            r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)).toSeq
+        val qs = embQueries(s, dir)
         val pq = Similarity.pqTopK(emb(s, dir), "embedding", "vec_id", cb,
           m = 8, k = 16, qs, kNN = 5)
         val exact = Similarity.bruteForceTopK(emb(s, dir), "embedding",
@@ -920,9 +923,7 @@ object Queries {
       // path) + TakeOrderedAndProject
       "pq_topk" -> ((s, dir) => {
         val cb = Similarity.pqCodebookFromRows(pqRows(s, dir), m = 8)
-        val qs = emb(s, dir).orderBy("vec_id").limit(5).collect()
-          .map(r => (r.getLong(r.fieldIndex("vec_id")),
-            r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)).toSeq
+        val qs = embQueries(s, dir)
         Similarity.pqTopK(emb(s, dir), "embedding", "vec_id", cb,
           m = 8, k = 16, qs, kNN = 5)
       }),
@@ -935,9 +936,7 @@ object Queries {
       "ann_ivfpq" -> ((s, dir) => {
         val model = fixedModel(s, dir)
         val cb = Similarity.pqCodebookFromRows(pqRows(s, dir), m = 8)
-        val qs = emb(s, dir).orderBy("vec_id").limit(5).collect()
-          .map(r => (r.getLong(r.fieldIndex("vec_id")),
-            r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)).toSeq
+        val qs = embQueries(s, dir)
         Similarity.ivfPqTopK(emb(s, dir), "embedding", "vec_id", model, cb,
           m = 8, k = 16, qs, kNN = 5, nProbe = 3)
       }),
@@ -950,9 +949,7 @@ object Queries {
       "ann_ivfsq" -> ((s, dir) => {
         val model = fixedModel(s, dir)
         val sq = Similarity.sqTrain(emb(s, dir), "embedding")
-        val qs = emb(s, dir).orderBy("vec_id").limit(5).collect()
-          .map(r => (r.getLong(r.fieldIndex("vec_id")),
-            r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)).toSeq
+        val qs = embQueries(s, dir)
         Similarity.ivfSqTopK(emb(s, dir), "embedding", "vec_id", model, sq,
           qs, kNN = 5, nProbe = 3)
       }),
@@ -1442,9 +1439,7 @@ object Queries {
       "retrieval_rrf" -> ((s, dir) => {
         val lex = graft.operators.Retrieval.bm25TopK(docs(s, dir), "text",
           "doc_id", bm25Queries, k = 10)
-        val qs = emb(s, dir).orderBy("vec_id").limit(5).collect()
-          .map(r => (r.getLong(r.fieldIndex("vec_id")),
-            r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)).toSeq
+        val qs = embQueries(s, dir)
         val sem = Similarity.bruteForceTopK(emb(s, dir), "embedding",
             "vec_id", qs, k = 5)
           .withColumnRenamed("nid", "doc_id")
@@ -1582,12 +1577,8 @@ object Queries {
       // IVF ANN with the k-means coarse quantizer (the standard-IVF
       // sibling of ann_som_topk): probe 3 of 8 cells per query
       "ann_ivf_kmeans" -> ((s, dir) => {
-        val e = emb(s, dir)
-        val qs = e.orderBy("vec_id").limit(5).collect()
-          .map(r => (r.getLong(r.fieldIndex("vec_id")),
-            r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)).toSeq
-        graft.operators.Kmeans.ivfTopK(e, "embedding", "vec_id", qs, k = 5,
-          kClusters = 8, iters = 4, nProbe = 3)
+        graft.operators.Kmeans.ivfTopK(emb(s, dir), "embedding", "vec_id",
+          embQueries(s, dir), k = 5, kClusters = 8, iters = 4, nProbe = 3)
       })
     )
   }
@@ -2803,12 +2794,8 @@ object Queries {
          |           row_number() OVER (PARTITION BY d.vec_id
          |                              ORDER BY d.dist2 ASC, d.nid ASC) AS rn
          |    FROM d WHERE d.vec_id IN (SELECT qid FROM iq)) WHERE rn <= 3
-         |), isqdec AS MATERIALIZED (
-         |  SELECT c.vec_id, c.i, CASE WHEN m.mx = m.mn THEN m.mn
-         |         ELSE m.mn + CAST(c.code AS DOUBLE) * (m.mx - m.mn) / 255.0
-         |         END AS dv
-         |  FROM sqcodes c JOIN sqmm m USING (i)),
-         |isqn AS (SELECT vec_id, sum(dv * dv) AS nrm FROM isqdec GROUP BY vec_id),
+         |), $sqDecCte,
+         |isqn AS (SELECT vec_id, sum(dv * dv) AS nrm FROM sqdec GROUP BY vec_id),
          |isqqn AS (SELECT vec_id, sum(v * v) AS nrm FROM sqex
          |          WHERE vec_id IN (SELECT qid FROM iq) GROUP BY vec_id),
          |cand AS (
@@ -2819,7 +2806,7 @@ object Queries {
          |  SELECT ca.qid, ca.nid, sum(e.v * dd.dv) AS dot
          |  FROM cand ca
          |  JOIN sqex e ON e.vec_id = ca.qid
-         |  JOIN isqdec dd ON dd.vec_id = ca.nid AND dd.i = e.i
+         |  JOIN sqdec dd ON dd.vec_id = ca.nid AND dd.i = e.i
          |  GROUP BY ca.qid, ca.nid
          |), isim AS (
          |  SELECT dt.qid, dt.nid,

@@ -717,6 +717,17 @@ object Similarity {
       .groupBy("i").agg(min("v").as("mn"), max("v").as("mx"))
       .orderBy("i").collect()
     require(rows.nonEmpty, "sqTrain: no non-null vectors")
+    // fail loud on degenerate bounds: an all-null dimension gives null
+    // min/max, and a NaN anywhere poisons max (Spark sorts NaN
+    // greatest) — either would silently turn the dimension into a
+    // constant-0 encode that no oracle replay agrees with
+    rows.foreach { r =>
+      val i = r.get(0)
+      require(!r.isNullAt(1) && !r.isNullAt(2),
+        s"sqTrain: dimension $i has no non-null values")
+      require(!r.getDouble(1).isNaN && !r.getDouble(2).isNaN,
+        s"sqTrain: NaN bound in dimension $i — quantization undefined")
+    }
     SqModel(rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
   }
 
@@ -758,14 +769,20 @@ object Similarity {
     */
   def writeSqIndex(df: DataFrame, vecCol: String, idCol: String,
                    model: SqModel, path: String): Unit = {
-    val spark = df.sparkSession
-    import spark.implicits._
     sqEncode(df, vecCol, idCol, model)
       .write.mode("overwrite").parquet(s"$path/codes")
+    writeSqParams(df.sparkSession, model, path)
+  }
+
+  /** The bounds params file both SQ index layouts share — one
+    * serialization, one place for [[readSqIndex]]'s parser to match.
+    */
+  private def writeSqParams(spark: org.apache.spark.sql.SparkSession,
+                            model: SqModel, path: String): Unit = {
     val json = s"""{"mins":[${model.mins.mkString(",")}],""" +
       s""""maxs":[${model.maxs.mkString(",")}]}"""
-    spark.createDataset(Seq(json)).coalesce(1)
-      .write.mode("overwrite").text(s"$path/params")
+    spark.createDataset(Seq(json))(org.apache.spark.sql.Encoders.STRING)
+      .coalesce(1).write.mode("overwrite").text(s"$path/params")
   }
 
   /** Read an SQ index back: (codes DataFrame, model). Double.toString
@@ -801,13 +818,9 @@ object Similarity {
   def writeIvfSqIndex(df: DataFrame, vecCol: String, idCol: String,
                       model: graft.som.SomModel, sq: SqModel,
                       path: String): Unit = {
-    val spark = df.sparkSession
     ivfSqAssign(df, vecCol, idCol, model, sq)
       .write.mode("overwrite").partitionBy("bmu_id").parquet(s"$path/codes")
-    val json = s"""{"mins":[${sq.mins.mkString(",")}],""" +
-      s""""maxs":[${sq.maxs.mkString(",")}]}"""
-    spark.createDataset(Seq(json))(org.apache.spark.sql.Encoders.STRING)
-      .coalesce(1).write.mode("overwrite").text(s"$path/params")
+    writeSqParams(df.sparkSession, sq, path)
   }
 
   /** Serve cosine top-k from an assigned-codes table (inline
@@ -861,15 +874,20 @@ object Similarity {
     require(queries.nonEmpty, "ivfSqTopKFromCodesBatch needs at least one query")
     val spark = codes.sparkSession
     import spark.implicits._
+    // two broadcasts, the somTopKAssigned shape: the (qid, cell) probe
+    // pairs and a separate (qid -> query vector) table — inlining qv
+    // onto every probe row would ship each vector nProbe times
     val probes = queries.flatMap { case (qid, q) =>
-      nearestCells(model, q, nProbe).map(c => (qid, c, q.toSeq))
+      nearestCells(model, q, nProbe).map(c => (qid, c))
     }
-    val probeDf = probes.toDF("qid", "bmu_id", "qv")
+    val probeDf = probes.toDF("qid", "bmu_id")
+    val qDf = queries.map { case (qid, v) => (qid, v.toSeq) }.toDF("qid", "qv")
     val allCells = probes.map(_._2).distinct
     val dec = codes.where(col("bmu_id").isin(allCells: _*))
       .select(col("id"), col("bmu_id"),
         sqDecodeCol(col("codes"), sq).as("dv"))
     dec.join(broadcast(probeDf), Seq("bmu_id"))
+      .join(broadcast(qDf), Seq("qid"))
       .where(if (excludeSelf) col("qid") =!= col("id") else lit(true))
       .select(col("qid"), col("id").as("nid"),
         cosine(col("dv"), col("qv")).as("sim"))

@@ -53,6 +53,12 @@ object SqKernel {
     val codes = new Array[Int](dim)
     var i = 0
     while (i < dim) {
+      // fail loud: the zip_with spelling this kernel replaced would
+      // silently propagate a null element into the codes array (and
+      // the declared containsNull=false output would then lie)
+      if (v.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"sq_encode: null element at dimension $i")
       val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
       val mn = mins(i)
       val mx = maxs(i)
@@ -73,6 +79,9 @@ object SqKernel {
     val out = new Array[Double](dim)
     var i = 0
     while (i < dim) {
+      if (codes.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"sq_decode: null code at dimension $i")
       val mn = mins(i)
       val mx = maxs(i)
       out(i) =
