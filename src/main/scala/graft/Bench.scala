@@ -700,6 +700,15 @@ object Bench {
         graft.operators.Bpe.encodeStats(bigDocs, "text", "doc_id",
           benchMerges).agg(sum("n_subwords")).collect(); ()
       }
+      // quality-gate TRAINING: 10 full-batch GD iterations over 200k
+      // docs — per iteration one LogitGrad codegen scan + a (dim+2)-long
+      // VecSumCount buffer per partition (feature extraction included
+      // in the timed region: one gopher_stats pass + cache)
+      results("bench_logit_train10_200k") = time {
+        val feats = graft.operators.LogitTrain.features(bigDocs, "text",
+          "doc_id", when(col("doc_id") % 4 === 0, 1.0).otherwise(0.0))
+        graft.operators.LogitTrain.train(feats, iters = 10, lr = 1.0); ()
+      }
       bigDocs.unpersist(blocking = false)
     }
     stampBw("retrieval_done")

@@ -53,6 +53,13 @@ object Queries {
     */
   private val prSampleN = 256
 
+  /** quality_train_* hyperparameters — tools/gen_logit_oracle.py
+    * re-derives the expected rows with these SAME values; change them
+    * together.
+    */
+  private val logitIters = 150
+  private val logitLr = 1.0
+
   /** The DuckDB spelling of the same selection (self-contained, usable
     * inside nested WITH chains).
     */
@@ -1296,6 +1303,42 @@ object Queries {
       "quality_logit" -> ((s, dir) =>
         Corpus.qualityLogit(docs(s, dir), "text", "doc_id")
           .select(col("id").as("doc_id"), col("score"), col("keep"))),
+
+      // TRAINING the linear quality gate (quality_logit's missing first
+      // half): full-batch gradient descent over the round-6 Gopher
+      // signals, distilling an upstream keep/drop decision recorded in
+      // metadata (label = n_chars >= 200) into a text-only scored gate;
+      // algebraic sigmoid + scale-9 DECIMAL gradient sums make the loop
+      // bit-reproducible (oracle: an INDEPENDENT Python implementation,
+      // tools/gen_logit_oracle.py)
+      "quality_train_weights" -> ((s, dir) => {
+        val feats = graft.operators.LogitTrain.features(docs(s, dir),
+          "text", "doc_id", when(col("n_chars") >= 200, 1.0).otherwise(0.0))
+        val m = graft.operators.LogitTrain.train(feats,
+          iters = logitIters, lr = logitLr)
+        graft.operators.LogitTrain.modelDf(s, m)
+      }),
+
+      // the trained gate applied back to the corpus: one codegen
+      // scoring scan (round-6 algebraic sigmoid), same derivation
+      "quality_train_score" -> ((s, dir) => {
+        val feats = graft.operators.LogitTrain.features(docs(s, dir),
+          "text", "doc_id", when(col("n_chars") >= 200, 1.0).otherwise(0.0))
+        val m = graft.operators.LogitTrain.train(feats,
+          iters = logitIters, lr = logitLr)
+        graft.operators.LogitTrain.scoreDf(feats, m)
+          .select(col("id").as("doc_id"), col("score"), col("keep"))
+      }),
+
+      // confusion counts + accuracy of the trained gate against its
+      // training labels — the one-row sanity report a pipeline logs
+      "quality_train_eval" -> ((s, dir) => {
+        val feats = graft.operators.LogitTrain.features(docs(s, dir),
+          "text", "doc_id", when(col("n_chars") >= 200, 1.0).otherwise(0.0))
+        val m = graft.operators.LogitTrain.train(feats,
+          iters = logitIters, lr = logitLr)
+        graft.operators.LogitTrain.evalDf(feats, m)
+      }),
 
       // lexical diversity: per-doc type-token ratio from the token_tf
       // kernel (distinct terms / token instances — the low-TTR tail is

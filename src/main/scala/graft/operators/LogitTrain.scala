@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.TextFunctions
+import graft.plans.{KmeansFunctions, LogitFunctions}
+
+/** Distributed TRAINING of the linear quality classifier whose
+  * inference twin is [[Corpus.qualityLogit]] — full-batch gradient
+  * descent over the interpretable Gopher signals. CCNet/fastText-style
+  * quality gates are trained on a labeled sample and then applied as
+  * one embarrassingly-parallel scoring scan; this operator supplies the
+  * missing first half so a pipeline can learn its gate from in-corpus
+  * labels (a language tag, a source allowlist, human ratings) instead
+  * of hand-tuning weights.
+  *
+  * Scale shape (per iteration, over a cached slim `(id, x, y)`
+  * projection — the k-means template):
+  *  - the map side is the [[graft.plans.LogitGrad]] codegen kernel
+  *    (current weights ride in the expression, broadcast-sized);
+  *  - the reduce is ONE [[graft.plans.VecSumCount]] buffer of
+  *    `dim + 2` longs per partition — the shuffle is
+  *    weight-vector-shaped, never data-shaped, at any corpus size;
+  *  - the driver applies the update to `dim = 5` doubles.
+  * 100 TB deployment: train on a labeled sample (this loop, unchanged),
+  * then score the full corpus with [[scoreDf]] — a single
+  * whole-stage-codegen pass, no shuffle at all.
+  *
+  * Determinism (the correctness contract, mirrored bit-for-bit by the
+  * independent `tools/gen_logit_oracle.py`):
+  *  - features are the round-6 Gopher signals
+  *    `[1, ln(1+n_tok), mean_tok_len, alpha_ratio, stop_ratio]` — each
+  *    rounded to 6 decimals, so both engines start from the same exact
+  *    decimal grid (the [[Corpus.qualityLogit]] convention);
+  *  - the per-row link is the ALGEBRAIC sigmoid
+  *    `0.5 (1 + z / (1 + |z|))` — no transcendental inside the LOOP, so
+  *    every iteration is pure IEEE-754 arithmetic both sides spell
+  *    identically (see [[graft.plans.LogitKernel]]);
+  *  - gradient/residual sums accumulate as exact scale-9 longs
+  *    (order-independent, partitioning-invariant); the mean divides at
+  *    scale 9 HALF_UP; weight init is all-zero.
+  */
+object LogitTrain {
+
+  /** Trained model: `weights(0)` is the intercept; `mse` is the mean
+    * squared residual measured under the weights ENTERING the final
+    * iteration (the residuals that produced the last update — no extra
+    * pass); `n` is the training-row count.
+    */
+  final case class Model(weights: Array[Double], mse: Double, n: Long) {
+    require(weights.length == dim, s"expected $dim weights")
+  }
+
+  /** [1, ln(1+n_tok), mean_tok_len, alpha_ratio, stop_ratio] */
+  val dim = 5
+
+  /** Per-document feature vectors and label: `(id, x array<double>,
+    * y double)`. One `gopher_stats` kernel pass per row; NULL-text
+    * documents are omitted (no signals — the [[Corpus.qualityLogit]]
+    * rule) and NULL labels are omitted (unlabeled rows cannot
+    * contribute a gradient).
+    */
+  def features(df: DataFrame, textCol: String, idCol: String,
+               labelCol: Column,
+               stopWords: Seq[String] = TextFunctions.englishStopwords): DataFrame = {
+    val st = col("__st")
+    val n = st.getItem(0)
+    val fLen = round(log(lit(1.0) + n), 6)
+    def ratio(item: Int) =
+      when(n === 0, 0.0).otherwise(round(st.getItem(item).cast("double") / n, 6))
+    Materialize.once(
+        df.where(col(textCol).isNotNull)
+          .select(col(idCol).cast("long").as("id"), col(textCol),
+            labelCol.cast("double").as("__y"))
+          .where(col("__y").isNotNull),
+        "__st", graft.plans.GraftFunctions.gopher_stats(col(textCol), stopWords))
+      .select(col("id"),
+        array(lit(1.0), fLen, ratio(1), ratio(2), ratio(3)).as("x"),
+        col("__y").as("y"))
+  }
+
+  /** `iters` full-batch gradient steps from the all-zero init over a
+    * `(x, y)` feature frame (one Spark job per iteration; the input is
+    * cached here and released before returning). `y` must be 0/1-ish
+    * (any double works arithmetically; the residual is `p − y`).
+    */
+  def train(feats: DataFrame, iters: Int, lr: Double): Model = {
+    require(iters >= 1, s"logit training needs iters >= 1, got $iters")
+    require(lr > 0.0 && !lr.isNaN && !lr.isInfinite,
+      s"logit training needs a positive finite learning rate, got $lr")
+    val data = feats.select(col("x"), col("y"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var w = new Array[Double](dim)
+      var mse = Double.NaN
+      var n = 0L
+      var it = 0
+      while (it < iters) {
+        val row = data
+          .select(KmeansFunctions.vec_sum_count(
+            LogitFunctions.logit_grad(col("x"), col("y"), w), dim + 1).as("sc"))
+          .select(col("sc.sums"), col("sc.n"))
+          .collect()(0)
+        val s = row.getSeq[Long](0)
+        n = row.getLong(1)
+        require(n > 0, "cannot train a logit model on an empty dataset")
+        def mean9(unscaled: Long): Double =
+          java.math.BigDecimal.valueOf(unscaled, 9)
+            .divide(java.math.BigDecimal.valueOf(n), 9,
+              java.math.RoundingMode.HALF_UP).doubleValue
+        val w2 = new Array[Double](dim)
+        var j = 0
+        while (j < dim) { w2(j) = w(j) - lr * mean9(s(j)); j += 1 }
+        mse = mean9(s(dim))
+        w = w2
+        it += 1
+      }
+      Model(w, mse, n)
+    } finally { data.unpersist(); () }
+  }
+
+  /** One-scan serving pass: `(id, score, keep)` under a trained model —
+    * the [[graft.plans.LogitScore]] codegen kernel (round-6 algebraic
+    * sigmoid), no shuffle.
+    */
+  def scoreDf(feats: DataFrame, model: Model,
+              threshold: Double = 0.5): DataFrame =
+    feats.select(col("id"),
+        LogitFunctions.logit_score(col("x"), model.weights).as("score"))
+      .withColumn("keep", col("score") >= threshold)
+
+  /** Confusion counts + round-6 accuracy of a trained model against the
+    * training labels, as ONE aggregate row `(tp, fp, fn, tn, accuracy)`
+    * — the sanity check a curation pipeline logs next to the gate.
+    */
+  def evalDf(feats: DataFrame, model: Model,
+             threshold: Double = 0.5): DataFrame = {
+    val keep = LogitFunctions.logit_score(col("x"), model.weights) >= threshold
+    val pos = col("y") === 1.0
+    feats.select(keep.as("k"), pos.as("p"))
+      .agg(
+        sum(when(col("k") && col("p"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("k") && !col("p"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("k") && col("p"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("k") && !col("p"), 1L).otherwise(0L)).as("tn"))
+      .withColumn("accuracy",
+        round((col("tp") + col("tn")).cast("double") /
+          (col("tp") + col("fp") + col("fn") + col("tn")).cast("double"), 6))
+  }
+
+  /** The trained model in oracle-friendly long form: one `(term,
+    * value)` row per weight plus the final-iteration mse and the
+    * training-row count, weights rounded to 6 decimals HALF_UP.
+    */
+  def modelDf(spark: org.apache.spark.sql.SparkSession, model: Model): DataFrame = {
+    import spark.implicits._
+    val names = Seq("bias", "w_log_tok", "w_mean_len", "w_alpha_ratio",
+      "w_stop_ratio")
+    def r6(v: Double): Double =
+      new java.math.BigDecimal(java.lang.Double.toString(v))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    (names.zip(model.weights.toSeq.map(r6)) ++
+      Seq("mse" -> r6(model.mse), "n_docs" -> model.n.toDouble))
+      .toDF("term", "value")
+  }
+}

@@ -62,13 +62,16 @@ class PrecomputedOracleSpec extends AnyFunSuite {
       Set("bpe_merges", "bpe_encode_stats", "kmeans_centroids",
         "kmeans_assign", "kmeans_quality", "kmeans_farthest",
         "kmeans_balanced_sample", "dedup_semantic_kmeans",
-        "ann_ivf_kmeans"))
+        "ann_ivf_kmeans", "quality_train_weights",
+        "quality_train_score", "quality_train_eval"))
     IndependentOracles.sql.foreach { case (name, sql) =>
       assert(sql.startsWith("-- INDEPENDENT oracle"), s"$name lacks provenance header")
       assert(sql.contains("FROM (VALUES"), s"$name is not a VALUES oracle")
       // BPE guards hash the documents table; k-means guards hash the
-      // embeddings table (each query's ONLY input)
+      // embeddings table; logit-training guards hash text:n_chars
+      // (each query's ONLY inputs)
       assert((sql.contains("md5(text)") ||
+          sql.contains("md5(text || ':' || coalesce(n_chars") ||
           sql.contains("md5(vec_id::VARCHAR")) && sql.contains("count(*) ="),
         s"$name lacks the corpus-signature branch guard")
       // all-numeric schemas (k-means) carry the numeric sentinel values
