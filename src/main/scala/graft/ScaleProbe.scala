@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
   *    the same code path at 200k edges).
   *
   * Usage: `runMain graft.ScaleProbe
-  * [minhash|resolve|bushy|spans|curation|ann|pq|pack|semantic|relational|ingest|layout|jsonl|retrieval|kmeans|sq|all]
+  * [minhash|resolve|bushy|spans|curation|ann|pq|pack|semantic|relational|ingest|layout|jsonl|retrieval|kmeans|sq|logit|all]
   * [repeats] [nDocs]`. Run each phase in its OWN JVM (`all` exists for
   * convenience only): round 5 recorded a 103 s resolve outlier that was
   * same-JVM memory pressure from the preceding 2M-doc minhash phase, not
@@ -27,8 +27,8 @@ object ScaleProbe {
     val phase = args.headOption.getOrElse("all")
     val repeats = args.lift(1).map(_.toInt).getOrElse(1)
     val nDocs = args.lift(2).map(_.toLong).getOrElse(2000000L)
-    require(Set("minhash", "resolve", "bushy", "spans", "curation", "ann", "pq", "pack", "semantic", "relational", "ingest", "layout", "jsonl", "retrieval", "kmeans", "sq", "all")(phase),
-      s"unknown phase '$phase' (want minhash|resolve|bushy|spans|curation|ann|pq|pack|semantic|relational|ingest|layout|jsonl|retrieval|kmeans|sq|all)")
+    require(Set("minhash", "resolve", "bushy", "spans", "curation", "ann", "pq", "pack", "semantic", "relational", "ingest", "layout", "jsonl", "retrieval", "kmeans", "sq", "logit", "all")(phase),
+      s"unknown phase '$phase' (want minhash|resolve|bushy|spans|curation|ann|pq|pack|semantic|relational|ingest|layout|jsonl|retrieval|kmeans|sq|logit|all)")
     // partition count scales with the probed data volume, exactly as a
     // cluster operator would size it: at 20M docs (1B token instances)
     // 32 shuffle partitions put a ~31M-group hash aggregate in every
@@ -157,6 +157,23 @@ object ScaleProbe {
         settle()
       }
 
+      if (phase == "logit" || phase == "all") {
+        // quality-gate training a decade above the bench entry: 10
+        // full-batch GD iterations over nDocs docs. Per-iteration cost
+        // must scale with the cached LogitGrad scan alone (the shuffle
+        // is ONE dim+2-long buffer per partition, constant in nDocs)
+        import org.apache.spark.sql.functions._
+        val docsL = BenchData.dupGroupDocs(spark, nDocs)
+        val tFeat = time {
+          val feats = operators.LogitTrain.features(docsL, "text", "doc_id",
+            when(col("doc_id") % 4 === 0, 1.0).otherwise(0.0))
+          val m = operators.LogitTrain.train(feats, iters = 10, lr = 1.0)
+          println(f"  trained n=${m.n} mse=${m.mse}%.6f " +
+            s"w=${m.weights.map(w => f"$w%.3f").mkString(",")}")
+        }
+        println(f"[scale] logit_train10 ${nDocs / 1000000}M docs (run $rep/$repeats): $tFeat%.1f s")
+        settle()
+      }
       if (phase == "kmeans" || phase == "all") {
         // Lloyd's at 10x the bench entry: 2M x 64 synthetic embeddings,
         // k=64, 3 iterations. Per-iteration cost must scale with the
