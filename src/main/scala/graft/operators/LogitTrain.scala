@@ -81,6 +81,39 @@ object LogitTrain {
         col("__y").as("y"))
   }
 
+  /** ONE gradient pass under `w`: the exact scale-9 sums of the
+    * per-row contributions (`dim` gradients + the squared residual)
+    * and the row count — the building block of one GD step, exposed
+    * for incremental (micro-batch) training. Collects ONE row.
+    */
+  def gradSums(feats: DataFrame, w: Array[Double]): (Seq[Long], Long) = {
+    require(w.length == dim, s"expected $dim weights, got ${w.length}")
+    val row = feats
+      .select(KmeansFunctions.vec_sum_count(
+        LogitFunctions.logit_grad(col("x"), col("y"), w), dim + 1).as("sc"))
+      .select(col("sc.sums"), col("sc.n"))
+      .collect()(0)
+    (row.getSeq[Long](0), row.getLong(1))
+  }
+
+  /** The driver-side update: `w − lr · mean(grad)` with the mean taken
+    * at scale 9 HALF_UP over the exact sums — returns the new weights
+    * and the pass's mean squared residual. Shared by [[train]] and the
+    * streaming mini-batch trainer so the arithmetic cannot drift.
+    */
+  def applyStep(w: Array[Double], sums: Seq[Long], n: Long,
+                lr: Double): (Array[Double], Double) = {
+    require(n > 0, "cannot apply a logit update from an empty pass")
+    def mean9(unscaled: Long): Double =
+      java.math.BigDecimal.valueOf(unscaled, 9)
+        .divide(java.math.BigDecimal.valueOf(n), 9,
+          java.math.RoundingMode.HALF_UP).doubleValue
+    val w2 = new Array[Double](dim)
+    var j = 0
+    while (j < dim) { w2(j) = w(j) - lr * mean9(sums(j)); j += 1 }
+    (w2, mean9(sums(dim)))
+  }
+
   /** `iters` full-batch gradient steps from the all-zero init over a
     * `(x, y)` feature frame (one Spark job per iteration; the input is
     * cached here and released before returning). `y` must be 0/1-ish
@@ -98,22 +131,11 @@ object LogitTrain {
       var n = 0L
       var it = 0
       while (it < iters) {
-        val row = data
-          .select(KmeansFunctions.vec_sum_count(
-            LogitFunctions.logit_grad(col("x"), col("y"), w), dim + 1).as("sc"))
-          .select(col("sc.sums"), col("sc.n"))
-          .collect()(0)
-        val s = row.getSeq[Long](0)
-        n = row.getLong(1)
-        require(n > 0, "cannot train a logit model on an empty dataset")
-        def mean9(unscaled: Long): Double =
-          java.math.BigDecimal.valueOf(unscaled, 9)
-            .divide(java.math.BigDecimal.valueOf(n), 9,
-              java.math.RoundingMode.HALF_UP).doubleValue
-        val w2 = new Array[Double](dim)
-        var j = 0
-        while (j < dim) { w2(j) = w(j) - lr * mean9(s(j)); j += 1 }
-        mse = mean9(s(dim))
+        val (s, nn) = gradSums(data, w)
+        require(nn > 0, "cannot train a logit model on an empty dataset")
+        n = nn
+        val (w2, m) = applyStep(w, s, n, lr)
+        mse = m
         w = w2
         it += 1
       }

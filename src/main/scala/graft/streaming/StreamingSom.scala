@@ -378,6 +378,45 @@ object StreamingSom {
       }
   }
 
+  /** Incremental quality-gate training (mini-batch SGD): call `update`
+    * from `foreachBatch` with a FEATURE frame
+    * (`LogitTrain.features` applied to the micro-batch). Each batch
+    * takes one gradient step at the current weights —
+    * `w −= lr · mean(grad over the batch)` with the same scale-9
+    * exact-sum arithmetic as the full-batch loop
+    * ([[graft.operators.LogitTrain.applyStep]] is shared code), so ONE
+    * update over the whole dataset equals `train(iters = 1)`
+    * bit-for-bit (spec-pinned). Deterministic given the micro-batch
+    * sequence; empty batches are no-ops.
+    */
+  final class IncrementalLogit(lr: Double,
+                               initial: Array[Double] =
+                                 new Array[Double](graft.operators.LogitTrain.dim))
+      extends Serializable {
+    import graft.operators.LogitTrain
+    require(initial.length == LogitTrain.dim,
+      s"expected ${LogitTrain.dim} initial weights, got ${initial.length}")
+    @volatile private var w: Array[Double] = initial.clone()
+    @volatile private var lastMse: Double = Double.NaN
+    @volatile private var steps: Long = 0L
+
+    def weights: Array[Double] = w.clone()
+    def mse: Double = lastMse
+    def stepCount: Long = steps
+
+    def update(featBatch: DataFrame): Unit = synchronized {
+      if (!featBatch.isEmpty) {
+        val (s, n) = LogitTrain.gradSums(featBatch, w)
+        if (n > 0) {
+          val (w2, m) = LogitTrain.applyStep(w, s, n, lr)
+          w = w2
+          lastMse = m
+          steps += 1
+        }
+      }
+    }
+  }
+
   /** Incremental trainer: call `update` from `foreachBatch`. Each
     * micro-batch runs one epoch (broadcast + deterministic tree combine +
     * merge) at the

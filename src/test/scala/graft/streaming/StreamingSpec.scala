@@ -663,4 +663,80 @@ class StreamingSpec extends SparkSpec {
       assert(dirs.forall(_.startsWith("shard=")))
     } finally q.stop()
   }
+
+  test("incremental logit over micro-batches: one full batch == train(iters=1), streamed == replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.LogitTrain
+    val docRows = (0L until 40L).map { i =>
+      val text =
+        if (i % 3 == 0) "the cat sat on the mat and it was a very happy day indeed"
+        else s"xk${i}df qwpeir zz${i}kfjg 00x99 ajd83k dkfj39"
+      (i, text, if (i % 3 == 0) 1.0 else 0.0)
+    }
+    val docs = docRows.toDF("doc_id", "text", "label")
+    val feats = LogitTrain.features(docs, "text", "doc_id", col("label"))
+
+    // one update over the WHOLE dataset == one full-batch GD iteration
+    val inc1 = new StreamingSom.IncrementalLogit(lr = 0.3)
+    inc1.update(feats)
+    val oneIter = LogitTrain.train(feats, iters = 1, lr = 0.3)
+    assert(inc1.weights.sameElements(oneIter.weights),
+      "one-shot incremental update diverged from train(iters=1)")
+    assert(inc1.mse == oneIter.mse)
+
+    // streamed micro-batches == the same updates applied sequentially
+    val trainer = new StreamingSom.IncrementalLogit(lr = 0.3)
+    val input = MemoryStream[(Long, String, Double)]
+    val q = input.toDF().toDF("doc_id", "text", "label").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        trainer.update(LogitTrain.features(b, "text", "doc_id", col("label")))
+      }.start()
+    try {
+      input.addData(docRows.take(25): _*); q.processAllAvailable()
+      input.addData(docRows.drop(25): _*); q.processAllAvailable()
+    } finally q.stop()
+    val replay = new StreamingSom.IncrementalLogit(lr = 0.3)
+    replay.update(LogitTrain.features(docRows.take(25).toDF("doc_id", "text", "label"),
+      "text", "doc_id", col("label")))
+    replay.update(LogitTrain.features(docRows.drop(25).toDF("doc_id", "text", "label"),
+      "text", "doc_id", col("label")))
+    assert(trainer.weights.sameElements(replay.weights),
+      "streamed updates diverged from the sequential replay")
+    assert(trainer.stepCount == 2L && trainer.mse == replay.mse)
+  }
+
+  test("logit scoring runs stateless on a stream, matching batch") {
+    // logit_score is a pure codegen expression (trained weights ride in
+    // the expression), so a curation stream can gate documents with a
+    // trained model at ingest time -- no state, append mode
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.LogitTrain
+    val docRows = (0L until 20L).map { i =>
+      (i, if (i % 2 == 0) "the quick brown fox and the lazy dog went to the park together today"
+          else s"zz${i}x 99${i}q kk${i}f")
+    }
+    val docs = docRows.toDF("doc_id", "text")
+    val feats = LogitTrain.features(docs, "text", "doc_id",
+      when(col("doc_id") % 2 === 0, 1.0).otherwise(0.0))
+    val m = LogitTrain.train(feats, iters = 25, lr = 0.5)
+
+    val input = MemoryStream[(Long, String)]
+    val scored = LogitTrain.scoreDf(
+      LogitTrain.features(input.toDF().toDF("doc_id", "text"),
+        "text", "doc_id", lit(0.0)), m)
+    val q = scored.writeStream.format("memory").queryName("logit_out")
+      .outputMode("append").start()
+    try {
+      input.addData(docRows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("logit_out").collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+      val batch = LogitTrain.scoreDf(feats, m).collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+      assert(streamed == batch)
+      // the trained gate separates the two shapes on the stream too
+      assert((0L until 20L by 2).forall(i => streamed(i)._2))
+      assert((1L until 20L by 2).forall(i => !streamed(i)._2))
+    } finally q.stop()
+  }
 }
