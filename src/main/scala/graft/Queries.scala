@@ -1340,6 +1340,23 @@ object Queries {
         graft.operators.LogitTrain.evalDf(feats, m)
       }),
 
+      // GENERALIZATION check: train on a content-keyed 13/16 split
+      // (md5(text) first hex digit not in 0-2), evaluate on the
+      // held-out 3/16 — the train/test hygiene a real gate deployment
+      // runs before trusting the weights
+      "quality_train_holdout" -> ((s, dir) => {
+        val d = docs(s, dir)
+        val label = when(col("n_chars") >= 200, 1.0).otherwise(0.0)
+        val isTest = substring(md5(col("text")), 1, 1).isin("0", "1", "2")
+        val trainFeats = graft.operators.LogitTrain.features(
+          d.where(!isTest), "text", "doc_id", label)
+        val testFeats = graft.operators.LogitTrain.features(
+          d.where(isTest), "text", "doc_id", label)
+        val m = graft.operators.LogitTrain.train(trainFeats,
+          iters = logitIters, lr = logitLr)
+        graft.operators.LogitTrain.evalDf(testFeats, m)
+      }),
+
       // lexical diversity: per-doc type-token ratio from the token_tf
       // kernel (distinct terms / token instances — the low-TTR tail is
       // boilerplate/looping text)

@@ -161,15 +161,19 @@ object LogitTrain {
              threshold: Double = 0.5): DataFrame = {
     val keep = LogitFunctions.logit_score(col("x"), model.weights) >= threshold
     val pos = col("y") === 1.0
+    // coalesce: an EMPTY evaluation frame (e.g. a holdout split with no
+    // rows on a tiny corpus) reports zero counts and 0.0 accuracy, not
+    // a row of NULLs
     feats.select(keep.as("k"), pos.as("p"))
       .agg(
-        sum(when(col("k") && col("p"), 1L).otherwise(0L)).as("tp"),
-        sum(when(col("k") && !col("p"), 1L).otherwise(0L)).as("fp"),
-        sum(when(!col("k") && col("p"), 1L).otherwise(0L)).as("fn"),
-        sum(when(!col("k") && !col("p"), 1L).otherwise(0L)).as("tn"))
+        coalesce(sum(when(col("k") && col("p"), 1L).otherwise(0L)), lit(0L)).as("tp"),
+        coalesce(sum(when(col("k") && !col("p"), 1L).otherwise(0L)), lit(0L)).as("fp"),
+        coalesce(sum(when(!col("k") && col("p"), 1L).otherwise(0L)), lit(0L)).as("fn"),
+        coalesce(sum(when(!col("k") && !col("p"), 1L).otherwise(0L)), lit(0L)).as("tn"))
       .withColumn("accuracy",
-        round((col("tp") + col("tn")).cast("double") /
-          (col("tp") + col("fp") + col("fn") + col("tn")).cast("double"), 6))
+        when(col("tp") + col("fp") + col("fn") + col("tn") === 0, 0.0)
+          .otherwise(round((col("tp") + col("tn")).cast("double") /
+            (col("tp") + col("fp") + col("fn") + col("tn")).cast("double"), 6)))
   }
 
   /** The trained model in oracle-friendly long form: one `(term,

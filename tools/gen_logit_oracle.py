@@ -87,11 +87,12 @@ def stopwords_from_scala():
 # the same expressions Queries.qualityLogitOracle uses (duckToks).
 FEATURE_SQL = """
 WITH t AS (
-  SELECT doc_id, n_chars,
+  SELECT doc_id, n_chars, text,
          list_filter(string_split_regex(lower(trim(text)), '\\s+'),
                      t -> length(t) > 0) AS toks
   FROM documents WHERE text IS NOT NULL)
 SELECT doc_id,
+       substr(md5(text), 1, 1) IN ('0', '1', '2') AS is_test,
        CASE WHEN n_chars >= 200 THEN 1.0 ELSE 0.0 END AS y,
        round(ln(1.0 + len(toks)), 6) AS f_len,
        CASE WHEN len(toks) = 0 THEN 0
@@ -150,6 +151,7 @@ def derive(sf_dir):
                float(r.f_stop)],
               float(r.y))
              for r in fdf.itertuples()]
+    is_test = {int(r.doc_id): bool(r.is_test) for r in fdf.itertuples()}
 
     w, mse, n = train(feats, ITERS, LR)
 
@@ -188,15 +190,41 @@ def derive(sf_dir):
         columns=["tp", "fp", "fn", "tn", "accuracy"]).astype(
         {"tp": "int64", "fp": "int64", "fn": "int64", "tn": "int64",
          "accuracy": "float64"})
-    return (int(nd), int(hd)), weights_df, score_df, eval_df
+
+    # holdout: train on the content-keyed 13/16 split, evaluate on the
+    # held-out 3/16 — mirrors the quality_train_holdout query
+    train_feats = [f for f in feats if not is_test[f[0]]]
+    test_feats = [f for f in feats if is_test[f[0]]]
+    wh, _, _ = train(train_feats, ITERS, LR)
+    htp = hfp = hfn = htn = 0
+    for _, x, y in test_feats:
+        z = 0.0
+        for j in range(DIM):
+            z += wh[j] * x[j]
+        keep = r6(sigmoid_alg(z)) >= 0.5
+        if keep and y == 1.0:
+            htp += 1
+        elif keep:
+            hfp += 1
+        elif y == 1.0:
+            hfn += 1
+        else:
+            htn += 1
+    hn = len(test_feats)
+    holdout_df = pd.DataFrame(
+        [(htp, hfp, hfn, htn, r6((htp + htn) / hn) if hn else 0.0)],
+        columns=["tp", "fp", "fn", "tn", "accuracy"]).astype(
+        {"tp": "int64", "fp": "int64", "fn": "int64", "tn": "int64",
+         "accuracy": "float64"})
+    return (int(nd), int(hd)), weights_df, score_df, eval_df, holdout_df
 
 
 def main(outfile, sf_dirs):
     per_query = {"quality_train_weights": [], "quality_train_score": [],
-                 "quality_train_eval": []}
+                 "quality_train_eval": [], "quality_train_holdout": []}
     guards, schema = [], {}
     for sf_dir in sf_dirs:
-        (nd, hd), wdf, sdf, edf = derive(sf_dir)
+        (nd, hd), wdf, sdf, edf, hdf = derive(sf_dir)
         guard = f"({doclang_guard_sql(nd, hd)})"
         guards.append(guard)
         print(f"  {sf_dir}: {len(wdf)} weight rows, {len(sdf)} scores, "
@@ -204,8 +232,9 @@ def main(outfile, sf_dirs):
         per_query["quality_train_weights"].append(branch_sql(wdf, guard))
         per_query["quality_train_score"].append(branch_sql(sdf, guard))
         per_query["quality_train_eval"].append(branch_sql(edf, guard))
+        per_query["quality_train_holdout"].append(branch_sql(hdf, guard))
         schema = {"quality_train_weights": wdf, "quality_train_score": sdf,
-                  "quality_train_eval": edf}
+                  "quality_train_eval": edf, "quality_train_holdout": hdf}
     existing = json.load(open(outfile)) if os.path.exists(outfile) else {}
     existing["_meta_logit"] = (
         "quality_train_* expected rows derived by tools/gen_logit_oracle.py "
