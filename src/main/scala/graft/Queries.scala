@@ -60,6 +60,25 @@ object Queries {
   private val logitIters = 150
   private val logitLr = 1.0
 
+  /** The quality_train_* label (an upstream keep/drop decision recorded
+    * in metadata, distilled into a text-only gate) — ONE spelling
+    * shared by all four queries; the 200-char cutoff is mirrored by
+    * tools/gen_logit_oracle.py.
+    */
+  private def logitLabel: org.apache.spark.sql.Column =
+    when(col("n_chars") >= 200, 1.0).otherwise(0.0)
+
+  /** Features + trained model shared by the quality_train_* queries —
+    * one derivation, so the four entries cannot drift apart.
+    */
+  private def trainedGate(s: SparkSession, dir: String)
+      : (DataFrame, graft.operators.LogitTrain.Model) = {
+    val feats = graft.operators.LogitTrain.features(docs(s, dir),
+      "text", "doc_id", logitLabel)
+    (feats, graft.operators.LogitTrain.train(feats,
+      iters = logitIters, lr = logitLr))
+  }
+
   /** The DuckDB spelling of the same selection (self-contained, usable
     * inside nested WITH chains).
     */
@@ -1312,20 +1331,14 @@ object Queries {
       // bit-reproducible (oracle: an INDEPENDENT Python implementation,
       // tools/gen_logit_oracle.py)
       "quality_train_weights" -> ((s, dir) => {
-        val feats = graft.operators.LogitTrain.features(docs(s, dir),
-          "text", "doc_id", when(col("n_chars") >= 200, 1.0).otherwise(0.0))
-        val m = graft.operators.LogitTrain.train(feats,
-          iters = logitIters, lr = logitLr)
+        val (_, m) = trainedGate(s, dir)
         graft.operators.LogitTrain.modelDf(s, m)
       }),
 
       // the trained gate applied back to the corpus: one codegen
       // scoring scan (round-6 algebraic sigmoid), same derivation
       "quality_train_score" -> ((s, dir) => {
-        val feats = graft.operators.LogitTrain.features(docs(s, dir),
-          "text", "doc_id", when(col("n_chars") >= 200, 1.0).otherwise(0.0))
-        val m = graft.operators.LogitTrain.train(feats,
-          iters = logitIters, lr = logitLr)
+        val (feats, m) = trainedGate(s, dir)
         graft.operators.LogitTrain.scoreDf(feats, m)
           .select(col("id").as("doc_id"), col("score"), col("keep"))
       }),
@@ -1333,10 +1346,7 @@ object Queries {
       // confusion counts + accuracy of the trained gate against its
       // training labels — the one-row sanity report a pipeline logs
       "quality_train_eval" -> ((s, dir) => {
-        val feats = graft.operators.LogitTrain.features(docs(s, dir),
-          "text", "doc_id", when(col("n_chars") >= 200, 1.0).otherwise(0.0))
-        val m = graft.operators.LogitTrain.train(feats,
-          iters = logitIters, lr = logitLr)
+        val (feats, m) = trainedGate(s, dir)
         graft.operators.LogitTrain.evalDf(feats, m)
       }),
 
@@ -1346,12 +1356,11 @@ object Queries {
       // runs before trusting the weights
       "quality_train_holdout" -> ((s, dir) => {
         val d = docs(s, dir)
-        val label = when(col("n_chars") >= 200, 1.0).otherwise(0.0)
         val isTest = substring(md5(col("text")), 1, 1).isin("0", "1", "2")
         val trainFeats = graft.operators.LogitTrain.features(
-          d.where(!isTest), "text", "doc_id", label)
+          d.where(!isTest), "text", "doc_id", logitLabel)
         val testFeats = graft.operators.LogitTrain.features(
-          d.where(isTest), "text", "doc_id", label)
+          d.where(isTest), "text", "doc_id", logitLabel)
         val m = graft.operators.LogitTrain.train(trainFeats,
           iters = logitIters, lr = logitLr)
         graft.operators.LogitTrain.evalDf(testFeats, m)
@@ -2338,8 +2347,8 @@ object Queries {
     s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents WHERE text IS NOT NULL),
          |g AS (SELECT doc_id, len(toks) AS n_tok,
          |        CASE WHEN len(toks) = 0 THEN 0
-         |             ELSE round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
-         |                        / len(toks), 6) END AS f_mean,
+         |             ELSE least(round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+         |                        / len(toks), 6), CAST(100.0 AS DOUBLE)) END AS f_mean,
          |        CASE WHEN len(toks) = 0 THEN 0
          |             ELSE round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
          |                        / len(toks), 6) END AS f_alpha,

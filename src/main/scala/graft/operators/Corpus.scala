@@ -633,24 +633,46 @@ object Corpus {
     * via `Materialize.once` — the four feature references share a
     * single evaluation.
     */
+  /** The round-6 quality-signal grid shared by INFERENCE
+    * ([[qualityLogit]]) and TRAINING
+    * ([[graft.operators.LogitTrain.features]]) — ONE spelling so the
+    * two surfaces can never drift:
+    * `[1, round6(ln(1+n)), min(round6(meanLen), 100), round6(alpha),
+    * round6(stop)]` over a `gopher_stats` array column. `mean_tok_len`
+    * is clamped at 100 (whitespace-free blobs — minified JS, base64 —
+    * have meanLen = document length; unbounded it would blow the
+    * training sums' long-overflow headroom and saturate any sane
+    * weight anyway): with the clamp, a scale-9 gradient contribution
+    * is ≤ 1e11 per row, so the exact-long accumulator holds ≥ 9e7
+    * worst-case rows per partition-tree — and ~1e10 in practice, since
+    * residuals shrink and real meanLen ≈ 5. The clamp is value-neutral
+    * on every test corpus (max observed meanLen: 15).
+    */
+  def qualitySignalArray(st: Column): Column = {
+    val n = st.getItem(0)
+    def ratio(item: Int) =
+      when(n === 0, 0.0).otherwise(round(st.getItem(item).cast("double") / n, 6))
+    array(lit(1.0), round(log(lit(1.0) + n), 6),
+      least(ratio(1), lit(100.0)), ratio(2), ratio(3))
+  }
+
   def qualityLogit(df: DataFrame, textCol: String, idCol: String,
                    stopWords: Seq[String] = TextFunctions.englishStopwords,
                    bias: Double = -2.0, wLogTok: Double = 0.4,
                    wMeanLen: Double = 0.1, wAlphaRatio: Double = 1.5,
                    wStopRatio: Double = 2.0,
                    threshold: Double = 0.5): DataFrame = {
-    val st = col("__ql")
-    val n = st.getItem(0)
-    val fLen = round(log(lit(1.0) + n), 6)
-    def ratio(item: Int) =
-      when(n === 0, 0.0).otherwise(round(st.getItem(item).cast("double") / n, 6))
-    val z = lit(bias) + lit(wLogTok) * fLen + lit(wMeanLen) * ratio(1) +
-      lit(wAlphaRatio) * ratio(2) + lit(wStopRatio) * ratio(3)
+    val score = Materialize.bind1(qualitySignalArray(col("__ql"))) { x =>
+      val z = lit(bias) + lit(wLogTok) * x.getItem(1) +
+        lit(wMeanLen) * x.getItem(2) + lit(wAlphaRatio) * x.getItem(3) +
+        lit(wStopRatio) * x.getItem(4)
+      round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+    }
     Materialize.once(
         df.where(col(textCol).isNotNull)
           .select(col(idCol).cast("long").as("id"), col(textCol)),
         "__ql", graft.plans.GraftFunctions.gopher_stats(col(textCol), stopWords))
-      .select(col("id"), round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("score"))
+      .select(col("id"), score.as("score"))
       .withColumn("keep", col("score") >= threshold)
   }
 

@@ -57,19 +57,16 @@ object LogitTrain {
   val dim = 5
 
   /** Per-document feature vectors and label: `(id, x array<double>,
-    * y double)`. One `gopher_stats` kernel pass per row; NULL-text
-    * documents are omitted (no signals — the [[Corpus.qualityLogit]]
-    * rule) and NULL labels are omitted (unlabeled rows cannot
-    * contribute a gradient).
+    * y double)`. One `gopher_stats` kernel pass per row; the grid is
+    * [[Corpus.qualitySignalArray]] — the SAME spelling inference reads,
+    * including the meanLen clamp that bounds the gradient sums'
+    * long-overflow headroom (see its doc). NULL-text documents are
+    * omitted (no signals — the [[Corpus.qualityLogit]] rule) and NULL
+    * labels are omitted (unlabeled rows cannot contribute a gradient).
     */
   def features(df: DataFrame, textCol: String, idCol: String,
                labelCol: Column,
-               stopWords: Seq[String] = TextFunctions.englishStopwords): DataFrame = {
-    val st = col("__st")
-    val n = st.getItem(0)
-    val fLen = round(log(lit(1.0) + n), 6)
-    def ratio(item: Int) =
-      when(n === 0, 0.0).otherwise(round(st.getItem(item).cast("double") / n, 6))
+               stopWords: Seq[String] = TextFunctions.englishStopwords): DataFrame =
     Materialize.once(
         df.where(col(textCol).isNotNull)
           .select(col(idCol).cast("long").as("id"), col(textCol),
@@ -77,9 +74,8 @@ object LogitTrain {
           .where(col("__y").isNotNull),
         "__st", graft.plans.GraftFunctions.gopher_stats(col(textCol), stopWords))
       .select(col("id"),
-        array(lit(1.0), fLen, ratio(1), ratio(2), ratio(3)).as("x"),
+        Corpus.qualitySignalArray(col("__st")).as("x"),
         col("__y").as("y"))
-  }
 
   /** ONE gradient pass under `w`: the exact scale-9 sums of the
     * per-row contributions (`dim` gradients + the squared residual)

@@ -405,14 +405,15 @@ object StreamingSom {
     def stepCount: Long = steps
 
     def update(featBatch: DataFrame): Unit = synchronized {
-      if (!featBatch.isEmpty) {
-        val (s, n) = LogitTrain.gradSums(featBatch, w)
-        if (n > 0) {
-          val (w2, m) = LogitTrain.applyStep(w, s, n, lr)
-          w = w2
-          lastMse = m
-          steps += 1
-        }
+      // no isEmpty pre-check: gradSums on an empty frame returns
+      // (zero sums, n = 0) and the guard below makes it a no-op — an
+      // isEmpty action would cost an extra Spark job per micro-batch
+      val (s, n) = LogitTrain.gradSums(featBatch, w)
+      if (n > 0) {
+        val (w2, m) = LogitTrain.applyStep(w, s, n, lr)
+        w = w2
+        lastMse = m
+        steps += 1
       }
     }
   }

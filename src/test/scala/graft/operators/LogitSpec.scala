@@ -121,19 +121,41 @@ class LogitSpec extends SparkSpec {
 
   test("feature vector matches qualityLogit's round-6 signal grid") {
     // same doc through both paths: the training features and the
-    // inference query must read identical signal values
+    // inference query must read identical signal values — including
+    // stop_ratio, the one signal that depends on the stopword set
     val feats = LogitTrain.features(toyDocs, "text", "doc_id", col("label"))
       .where(col("id") === 1L).collect()(0).getSeq[Double](1)
     val row = Corpus.gopherFilter(toyDocs, "text", "doc_id",
         minTok = 0, maxTok = 1000, minMeanLen = 0.0, maxMeanLen = 100.0,
-        minAlphaRatio = 0.0, minStopHits = 0)
+        minAlphaRatio = 0.0, minStopHits = 0,
+        stopWords = graft.functions.TextFunctions.englishStopwords)
       .where(col("id") === 1L).collect()(0)
     val n = row.getAs[Long]("n_tok")
+    def r6(v: Double): Double =
+      new java.math.BigDecimal(java.lang.Double.toString(v))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
     assert(feats(0) == 1.0)
-    assert(feats(1) ==
-      new java.math.BigDecimal(java.lang.Double.toString(math.log(1.0 + n)))
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+    assert(feats(1) == r6(math.log(1.0 + n)))
     assert(feats(2) == row.getAs[Double]("mean_tok_len"))
     assert(feats(3) == row.getAs[Double]("alpha_ratio"))
+    assert(feats(4) == r6(row.getAs[Long]("n_stop").toDouble / n))
+  }
+
+  test("mean_tok_len feature clamps at 100 (gradient-sum overflow bound)") {
+    // a whitespace-free blob's mean token length IS its character
+    // count; unclamped it would put ~len*1e9 into every scale-9
+    // gradient sum. The clamp caps the feature (and qualityLogit reads
+    // the same clamped grid, so training and inference stay aligned).
+    val blob = Seq((1L, "x" * 5000, 0.0)).toDF("doc_id", "text", "label")
+    val feats = LogitTrain.features(blob, "text", "doc_id", col("label"))
+      .collect()(0).getSeq[Double](1)
+    assert(feats(2) == 100.0)
+    // training over the blob corpus completes without long overflow
+    val many = Seq.tabulate(64)(i => (i.toLong, "y" * 2000, (i % 2).toDouble))
+      .toDF("doc_id", "text", "label")
+    val m = LogitTrain.train(
+      LogitTrain.features(many, "text", "doc_id", col("label")),
+      iters = 3, lr = 0.3)
+    assert(m.n == 64L && !m.mse.isNaN)
   }
 }

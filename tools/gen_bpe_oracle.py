@@ -157,6 +157,12 @@ def sentinel_sql(df, guards):
             return "-314159265358979"
         if k == "f":
             return "-3.141592653589793e+101"
+        if k == "b":
+            # no impossible BOOLEAN exists; the sibling numeric/string
+            # sentinel columns in the same row carry the fail-loud
+            # signal (casting the string sentinel to BOOLEAN would turn
+            # the designed row into a DuckDB ConversionException)
+            return "FALSE"
         return "'GRAFT_UNKNOWN_CORPUS'"
 
     row = ", ".join(sval(df[c].dtype) for c in cols)

@@ -8,7 +8,9 @@ live. This tool mirrors the engine's DETERMINISM CONTRACT (documented
 on graft.operators.LogitTrain) in pure Python:
 
   - features: the round-6 Gopher signal grid
-    [1, ln(1+n_tok), mean_tok_len, alpha_ratio, stop_ratio], computed
+    [1, ln(1+n_tok), min(mean_tok_len, 100), alpha_ratio, stop_ratio]
+    (the meanLen clamp = Corpus.qualitySignalArray's overflow bound),
+    computed
     here BY DUCKDB with the same SQL spelling the live quality_logit
     oracle uses (tokenizer mirroring TextFunctions.tokens), label
     y = 1.0 iff n_chars >= 200 (an upstream keep/drop decision
@@ -39,7 +41,7 @@ GRAFT_UNKNOWN_CORPUS sentinel row.
 Usage:
   python3 tools/gen_logit_oracle.py <independent_oracles.json> <sfDir> [...]
 
-Merges its three query keys into the existing file, preserving the
+Merges its four query keys into the existing file, preserving the
 BPE/k-means entries.
 """
 import os
@@ -96,8 +98,8 @@ SELECT doc_id,
        CASE WHEN n_chars >= 200 THEN 1.0 ELSE 0.0 END AS y,
        round(ln(1.0 + len(toks)), 6) AS f_len,
        CASE WHEN len(toks) = 0 THEN 0
-            ELSE round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
-                       / len(toks), 6) END AS f_mean,
+            ELSE least(round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                       / len(toks), 6), CAST(100.0 AS DOUBLE)) END AS f_mean,
        CASE WHEN len(toks) = 0 THEN 0
             ELSE round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
                        / len(toks), 6) END AS f_alpha,
