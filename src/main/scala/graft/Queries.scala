@@ -814,6 +814,16 @@ object Queries {
         Similarity.bruteForceTopK(emb(s, dir), "embedding", "vec_id", qs, k = 5)
       }),
 
+      // hard-negative mining for contrastive training: per labeled
+      // query, the top-5 most-similar vectors with a DIFFERENT label
+      // (broadcast query batch, one scan, bounded-heap top-k)
+      "mine_hard_negatives" -> ((s, dir) => {
+        val e = emb(s, dir)
+        val qids = e.select(col("vec_id").cast("long")).orderBy(col("vec_id"))
+          .limit(8).collect().map(_.getLong(0)).toSeq
+        Similarity.hardNegatives(e, "embedding", "vec_id", "label", qids, k = 5)
+      }),
+
       // random-hyperplane LSH ANN — oracled via seeded-plane replay
       // (HashOracleSql.lshTopK)
       "ann_lsh_topk" -> ((s, dir) => {
@@ -3081,6 +3091,38 @@ object Queries {
 
     "ann_cosine_topk" ->
       s"""WITH $annRankedCtes
+        |SELECT CAST(qid AS BIGINT) AS qid, CAST(rn AS BIGINT) AS rank,
+        |       CAST(nid AS BIGINT) AS nid, CAST(round(sim, 6) AS DOUBLE) AS sim
+        |FROM ranked WHERE rn <= 5""".stripMargin,
+
+    // same exact-cosine replay as ann_cosine_topk, restricted to
+    // cross-label pairs and re-ranked AFTER the label filter (8 query
+    // ids; NULL labels never pair — the <> predicate rejects them)
+    "mine_hard_negatives" ->
+      """WITH ex AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings
+        |), norms AS (SELECT vec_id, sum(v * v) AS nrm FROM ex GROUP BY vec_id),
+        |qids AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT 8),
+        |dots AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.v * b.v) AS dot
+        |  FROM ex a JOIN ex b ON a.i = b.i AND b.vec_id <> a.vec_id
+        |  WHERE a.vec_id IN (SELECT qid FROM qids)
+        |  GROUP BY a.vec_id, b.vec_id),
+        |ranked AS (
+        |  SELECT d.qid, d.nid,
+        |         CASE WHEN sqrt(nq.nrm * nn.nrm) = 0 THEN 0
+        |              ELSE d.dot / sqrt(nq.nrm * nn.nrm) END AS sim,
+        |         row_number() OVER (PARTITION BY d.qid
+        |           ORDER BY (CASE WHEN sqrt(nq.nrm * nn.nrm) = 0 THEN 0
+        |                          ELSE d.dot / sqrt(nq.nrm * nn.nrm) END) DESC,
+        |                    d.nid ASC) AS rn
+        |  FROM dots d JOIN norms nq ON nq.vec_id = d.qid
+        |              JOIN norms nn ON nn.vec_id = d.nid
+        |  JOIN embeddings la ON la.vec_id = d.qid
+        |  JOIN embeddings lb ON lb.vec_id = d.nid
+        |  WHERE lb.label <> la.label)
         |SELECT CAST(qid AS BIGINT) AS qid, CAST(rn AS BIGINT) AS rank,
         |       CAST(nid AS BIGINT) AS nid, CAST(round(sim, 6) AS DOUBLE) AS sim
         |FROM ranked WHERE rn <= 5""".stripMargin,

@@ -102,6 +102,58 @@ object Similarity {
               round(col("sim"), 6).as("sim"))
   }
 
+  /** Hard-negative mining for contrastive embedding training: for each
+    * labeled query vector, the `k` most-similar vectors carrying a
+    * DIFFERENT label — the pairs a contrastive loss (InfoNCE / triplet)
+    * wants as negatives precisely because the current embedding ranks
+    * them close. Queries are looked up from the table by id (bounded
+    * collect, queryIds-sized) and broadcast; ONE corpus scan scores
+    * every row against the batch (codegen `vec_cosine`), and the
+    * bounded-heap top-k aggregate reduces each partition to ≤ k pairs
+    * per query before the only exchange — the ANN serving shape, never
+    * an all-pairs product. NULL-labeled rows are never negatives (the
+    * label inequality is null-rejecting on both sides). At 100 TB the
+    * same pipeline runs over an IVF-celled table ([[ivfWrite]] /
+    * [[Kmeans]] index) with the scan pruned to probed cells. Returns
+    * `(qid, rank, nid, sim)`, ties (sim desc, nid asc).
+    */
+  def hardNegatives(df: DataFrame, vecCol: String, idCol: String,
+                    labelCol: String, queryIds: Seq[Long],
+                    k: Int): DataFrame = {
+    require(queryIds.nonEmpty, "hardNegatives needs at least one query id")
+    require(queryIds.distinct.size == queryIds.size,
+      s"duplicate query ids: $queryIds")
+    require(k >= 1, s"hardNegatives needs k >= 1, got $k")
+    val spark = df.sparkSession
+    val slim = df.select(col(idCol).cast("long").as("nid"),
+      col(vecCol).as("__v"), col(labelCol).as("__l"))
+    val qRows = slim.where(col("nid").isin(queryIds: _*)).collect()
+    require(qRows.length == queryIds.size,
+      s"hardNegatives: ${queryIds.size - qRows.length} query ids not found")
+    qRows.foreach(r => require(!r.isNullAt(2),
+      s"hardNegatives: query ${r.getLong(0)} has a NULL $labelCol"))
+    val qDf = spark.createDataFrame(
+        java.util.Arrays.asList(qRows.map(r =>
+          Row(r.getLong(0), SomData.rowToVec(r, 1).toSeq, r.get(2))): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("qid",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("qv",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType), nullable = false),
+          slim.schema("__l").copy(name = "qlabel"))))
+    slim
+      .join(broadcast(qDf),
+        col("nid") =!= col("qid") && col("__l") =!= col("qlabel"))
+      .select(col("qid"), col("nid"), cosine(col("__v"), col("qv")).as("sim"))
+      .groupBy("qid")
+      .agg(graft.plans.TopNFunctions.topn_smallest_by_double(
+        negate(col("sim")), col("nid"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("r", "p")))
+      .select(col("qid"), (col("r") + 1).cast("long").as("rank"),
+              col("p.id").as("nid"), round(negate(col("p.s")), 6).as("sim"))
+  }
+
   /** Random-hyperplane LSH ANN: per table, a `numPlanes`-bit bucket from
     * the signs of projections onto seeded random hyperplanes; candidates
     * are rows sharing any (table, bucket) with a query, reranked by exact

@@ -761,6 +761,55 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("hard-negative mining: exhaustive cross-label ranking, null labels excluded") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 60L).map(i => (i, Array.fill(8)(rnd.nextDouble() * 2 - 1)))
+    val df = vecs.map { case (i, v) =>
+      (i, v.map(_.toFloat).toSeq,
+        if (i % 10 == 9) None else Some((i % 3).toString))
+    }.toDF("vec_id", "embedding", "label")
+    val qids = Seq(0L, 1L, 2L)
+    val got = Similarity.hardNegatives(df, "embedding", "vec_id", "label",
+        qids, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val labels = vecs.map { case (i, _) =>
+      i -> (if (i % 10 == 9) null else (i % 3).toString)
+    }.toMap
+    for (qid <- qids) {
+      val q = vecs(qid.toInt)._2
+      val exp = vecs
+        .filter { case (i, _) =>
+          i != qid && labels(i) != null && labels(i) != labels(qid) }
+        .map { case (i, v) => (i, cos(q, v)) }
+        .sortBy { case (i, s) => (-s, i) }.take(4)
+      exp.zipWithIndex.foreach { case ((nid, _), r) =>
+        assert(got((qid, (r + 1).toLong)) == nid, s"q=$qid rank=${r + 1}")
+      }
+      // every mined negative really has a different, non-null label
+      (1 to 4).foreach { r =>
+        val nid = got((qid, r.toLong))
+        assert(labels(nid) != null && labels(nid) != labels(qid))
+      }
+    }
+    // validation: unknown query id, null-labeled query, duplicate ids
+    intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(df, "embedding", "vec_id", "label",
+        Seq(999L), k = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(df, "embedding", "vec_id", "label",
+        Seq(9L), k = 2) // label is NULL for id 9
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(df, "embedding", "vec_id", "label",
+        Seq(1L, 1L), k = 2)
+    }
+  }
+
   test("LSH cosine ANN: candidates rerank exactly, high overlap with brute force") {
     val rnd = new scala.util.Random(13)
     val vecs = (0L until 300L).map(i => (i, Array.fill(16)(rnd.nextGaussian())))
