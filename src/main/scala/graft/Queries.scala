@@ -824,6 +824,16 @@ object Queries {
         Similarity.hardNegatives(e, "embedding", "vec_id", "label", qids, k = 5)
       }),
 
+      // assembled training triplets: per anchor, the hardest positive
+      // (same label) and hardest negative (different label) plus the
+      // similarity margin a triplet loss pushes on
+      "mine_triplets" -> ((s, dir) => {
+        val e = emb(s, dir)
+        val qids = e.select(col("vec_id").cast("long")).orderBy(col("vec_id"))
+          .limit(8).collect().map(_.getLong(0)).toSeq
+        Similarity.mineTriplets(e, "embedding", "vec_id", "label", qids)
+      }),
+
       // random-hyperplane LSH ANN — oracled via seeded-plane replay
       // (HashOracleSql.lshTopK)
       "ann_lsh_topk" -> ((s, dir) => {
@@ -3126,6 +3136,48 @@ object Queries {
         |SELECT CAST(qid AS BIGINT) AS qid, CAST(rn AS BIGINT) AS rank,
         |       CAST(nid AS BIGINT) AS nid, CAST(round(sim, 6) AS DOUBLE) AS sim
         |FROM ranked WHERE rn <= 5""".stripMargin,
+
+    // triplet assembly: the rank-1 rows of the same-label and
+    // different-label variants of the mine_hard_negatives replay,
+    // joined per anchor; margin subtracts the ROUNDED sims (the
+    // engine's spelling). dots feeds both ranked legs -> MATERIALIZED.
+    "mine_triplets" ->
+      """WITH ex AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings
+        |), norms AS MATERIALIZED (
+        |  SELECT vec_id, sum(v * v) AS nrm FROM ex GROUP BY vec_id),
+        |qids AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT 8),
+        |dots AS MATERIALIZED (
+        |  SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.v * b.v) AS dot
+        |  FROM ex a JOIN ex b ON a.i = b.i AND b.vec_id <> a.vec_id
+        |  WHERE a.vec_id IN (SELECT qid FROM qids)
+        |  GROUP BY a.vec_id, b.vec_id),
+        |scored AS MATERIALIZED (
+        |  SELECT d.qid, d.nid, la.label AS qlab, lb.label AS nlab,
+        |         CASE WHEN sqrt(nq.nrm * nn.nrm) = 0 THEN 0
+        |              ELSE d.dot / sqrt(nq.nrm * nn.nrm) END AS sim
+        |  FROM dots d JOIN norms nq ON nq.vec_id = d.qid
+        |              JOIN norms nn ON nn.vec_id = d.nid
+        |  JOIN embeddings la ON la.vec_id = d.qid
+        |  JOIN embeddings lb ON lb.vec_id = d.nid),
+        |rankedp AS (
+        |  SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid
+        |           ORDER BY sim DESC, nid ASC) AS rn
+        |  FROM scored WHERE nlab = qlab),
+        |rankedn AS (
+        |  SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid
+        |           ORDER BY sim DESC, nid ASC) AS rn
+        |  FROM scored WHERE nlab <> qlab)
+        |SELECT CAST(p.qid AS BIGINT) AS qid,
+        |       CAST(p.nid AS BIGINT) AS pos_id,
+        |       CAST(n.nid AS BIGINT) AS neg_id,
+        |       CAST(round(p.sim, 6) AS DOUBLE) AS pos_sim,
+        |       CAST(round(n.sim, 6) AS DOUBLE) AS neg_sim,
+        |       CAST(round(round(p.sim, 6) - round(n.sim, 6), 6) AS DOUBLE) AS margin
+        |FROM rankedp p JOIN rankedn n ON n.qid = p.qid
+        |WHERE p.rn = 1 AND n.rn = 1""".stripMargin,
 
     // hybrid retrieval: reciprocal-rank fusion of the bm25_topk and
     // ann_cosine_topk rankings — both legs replay their own (already

@@ -119,19 +119,55 @@ object Similarity {
     */
   def hardNegatives(df: DataFrame, vecCol: String, idCol: String,
                     labelCol: String, queryIds: Seq[Long],
-                    k: Int): DataFrame = {
-    require(queryIds.nonEmpty, "hardNegatives needs at least one query id")
+                    k: Int): DataFrame =
+    labelMatchedTopK(df, vecCol, idCol, labelCol, queryIds, k,
+      sameLabel = false)
+
+  /** The same-label twin of [[hardNegatives]]: per labeled query, the
+    * `k` most-similar vectors sharing its label (self excluded) — the
+    * positive side of a triplet. Same plan shape, same tie order.
+    */
+  def hardPositives(df: DataFrame, vecCol: String, idCol: String,
+                    labelCol: String, queryIds: Seq[Long],
+                    k: Int): DataFrame =
+    labelMatchedTopK(df, vecCol, idCol, labelCol, queryIds, k,
+      sameLabel = true)
+
+  /** Assembled training triplets: for each query (anchor), its single
+    * hardest positive and hardest negative plus the similarity margin
+    * `round6(pos_sim − neg_sim)` — the margin a triplet loss pushes on,
+    * and the quantity curricula sort by (small margin = hard triplet).
+    * Anchors with no same-label or no cross-label partner drop (inner
+    * join). Two bounded scans ([[hardPositives]] + [[hardNegatives]]),
+    * each corpus-linear with a broadcast query batch. Returns
+    * `(qid, pos_id, neg_id, pos_sim, neg_sim, margin)`.
+    */
+  def mineTriplets(df: DataFrame, vecCol: String, idCol: String,
+                   labelCol: String, queryIds: Seq[Long]): DataFrame =
+    hardPositives(df, vecCol, idCol, labelCol, queryIds, k = 1)
+      .select(col("qid"), col("nid").as("pos_id"), col("sim").as("pos_sim"))
+      .join(hardNegatives(df, vecCol, idCol, labelCol, queryIds, k = 1)
+        .select(col("qid"), col("nid").as("neg_id"), col("sim").as("neg_sim")),
+        Seq("qid"))
+      .select(col("qid"), col("pos_id"), col("neg_id"),
+        col("pos_sim"), col("neg_sim"),
+        round(col("pos_sim") - col("neg_sim"), 6).as("margin"))
+
+  private def labelMatchedTopK(df: DataFrame, vecCol: String, idCol: String,
+                               labelCol: String, queryIds: Seq[Long],
+                               k: Int, sameLabel: Boolean): DataFrame = {
+    require(queryIds.nonEmpty, "label-matched top-k needs at least one query id")
     require(queryIds.distinct.size == queryIds.size,
       s"duplicate query ids: $queryIds")
-    require(k >= 1, s"hardNegatives needs k >= 1, got $k")
+    require(k >= 1, s"label-matched top-k needs k >= 1, got $k")
     val spark = df.sparkSession
     val slim = df.select(col(idCol).cast("long").as("nid"),
       col(vecCol).as("__v"), col(labelCol).as("__l"))
     val qRows = slim.where(col("nid").isin(queryIds: _*)).collect()
     require(qRows.length == queryIds.size,
-      s"hardNegatives: ${queryIds.size - qRows.length} query ids not found")
+      s"label-matched top-k: ${queryIds.size - qRows.length} query ids not found")
     qRows.foreach(r => require(!r.isNullAt(2),
-      s"hardNegatives: query ${r.getLong(0)} has a NULL $labelCol"))
+      s"label-matched top-k: query ${r.getLong(0)} has a NULL $labelCol"))
     val qDf = spark.createDataFrame(
         java.util.Arrays.asList(qRows.map(r =>
           Row(r.getLong(0), SomData.rowToVec(r, 1).toSeq, r.get(2))): _*),
@@ -142,9 +178,13 @@ object Similarity {
             org.apache.spark.sql.types.ArrayType(
               org.apache.spark.sql.types.DoubleType), nullable = false),
           slim.schema("__l").copy(name = "qlabel"))))
+    // either way the predicate is null-rejecting: a NULL-labeled row is
+    // neither a positive nor a negative
+    val labelPred =
+      if (sameLabel) col("__l") === col("qlabel")
+      else col("__l") =!= col("qlabel")
     slim
-      .join(broadcast(qDf),
-        col("nid") =!= col("qid") && col("__l") =!= col("qlabel"))
+      .join(broadcast(qDf), col("nid") =!= col("qid") && labelPred)
       .select(col("qid"), col("nid"), cosine(col("__v"), col("qv")).as("sim"))
       .groupBy("qid")
       .agg(graft.plans.TopNFunctions.topn_smallest_by_double(

@@ -810,6 +810,44 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("triplet mining: hardest positive + hardest negative per anchor, margin") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 40L).map(i => (i, Array.fill(6)(rnd.nextDouble() * 2 - 1)))
+    val df = vecs.map { case (i, v) =>
+      (i, v.map(_.toFloat).toSeq, (i % 2).toString)
+    }.toDF("vec_id", "embedding", "label")
+    val qids = Seq(0L, 1L, 2L)
+    val rows = Similarity.mineTriplets(df, "embedding", "vec_id", "label", qids)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    assert(rows.keySet == qids.toSet)
+    for (qid <- qids) {
+      val q = vecs(qid.toInt)._2
+      def best(same: Boolean): Long = vecs
+        .filter { case (i, _) => i != qid && ((i % 2 == qid % 2) == same) }
+        .map { case (i, v) => (i, cos(q, v)) }
+        .minBy { case (i, sim) => (-sim, i) }._1
+      val (posId, negId, posSim, negSim, margin) = rows(qid)
+      assert(posId == best(same = true), s"q=$qid positive")
+      assert(negId == best(same = false), s"q=$qid negative")
+      assert(posId % 2 == qid % 2 && negId % 2 != qid % 2)
+      // margin is the round-6 difference of the round-6 sims
+      assert(margin ==
+        new java.math.BigDecimal(java.lang.Double.toString(posSim - negSim))
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+    }
+    // an anchor whose label has no partner drops from the join
+    val lone = vecs.map { case (i, v) =>
+      (i, v.map(_.toFloat).toSeq, if (i == 0L) "only" else "rest")
+    }.toDF("vec_id", "embedding", "label")
+    assert(Similarity.mineTriplets(lone, "embedding", "vec_id", "label",
+      Seq(0L)).count() == 0L)
+  }
+
   test("LSH cosine ANN: candidates rerank exactly, high overlap with brute force") {
     val rnd = new scala.util.Random(13)
     val vecs = (0L until 300L).map(i => (i, Array.fill(16)(rnd.nextGaussian())))
