@@ -834,6 +834,19 @@ object Queries {
         Similarity.mineTriplets(e, "embedding", "vec_id", "label", qids)
       }),
 
+      // kNN label-consistency audit (label-error detection): each
+      // anchor's 5 nearest neighbors vote; low agreement flags a
+      // likely mislabel or off-manifold embedding
+      "label_consistency" -> ((s, dir) => {
+        val e = emb(s, dir)
+        val qids = e.select(col("vec_id").cast("long")).orderBy(col("vec_id"))
+          .limit(8).collect().map(_.getLong(0)).toSeq
+        Similarity.labelConsistency(e, "embedding", "vec_id", "label",
+            qids, k = 5)
+          .select(col("qid"), col("label").cast("long").as("label"),
+            col("n_agree"), col("n_nbrs"), col("agreement"), col("suspect"))
+      }),
+
       // random-hyperplane LSH ANN — oracled via seeded-plane replay
       // (HashOracleSql.lshTopK)
       "ann_lsh_topk" -> ((s, dir) => {
@@ -3178,6 +3191,44 @@ object Queries {
         |       CAST(round(round(p.sim, 6) - round(n.sim, 6), 6) AS DOUBLE) AS margin
         |FROM rankedp p JOIN rankedn n ON n.qid = p.qid
         |WHERE p.rn = 1 AND n.rn = 1""".stripMargin,
+
+    // the same exact-cosine ranked replay WITHOUT a label filter (the
+    // anchor's true kNN), then a per-anchor agreement vote
+    "label_consistency" ->
+      """WITH ex AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings
+        |), norms AS (SELECT vec_id, sum(v * v) AS nrm FROM ex GROUP BY vec_id),
+        |qids AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT 8),
+        |dots AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.v * b.v) AS dot
+        |  FROM ex a JOIN ex b ON a.i = b.i AND b.vec_id <> a.vec_id
+        |  WHERE a.vec_id IN (SELECT qid FROM qids)
+        |  GROUP BY a.vec_id, b.vec_id),
+        |ranked AS (
+        |  SELECT d.qid, d.nid,
+        |         row_number() OVER (PARTITION BY d.qid
+        |           ORDER BY (CASE WHEN sqrt(nq.nrm * nn.nrm) = 0 THEN 0
+        |                          ELSE d.dot / sqrt(nq.nrm * nn.nrm) END) DESC,
+        |                    d.nid ASC) AS rn
+        |  FROM dots d JOIN norms nq ON nq.vec_id = d.qid
+        |              JOIN norms nn ON nn.vec_id = d.nid),
+        |votes AS (
+        |  SELECT r.qid, la.label,
+        |         sum(CASE WHEN lb.label = la.label THEN 1 ELSE 0 END) AS n_agree,
+        |         count(*) AS n_nbrs
+        |  FROM ranked r
+        |  JOIN embeddings la ON la.vec_id = r.qid
+        |  JOIN embeddings lb ON lb.vec_id = r.nid
+        |  WHERE r.rn <= 5
+        |  GROUP BY r.qid, la.label)
+        |SELECT CAST(qid AS BIGINT) AS qid, CAST(label AS BIGINT) AS label,
+        |       CAST(n_agree AS BIGINT) AS n_agree,
+        |       CAST(n_nbrs AS BIGINT) AS n_nbrs,
+        |       CAST(round(CAST(n_agree AS DOUBLE) / n_nbrs, 6) AS DOUBLE) AS agreement,
+        |       round(CAST(n_agree AS DOUBLE) / n_nbrs, 6) < CAST(0.5 AS DOUBLE) AS suspect
+        |FROM votes""".stripMargin,
 
     // hybrid retrieval: reciprocal-rank fusion of the bm25_topk and
     // ann_cosine_topk rankings — both legs replay their own (already

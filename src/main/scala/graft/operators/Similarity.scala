@@ -121,7 +121,7 @@ object Similarity {
                     labelCol: String, queryIds: Seq[Long],
                     k: Int): DataFrame =
     labelMatchedTopK(df, vecCol, idCol, labelCol, queryIds, k,
-      sameLabel = false)
+      sameLabel = Some(false))
 
   /** The same-label twin of [[hardNegatives]]: per labeled query, the
     * `k` most-similar vectors sharing its label (self excluded) — the
@@ -131,7 +131,7 @@ object Similarity {
                     labelCol: String, queryIds: Seq[Long],
                     k: Int): DataFrame =
     labelMatchedTopK(df, vecCol, idCol, labelCol, queryIds, k,
-      sameLabel = true)
+      sameLabel = Some(true))
 
   /** Assembled training triplets: for each query (anchor), its single
     * hardest positive and hardest negative plus the similarity margin
@@ -153,9 +153,45 @@ object Similarity {
         col("pos_sim"), col("neg_sim"),
         round(col("pos_sim") - col("neg_sim"), 6).as("margin"))
 
+  /** kNN label-consistency audit (the label-error detector's shape,
+    * Northcutt 2021 confident-learning intuition): each labeled
+    * anchor's k nearest neighbors (ANY label) vote; a low agreement
+    * fraction flags a likely mislabel or an off-manifold embedding.
+    * Returns one row per anchor —
+    * `(qid, label, n_agree, n_nbrs, agreement, suspect)` with
+    * `agreement = round6(n_agree / n_nbrs)` and `suspect = agreement <
+    * minAgreement`. NULL-labeled neighbors still rank (distance is
+    * label-blind) but never count as agreeing. Same scan shape as
+    * [[hardNegatives]]; the vote aggregate collapses the ≤ k·|queries|
+    * ranked rows.
+    */
+  def labelConsistency(df: DataFrame, vecCol: String, idCol: String,
+                       labelCol: String, queryIds: Seq[Long], k: Int,
+                       minAgreement: Double = 0.5): DataFrame = {
+    require(minAgreement >= 0.0 && minAgreement <= 1.0,
+      s"minAgreement must be in [0,1], got $minAgreement")
+    val spark = df.sparkSession
+    val ranked = labelMatchedTopK(df, vecCol, idCol, labelCol, queryIds, k,
+      sameLabel = None)
+    val labels = df.select(col(idCol).cast("long").as("__lid"),
+      col(labelCol).as("__lbl"))
+    val qLabels = labels.where(col("__lid").isin(queryIds: _*))
+      .select(col("__lid").as("qid"), col("__lbl").as("label"))
+    ranked
+      .join(labels, col("nid") === col("__lid"))
+      .join(broadcast(qLabels), Seq("qid"))
+      .groupBy(col("qid"), col("label"))
+      .agg(
+        sum(when(col("__lbl") === col("label"), 1L).otherwise(0L)).as("n_agree"),
+        count(lit(1)).as("n_nbrs"))
+      .withColumn("agreement",
+        round(col("n_agree").cast("double") / col("n_nbrs").cast("double"), 6))
+      .withColumn("suspect", col("agreement") < minAgreement)
+  }
+
   private def labelMatchedTopK(df: DataFrame, vecCol: String, idCol: String,
                                labelCol: String, queryIds: Seq[Long],
-                               k: Int, sameLabel: Boolean): DataFrame = {
+                               k: Int, sameLabel: Option[Boolean]): DataFrame = {
     require(queryIds.nonEmpty, "label-matched top-k needs at least one query id")
     require(queryIds.distinct.size == queryIds.size,
       s"duplicate query ids: $queryIds")
@@ -178,11 +214,14 @@ object Similarity {
             org.apache.spark.sql.types.ArrayType(
               org.apache.spark.sql.types.DoubleType), nullable = false),
           slim.schema("__l").copy(name = "qlabel"))))
-    // either way the predicate is null-rejecting: a NULL-labeled row is
-    // neither a positive nor a negative
-    val labelPred =
-      if (sameLabel) col("__l") === col("qlabel")
-      else col("__l") =!= col("qlabel")
+    // with a label predicate it is null-rejecting either way: a
+    // NULL-labeled row is neither a positive nor a negative. With no
+    // predicate (labelConsistency) every non-self row ranks.
+    val labelPred = sameLabel match {
+      case Some(true)  => col("__l") === col("qlabel")
+      case Some(false) => col("__l") =!= col("qlabel")
+      case None        => lit(true)
+    }
     slim
       .join(broadcast(qDf), col("nid") =!= col("qid") && labelPred)
       .select(col("qid"), col("nid"), cosine(col("__v"), col("qv")).as("sim"))

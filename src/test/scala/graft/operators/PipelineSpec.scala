@@ -848,6 +848,29 @@ class PipelineSpec extends SparkSpec {
       Seq(0L)).count() == 0L)
   }
 
+  test("label consistency: planted mislabel flagged, clean anchors pass") {
+    // two tight clusters on orthogonal axes; id 0 sits in cluster A but
+    // carries cluster B's label -> its neighbors unanimously disagree
+    val vecs = (0L until 12L).map { i =>
+      val base = if (i < 6L) Array(1.0, 0.0, 0.0) else Array(0.0, 1.0, 0.0)
+      (i, base.zipWithIndex.map { case (x, d) =>
+        (x + (if (d == 2) 0.01 * i else 0.0)).toFloat }.toSeq)
+    }
+    val df = vecs.map { case (i, v) =>
+      (i, v, if (i == 0L) "B" else if (i < 6L) "A" else "B")
+    }.toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelConsistency(df, "embedding", "vec_id", "label",
+        Seq(0L, 1L, 7L), k = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(5))).toMap
+    // anchor 0: all 4 nearest are cluster-A rows labeled A, its label is B
+    assert(got(0L) == ((0L, 4L, true)))
+    // anchor 1 (true A): nearest are A rows except the mislabeled 0
+    assert(got(1L)._3 == false && got(1L)._1 >= 3L)
+    // anchor 7 (true B): all-B neighborhood
+    assert(got(7L) == ((4L, 4L, false)))
+  }
+
   test("LSH cosine ANN: candidates rerank exactly, high overlap with brute force") {
     val rnd = new scala.util.Random(13)
     val vecs = (0L until 300L).map(i => (i, Array.fill(16)(rnd.nextGaussian())))
