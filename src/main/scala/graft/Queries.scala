@@ -1073,6 +1073,15 @@ object Queries {
             Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "graft")
           .select(col("doc_id").cast("long").as("doc_id"), col("split"))),
 
+      // split-leakage audit: exact-dup content groups straddling the
+      // id-keyed train/val/test assignment above (an id-keyed split
+      // leaks duplicate content across splits; content-keyed cannot)
+      "split_leakage" -> ((s, dir) =>
+        graft.operators.Dedup.splitLeakage(
+          graft.operators.Sampling.splitByHash(docs(s, dir), "doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "graft"),
+          "text", "split")),
+
       // text normalization: Unicode NFC (codegen kernel, zero-copy on
       // normalized rows) + whitespace/control collapse — the pass that
       // runs BEFORE hashing/dedup so visually identical strings are
@@ -3343,6 +3352,23 @@ object Queries {
         |            WHEN substr(md5(concat('graft', CAST(doc_id AS VARCHAR))), 1, 8) < 'e6666666' THEN 'val'
         |            ELSE 'test' END AS split
         |FROM documents WHERE text IS NOT NULL""".stripMargin,
+
+    // the split_by_hash assignment joined to the dedup_exact
+    // fingerprint, grouped: any fingerprint with >= 2 distinct splits
+    "split_leakage" ->
+      """WITH s AS (
+        |  SELECT md5(COALESCE(array_to_string(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> length(t) > 0), ' '), '')) AS fp,
+        |         CASE WHEN substr(md5(concat('graft', CAST(doc_id AS VARCHAR))), 1, 8) < 'cccccccd' THEN 'train'
+        |              WHEN substr(md5(concat('graft', CAST(doc_id AS VARCHAR))), 1, 8) < 'e6666666' THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT fp, count(*) AS n_docs,
+        |             list_sort(list(DISTINCT split)) AS ss
+        |      FROM s GROUP BY fp)
+        |SELECT fp, CAST(n_docs AS BIGINT) AS n_docs,
+        |       CAST(len(ss) AS BIGINT) AS n_splits,
+        |       array_to_string(ss, ',') AS splits
+        |FROM g WHERE len(ss) >= 2""".stripMargin,
 
     "text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents WHERE text IS NOT NULL)

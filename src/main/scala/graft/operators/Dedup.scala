@@ -38,6 +38,30 @@ object Dedup {
       .drop("__fp", "__rn")
   }
 
+  /** Split-leakage audit: exact-duplicate content groups that STRADDLE
+    * split assignments — every such group puts eval rows the model saw
+    * in training, silently inflating benchmarks. Input carries a split
+    * column (e.g. [[Sampling.splitByHash]] keyed on an ID; a
+    * CONTENT-keyed split cannot leak exact duplicates by construction,
+    * which is the fix this audit usually motivates). Returns one row
+    * per leaking group: `(fp, n_docs, n_splits, splits)` with `splits`
+    * the sorted comma-joined assignment list. Shuffles `(fp, split)`
+    * only; per-group state is bounded by the split-name count, never
+    * the corpus.
+    */
+  def splitLeakage(df: DataFrame, textCol: String,
+                   splitCol: String): DataFrame =
+    df.where(col(textCol).isNotNull)
+      .select(TextFunctions.docFingerprint(col(textCol)).as("fp"),
+              col(splitCol).as("__s"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"),
+           sort_array(collect_set(col("__s"))).as("__ss"))
+      .where(size(col("__ss")) >= 2)
+      .select(col("fp"), col("n_docs"),
+        size(col("__ss")).cast("long").as("n_splits"),
+        array_join(col("__ss"), ",").as("splits"))
+
   /** INCREMENTAL exact dedup: drop every row of `batch` whose content
     * fingerprint already exists in `corpus` — the ingest-time gate of a
     * frozen-corpus pipeline (dedup WITHIN the batch is a separate,

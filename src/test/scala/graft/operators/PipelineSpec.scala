@@ -848,6 +848,30 @@ class PipelineSpec extends SparkSpec {
       Seq(0L)).count() == 0L)
   }
 
+  test("split leakage: planted cross-split duplicate found, clean splits silent") {
+    val docs = Seq(
+      (1L, "the quick brown fox", "train"),
+      (2L, "the quick brown fox", "test"),   // leaked pair
+      (3L, "the quick brown fox", "train"),  // same group, same split as 1
+      (4L, "an innocent document", "train"),
+      (5L, "another innocent one", "val"),
+      (6L, "a duplicated but contained pair", "val"),
+      (7L, "a duplicated but contained pair", "val"), // dup WITHIN one split
+      (8L, null.asInstanceOf[String], "test")
+    ).toDF("doc_id", "text", "split")
+    val got = Dedup.splitLeakage(docs, "text", "split").collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Long]("n_docs") == 3L)
+    assert(got(0).getAs[Long]("n_splits") == 2L)
+    assert(got(0).getAs[String]("splits") == "test,train") // sorted
+    // whitespace-normalized fingerprint: "the  quick   brown fox" is the
+    // same content, so adding it in val joins the leaking group
+    val more = docs.union(Seq((9L, "the  quick   brown fox", "val"))
+      .toDF("doc_id", "text", "split"))
+    val got2 = Dedup.splitLeakage(more, "text", "split").collect()
+    assert(got2.length == 1 && got2(0).getAs[String]("splits") == "test,train,val")
+  }
+
   test("label consistency: planted mislabel flagged, clean anchors pass") {
     // two tight clusters on orthogonal axes; id 0 sits in cluster A but
     // carries cluster B's label -> its neighbors unanimously disagree
