@@ -529,6 +529,16 @@ object Bench {
           pqCb, m = 8, k = 16, qvecs, kNN = 10).count(); ()
       }
 
+      // contrastive mining on the same 200k x 64 corpus: 8 anchors'
+      // hardest cross-label negatives — broadcast batch, ONE
+      // vec_cosine scan, bounded-heap top-k (the ANN serving shape)
+      results("bench_hard_negatives_200k") = time2 {
+        graft.operators.Similarity.hardNegatives(
+          big.withColumn("label", pmod(col("id"), lit(16))),
+          "embedding", "id", "label", (0L until 8L).toSeq, k = 10)
+          .count(); ()
+      }
+
       // composed IVF+PQ: codes partitioned by coarse cell on disk, each
       // query ADC-scans only its nProbe cells' directories — cell
       // pruning x 32x-compressed codes, the billion-scale serving layout

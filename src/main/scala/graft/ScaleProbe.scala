@@ -248,6 +248,15 @@ object ScaleProbe {
         val qvecs = big.where(col("id") < 5).collect().map { r =>
           (r.getLong(0), r.getSeq[Double](1).toArray)
         }.toSeq
+        // contrastive mining a decade above its bench entry: 8 anchors'
+        // hardest cross-label negatives — one scan, bounded heaps, so
+        // cost must track the scan (≤ k pairs/query leave a partition)
+        val tMine = time {
+          println("  hard-neg rows: " + operators.Similarity.hardNegatives(
+            big.withColumn("label", pmod(col("id"), lit(16))),
+            "embedding", "id", "label", (0L until 8L).toSeq, k = 10).count())
+        }
+        println(f"[scale] hard_negatives ${nDocs / 1000000}M vecs (run $rep/$repeats): $tMine%.1f s")
         val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_probe_").toString
         var model: graft.som.SomModel = null
         val tBuild = time {

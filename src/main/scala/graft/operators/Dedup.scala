@@ -315,6 +315,31 @@ object Dedup {
     result
   }
 
+  /** NEAR-duplicate split leakage: [[minhashCandidates]] pairs whose
+    * two sides landed in DIFFERENT splits — the stronger form of
+    * [[splitLeakage]] (an id-keyed split leaks paraphrases and
+    * near-copies, not just byte-duplicates). Returns
+    * `(id_a, id_b, split_a, split_b, est_jaccard)`, candidate-bounded
+    * like the banded join it composes (never all-pairs). For the gate,
+    * exact leakage is the oracled query; this near form shares
+    * minhashCandidates' banding contract and is spec-pinned.
+    */
+  def splitLeakageNear(df: DataFrame, textCol: String, idCol: String,
+                       splitCol: String,
+                       numHashes: Int = 64, rowsPerBand: Int = 8,
+                       shingleSize: Int = 3): DataFrame = {
+    val splits = df.select(col(idCol).cast("long").as("__sid"),
+      col(splitCol).as("__sp"))
+    minhashCandidates(df, textCol, idCol, numHashes, rowsPerBand, shingleSize)
+      .join(splits.withColumnRenamed("__sid", "id_a")
+        .withColumnRenamed("__sp", "split_a"), "id_a")
+      .join(splits.withColumnRenamed("__sid", "id_b")
+        .withColumnRenamed("__sp", "split_b"), "id_b")
+      .where(col("split_a") =!= col("split_b"))
+      .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"),
+        col("est_jaccard"))
+  }
+
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of
     * token hashes (native codegen expression, `graft.plans.SimHash64`).
     */

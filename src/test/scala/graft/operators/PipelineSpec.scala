@@ -872,6 +872,23 @@ class PipelineSpec extends SparkSpec {
     assert(got2.length == 1 && got2(0).getAs[String]("splits") == "test,train,val")
   }
 
+  test("near-dup split leakage: cross-split near-copy found, within-split silent") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base, "train"),
+      (2L, base + " ok", "test"),          // near-copy, DIFFERENT split
+      (3L, base + " yes", "train"),        // near-copy, same split as 1
+      (4L, "completely different content about distributed query engines", "val")
+    ).toDF("doc_id", "text", "split")
+    val got = Dedup.splitLeakageNear(docs, "text", "doc_id", "split",
+        numHashes = 64, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)), s"leaked near-pair missed: $got")
+    assert(!got.contains((1L, 3L)), "within-split pair must not report")
+    assert(got.forall { case (a, b) => Set((1L, 2L), (2L, 3L)).contains((a, b)) },
+      s"unexpected pairs: $got")
+  }
+
   test("label consistency: planted mislabel flagged, clean anchors pass") {
     // two tight clusters on orthogonal axes; id 0 sits in cluster A but
     // carries cluster B's label -> its neighbors unanimously disagree
