@@ -48,6 +48,14 @@ object Queries {
       .map(r => (r.getLong(r.fieldIndex("vec_id")),
         r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)).toSeq
 
+  /** The mining/audit-family anchor batch: the first 8 vec_ids. ONE
+    * definition — the three oracles' LIMIT 8 must stay in lockstep
+    * with every query that uses it (same rule as [[embQueries]]).
+    */
+  private def embQueryIds(s: SparkSession, dir: String): Seq[Long] =
+    emb(s, dir).select(col("vec_id").cast("long")).orderBy(col("vec_id"))
+      .limit(8).collect().map(_.getLong(0)).toSeq
+
   /** dedup_pr's fixed-size eval sample: the metric's quadratic truth
     * leg is bounded at prSampleN^2/2 pairs no matter the corpus size.
     */
@@ -818,31 +826,24 @@ object Queries {
       // query, the top-5 most-similar vectors with a DIFFERENT label
       // (broadcast query batch, one scan, bounded-heap top-k)
       "mine_hard_negatives" -> ((s, dir) => {
-        val e = emb(s, dir)
-        val qids = e.select(col("vec_id").cast("long")).orderBy(col("vec_id"))
-          .limit(8).collect().map(_.getLong(0)).toSeq
-        Similarity.hardNegatives(e, "embedding", "vec_id", "label", qids, k = 5)
+        Similarity.hardNegatives(emb(s, dir), "embedding", "vec_id",
+          "label", embQueryIds(s, dir), k = 5)
       }),
 
       // assembled training triplets: per anchor, the hardest positive
       // (same label) and hardest negative (different label) plus the
       // similarity margin a triplet loss pushes on
       "mine_triplets" -> ((s, dir) => {
-        val e = emb(s, dir)
-        val qids = e.select(col("vec_id").cast("long")).orderBy(col("vec_id"))
-          .limit(8).collect().map(_.getLong(0)).toSeq
-        Similarity.mineTriplets(e, "embedding", "vec_id", "label", qids)
+        Similarity.mineTriplets(emb(s, dir), "embedding", "vec_id",
+          "label", embQueryIds(s, dir))
       }),
 
       // kNN label-consistency audit (label-error detection): each
       // anchor's 5 nearest neighbors vote; low agreement flags a
       // likely mislabel or off-manifold embedding
       "label_consistency" -> ((s, dir) => {
-        val e = emb(s, dir)
-        val qids = e.select(col("vec_id").cast("long")).orderBy(col("vec_id"))
-          .limit(8).collect().map(_.getLong(0)).toSeq
-        Similarity.labelConsistency(e, "embedding", "vec_id", "label",
-            qids, k = 5)
+        Similarity.labelConsistency(emb(s, dir), "embedding", "vec_id",
+            "label", embQueryIds(s, dir), k = 5)
           .select(col("qid"), col("label").cast("long").as("label"),
             col("n_agree"), col("n_nbrs"), col("agreement"), col("suspect"))
       }),
@@ -1948,6 +1949,15 @@ object Queries {
   }
 
   // ------------------------------------------------------------ oracles
+
+  /** The split_by_hash train/val/test CASE (salt 'graft', 0.8/0.1/0.1)
+    * — shared by the split_by_hash and split_leakage oracles so the
+    * assignment spelling cannot drift between them.
+    */
+  private val duckSplitCase: String =
+    """CASE WHEN substr(md5(concat('graft', CAST(doc_id AS VARCHAR))), 1, 8) < 'cccccccd' THEN 'train'
+      |            WHEN substr(md5(concat('graft', CAST(doc_id AS VARCHAR))), 1, 8) < 'e6666666' THEN 'val'
+      |            ELSE 'test' END""".stripMargin
 
   /** DuckDB token expression mirroring TextFunctions.tokens. */
   private val duckToks: String =
@@ -3347,20 +3357,16 @@ object Queries {
         |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
     "split_by_hash" ->
-      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
-        |       CASE WHEN substr(md5(concat('graft', CAST(doc_id AS VARCHAR))), 1, 8) < 'cccccccd' THEN 'train'
-        |            WHEN substr(md5(concat('graft', CAST(doc_id AS VARCHAR))), 1, 8) < 'e6666666' THEN 'val'
-        |            ELSE 'test' END AS split
+      s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       $duckSplitCase AS split
         |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
     // the split_by_hash assignment joined to the dedup_exact
     // fingerprint, grouped: any fingerprint with >= 2 distinct splits
     "split_leakage" ->
-      """WITH s AS (
-        |  SELECT md5(COALESCE(array_to_string(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> length(t) > 0), ' '), '')) AS fp,
-        |         CASE WHEN substr(md5(concat('graft', CAST(doc_id AS VARCHAR))), 1, 8) < 'cccccccd' THEN 'train'
-        |              WHEN substr(md5(concat('graft', CAST(doc_id AS VARCHAR))), 1, 8) < 'e6666666' THEN 'val'
-        |              ELSE 'test' END AS split
+      s"""WITH s AS (
+        |  SELECT md5(COALESCE(array_to_string($duckToks, ' '), '')) AS fp,
+        |         $duckSplitCase AS split
         |  FROM documents WHERE text IS NOT NULL),
         |g AS (SELECT fp, count(*) AS n_docs,
         |             list_sort(list(DISTINCT split)) AS ss

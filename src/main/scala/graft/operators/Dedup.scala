@@ -330,7 +330,12 @@ object Dedup {
                        shingleSize: Int = 3): DataFrame = {
     val splits = df.select(col(idCol).cast("long").as("__sid"),
       col(splitCol).as("__sp"))
-    minhashCandidates(df, textCol, idCol, numHashes, rowsPerBand, shingleSize)
+    val cands = minhashCandidates(df, textCol, idCol, numHashes, rowsPerBand,
+      shingleSize)
+    // pin the (candidate-bounded) report, then release the candidate
+    // cache minhashCandidates hands over — repeated audits in a
+    // long-lived session must not accumulate dead blocks
+    val out = cands
       .join(splits.withColumnRenamed("__sid", "id_a")
         .withColumnRenamed("__sp", "split_a"), "id_a")
       .join(splits.withColumnRenamed("__sid", "id_b")
@@ -338,6 +343,9 @@ object Dedup {
       .where(col("split_a") =!= col("split_b"))
       .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"),
         col("est_jaccard"))
+      .localCheckpoint(true)
+    cands.unpersist(blocking = false)
+    out
   }
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of

@@ -137,21 +137,36 @@ object Similarity {
     * hardest positive and hardest negative plus the similarity margin
     * `round6(pos_sim − neg_sim)` — the margin a triplet loss pushes on,
     * and the quantity curricula sort by (small margin = hard triplet).
-    * Anchors with no same-label or no cross-label partner drop (inner
-    * join). Two bounded scans ([[hardPositives]] + [[hardNegatives]]),
-    * each corpus-linear with a broadcast query batch. Returns
-    * `(qid, pos_id, neg_id, pos_sim, neg_sim, margin)`.
+    * Anchors with no same-label or no cross-label partner drop. ONE
+    * corpus scan serves both legs: each row lands in its (qid, same)
+    * heap, so the cost matches a single [[hardNegatives]] call (the
+    * oracle replay MATERIALIZES its shared dot CTE for the same
+    * reason). Returns `(qid, pos_id, neg_id, pos_sim, neg_sim,
+    * margin)`.
     */
   def mineTriplets(df: DataFrame, vecCol: String, idCol: String,
-                   labelCol: String, queryIds: Seq[Long]): DataFrame =
-    hardPositives(df, vecCol, idCol, labelCol, queryIds, k = 1)
-      .select(col("qid"), col("nid").as("pos_id"), col("sim").as("pos_sim"))
-      .join(hardNegatives(df, vecCol, idCol, labelCol, queryIds, k = 1)
-        .select(col("qid"), col("nid").as("neg_id"), col("sim").as("neg_sim")),
-        Seq("qid"))
-      .select(col("qid"), col("pos_id"), col("neg_id"),
-        col("pos_sim"), col("neg_sim"),
-        round(col("pos_sim") - col("neg_sim"), 6).as("margin"))
+                   labelCol: String, queryIds: Seq[Long]): DataFrame = {
+    val (slim, qDf, _) = queryBatch(df, vecCol, idCol, labelCol, queryIds)
+    def side(same: Boolean, f: Column => Column) =
+      f(max(when(col("same") === same, col("p"))))
+    slim
+      .join(broadcast(qDf),
+        col("nid") =!= col("qid") && col("__l").isNotNull)
+      .select(col("qid"), col("nid"), (col("__l") === col("qlabel")).as("same"),
+        cosine(col("__v"), col("qv")).as("sim"))
+      .groupBy("qid", "same")
+      .agg(graft.plans.TopNFunctions.topn_smallest_by_double(
+        negate(col("sim")), col("nid"), 1).as("top"))
+      .select(col("qid"), col("same"), element_at(col("top"), 1).as("p"))
+      .groupBy("qid")
+      .agg(side(true, identity).as("pos"), side(false, identity).as("neg"))
+      .where(col("pos").isNotNull && col("neg").isNotNull)
+      .select(col("qid"),
+        col("pos.id").as("pos_id"), col("neg.id").as("neg_id"),
+        round(negate(col("pos.s")), 6).as("pos_sim"),
+        round(negate(col("neg.s")), 6).as("neg_sim"))
+      .withColumn("margin", round(col("pos_sim") - col("neg_sim"), 6))
+  }
 
   /** kNN label-consistency audit (the label-error detector's shape,
     * Northcutt 2021 confident-learning intuition): each labeled
@@ -162,8 +177,10 @@ object Similarity {
     * `agreement = round6(n_agree / n_nbrs)` and `suspect = agreement <
     * minAgreement`. NULL-labeled neighbors still rank (distance is
     * label-blind) but never count as agreeing. Same scan shape as
-    * [[hardNegatives]]; the vote aggregate collapses the ≤ k·|queries|
-    * ranked rows.
+    * [[hardNegatives]]; anchor labels come from the query-batch collect
+    * (no extra scan) and the tiny ranked set is BROADCAST into the
+    * neighbor-label join, so the audit pays one scoring scan plus one
+    * label-projection scan.
     */
   def labelConsistency(df: DataFrame, vecCol: String, idCol: String,
                        labelCol: String, queryIds: Seq[Long], k: Int,
@@ -171,14 +188,17 @@ object Similarity {
     require(minAgreement >= 0.0 && minAgreement <= 1.0,
       s"minAgreement must be in [0,1], got $minAgreement")
     val spark = df.sparkSession
-    val ranked = labelMatchedTopK(df, vecCol, idCol, labelCol, queryIds, k,
-      sameLabel = None)
-    val labels = df.select(col(idCol).cast("long").as("__lid"),
-      col(labelCol).as("__lbl"))
-    val qLabels = labels.where(col("__lid").isin(queryIds: _*))
-      .select(col("__lid").as("qid"), col("__lbl").as("label"))
-    ranked
-      .join(labels, col("nid") === col("__lid"))
+    val (slim, qDf, qRows) = queryBatch(df, vecCol, idCol, labelCol, queryIds)
+    val ranked = rankedTopK(slim, qDf, lit(true), k)
+    // anchor labels were already collected with the query batch
+    val qLabels = spark.createDataFrame(
+        java.util.Arrays.asList(qRows.map(r => Row(r.getLong(0), r.get(2))): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("qid",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          slim.schema("__l").copy(name = "label"))))
+    slim.select(col("nid").as("__lid"), col("__l").as("__lbl"))
+      .join(broadcast(ranked), col("nid") === col("__lid"))
       .join(broadcast(qLabels), Seq("qid"))
       .groupBy(col("qid"), col("label"))
       .agg(
@@ -189,21 +209,33 @@ object Similarity {
       .withColumn("suspect", col("agreement") < minAgreement)
   }
 
-  private def labelMatchedTopK(df: DataFrame, vecCol: String, idCol: String,
-                               labelCol: String, queryIds: Seq[Long],
-                               k: Int, sameLabel: Option[Boolean]): DataFrame = {
+  /** Shared query-batch prep: the slim `(nid, __v, __l)` projection, the
+    * broadcast-ready `(qid, qv, qlabel)` literal frame built from ONE
+    * bounded collect, and the collected query rows themselves (so
+    * callers needing anchor labels pay no extra scan). Validates ids
+    * exist exactly once and carry non-null vectors and labels.
+    */
+  private def queryBatch(df: DataFrame, vecCol: String, idCol: String,
+                         labelCol: String, queryIds: Seq[Long])
+      : (DataFrame, DataFrame, Array[Row]) = {
     require(queryIds.nonEmpty, "label-matched top-k needs at least one query id")
     require(queryIds.distinct.size == queryIds.size,
       s"duplicate query ids: $queryIds")
-    require(k >= 1, s"label-matched top-k needs k >= 1, got $k")
     val spark = df.sparkSession
     val slim = df.select(col(idCol).cast("long").as("nid"),
       col(vecCol).as("__v"), col(labelCol).as("__l"))
     val qRows = slim.where(col("nid").isin(queryIds: _*)).collect()
-    require(qRows.length == queryIds.size,
+    require(qRows.length >= queryIds.size,
       s"label-matched top-k: ${queryIds.size - qRows.length} query ids not found")
-    qRows.foreach(r => require(!r.isNullAt(2),
-      s"label-matched top-k: query ${r.getLong(0)} has a NULL $labelCol"))
+    require(qRows.length <= queryIds.size,
+      s"label-matched top-k: ${qRows.length} rows matched ${queryIds.size} " +
+        s"query ids — duplicate ids in $idCol")
+    qRows.foreach { r =>
+      require(!r.isNullAt(1),
+        s"label-matched top-k: query ${r.getLong(0)} has a NULL $vecCol")
+      require(!r.isNullAt(2),
+        s"label-matched top-k: query ${r.getLong(0)} has a NULL $labelCol")
+    }
     val qDf = spark.createDataFrame(
         java.util.Arrays.asList(qRows.map(r =>
           Row(r.getLong(0), SomData.rowToVec(r, 1).toSeq, r.get(2))): _*),
@@ -214,14 +246,16 @@ object Similarity {
             org.apache.spark.sql.types.ArrayType(
               org.apache.spark.sql.types.DoubleType), nullable = false),
           slim.schema("__l").copy(name = "qlabel"))))
-    // with a label predicate it is null-rejecting either way: a
-    // NULL-labeled row is neither a positive nor a negative. With no
-    // predicate (labelConsistency) every non-self row ranks.
-    val labelPred = sameLabel match {
-      case Some(true)  => col("__l") === col("qlabel")
-      case Some(false) => col("__l") =!= col("qlabel")
-      case None        => lit(true)
-    }
+    (slim, qDf, qRows)
+  }
+
+  /** The shared scoring scan + bounded-heap cut: one `vec_cosine` pass
+    * of `slim` against the broadcast batch under `labelPred`, reduced
+    * to `(qid, rank, nid, sim)` with ties (sim desc, nid asc).
+    */
+  private def rankedTopK(slim: DataFrame, qDf: DataFrame,
+                         labelPred: Column, k: Int): DataFrame = {
+    require(k >= 1, s"label-matched top-k needs k >= 1, got $k")
     slim
       .join(broadcast(qDf), col("nid") =!= col("qid") && labelPred)
       .select(col("qid"), col("nid"), cosine(col("__v"), col("qv")).as("sim"))
@@ -231,6 +265,21 @@ object Similarity {
       .select(col("qid"), posexplode(col("top")).as(Seq("r", "p")))
       .select(col("qid"), (col("r") + 1).cast("long").as("rank"),
               col("p.id").as("nid"), round(negate(col("p.s")), 6).as("sim"))
+  }
+
+  private def labelMatchedTopK(df: DataFrame, vecCol: String, idCol: String,
+                               labelCol: String, queryIds: Seq[Long],
+                               k: Int, sameLabel: Option[Boolean]): DataFrame = {
+    val (slim, qDf, _) = queryBatch(df, vecCol, idCol, labelCol, queryIds)
+    // with a label predicate it is null-rejecting either way: a
+    // NULL-labeled row is neither a positive nor a negative. With no
+    // predicate (labelConsistency) every non-self row ranks.
+    val labelPred = sameLabel match {
+      case Some(true)  => col("__l") === col("qlabel")
+      case Some(false) => col("__l") =!= col("qlabel")
+      case None        => lit(true)
+    }
+    rankedTopK(slim, qDf, labelPred, k)
   }
 
   /** Random-hyperplane LSH ANN: per table, a `numPlanes`-bit bucket from
