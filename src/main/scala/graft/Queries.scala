@@ -1397,6 +1397,15 @@ object Queries {
       // (md5(text) first hex digit not in 0-2), evaluate on the
       // held-out 3/16 — the train/test hygiene a real gate deployment
       // runs before trusting the weights
+      // active-learning query step: the 50 documents whose trained-gate
+      // score sits closest to the decision boundary — where a human
+      // label buys the most (bounded top-n, no global sort)
+      "uncertainty_sample" -> ((s, dir) => {
+        val (feats, m) = trainedGate(s, dir)
+        graft.operators.LogitTrain.uncertaintyTopN(feats, m, n = 50)
+          .select(col("rank"), col("id").as("doc_id"), col("score"))
+      }),
+
       "quality_train_holdout" -> ((s, dir) => {
         val d = docs(s, dir)
         val isTest = substring(md5(col("text")), 1, 1).isin("0", "1", "2")

@@ -149,6 +149,30 @@ object LogitTrain {
         LogitFunctions.logit_score(col("x"), model.weights).as("score"))
       .withColumn("keep", col("score") >= threshold)
 
+  /** Labeling-priority selection (uncertainty sampling — the active
+    * learning loop's query step): the `n` documents whose gate score
+    * sits closest to the decision boundary, i.e. where a human label
+    * buys the most model improvement. One scoring scan; the bounded
+    * top-n aggregate keeps ≤ n `(distance, id)` pairs per partition
+    * (no global sort), then the winners' scores re-attach via a
+    * broadcast of the n ids. Ties break on the lower id. Returns
+    * `(rank, id, score)` ranked by boundary distance.
+    */
+  def uncertaintyTopN(feats: DataFrame, model: Model, n: Int,
+                      threshold: Double = 0.5): DataFrame = {
+    require(n >= 1, s"uncertaintyTopN needs n >= 1, got $n")
+    val scored = feats.select(col("id"),
+      graft.plans.LogitFunctions.logit_score(col("x"), model.weights)
+        .as("score"))
+    val top = scored
+      .agg(graft.plans.TopNFunctions.topn_smallest_by_double(
+        abs(col("score") - lit(threshold)), col("id"), n).as("top"))
+      .select(posexplode(col("top")).as(Seq("r", "p")))
+      .select((col("r") + 1).cast("long").as("rank"), col("p.id").as("id"))
+    scored.join(broadcast(top), Seq("id"))
+      .select(col("rank"), col("id"), col("score"))
+  }
+
   /** Confusion counts + round-6 accuracy of a trained model against the
     * training labels, as ONE aggregate row `(tp, fp, fn, tn, accuracy)`
     * — the sanity check a curation pipeline logs next to the gate.

@@ -64,7 +64,7 @@ class PrecomputedOracleSpec extends AnyFunSuite {
         "kmeans_balanced_sample", "dedup_semantic_kmeans",
         "ann_ivf_kmeans", "quality_train_weights",
         "quality_train_score", "quality_train_eval",
-        "quality_train_holdout"))
+        "quality_train_holdout", "uncertainty_sample"))
     IndependentOracles.sql.foreach { case (name, sql) =>
       assert(sql.startsWith("-- INDEPENDENT oracle"), s"$name lacks provenance header")
       assert(sql.contains("FROM (VALUES"), s"$name is not a VALUES oracle")

@@ -119,6 +119,22 @@ class LogitSpec extends SparkSpec {
     }
   }
 
+  test("uncertainty sampling: boundary-closest docs, exhaustive order, ties to lower id") {
+    val feats = LogitTrain.features(toyDocs, "text", "doc_id", col("label"))
+    val m = LogitTrain.train(feats, iters = 25, lr = 0.3)
+    val got = LogitTrain.uncertaintyTopN(feats, m, n = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val exhaustive = LogitTrain.scoreDf(feats, m).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, sc) => (math.abs(sc - 0.5), id) }.take(3)
+    assert(got.map(t => (t._2, t._3)).toSeq == exhaustive.toSeq)
+    // n larger than the corpus returns everything, still ranked
+    assert(LogitTrain.uncertaintyTopN(feats, m, n = 100).count() == 8L)
+    intercept[IllegalArgumentException] {
+      LogitTrain.uncertaintyTopN(feats, m, n = 0)
+    }
+  }
+
   test("feature vector matches qualityLogit's round-6 signal grid") {
     // same doc through both paths: the training features and the
     // inference query must read identical signal values — including

@@ -41,7 +41,7 @@ GRAFT_UNKNOWN_CORPUS sentinel row.
 Usage:
   python3 tools/gen_logit_oracle.py <independent_oracles.json> <sfDir> [...]
 
-Merges its four query keys into the existing file, preserving the
+Merges its five query keys into the existing file, preserving the
 BPE/k-means entries.
 """
 import os
@@ -193,6 +193,15 @@ def derive(sf_dir):
         {"tp": "int64", "fp": "int64", "fn": "int64", "tn": "int64",
          "accuracy": "float64"})
 
+    # uncertainty sampling: the 50 docs whose round-6 score is closest
+    # to the 0.5 boundary (ties to the lower doc_id) — mirrors the
+    # uncertainty_sample query (same IEEE |score - 0.5| both engines)
+    unc = sorted(((abs(sc - 0.5), did, sc) for did, sc, _ in score_rows))[:50]
+    unc_df = pd.DataFrame(
+        [(r + 1, did, sc) for r, (_, did, sc) in enumerate(unc)],
+        columns=["rank", "doc_id", "score"]).astype(
+        {"rank": "int64", "doc_id": "int64", "score": "float64"})
+
     # holdout: train on the content-keyed 13/16 split, evaluate on the
     # held-out 3/16 — mirrors the quality_train_holdout query
     train_feats = [f for f in feats if not is_test[f[0]]]
@@ -218,15 +227,16 @@ def derive(sf_dir):
         columns=["tp", "fp", "fn", "tn", "accuracy"]).astype(
         {"tp": "int64", "fp": "int64", "fn": "int64", "tn": "int64",
          "accuracy": "float64"})
-    return (int(nd), int(hd)), weights_df, score_df, eval_df, holdout_df
+    return (int(nd), int(hd)), weights_df, score_df, eval_df, holdout_df, unc_df
 
 
 def main(outfile, sf_dirs):
     per_query = {"quality_train_weights": [], "quality_train_score": [],
-                 "quality_train_eval": [], "quality_train_holdout": []}
+                 "quality_train_eval": [], "quality_train_holdout": [],
+                 "uncertainty_sample": []}
     guards, schema = [], {}
     for sf_dir in sf_dirs:
-        (nd, hd), wdf, sdf, edf, hdf = derive(sf_dir)
+        (nd, hd), wdf, sdf, edf, hdf, udf = derive(sf_dir)
         guard = f"({doclang_guard_sql(nd, hd)})"
         guards.append(guard)
         print(f"  {sf_dir}: {len(wdf)} weight rows, {len(sdf)} scores, "
@@ -235,8 +245,10 @@ def main(outfile, sf_dirs):
         per_query["quality_train_score"].append(branch_sql(sdf, guard))
         per_query["quality_train_eval"].append(branch_sql(edf, guard))
         per_query["quality_train_holdout"].append(branch_sql(hdf, guard))
+        per_query["uncertainty_sample"].append(branch_sql(udf, guard))
         schema = {"quality_train_weights": wdf, "quality_train_score": sdf,
-                  "quality_train_eval": edf, "quality_train_holdout": hdf}
+                  "quality_train_eval": edf, "quality_train_holdout": hdf,
+                  "uncertainty_sample": udf}
     existing = json.load(open(outfile)) if os.path.exists(outfile) else {}
     existing["_meta_logit"] = (
         "quality_train_* expected rows derived by tools/gen_logit_oracle.py "
