@@ -1418,6 +1418,16 @@ object Queries {
         graft.operators.LogitTrain.evalDf(testFeats, m)
       }),
 
+      // code-point entropy: the byte-level junk/repetition signal the
+      // token stats miss (high = random/binary, near-zero = repetition);
+      // one fused kernel pass, order-independent round-9 DECIMAL terms
+      "char_entropy" -> ((s, dir) =>
+        docs(s, dir).where(col("text").isNotNull)
+          .select(col("doc_id").cast("long").as("doc_id"),
+            graft.plans.GraftFunctions.char_entropy(col("text")).as("ce"))
+          .select(col("doc_id"), col("ce.n_cp"), col("ce.n_distinct"),
+            col("ce.entropy"))),
+
       // lexical diversity: per-doc type-token ratio from the token_tf
       // kernel (distinct terms / token instances — the low-TTR tail is
       // boilerplate/looping text)
@@ -3364,6 +3374,35 @@ object Queries {
         |       CAST(length(text) AS BIGINT) AS n_raw,
         |       CAST(length(trim(regexp_replace(nfc_normalize(text), '[\s\x00-\x1f]+', ' ', 'g'))) AS BIGINT) AS n_norm
         |FROM documents WHERE text IS NOT NULL""".stripMargin,
+
+    // per-(doc, code point) counts -> round-9 DECIMAL p*log2(p) terms
+    // (ln/ln2 spelling matches the kernel) -> negate + round 6; docs
+    // with zero code points short-circuit to (0, 0, 0.0) like the kernel
+    "char_entropy" ->
+      """WITH t AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |cnt AS (
+        |  SELECT doc_id, ch, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |        FROM t WHERE length(text) > 0)
+        |  GROUP BY doc_id, ch),
+        |tot AS (SELECT doc_id, length(text) AS n FROM t WHERE length(text) > 0),
+        |terms AS (
+        |  SELECT cnt.doc_id,
+        |         CAST(round((CAST(c AS DOUBLE) / n) *
+        |              (ln(CAST(c AS DOUBLE) / n) / ln(CAST(2.0 AS DOUBLE))), 9)
+        |              AS DECIMAL(28, 9)) AS term
+        |  FROM cnt JOIN tot ON tot.doc_id = cnt.doc_id),
+        |e AS (SELECT doc_id, count(*) AS n_distinct, -sum(term) AS ent
+        |      FROM terms GROUP BY doc_id)
+        |SELECT CAST(tot.doc_id AS BIGINT) AS doc_id,
+        |       CAST(tot.n AS BIGINT) AS n_cp,
+        |       CAST(e.n_distinct AS BIGINT) AS n_distinct,
+        |       CAST(round(e.ent, 6) AS DOUBLE) AS entropy
+        |FROM tot JOIN e ON e.doc_id = tot.doc_id
+        |UNION ALL
+        |SELECT CAST(doc_id AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |       CAST(0.0 AS DOUBLE)
+        |FROM t WHERE length(text) = 0""".stripMargin,
 
     "split_by_hash" ->
       s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -1,5 +1,7 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -278,5 +280,45 @@ object TextKernels {
       i += 1
     }
     Array(n.toLong, len, alpha, hits)
+  }
+
+  /** Shannon entropy of the CODE-POINT distribution plus the counts it
+    * derives from: `[n_cp, n_distinct, entropy]` where
+    * `entropy = round6(−Σ round9(p_i · ln(p_i)/ln 2))` — each term is
+    * rounded to 9 decimals and accumulated as an exact scale-9 long, so
+    * the sum is order-independent cross-engine (the unigram-CE
+    * convention); log2 is spelled `ln(p)/ln(2)` because the DuckDB
+    * oracle replays exactly that composition (ln parity is the
+    * empirically-pinned transcendental). High entropy flags
+    * random/binary junk, near-zero entropy flags repetition — the
+    * byte-level quality signal the token-level stats miss. Empty text
+    * scores 0.0.
+    */
+  def charEntropy(text: UTF8String): InternalRow = {
+    val s = text.toString
+    val counts = new java.util.HashMap[Integer, Array[Long]]()
+    var n = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val slot = counts.get(cp)
+      if (slot == null) counts.put(cp, Array(1L)) else slot(0) += 1
+      n += 1
+      i += Character.charCount(cp)
+    }
+    if (n == 0L)
+      return new GenericInternalRow(Array[Any](0L, 0L, 0.0))
+    val ln2 = Math.log(2.0)
+    var sum9 = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()(0)
+      val p = c.toDouble / n
+      sum9 = Math.addExact(sum9,
+        VecScale9Kernel.scale9(p * (Math.log(p) / ln2)))
+    }
+    val entropy = java.math.BigDecimal.valueOf(-sum9, 9)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    new GenericInternalRow(Array[Any](n, counts.size().toLong, entropy))
   }
 }

@@ -524,6 +524,40 @@ case class LangIdOf(child: Expression, markers: Seq[(String, Seq[String])])
   * rounding and verdict thresholds deliberately stay OUTSIDE in Column
   * land so the filtering and signal-column forms share arithmetic.
   */
+/** Code-point entropy signal: `string -> struct<n_cp long,
+  * n_distinct long, entropy double>` — one fused pass
+  * ([[TextKernels.charEntropy]]). High entropy flags random/binary
+  * junk, near-zero flags repetition.
+  */
+case class CharEntropyOf(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_cp", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("entropy", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"char_entropy expects string, got $dt")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.charEntropy(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = TextKernels.getClass.getName.stripSuffix("$") // mirror-class static forwarders
+    defineCodeGen(ctx, ev, c => s"$kernel.charEntropy($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropyOf =
+    copy(child = newChild)
+  override def prettyName: String = "char_entropy"
+}
+
 case class GopherStats(child: Expression, stopWords: Seq[String])
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -684,6 +718,8 @@ object GraftFunctions {
 
   def gopher_stats(textOrTokens: Column, stopWords: Seq[String]): Column =
     GraftBridge.column(GopherStats(GraftBridge.expression(textOrTokens), stopWords))
+  def char_entropy(text: Column): Column =
+    GraftBridge.column(CharEntropyOf(GraftBridge.expression(text)))
 }
 
 /** SQL-surface registration: `spark.sql.extensions=graft.plans.GraftExtensions`

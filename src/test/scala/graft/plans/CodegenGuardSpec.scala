@@ -48,7 +48,8 @@ class CodegenGuardSpec extends SparkSpec {
             graft.functions.TextFunctions.langMarkers).as("lang"),
           GraftFunctions.gopher_stats(col("text"), Seq("alpha", "beta")).as("st"),
           GraftFunctions.gopher_stats(split(col("text"), " "), Seq("alpha")).as("st2"),
-          GraftFunctions.nfc_normalize(concat(col("text"), lit("é"))).as("nfc"))
+          GraftFunctions.nfc_normalize(concat(col("text"), lit("é"))).as("nfc"),
+          GraftFunctions.char_entropy(col("text")).as("ce"))
         .collect()
       assert(tk.forall(_.getInt(0) == 4))
       assert(tk.forall(_.getInt(1) == 3)) // 4 tokens -> 3 distinct bigrams
@@ -58,6 +59,7 @@ class CodegenGuardSpec extends SparkSpec {
       assert(tk.forall(_.getString(5).nonEmpty))
       assert(tk.head.getSeq[Long](6) == Seq(4L, 19L, 4L, 2L), tk.head.getSeq[Long](6))
       assert(tk.head.getSeq[Long](7).head == 4L)
+      assert(tk.forall(_.getStruct(9).getDouble(2) > 0.0)) // entropy of real text
       val ngr = sigged.alias("a").join(sigged.alias("b"),
           col("a.id") < col("b.id"))
         .select(GraftFunctions.sorted_inter_count(col("a.ng"), col("b.ng")).as("inter"),

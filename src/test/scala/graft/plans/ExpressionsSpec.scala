@@ -427,4 +427,28 @@ class ExpressionsSpec extends SparkSpec {
     assert(got("g1") == Seq(("x", 1L), ("y", 2L)))
     assert(got("g2") == Seq(("q", 9L)))
   }
+
+  test("char_entropy: hand-computed distributions, unicode, empty text") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "aabb"),       // p=.5/.5 -> 1 bit
+      (2L, "aaaa"),       // single symbol -> 0
+      (3L, "abcd"),       // uniform 4 -> 2 bits
+      (4L, ""),           // empty -> (0, 0, 0.0)
+      (5L, "\ud834\udd1e\ud834\udd1ea") // surrogate pair counts as ONE code point
+    ).toDF("id", "text")
+    val got = rows.select(col("id"),
+        GraftFunctions.char_entropy(col("text")).as("ce"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getStruct(1).getLong(0), r.getStruct(1).getLong(1),
+         r.getStruct(1).getDouble(2))).toMap
+    assert(got(1L) == ((4L, 2L, 1.0)))
+    assert(got(2L) == ((4L, 1L, 0.0)))
+    assert(got(3L) == ((4L, 4L, 2.0)))
+    assert(got(4L) == ((0L, 0L, 0.0)))
+    // 3 code points: clef x2 + 'a' -> H = -(2/3 log2 2/3 + 1/3 log2 1/3)
+    val (n5, d5, e5) = got(5L)
+    assert(n5 == 3L && d5 == 2L)
+    assert(math.abs(e5 - 0.918296) < 1e-6)
+  }
 }
