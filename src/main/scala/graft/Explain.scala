@@ -42,7 +42,8 @@ object Explain {
         "export_manifest", "oov_rate", "bm25_topk", "dsir_weights",
         "dsir_sample", "bm25_indexed", "kmeans_assign", "kmeans_quality",
         "ann_ivf_kmeans", "retrieval_rrf", "sq_encode",
-        "sq_topk", "quality_train_score").foreach(show)
+        "sq_topk", "quality_train_score", "mine_hard_negatives",
+        "label_consistency", "split_leakage", "char_entropy").foreach(show)
     spark.stop()
   }
 }
