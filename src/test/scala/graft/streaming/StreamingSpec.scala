@@ -705,6 +705,32 @@ class StreamingSpec extends SparkSpec {
     assert(trainer.stepCount == 2L && trainer.mse == replay.mse)
   }
 
+  test("char entropy runs stateless on a stream, matching batch") {
+    // char_entropy is a pure codegen expression, so an ingest stream can
+    // gate binary junk / degenerate repetition at landing time
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq((0L, "aabb"), (1L, "the quick brown fox"), (2L, "zzzz"))
+    val input = MemoryStream[(Long, String)]
+    val scored = input.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.plans.GraftFunctions.char_entropy(col("text")).as("ce"))
+      .select(col("doc_id"), col("ce.entropy"))
+    val q = scored.writeStream.format("memory").queryName("ce_out")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ce_out").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(streamed(0L) == 1.0 && streamed(2L) == 0.0)
+      val batch = rows.toDF("doc_id", "text")
+        .select(col("doc_id"),
+          graft.plans.GraftFunctions.char_entropy(col("text")).getField("entropy"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("logit scoring runs stateless on a stream, matching batch") {
     // logit_score is a pure codegen expression (trained weights ride in
     // the expression), so a curation stream can gate documents with a
