@@ -56,6 +56,19 @@ object Queries {
     emb(s, dir).select(col("vec_id").cast("long")).orderBy(col("vec_id"))
       .limit(8).collect().map(_.getLong(0)).toSeq
 
+  /** Anchor ids for the LABEL-dependent mining/audit queries
+    * (mine_hard_negatives / mine_triplets / label_consistency): first 8
+    * vec_ids WITH a non-NULL label. queryBatch requires non-null
+    * anchors, so an unlabeled vec_id in the first 8 would throw on the
+    * engine side while the DuckDB oracles silently skipped it — both
+    * sides now restrict to labeled anchors (oracle qids CTEs carry the
+    * matching `label IS NOT NULL`).
+    */
+  private def embLabeledQueryIds(s: SparkSession, dir: String): Seq[Long] =
+    emb(s, dir).where(col("label").isNotNull)
+      .select(col("vec_id").cast("long")).orderBy(col("vec_id"))
+      .limit(8).collect().map(_.getLong(0)).toSeq
+
   /** dedup_pr's fixed-size eval sample: the metric's quadratic truth
     * leg is bounded at prSampleN^2/2 pairs no matter the corpus size.
     */
@@ -77,15 +90,25 @@ object Queries {
     when(col("n_chars") >= 200, 1.0).otherwise(0.0)
 
   /** Features + trained model shared by the quality_train_* queries —
-    * one derivation, so the four entries cannot drift apart.
+    * one derivation, so the four entries cannot drift apart. MEMOIZED
+    * per (session, dataset dir): quality_train_weights/_score/_eval and
+    * uncertainty_sample all need the SAME 150-iteration GD fit, and
+    * without the cache a suite run trains it four times (~6 s each at
+    * sf0.1). The model is a plain value and the features DataFrame is a
+    * lazy plan (safe to reuse across queries); keying on the session
+    * UUID keeps a cached plan from leaking across SparkSessions in
+    * multi-session tests.
     */
+  private val gateCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (DataFrame, graft.operators.LogitTrain.Model)]
   private def trainedGate(s: SparkSession, dir: String)
-      : (DataFrame, graft.operators.LogitTrain.Model) = {
-    val feats = graft.operators.LogitTrain.features(docs(s, dir),
-      "text", "doc_id", logitLabel)
-    (feats, graft.operators.LogitTrain.train(feats,
-      iters = logitIters, lr = logitLr))
-  }
+      : (DataFrame, graft.operators.LogitTrain.Model) =
+    gateCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+      val feats = graft.operators.LogitTrain.features(docs(s, dir),
+        "text", "doc_id", logitLabel)
+      (feats, graft.operators.LogitTrain.train(feats,
+        iters = logitIters, lr = logitLr))
+    })
 
   /** The DuckDB spelling of the same selection (self-contained, usable
     * inside nested WITH chains).
@@ -827,7 +850,7 @@ object Queries {
       // (broadcast query batch, one scan, bounded-heap top-k)
       "mine_hard_negatives" -> ((s, dir) => {
         Similarity.hardNegatives(emb(s, dir), "embedding", "vec_id",
-          "label", embQueryIds(s, dir), k = 5)
+          "label", embLabeledQueryIds(s, dir), k = 5)
       }),
 
       // assembled training triplets: per anchor, the hardest positive
@@ -835,7 +858,7 @@ object Queries {
       // similarity margin a triplet loss pushes on
       "mine_triplets" -> ((s, dir) => {
         Similarity.mineTriplets(emb(s, dir), "embedding", "vec_id",
-          "label", embQueryIds(s, dir))
+          "label", embLabeledQueryIds(s, dir))
       }),
 
       // kNN label-consistency audit (label-error detection): each
@@ -843,7 +866,7 @@ object Queries {
       // likely mislabel or off-manifold embedding
       "label_consistency" -> ((s, dir) => {
         Similarity.labelConsistency(emb(s, dir), "embedding", "vec_id",
-            "label", embQueryIds(s, dir), k = 5)
+            "label", embLabeledQueryIds(s, dir), k = 5)
           .select(col("qid"), col("label").cast("long").as("label"),
             col("n_agree"), col("n_nbrs"), col("agreement"), col("suspect"))
       }),
@@ -1082,6 +1105,24 @@ object Queries {
           graft.operators.Sampling.splitByHash(docs(s, dir), "doc_id",
             Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "graft"),
           "text", "split")),
+
+      // the same audit on a corpus WITH planted cross-split duplicates:
+      // the first 16 docs re-enter under doc_id + 1e9, so the id-keyed
+      // split hashes them independently and some pairs straddle splits
+      // — a NON-EMPTY differential gate for the leak-detection path
+      // (plain split_leakage is legitimately empty on a duplicate-free
+      // corpus, which made its oracle comparison vacuous)
+      "split_leakage_planted" -> ((s, dir) => {
+        val d = docs(s, dir)
+          .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        val planted = d.where(col("doc_id") < 16)
+          .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
+        graft.operators.Dedup.splitLeakage(
+          graft.operators.Sampling.splitByHash(d.unionByName(planted),
+            "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+            salt = "graft"),
+          "text", "split")
+      }),
 
       // text normalization: Unicode NFC (codegen kernel, zero-copy on
       // normalized rows) + whitespace/control collapse — the pass that
@@ -1393,10 +1434,6 @@ object Queries {
         graft.operators.LogitTrain.evalDf(feats, m)
       }),
 
-      // GENERALIZATION check: train on a content-keyed 13/16 split
-      // (md5(text) first hex digit not in 0-2), evaluate on the
-      // held-out 3/16 — the train/test hygiene a real gate deployment
-      // runs before trusting the weights
       // active-learning query step: the 50 documents whose trained-gate
       // score sits closest to the decision boundary — where a human
       // label buys the most (bounded top-n, no global sort)
@@ -1406,6 +1443,10 @@ object Queries {
           .select(col("rank"), col("id").as("doc_id"), col("score"))
       }),
 
+      // GENERALIZATION check: train on a content-keyed 13/16 split
+      // (md5(text) first hex digit not in 0-2), evaluate on the
+      // held-out 3/16 — the train/test hygiene a real gate deployment
+      // runs before trusting the weights
       "quality_train_holdout" -> ((s, dir) => {
         val d = docs(s, dir)
         val isTest = substring(md5(col("text")), 1, 1).isin("0", "1", "2")
@@ -3165,7 +3206,7 @@ object Queries {
         |         CAST(unnest(embedding) AS DOUBLE) AS v
         |  FROM embeddings
         |), norms AS (SELECT vec_id, sum(v * v) AS nrm FROM ex GROUP BY vec_id),
-        |qids AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT 8),
+        |qids AS (SELECT vec_id AS qid FROM embeddings WHERE label IS NOT NULL ORDER BY vec_id LIMIT 8),
         |dots AS (
         |  SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.v * b.v) AS dot
         |  FROM ex a JOIN ex b ON a.i = b.i AND b.vec_id <> a.vec_id
@@ -3199,7 +3240,7 @@ object Queries {
         |  FROM embeddings
         |), norms AS MATERIALIZED (
         |  SELECT vec_id, sum(v * v) AS nrm FROM ex GROUP BY vec_id),
-        |qids AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT 8),
+        |qids AS (SELECT vec_id AS qid FROM embeddings WHERE label IS NOT NULL ORDER BY vec_id LIMIT 8),
         |dots AS MATERIALIZED (
         |  SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.v * b.v) AS dot
         |  FROM ex a JOIN ex b ON a.i = b.i AND b.vec_id <> a.vec_id
@@ -3238,7 +3279,7 @@ object Queries {
         |         CAST(unnest(embedding) AS DOUBLE) AS v
         |  FROM embeddings
         |), norms AS (SELECT vec_id, sum(v * v) AS nrm FROM ex GROUP BY vec_id),
-        |qids AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT 8),
+        |qids AS (SELECT vec_id AS qid FROM embeddings WHERE label IS NOT NULL ORDER BY vec_id LIMIT 8),
         |dots AS (
         |  SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.v * b.v) AS dot
         |  FROM ex a JOIN ex b ON a.i = b.i AND b.vec_id <> a.vec_id
@@ -3416,6 +3457,26 @@ object Queries {
         |  SELECT md5(COALESCE(array_to_string($duckToks, ' '), '')) AS fp,
         |         $duckSplitCase AS split
         |  FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT fp, count(*) AS n_docs,
+        |             list_sort(list(DISTINCT split)) AS ss
+        |      FROM s GROUP BY fp)
+        |SELECT fp, CAST(n_docs AS BIGINT) AS n_docs,
+        |       CAST(len(ss) AS BIGINT) AS n_splits,
+        |       array_to_string(ss, ',') AS splits
+        |FROM g WHERE len(ss) >= 2""".stripMargin,
+
+    // same audit over the corpus + 16 planted copies under doc_id+1e9
+    // (non-empty by construction: the copies hash to independent splits)
+    "split_leakage_planted" ->
+      s"""WITH u AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS BIGINT) + 1000000000, text
+        |  FROM documents WHERE CAST(doc_id AS BIGINT) < 16),
+        |s AS (
+        |  SELECT md5(COALESCE(array_to_string($duckToks, ' '), '')) AS fp,
+        |         $duckSplitCase AS split
+        |  FROM u WHERE text IS NOT NULL),
         |g AS (SELECT fp, count(*) AS n_docs,
         |             list_sort(list(DISTINCT split)) AS ss
         |      FROM s GROUP BY fp)

@@ -47,11 +47,15 @@ object Dedup {
     * per leaking group: `(fp, n_docs, n_splits, splits)` with `splits`
     * the sorted comma-joined assignment list. Shuffles `(fp, split)`
     * only; per-group state is bounded by the split-name count, never
-    * the corpus.
+    * the corpus. Rows with a NULL split assignment are excluded up
+    * front: collect_set drops NULLs, so keeping them would let a group
+    * spread across {train, NULL} pass unflagged while still counting
+    * the NULL rows in n_docs — n_docs and `splits` must describe the
+    * same row set.
     */
   def splitLeakage(df: DataFrame, textCol: String,
                    splitCol: String): DataFrame =
-    df.where(col(textCol).isNotNull)
+    df.where(col(textCol).isNotNull && col(splitCol).isNotNull)
       .select(TextFunctions.docFingerprint(col(textCol)).as("fp"),
               col(splitCol).as("__s"))
       .groupBy("fp")

@@ -157,6 +157,13 @@ object LogitTrain {
     * (no global sort), then the winners' scores re-attach via a
     * broadcast of the n ids. Ties break on the lower id. Returns
     * `(rank, id, score)` ranked by boundary distance.
+    *
+    * PRECONDITION: `id` must be unique in `feats` — the broadcast
+    * re-attach join emits one row per (rank, id) match, so a
+    * duplicated id yields duplicate ranked rows. [[features]] keys on
+    * the caller's id column and does not enforce uniqueness (document
+    * corpora key on a primary doc_id); callers feeding synthetic or
+    * unioned frames must dedup first.
     */
   def uncertaintyTopN(feats: DataFrame, model: Model, n: Int,
                       threshold: Double = 0.5): DataFrame = {

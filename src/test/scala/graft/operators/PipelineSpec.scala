@@ -870,6 +870,18 @@ class PipelineSpec extends SparkSpec {
       .toDF("doc_id", "text", "split"))
     val got2 = Dedup.splitLeakage(more, "text", "split").collect()
     assert(got2.length == 1 && got2(0).getAs[String]("splits") == "test,train,val")
+    // NULL split assignments are excluded BEFORE grouping: a group
+    // spread across {train, NULL} must not flag (collect_set drops the
+    // NULL, so it has one named split), and the NULL row must not
+    // inflate n_docs of a group that does flag
+    val withNull = Seq(
+      (10L, "null straddle content", "train"),
+      (11L, "null straddle content", null.asInstanceOf[String]),
+      (12L, "the quick brown fox", null.asInstanceOf[String])
+    ).toDF("doc_id", "text", "split")
+    val got3 = Dedup.splitLeakage(docs.union(withNull), "text", "split").collect()
+    assert(got3.length == 1, s"NULL-split rows must not create/suppress groups: ${got3.toSeq}")
+    assert(got3(0).getAs[Long]("n_docs") == 3L, "NULL-split row counted in n_docs")
   }
 
   test("near-dup split leakage: cross-split near-copy found, within-split silent") {
