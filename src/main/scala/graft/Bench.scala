@@ -111,6 +111,33 @@ object BenchData {
     math.round(n * 8.0 / best / 1e9 * 100) / 100.0
   }
 
+  /** Shuffle-path canary in seconds: a fixed 200k-row md5-keyed
+    * repartition + hash aggregate — one full Exchange round-trip
+    * (serialize, spill-file write/read, fetch, re-aggregate) through
+    * the same code path every shuffle-bound bench entry takes. The
+    * late-round-9 adjudication gap was exactly here: a run recorded
+    * span_dedup 10x slow while BOTH existing probes (memcpy stamp,
+    * ALU kernel canaries) read healthy — memory bandwidth and CPU
+    * frequency cannot see a degraded shuffle/IO path. Healthy band on
+    * this box: ~0.4-0.9 s (min of 2; measured 0.50-0.75 across three
+    * fresh JVMs in the round-10 adjudication). Stamped per bench
+    * section into
+    * BENCH_FULL.json's `shuffle_canary_sec` next to the memcpy stamps;
+    * the three-probe adjudication rule lives in BASELINE.md.
+    */
+  def shuffleCanarySec(spark: SparkSession): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(200000)
+        .select(md5(col("id").cast("string")).as("fp"))
+        .repartition(32, col("fp"))
+        .groupBy(substring(col("fp"), 1, 2)).agg(count(lit(1)).as("n"))
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    math.min(once(), once())
+  }
+
   /** The final stdout line the driver parses. The driver keeps only the
     * LAST ~2000 chars of stdout, so this line must stay well under that
     * window: no suite_ms here (the per-suite-query numbers live in the
@@ -166,11 +193,19 @@ object Bench {
     def time3(f: => Unit): Double = math.min(time2(f), time(f))
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    // per-section memcpy stamps (GB/s): the machine-health context for
-    // every timing block, emitted into BENCH_FULL.json's bandwidth_gbps
+    // per-section memcpy + shuffle-canary stamps: the machine-health
+    // context for every timing block, emitted into BENCH_FULL.json's
+    // bandwidth_gbps / shuffle_canary_sec maps (three-probe rule in
+    // BASELINE.md — memcpy sees memory bandwidth, the kernel benches
+    // see CPU, the shuffle canary sees the exchange/spill path)
     val bandwidth = scala.collection.mutable.LinkedHashMap[String, Double]()
-    def stampBw(section: String): Unit =
+    val shuffleCanary = scala.collection.mutable.LinkedHashMap[String, Double]()
+    BenchData.shuffleCanarySec(spark) // warm codegen/JIT off the first stamp
+    def stampBw(section: String): Unit = {
       bandwidth(section) = BenchData.memcpyGbps()
+      shuffleCanary(section) =
+        math.round(BenchData.shuffleCanarySec(spark) * 1000) / 1000.0
+    }
     stampBw("start")
 
     // --- distance-kernel micro-bench (BASELINE.md workload) -----------
@@ -797,9 +832,12 @@ object Bench {
     val full = ordered.map { case (kk, v) => "\"" + kk + "\":" + v }.mkString("{", ",", "}")
     val bwJson = bandwidth.map { case (kk, v) => "\"" + kk + "\":" + v }
       .mkString("{", ",", "}")
+    val scJson = shuffleCanary.map { case (kk, v) => "\"" + kk + "\":" + v }
+      .mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,""" +
-        s""""bandwidth_gbps":$bwJson,"reference":$referenceJson,"sf":"$sfDir"}"""
+        s""""bandwidth_gbps":$bwJson,"shuffle_canary_sec":$scJson,""" +
+        s""""reference":$referenceJson,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_FULL.json")
       try w.println(fullLine) finally w.close()
