@@ -43,7 +43,8 @@ object Explain {
         "dsir_sample", "bm25_indexed", "kmeans_assign", "kmeans_quality",
         "ann_ivf_kmeans", "retrieval_rrf", "sq_encode",
         "sq_topk", "quality_train_score", "mine_hard_negatives",
-        "label_consistency", "split_leakage", "char_entropy").foreach(show)
+        "label_consistency", "split_leakage", "char_entropy",
+        "split_leakage_planted", "multimodal_decode_real").foreach(show)
     spark.stop()
   }
 }

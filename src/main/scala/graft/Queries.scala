@@ -1560,6 +1560,26 @@ object Queries {
                   round(element_at(col("feature"), 8), 6).as("f7"))
       }),
 
+      // multimodal: REAL decode — even doc_ids carry a genuine 24-bit
+      // BMP, odd ids a 16-bit PCM WAV (SyntheticMedia builds the actual
+      // container bytes; MediaDecode parses them back: header walk,
+      // row-stride padding, signed-LE samples). The oracle recomputes
+      // the expected pixel/sample statistics FROM THE GENERATING
+      // FORMULA in SQL — independent of the bytes, so a stride/padding/
+      // endianness/sign bug in builder OR parser breaks parity
+      "multimodal_decode_real" -> ((s, dir) => {
+        val withPayload = docs(s, dir)
+          .select(col("doc_id").cast("long").as("doc_id"),
+            graft.plans.GraftFunctions.synthetic_media(
+              col("doc_id").cast("long")).as("payload"))
+        Multimodal.decodeMedia(withPayload, "payload")
+          .select(col("doc_id"), col("kind"), col("d1"), col("d2"),
+            element_at(col("feature"), 1).as("f1"),
+            element_at(col("feature"), 2).as("f2"),
+            element_at(col("feature"), 3).as("f3"),
+            element_at(col("feature"), 4).as("f4"))
+      }),
+
       // multimodal: frame sampling over binary payloads (frame byte
       // counts are pure arithmetic over octet_length — full oracle)
       "multimodal_frames" -> ((s, dir) => {
@@ -2780,6 +2800,46 @@ object Queries {
         |       CAST(round(CASE WHEN COALESCE(hi.tot, 0) = 0 THEN 0.0
         |                       ELSE CAST(hi.c7 AS DOUBLE) / hi.tot END, 6) AS DOUBLE) AS f7
         |FROM p LEFT JOIN hist hi ON hi.doc_id = p.doc_id""".stripMargin,
+
+    // REAL decode differential: expected features computed from the
+    // pixel/sample GENERATING FORMULA (never the bytes) — the engine
+    // builds genuine BMP/WAV containers and parses them back, so both
+    // builder and parser must agree with this SQL on stride padding,
+    // bottom-up rows, LE int16 sign, and header layout
+    "multimodal_decode_real" ->
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents WHERE text IS NOT NULL),
+        |bmp AS (SELECT id, 4 + id % 5 AS w, 3 + id % 3 AS h FROM ids WHERE id % 2 = 0),
+        |bmppix AS (
+        |  SELECT b.id, b.w, b.h, UNNEST(range(0, b.w * b.h * 3)) AS p
+        |  FROM bmp b),
+        |bmpv AS (
+        |  SELECT id, w, h, p % 3 AS c,
+        |         (id * 31 + ((p // 3) // w) * 7 + ((p // 3) % w) * 3 + (p % 3) * 11) % 256 AS v
+        |  FROM bmppix),
+        |bmpagg AS (
+        |  SELECT id, w, h,
+        |    round(CAST(sum(CASE WHEN c = 0 THEN v END) AS DOUBLE) / (w * h), 6) AS f1,
+        |    round(CAST(sum(CASE WHEN c = 1 THEN v END) AS DOUBLE) / (w * h), 6) AS f2,
+        |    round(CAST(sum(CASE WHEN c = 2 THEN v END) AS DOUBLE) / (w * h), 6) AS f3,
+        |    CAST(max(v) AS DOUBLE) AS f4
+        |  FROM bmpv GROUP BY id, w, h),
+        |wav AS (SELECT id, 8000 + (id % 4) * 4000 AS sr, 64 + id % 32 AS n FROM ids WHERE id % 2 = 1),
+        |wavs AS (SELECT w.id, w.sr, w.n, UNNEST(range(0, w.n)) AS k FROM wav w),
+        |wavv AS (
+        |  SELECT id, sr, n, ((id * 2654435761 + k * 40503) % 65536) - 32768 AS s
+        |  FROM wavs),
+        |wavagg AS (
+        |  SELECT id, sr, n,
+        |    round(CAST(sum(s) AS DOUBLE) / n, 6) AS f1,
+        |    round(sqrt(CAST(sum(s * s) AS DOUBLE) / n), 6) AS f2,
+        |    CAST(max(abs(s)) AS DOUBLE) AS f3,
+        |    CAST(0 AS DOUBLE) AS f4
+        |  FROM wavv GROUP BY id, sr, n)
+        |SELECT id AS doc_id, 'bmp' AS kind, CAST(w AS BIGINT) AS d1,
+        |       CAST(h AS BIGINT) AS d2, f1, f2, f3, f4 FROM bmpagg
+        |UNION ALL
+        |SELECT id AS doc_id, 'wav' AS kind, CAST(sr AS BIGINT) AS d1,
+        |       CAST(n AS BIGINT) AS d2, f1, f2, f3, f4 FROM wavagg""".stripMargin,
 
     // sampled-frame byte counts: pure arithmetic over octet_length
     "multimodal_frames" ->

@@ -8,25 +8,52 @@ import org.apache.spark.sql.functions._
   * frame-sampling run as batched partition-local transforms (the Scala
   * analogue of arrow-batched pandas UDFs).
   *
-  * The actual media decode is STUBBED — codec libraries are not part of
-  * this engine. `decodeStub` produces a deterministic feature from raw
-  * bytes so the Spark-side contract (schema, batching, partitioning,
-  * null handling) is real and testable; swap `decodeStub` for a codec
-  * call in production.
+  * Two decode tiers:
+  *  - [[decodeMedia]] is a REAL decoder for two public uncompressed
+  *    formats — 24-bit BMP images and 16-bit PCM WAV audio — parsed in
+  *    pure JVM code inside whole-stage codegen
+  *    ([[graft.plans.MediaKernels]]); unknown payloads degrade to a
+  *    byte-histogram row tagged `kind = "raw"` instead of failing the
+  *    scan. Compressed codecs (JPEG/PNG/MP3/H.264) stay out of scope —
+  *    they need codec libraries this engine deliberately does not ship;
+  *    swap the kernel's dispatch for a codec call to add one.
+  *  - [[decodeFeatures]] keeps the original histogram-only contract
+  *    (16-dim, format-agnostic) for pipelines that only need a cheap
+  *    content signature.
   */
 object Multimodal {
 
   val featureDim = 16
 
-  /** STUB decoder: 16-bin byte-value histogram, L1-normalized. Replace
-    * with a real image/audio decoder; the signature (bytes -> fixed-size
-    * float feature) is the production contract. Delegates to the same
+  /** Histogram decoder (16-bin byte-value histogram, L1-normalized):
+    * the format-agnostic fallback feature. Delegates to the same
     * kernel the codegen `ByteHistogram` expression calls, so the scalar
     * and columnar paths cannot drift.
     */
   def decodeStub(payload: Array[Byte]): Array[Double] =
     if (payload == null) new Array[Double](featureDim)
     else graft.plans.HashKernels.byteHistogram(payload, featureDim)
+
+  /** REAL media decode: parse BMP/WAV payloads and attach
+    * `(kind, d1, d2, feature)` — kind ∈ {bmp, wav, raw}; d1/d2 are
+    * width/height (bmp), sample-rate/sample-count (wav), or
+    * byte-length/0 (raw); `feature` is the 4-dim decoded-content
+    * vector (see [[graft.plans.MediaKernels]]). One codegen expression
+    * per row, narrow (no shuffle), never throws on corrupt payloads —
+    * the shape a 100 TB ingest scan needs. NULL payloads decode as
+    * `("raw", 0, 0, zeros)` to keep the projection total.
+    */
+  def decodeMedia(df: DataFrame, payloadCol: String): DataFrame = {
+    val zeros = array((0 until graft.plans.MediaKernels.featureDim)
+      .map(_ => lit(0.0)): _*)
+    df.withColumn("__m",
+        graft.plans.GraftFunctions.decode_media(col(payloadCol)))
+      .withColumn("kind", coalesce(col("__m.kind"), lit("raw")))
+      .withColumn("d1", coalesce(col("__m.d1"), lit(0L)))
+      .withColumn("d2", coalesce(col("__m.d2"), lit(0L)))
+      .withColumn("feature", coalesce(col("__m.feature"), zeros))
+      .drop("__m")
+  }
 
   /** Attach payload metadata + decoded feature vector. Narrow map, no
     * shuffle; the decode is a codegen Catalyst expression

@@ -249,6 +249,77 @@ case class ByteHistogram(child: Expression, bins: Int) extends UnaryExpression {
   override def prettyName: String = "byte_histogram"
 }
 
+/** REAL media decode: `binary -> struct<kind string, d1 long, d2 long,
+  * feature array<double>>` ([[MediaKernels.decodeMedia]]) — parses
+  * 24-bit BMP and 16-bit PCM WAV payloads in one codegen call and
+  * falls back to the 4-bin byte histogram (`kind = "raw"`) for
+  * anything else, so the projection is total and never throws on
+  * corrupt payloads (the 100 TB ingest contract).
+  */
+case class MediaDecode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("d1", LongType, nullable = false),
+    StructField("d2", LongType, nullable = false),
+    StructField("feature", ArrayType(DoubleType, containsNull = false),
+      nullable = false)))
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"decode_media expects binary, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    MediaKernels.decodeMedia(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = MediaKernels.getClass.getName.stripSuffix("$") // mirror-class static forwarders
+    defineCodeGen(ctx, ev, c => s"$kernel.decodeMedia($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MediaDecode =
+    copy(child = newChild)
+  override def prettyName: String = "decode_media"
+}
+
+/** Deterministic real-format media payload for a doc id
+  * ([[MediaKernels.syntheticPayload]]): `long -> binary` — even ids a
+  * 24-bit BMP, odd ids a PCM WAV, pixel/sample values a fixed formula
+  * of (id, position) the differential oracle replays in SQL. Test/
+  * fixture surface for the multimodal family (real pipelines read
+  * payload columns from storage instead).
+  */
+case class SyntheticMedia(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"synthetic_media expects bigint, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    MediaKernels.syntheticPayload(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = MediaKernels.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, c => s"$kernel.syntheticPayload($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SyntheticMedia =
+    copy(child = newChild)
+  override def prettyName: String = "synthetic_media"
+}
+
 /** Sorted distinct char n-grams packed into longs
   * (`HashKernels.packedNgrams`): the primitive-array form of
   * `TextFunctions.charShingles` for n ≤ 3, exact by injective
@@ -720,6 +791,12 @@ object GraftFunctions {
     GraftBridge.column(GopherStats(GraftBridge.expression(textOrTokens), stopWords))
   def char_entropy(text: Column): Column =
     GraftBridge.column(CharEntropyOf(GraftBridge.expression(text)))
+
+  def decode_media(payload: Column): Column =
+    GraftBridge.column(MediaDecode(GraftBridge.expression(payload)))
+
+  def synthetic_media(id: Column): Column =
+    GraftBridge.column(SyntheticMedia(GraftBridge.expression(id)))
 }
 
 /** SQL-surface registration: `spark.sql.extensions=graft.plans.GraftExtensions`
