@@ -187,18 +187,24 @@ object Queries {
     * round-HALF_UP expression the engine's `Similarity.sqEncode`
     * evaluates, so codes are bit-equal on both engines.
     */
-  private val sqCodesCtes: String =
-    """sqex AS MATERIALIZED (
+  /** `boundsWhere` restricts the rows the [min, max] bounds train on
+    * (the frozen-quantizer incremental-append replay); "" = the whole
+    * corpus. The affine encode spelling stays in this ONE string.
+    */
+  private def sqCodesCtesFor(boundsWhere: String): String =
+    s"""sqex AS MATERIALIZED (
       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
       |         CAST(unnest(embedding) AS DOUBLE) AS v
       |  FROM embeddings
       |), sqmm AS MATERIALIZED (
-      |  SELECT i, min(v) AS mn, max(v) AS mx FROM sqex GROUP BY i
+      |  SELECT i, min(v) AS mn, max(v) AS mx FROM sqex $boundsWhere GROUP BY i
       |), sqcodes AS MATERIALIZED (
       |  SELECT e.vec_id, e.i, CASE WHEN m.mx = m.mn THEN 0
       |         ELSE CAST(round((e.v - m.mn) * 255.0 / (m.mx - m.mn), 0) AS BIGINT)
       |         END AS code
       |  FROM sqex e JOIN sqmm m USING (i))""".stripMargin
+
+  private val sqCodesCtes: String = sqCodesCtesFor("")
 
   /** The SQ serving chain over `sqCodesCtes` up to the ranked rows
     * `sqranked` (qid, nid, sim, rn) — shared by the `sq_topk` and
@@ -1037,6 +1043,31 @@ object Queries {
           qs, kNN = 5, nProbe = 3)
       }),
 
+      // incremental index ingest — the nightly-batch path at 100 TB:
+      // the even-vec_id base builds the cell-partitioned IVF+SQ index
+      // once (SQ bounds trained on the base and FROZEN), the odd-vec_id
+      // batch encodes with those frozen quantizers and appends
+      // batch-sized into the layout (no corpus re-read), and the
+      // read-back serves bit-identically to a one-shot rebuild — the
+      // oracle replays the full ann_ivfsq chain with bounds trained on
+      // the base rows only, so any append-path divergence (stale cells,
+      // double rows, re-derived bounds) breaks the hash
+      "ann_ivfsq_append" -> ((s, dir) => {
+        val model = fixedModel(s, dir)
+        val e = emb(s, dir)
+        val base = e.where(col("vec_id") % 2 === 0)
+        val batch = e.where(col("vec_id") % 2 =!= 0)
+        val sq = Similarity.sqTrain(base, "embedding")
+        // unique per (JVM, corpus): concurrent Verify runs over
+        // different corpora must not race on the scratch index
+        val path = s"/tmp/graft_ivfsq_append_${ProcessHandle.current.pid}_${dir.hashCode.toHexString}"
+        Similarity.writeIvfSqIndex(base, "embedding", "vec_id", model, sq, path)
+        Similarity.appendToIvfSqIndex(batch, "embedding", "vec_id", model, sq, path)
+        val (codes, sqBack) = Similarity.readIvfSqIndex(s, path)
+        Similarity.ivfSqTopKFromCodesBatch(codes, model, sqBack,
+          embQueries(s, dir), kNN = 5, nProbe = 3)
+      }),
+
       // deterministic content-hash sampling: reproducible across engines
       // and partitionings (pipeline-scale sampling must not depend on RNG
       // stream position)
@@ -1729,6 +1760,19 @@ object Queries {
         val e = emb(s, dir)
         val m = graft.operators.Kmeans.fit(e, "embedding", "vec_id",
           k = 8, iters = 4, initMethod = "farthest")
+        graft.operators.Kmeans.centroidsDf(e, "embedding", "vec_id", m)
+          .select(col("cid"), col("dim"), round(col("w"), 6).as("w"),
+            col("n"))
+      }),
+
+      // the k-means||-style (Bahmani 2012) large-k init path: candidate
+      // oversampling in O(rounds) scans + weighted greedy reduction —
+      // the init real IVF deployments (k >= 4096) must use, gated here
+      // at sf scale with the same independent-Python derivation
+      "kmeans_scalable_init" -> ((s, dir) => {
+        val e = emb(s, dir)
+        val m = graft.operators.Kmeans.fit(e, "embedding", "vec_id",
+          k = 8, iters = 4, initMethod = "scalable")
         graft.operators.Kmeans.centroidsDf(e, "embedding", "vec_id", m)
           .select(col("cid"), col("dim"), round(col("w"), 6).as("w"),
             col("n"))
@@ -3025,6 +3069,53 @@ object Queries {
     "ann_ivfsq" ->
       s"""$cbDistCte,
          |$sqCodesCtes,
+         |assign AS (
+         |  SELECT vec_id, (array_agg(nid ORDER BY dist2 ASC, nid ASC))[1] AS bmu
+         |  FROM d GROUP BY vec_id
+         |), iq AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT 5),
+         |probe AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT d.vec_id AS qid, d.nid,
+         |           row_number() OVER (PARTITION BY d.vec_id
+         |                              ORDER BY d.dist2 ASC, d.nid ASC) AS rn
+         |    FROM d WHERE d.vec_id IN (SELECT qid FROM iq)) WHERE rn <= 3
+         |), $sqDecCte,
+         |isqn AS (SELECT vec_id, sum(dv * dv) AS nrm FROM sqdec GROUP BY vec_id),
+         |isqqn AS (SELECT vec_id, sum(v * v) AS nrm FROM sqex
+         |          WHERE vec_id IN (SELECT qid FROM iq) GROUP BY vec_id),
+         |cand AS (
+         |  SELECT p.qid, a.vec_id AS nid
+         |  FROM probe p JOIN assign a ON a.bmu = p.nid
+         |  WHERE a.vec_id <> p.qid
+         |), idots AS (
+         |  SELECT ca.qid, ca.nid, sum(e.v * dd.dv) AS dot
+         |  FROM cand ca
+         |  JOIN sqex e ON e.vec_id = ca.qid
+         |  JOIN sqdec dd ON dd.vec_id = ca.nid AND dd.i = e.i
+         |  GROUP BY ca.qid, ca.nid
+         |), isim AS (
+         |  SELECT dt.qid, dt.nid,
+         |         CASE WHEN sqrt(nq.nrm * nn.nrm) = 0 THEN 0
+         |              ELSE dt.dot / sqrt(nq.nrm * nn.nrm) END AS sim
+         |  FROM idots dt JOIN isqqn nq ON nq.vec_id = dt.qid
+         |               JOIN isqn nn ON nn.vec_id = dt.nid
+         |), isrk AS (
+         |  SELECT qid, nid, sim,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY sim DESC, nid ASC) AS rank
+         |  FROM isim)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+         |       CAST(nid AS BIGINT) AS nid,
+         |       CAST(round(sim, 6) AS DOUBLE) AS sim
+         |FROM isrk WHERE rank <= 5""".stripMargin,
+
+    // the incremental-append parity replay: IDENTICAL chain to
+    // ann_ivfsq except the SQ bounds train on the even-vec_id base
+    // rows only (the frozen quantizer the engine appends under) —
+    // append(base)+append(batch) must serve exactly this rebuild
+    "ann_ivfsq_append" ->
+      s"""$cbDistCte,
+         |${sqCodesCtesFor("WHERE vec_id % 2 = 0")},
          |assign AS (
          |  SELECT vec_id, (array_agg(nid ORDER BY dist2 ASC, nid ASC))[1] AS bmu
          |  FROM d GROUP BY vec_id

@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
   *    the same code path at 200k edges).
   *
   * Usage: `runMain graft.ScaleProbe
-  * [minhash|resolve|bushy|spans|curation|ann|pq|pack|semantic|relational|ingest|layout|jsonl|retrieval|kmeans|sq|logit|all]
+  * [minhash|resolve|bushy|spans|curation|ann|pq|pack|semantic|relational|ingest|layout|jsonl|retrieval|kmeans|kminit|append|sq|logit|all]
   * [repeats] [nDocs]`. Run each phase in its OWN JVM (`all` exists for
   * convenience only): round 5 recorded a 103 s resolve outlier that was
   * same-JVM memory pressure from the preceding 2M-doc minhash phase, not
@@ -27,8 +27,8 @@ object ScaleProbe {
     val phase = args.headOption.getOrElse("all")
     val repeats = args.lift(1).map(_.toInt).getOrElse(1)
     val nDocs = args.lift(2).map(_.toLong).getOrElse(2000000L)
-    require(Set("minhash", "resolve", "bushy", "spans", "curation", "ann", "pq", "pack", "semantic", "relational", "ingest", "layout", "jsonl", "retrieval", "kmeans", "sq", "logit", "all")(phase),
-      s"unknown phase '$phase' (want minhash|resolve|bushy|spans|curation|ann|pq|pack|semantic|relational|ingest|layout|jsonl|retrieval|kmeans|sq|logit|all)")
+    require(Set("minhash", "resolve", "bushy", "spans", "curation", "ann", "pq", "pack", "semantic", "relational", "ingest", "layout", "jsonl", "retrieval", "kmeans", "kminit", "append", "sq", "logit", "all")(phase),
+      s"unknown phase '$phase' (want minhash|resolve|bushy|spans|curation|ann|pq|pack|semantic|relational|ingest|layout|jsonl|retrieval|kmeans|kminit|append|sq|logit|all)")
     // partition count scales with the probed data volume, exactly as a
     // cluster operator would size it: at 20M docs (1B token instances)
     // 32 shuffle partitions put a ~31M-group hash aggregate in every
@@ -196,6 +196,74 @@ object ScaleProbe {
         }
         println(f"[scale] kmeans_assign ${nDocs / 1000000}M vecs (run $rep/$repeats): $tAssign%.1f s")
         emb2m.unpersist(blocking = true)
+        settle()
+      }
+
+      if (phase == "kminit" || phase == "all") {
+        // k-means|| scalable init at the REAL IVF regime: k=4096 over
+        // nDocs x 64 vectors. Cost contract: 2*rounds + 1 full scans +
+        // a driver-local greedy over <= rounds*2k candidates — vs
+        // farthest-first's k-1 = 4095 sequential scans (guarded off).
+        // The d2 kernel's broadcast table is candidates x dim doubles
+        // (~20 MB at the final round) — still broadcast-sized.
+        import org.apache.spark.sql.functions._
+        val embN = spark.range(nDocs).select(col("id"),
+          transform(sequence(lit(1), lit(64)),
+            i => sin(col("id") * i * 0.7 + i * 1.3).cast("float")).as("embedding"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        embN.count()
+        val tInit = time {
+          val c = operators.Kmeans.initScalableCentroids(
+            embN, "embedding", "id", k = 4096)
+          println("  scalable init centroids: " + c.length)
+        }
+        println(f"[scale] kmeans_scalable_init_k4096 ${nDocs / 1000000}M vecs (run $rep/$repeats): $tInit%.1f s")
+        embN.unpersist(blocking = true)
+        settle()
+      }
+
+      if (phase == "append" || phase == "all") {
+        // incremental IVF+SQ index ingest: build over nDocs, then
+        // append a nDocs/100 batch. The append must cost batch-sized
+        // (one encode scan of the batch + file adds in its cells),
+        // NOT corpus-sized — the contract that makes nightly ingest
+        // at 100 TB a minutes job instead of a rebuild
+        import org.apache.spark.sql.functions._
+        val mkVecs = (from: Long, until: Long) =>
+          spark.range(from, until).select(col("id"),
+            transform(sequence(lit(1), lit(64)),
+              i => sin(col("id") * i * 0.7 + i * 1.3).cast("float")).as("embedding"))
+        val baseN = mkVecs(0L, nDocs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        baseN.count()
+        val som = new graft.som.Som(graft.som.SomConfig(4, 4, seed = 42))
+          .fit(baseN.limit(10000), "embedding", numEpochs = 1)
+        val sq = operators.Similarity.sqTrain(baseN, "embedding")
+        val path = s"/tmp/graft_append_probe_${ProcessHandle.current.pid}_$rep"
+        val tBuild = time {
+          operators.Similarity.writeIvfSqIndex(baseN, "embedding", "id",
+            som, sq, path)
+        }
+        println(f"[scale] ivfsq_build ${nDocs / 1000000}M vecs (run $rep/$repeats): $tBuild%.1f s")
+        val batchN = mkVecs(nDocs, nDocs + nDocs / 100)
+        val tAppend = time {
+          operators.Similarity.appendToIvfSqIndex(batchN, "embedding", "id",
+            som, sq, path)
+        }
+        println(f"[scale] ivfsq_append_1pct ${nDocs / 1000000}M vecs (run $rep/$repeats): $tAppend%.1f s")
+        // serve cost must be unchanged by the append (still pruned)
+        val (codes, sqB) = operators.Similarity.readIvfSqIndex(spark, path)
+        val qs = (0L until 16L).map { q =>
+          (q, Array.tabulate(64)(d => math.sin(q * (d + 1) * 0.7 + (d + 1) * 1.3)))
+        }
+        val tServe = time {
+          println("  served rows: " + operators.Similarity
+            .ivfSqTopKFromCodesBatch(codes, som, sqB, qs, kNN = 10,
+              nProbe = 2).count())
+        }
+        println(f"[scale] ivfsq_serve_post_append ${nDocs / 1000000}M vecs (run $rep/$repeats): $tServe%.1f s")
+        BenchData.deleteRecursively(path)
+        baseN.unpersist(blocking = true)
         settle()
       }
 

@@ -107,9 +107,20 @@ object Kmeans {
     * distance-to-set IS the assignment kernel's `d2`, so no new kernel.
     * Deterministic and independently replayable like the hashed init.
     */
+  /** Farthest-first runs k-1 SEQUENTIAL full scans — fine in the
+    * coarse-quantizer regime it exists for, a scale-killer at the
+    * k≥4096 sizes real IVF deployments use. The guard forces large-k
+    * callers onto [[initScalableCentroids]] (O(rounds) scans).
+    */
+  val farthestMaxK = 512
+
   def initFarthestCentroids(df: DataFrame, vecCol: String, idCol: String,
                             k: Int, salt: String = "km"): Array[Array[Double]] = {
     require(k > 0, s"kmeans needs k > 0, got $k")
+    require(k <= farthestMaxK,
+      s"farthest-first init runs k-1 sequential full scans and is capped " +
+        s"at k <= $farthestMaxK; use initMethod='scalable' " +
+        s"(k-means||-style, O(rounds) scans) for k = $k")
     val data = slim(df, vecCol, idCol)
     val first = initCentroids(data, "__v", "__id", 1, salt)
     val picked = scala.collection.mutable.ArrayBuffer[Array[Double]](first(0))
@@ -128,17 +139,211 @@ object Kmeans {
     picked.toArray
   }
 
+  /** k-means||-style scalable init (Bahmani et al., VLDB 2012,
+    * "Scalable K-Means++"): oversample candidates in O(`rounds`)
+    * passes — each row enters the candidate set with probability
+    * `min(1, oversample * d²(x, C) / φ)` where φ = Σ d²(x, C) — then
+    * weight the ~rounds*oversample candidates by the corpus population
+    * they capture and reduce them to k centers with a driver-local
+    * weighted greedy (max weight·d² to the chosen set — the
+    * deterministic surrogate of the paper's weighted k-means++
+    * recluster). The large-k init: O(rounds) scans regardless of k,
+    * vs farthest-first's k-1.
+    *
+    * Scale shape: each row carries a RUNNING (min d², nearest-candidate)
+    * pair, merged per round against only that round's NEW candidates —
+    * so round r costs n x |new_r| x dim distance work, not
+    * n x |cumulative_r| x dim, and the per-candidate weights fall out
+    * of the final running state with NO extra assignment pass (IEEE min
+    * is associative and the kernel breaks ties to the lowest candidate
+    * index, so the running merge — strict < keeps the earlier, lower
+    * index — is bit-identical to a one-shot argmin over the full set).
+    * At k=4096/d=64/2M rows that is ~5x less distance work than the
+    * naive recompute-per-round form, and the state it persists per row
+    * is one double + one int.
+    *
+    * Determinism (independently replayed by tools/gen_kmeans_oracle.py):
+    *  - the "coin flip" for (row, round) is the md5-uniform
+    *    `(int(md5('salt|sc<r>:' + id)[:13hex]) + 0.5) / 2^52` — the
+    *    [[Sampling.sampleByWeight]] draw, partitioning-invariant;
+    *  - d² is the assignment kernel's sequential IEEE loop, rounded to
+    *    9 decimals; φ is the EXACT DECIMAL(38,9) sum of those (order-
+    *    independent); the threshold is the double `oversample*d²9/φ`;
+    *  - seed = hash-init row; greedy ties break on the lowest id;
+    *    if fewer than k candidates survive (degenerate corpora), the
+    *    remainder pads from the hash-init order under salt + "|pad",
+    *    skipping already-chosen ids.
+    */
+  def initScalableCentroids(df: DataFrame, vecCol: String, idCol: String,
+                            k: Int, salt: String = "km", rounds: Int = 5,
+                            oversample: Int = -1): Array[Array[Double]] = {
+    require(k > 0, s"kmeans needs k > 0, got $k")
+    require(rounds > 0, s"scalable init needs rounds > 0, got $rounds")
+    val ell = if (oversample > 0) oversample else 2 * k
+    val data = slim(df, vecCol, idCol)
+    val first = initCentroids(data, "__v", "__id", 1, salt)
+    val dim = first(0).length
+    // (id, vec) candidates in selection order; ids seen for dedup
+    val cand = scala.collection.mutable.ArrayBuffer[(Long, Array[Double])]()
+    val seen = scala.collection.mutable.HashSet[Long]()
+    val firstId = {
+      // recover the seed's id for dedup (initCentroids returns vectors)
+      val r = data.withColumn("__h", md5(concat_ws(":", lit(salt), col("__id"))))
+        .orderBy(col("__h"), col("__id")).limit(1).collect()(0)
+      r.getLong(0)
+    }
+    cand += ((firstId, first(0))); seen += firstId
+    // running state: (__id, __v, __md2 = min d² to candidates so far,
+    // __cid = that argmin's candidate index). Initialized against the
+    // seed; each round merges ONLY the round's new candidates in
+    // (Materialize.once pins the assign struct to one evaluation —
+    // both merge branches read it)
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def merged(prev: DataFrame, newFlat: Array[Double],
+               baseIdx: Int): DataFrame =
+      Materialize.once(prev, "__na",
+          KmeansFunctions.kmeans_assign(col("__v"), newFlat, dim))
+        .select(col("__id"), col("__v"),
+          when(col("__na.d2") < col("__md2"), col("__na.d2"))
+            .otherwise(col("__md2")).as("__md2"),
+          when(col("__na.d2") < col("__md2"), col("__na.cid") + lit(baseIdx))
+            .otherwise(col("__cid")).as("__cid"))
+    var state = Materialize.once(data, "__na",
+        KmeansFunctions.kmeans_assign(col("__v"),
+          Model(Array(first(0))).flat, dim))
+      .select(col("__id"), col("__v"), col("__na.d2").as("__md2"),
+        lit(0).as("__cid"))
+      .persist(mem)
+    state.count()
+    val md29 = round(col("__md2"), 9)
+    var r = 0
+    while (r < rounds) {
+      // φ: exact order-independent sum of the scale-9 running-min grid
+      val phiRow = state.select(
+        sum(md29.cast(org.apache.spark.sql.types.DecimalType(38, 9))).as("phi"))
+        .collect()(0)
+      val phi =
+        if (phiRow.isNullAt(0)) 0.0 else phiRow.getDecimal(0).doubleValue()
+      if (phi > 0.0) {
+        val u = (conv(substring(md5(concat_ws(":", lit(s"$salt|sc$r"),
+            col("__id"))), 1, 13), 16, 10)
+          .cast("long").cast("double") + 0.5) / lit(4503599627370496.0) // 2^52
+        val picked = state
+          .where(u < lit(ell.toDouble) * md29 / lit(phi))
+          .orderBy(col("__id"))
+          .select(col("__id"), col("__v"))
+          .collect()
+        require(picked.length <= 64 * ell,
+          s"scalable init round $r selected ${picked.length} candidates " +
+            s"(expected ~$ell) — pathological d² skew; raise rounds or " +
+            s"check the data")
+        val baseIdx = cand.length
+        picked.foreach { row =>
+          val id = row.getLong(0)
+          if (!seen.contains(id)) {
+            seen += id
+            cand += ((id, row.getSeq[Double](1).toArray))
+          }
+        }
+        if (cand.length > baseIdx) {
+          val newFlat =
+            Model(cand.slice(baseIdx, cand.length).map(_._2).toArray).flat
+          val next = merged(state, newFlat, baseIdx).persist(mem)
+          next.count()
+          state.unpersist(blocking = false)
+          state = next
+        }
+      }
+      r += 1
+    }
+    // per-candidate population weights: already in the running state —
+    // no extra assignment pass
+    val wRows = state.groupBy("__cid").agg(count(lit(1)).as("n"))
+      .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
+    state.unpersist(blocking = false)
+    val weighted = cand.zipWithIndex.map { case ((id, v), j) =>
+      (id, v, wRows.getOrElse(j, 0L))
+    }
+    // driver-local weighted greedy: heaviest seed (ties -> lowest id),
+    // then repeatedly the candidate maximizing weight * d² to the
+    // chosen set. Incremental min-distance tracking keeps the whole
+    // reduction at O(k * candidates * dim) over a candidate set bounded
+    // by rounds * 64 * ell — corpus-size-independent
+    val nC = weighted.length
+    val ids = weighted.map(_._1).toArray
+    val vecs = weighted.map(_._2).toArray
+    val ws = weighted.map(_._3.toDouble).toArray
+    val minD2 = Array.fill(nC)(Double.MaxValue)
+    val chosen = new Array[Boolean](nC)
+    var seedIdx = 0
+    var j = 1
+    while (j < nC) {
+      if (ws(j) > ws(seedIdx) ||
+          (ws(j) == ws(seedIdx) && ids(j) < ids(seedIdx))) seedIdx = j
+      j += 1
+    }
+    val pickedIdx = scala.collection.mutable.ArrayBuffer[Int]()
+    def updateMin(cIdx: Int): Unit = {
+      val c = vecs(cIdx)
+      var i = 0
+      while (i < nC) {
+        if (!chosen(i)) {
+          val v = vecs(i)
+          var s = 0.0; var d = 0
+          while (d < dim) { val t = v(d) - c(d); s += t * t; d += 1 }
+          if (s < minD2(i)) minD2(i) = s
+        }
+        i += 1
+      }
+    }
+    chosen(seedIdx) = true; pickedIdx += seedIdx; updateMin(seedIdx)
+    while (pickedIdx.length < k && pickedIdx.length < nC) {
+      var bi = -1; var bs = -1.0
+      var i = 0
+      while (i < nC) {
+        if (!chosen(i)) {
+          val s = ws(i) * minD2(i)
+          if (s > bs || (s == bs && (bi < 0 || ids(i) < ids(bi)))) {
+            bs = s; bi = i
+          }
+        }
+        i += 1
+      }
+      chosen(bi) = true; pickedIdx += bi; updateMin(bi)
+    }
+    val picked = scala.collection.mutable.ArrayBuffer[(Long, Array[Double])]()
+    pickedIdx.foreach(i => picked += ((ids(i), vecs(i))))
+    if (picked.length < k) {
+      // degenerate corpus: pad from the hash-init order, skipping chosen
+      val chosenIds = picked.map(_._1).toSet
+      val pad = data
+        .where(!col("__id").isin(chosenIds.toSeq: _*))
+        .withColumn("__h", md5(concat_ws(":", lit(s"$salt|pad"), col("__id"))))
+        .orderBy(col("__h"), col("__id"))
+        .limit(k - picked.length)
+        .collect()
+      pad.foreach(row =>
+        picked += ((row.getLong(0), row.getSeq[Double](1).toArray)))
+    }
+    require(picked.length == k,
+      s"scalable init needs >= $k distinct non-null vectors, " +
+        s"found ${picked.length}")
+    picked.map(_._2).toArray
+  }
+
   /** `iters` Lloyd's iterations from the seeded init (`initMethod` =
     * "hash" for the md5-keyed sample, "farthest" for Gonzalez
-    * farthest-first traversal). Empty clusters keep their previous
-    * centroid (the standard convention; the guard mirrors
+    * farthest-first traversal — k <= [[farthestMaxK]] — or "scalable"
+    * for the k-means||-style large-k init). Empty clusters keep their
+    * previous centroid (the standard convention; the guard mirrors
     * `_merge_updates`' zero-denominator rule).
     */
   def fit(df: DataFrame, vecCol: String, idCol: String, k: Int, iters: Int,
           salt: String = "km", initMethod: String = "hash"): Model = {
     require(iters >= 0, s"kmeans needs iters >= 0, got $iters")
-    require(initMethod == "hash" || initMethod == "farthest",
-      s"initMethod must be 'hash' or 'farthest', got '$initMethod'")
+    require(initMethod == "hash" || initMethod == "farthest" ||
+        initMethod == "scalable",
+      s"initMethod must be 'hash', 'farthest' or 'scalable', got '$initMethod'")
     // the update sums each element's scale-9 decimal value (exact,
     // order-independent). Those per-element roundings never change
     // across iterations, so they are computed ONCE here (`vec_scale9`
@@ -149,9 +354,11 @@ object Kmeans {
       .withColumn("__vl", KmeansFunctions.vec_scale9(col("__v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val c =
-        if (initMethod == "farthest") initFarthestCentroids(data, "__v", "__id", k, salt)
-        else initCentroids(data, "__v", "__id", k, salt)
+      val c = initMethod match {
+        case "farthest" => initFarthestCentroids(data, "__v", "__id", k, salt)
+        case "scalable" => initScalableCentroids(data, "__v", "__id", k, salt)
+        case _ => initCentroids(data, "__v", "__id", k, salt)
+      }
       val dim = c(0).length
       var it = 0
       while (it < iters) {

@@ -1003,6 +1003,54 @@ object Similarity {
     writeSqParams(df.sparkSession, sq, path)
   }
 
+  /** Append a NEW batch into a persisted IVF+SQ index without
+    * rebuilding it: encode the batch with the index's FROZEN
+    * quantizers (coarse cells + per-dimension SQ bounds) and append
+    * the resulting code files into the cell-partitioned layout.
+    *
+    * Cost is batch-sized — one scan of the batch, zero reads or
+    * rewrites of the existing corpus codes (parquet append adds new
+    * files inside the touched `bmu_id=` directories; untouched cells'
+    * directories are not visited at all). Serving is unchanged: probe
+    * filters still prune to cell directories, and old and new files
+    * within a directory are indistinguishable to the reader — this is
+    * the ingest path a 100 TB deployment runs nightly, where a full
+    * re-encode of the corpus would cost 10^4x the batch.
+    *
+    * Parity contract (spec-pinned): append(base) -+ append(batch)
+    * serves row-for-row identically to a one-shot build over
+    * base∪batch with the same frozen quantizers. Batch values outside
+    * the frozen [min, max] encode to out-of-range codes and decode
+    * affinely back — the same unclamped contract as [[sqEncode]], so
+    * the parity holds even when the batch drifts outside the trained
+    * bounds (re-train + rebuild is a quality decision, not a
+    * correctness one, and is deliberately NOT bundled here).
+    */
+  def appendToIvfSqIndex(batch: DataFrame, vecCol: String, idCol: String,
+                         model: graft.som.SomModel, sq: SqModel,
+                         path: String): Unit =
+    ivfSqAssign(batch, vecCol, idCol, model, sq)
+      .write.mode("append").partitionBy("bmu_id").parquet(s"$path/codes")
+
+  /** IVF+PQ sibling of [[appendToIvfSqIndex]]: encode the batch with
+    * the frozen coarse cells + PQ codebook and append into the
+    * [[writeIvfPqIndex]] layout. Same batch-sized cost and unchanged
+    * serving contract.
+    */
+  def appendToIvfPqIndex(batch: DataFrame, vecCol: String, idCol: String,
+                         model: graft.som.SomModel, cb: Array[Double],
+                         m: Int, k: Int, path: String): Unit =
+    ivfPqAssign(batch, vecCol, idCol, model, cb, m, k)
+      .write.mode("append").partitionBy("bmu_id").parquet(s"$path/codes")
+
+  /** Read a persisted IVF+SQ index back: (codes with the `bmu_id`
+    * partition column restored by parquet partition discovery, bounds).
+    * The [[readSqIndex]] parser — the layouts share the params file.
+    */
+  def readIvfSqIndex(spark: org.apache.spark.sql.SparkSession,
+                     path: String): (DataFrame, SqModel) =
+    readSqIndex(spark, path)
+
   /** Serve cosine top-k from an assigned-codes table (inline
     * [[ivfSqAssign]] output or a [[writeIvfSqIndex]] read-back): per
     * query, one scan of its nProbe probed cells' int8 codes, decoded

@@ -118,6 +118,57 @@ class KmeansSpec extends SparkSpec {
     }
   }
 
+  test("scalable (k-means||-style) init: partitioning-invariant, k distinct, spread") {
+    val (_, df) = synth(150, 6, parts = 3)
+    val a = Kmeans.fit(df, "embedding", "vec_id", k = 6, iters = 2,
+      salt = "spec", initMethod = "scalable")
+    val b = Kmeans.fit(df.repartition(11), "embedding", "vec_id", k = 6,
+      iters = 2, salt = "spec", initMethod = "scalable")
+    for (j <- 0 until 6)
+      assert(a.centroids(j).sameElements(b.centroids(j)),
+        s"scalable init centroid $j not partitioning-invariant")
+    // the raw init (0 iters) must pick k DISTINCT rows
+    val init = Kmeans.fit(df, "embedding", "vec_id", k = 6, iters = 0,
+      salt = "spec", initMethod = "scalable")
+    assert(init.centroids.map(_.toSeq).distinct.length == 6)
+  }
+
+  test("scalable init on two tight clusters seeds both (the k-means|| point)") {
+    // 40 points at ~(0,...), 40 at ~(10,...): a hash sample can miss a
+    // cluster at small k; the d2-weighted oversampling must not
+    val rows = (0 until 80).map { i =>
+      val rnd = new scala.util.Random(i * 31 + 7)
+      val base = if (i < 40) 0.0 else 10.0
+      (i.toLong, Array.fill(4)(base + rnd.nextDouble() * 0.1))
+    }
+    val df = spark.createDataFrame(rows.map { case (id, v) => (id, v.toSeq) })
+      .toDF("vec_id", "embedding")
+    val init = Kmeans.fit(df, "embedding", "vec_id", k = 2, iters = 0,
+      salt = "spec", initMethod = "scalable")
+    val sides = init.centroids.map(c => if (c(0) > 5.0) 1 else 0).toSet
+    assert(sides == Set(0, 1), "scalable init failed to seed both clusters")
+  }
+
+  test("scalable init pad path: duplicate-heavy corpus still yields k centroids") {
+    // all rows share ONE vector -> phi = 0 after the seed, no candidate
+    // is ever d2-selected, and the hash-pad path must fill the rest
+    val rows = (0 until 10).map(i => (i.toLong, Seq(1.0, 2.0, 3.0)))
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val init = Kmeans.fit(df, "embedding", "vec_id", k = 4, iters = 0,
+      salt = "spec", initMethod = "scalable")
+    assert(init.k == 4)
+    assert(init.centroids.forall(_.sameElements(Array(1.0, 2.0, 3.0))))
+  }
+
+  test("farthest-first k-guard: large k is rejected toward the scalable path") {
+    val (_, df) = synth(20, 3, parts = 2)
+    val e = intercept[IllegalArgumentException] {
+      Kmeans.initFarthestCentroids(df, "embedding", "vec_id",
+        k = Kmeans.farthestMaxK + 1)
+    }
+    assert(e.getMessage.contains("scalable"))
+  }
+
   test("hand geometry: two obvious clusters land on their means") {
     // two tight groups on a line; k=2 separates them in one iteration
     val pts = Seq(

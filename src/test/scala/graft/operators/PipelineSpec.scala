@@ -1174,6 +1174,117 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("IVF+SQ append: batch ingest serves identically to a full rebuild, touching only batch cells") {
+    val rnd = new scala.util.Random(31)
+    // batch deliberately DRIFTS outside the base range (values up to
+    // 1.4 vs base max ~1): the frozen-bounds encode must stay parity
+    // through out-of-range codes. It is also CONCENTRATED near the
+    // all-high corner so several cells stay untouched — the
+    // batch-sized-ingest check below must not be vacuous
+    val base = (0L until 200L).map(i => (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val batch = (200L until 240L).map(i => (i, Seq.fill(8)(0.8f + rnd.nextFloat() * 0.6f)))
+    val baseDf = base.toDF("vec_id", "embedding")
+    val batchDf = batch.toDF("vec_id", "embedding")
+    val allDf = (base ++ batch).toDF("vec_id", "embedding")
+    val qs = (base.take(2) ++ batch.take(2)).map { case (i, v) =>
+      (i, v.map(_.toDouble).toArray)
+    }
+    val model = new graft.som.Som(
+      graft.som.SomConfig(3, 3, seed = 42)).fit(baseDf, "embedding", numEpochs = 2)
+    val sq = Similarity.sqTrain(baseDf, "embedding") // FROZEN at base
+    val dir = java.nio.file.Files.createTempDirectory("ivfsqappend").toFile
+    val incPath = new java.io.File(dir, "inc").getAbsolutePath
+    val fullPath = new java.io.File(dir, "full").getAbsolutePath
+    try {
+      Similarity.writeIvfSqIndex(baseDf, "embedding", "vec_id", model, sq, incPath)
+      def cellFiles(cell: Int): Set[String] = {
+        val d = new java.io.File(s"$incPath/codes/bmu_id=$cell")
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+      }
+      val beforeAppend = (0 until 9).map(c => c -> cellFiles(c)).toMap
+      Similarity.appendToIvfSqIndex(batchDf, "embedding", "vec_id", model, sq, incPath)
+      Similarity.writeIvfSqIndex(allDf, "embedding", "vec_id", model, sq, fullPath)
+      val (incCodes, incSq) = Similarity.readIvfSqIndex(spark, incPath)
+      val (fullCodes, fullSq) = Similarity.readIvfSqIndex(spark, fullPath)
+      // no double rows, no lost rows
+      assert(incCodes.count() == 240L)
+      // the codes tables are row-for-row identical
+      assert(incCodes.select("id", "bmu_id", "codes").collect().map(_.toString).sorted
+        .sameElements(fullCodes.select("id", "bmu_id", "codes").collect().map(_.toString).sorted))
+      // serving parity: appended index == one-shot rebuild, both forms
+      val incServed = Similarity.ivfSqTopKFromCodesBatch(incCodes, model,
+        incSq, qs, kNN = 5, nProbe = 2)
+      val fullServed = Similarity.ivfSqTopKFromCodesBatch(fullCodes, model,
+        fullSq, qs, kNN = 5, nProbe = 2)
+      assert(incServed.collect().map(_.toString).sorted
+        .sameElements(fullServed.collect().map(_.toString).sorted))
+      // batch-sized ingest: the append wrote files ONLY under the
+      // batch's own cells — a cell no batch row landed in still holds
+      // exactly the files the base write left there (nothing rewritten)
+      val batchCells = Similarity.ivfSqAssign(batchDf, "embedding", "vec_id",
+        model, sq).select("bmu_id").distinct().collect().map(_.getInt(0)).toSet
+      assert(batchCells.nonEmpty && batchCells.size < 9,
+        s"test needs some untouched cells, batch landed in $batchCells")
+      (0 until 9).filterNot(batchCells).foreach { cell =>
+        assert(cellFiles(cell) == beforeAppend(cell),
+          s"append rewrote untouched cell $cell")
+      }
+      // and base files in TOUCHED cells survive untouched too (append
+      // adds files, never replaces)
+      batchCells.foreach { cell =>
+        assert(beforeAppend(cell).subsetOf(cellFiles(cell)),
+          s"append replaced base files in cell $cell")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
+  test("IVF+PQ append: batch ingest serves identically to a full rebuild") {
+    val rnd = new scala.util.Random(37)
+    val base = (0L until 200L).map(i => (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val batch = (200L until 300L).map(i => (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val baseDf = base.toDF("vec_id", "embedding")
+    val batchDf = batch.toDF("vec_id", "embedding")
+    val allDf = (base ++ batch).toDF("vec_id", "embedding")
+    val qs = (base.take(2) ++ batch.take(2)).map { case (i, v) =>
+      (i, v.map(_.toDouble).toArray)
+    }
+    val model = new graft.som.Som(
+      graft.som.SomConfig(3, 3, seed = 42)).fit(baseDf, "embedding", numEpochs = 2)
+    val cb = Similarity.pqCodebookFromRows(
+      base.take(8).map(_._2.map(_.toDouble).toArray), m = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqappend").toFile
+    val incPath = new java.io.File(dir, "inc").getAbsolutePath
+    val fullPath = new java.io.File(dir, "full").getAbsolutePath
+    try {
+      Similarity.writeIvfPqIndex(baseDf, "embedding", "vec_id", model, cb,
+        m = 4, k = 8, incPath)
+      Similarity.appendToIvfPqIndex(batchDf, "embedding", "vec_id", model, cb,
+        m = 4, k = 8, incPath)
+      Similarity.writeIvfPqIndex(allDf, "embedding", "vec_id", model, cb,
+        m = 4, k = 8, fullPath)
+      val incCodes = spark.read.parquet(s"$incPath/codes")
+      val fullCodes = spark.read.parquet(s"$fullPath/codes")
+      assert(incCodes.count() == 300L)
+      val incServed = Similarity.ivfPqTopKFromCodes(incCodes, model, cb,
+        m = 4, k = 8, qs, kNN = 5, nProbe = 2)
+      val fullServed = Similarity.ivfPqTopKFromCodes(fullCodes, model, cb,
+        m = 4, k = 8, qs, kNN = 5, nProbe = 2)
+      assert(incServed.collect().map(_.toString).sorted
+        .sameElements(fullServed.collect().map(_.toString).sorted))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("multimodal decode stub: histogram is normalized, frames sampled") {
     val df = docs.where(length(col("text")) > 0)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))

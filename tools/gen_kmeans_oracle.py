@@ -120,8 +120,88 @@ def init_farthest(rows, k):
     return picked
 
 
+def init_scalable(rows, k, salt="km", rounds=5, oversample=None):
+    """k-means||-style init mirroring Kmeans.initScalableCentroids:
+    hash-init seed; per round select rows with md5-uniform
+    u < ell * d2_9 / phi (phi = exact scale-9 sum of rounded d2);
+    weight candidates by captured population; reduce with the
+    deterministic weighted greedy (max weight*d2, ties lowest id)."""
+    ell = oversample if oversample else 2 * k
+    def hkey(r):
+        return (hashlib.md5(f"{salt}:{r[0]}".encode()).hexdigest(), r[0])
+    seed = sorted(rows, key=hkey)[0]
+    cand = [(seed[0], list(seed[1]))]
+    seen = {seed[0]}
+    for r in range(rounds):
+        cvecs = [v for _, v in cand]
+        d29 = {}
+        phi9 = 0
+        for vid, v in rows:
+            d = assign_one(v, cvecs)[1]
+            d9 = round_dec(d, E9)
+            d29[vid] = float(d9)
+            phi9 += int(d9.scaleb(9))
+        if phi9 <= 0:
+            continue
+        phi = float(Decimal(phi9).scaleb(-9))
+        for vid, v in sorted(rows):  # engine collects ordered by id
+            if vid in seen:
+                continue
+            h = hashlib.md5(f"{salt}|sc{r}:{vid}".encode()).hexdigest()
+            u = (int(h[:13], 16) + 0.5) / 2.0 ** 52
+            if u < (ell * d29[vid]) / phi:
+                seen.add(vid)
+                cand.append((vid, list(v)))
+    cvecs = [v for _, v in cand]
+    counts = {}
+    for _, v in rows:
+        j = assign_one(v, cvecs)[0]
+        counts[j] = counts.get(j, 0) + 1
+    n = len(cand)
+    ids = [cid for cid, _ in cand]
+    ws = [float(counts.get(j, 0)) for j in range(n)]
+    dim = len(cvecs[0])
+    min_d2 = [float("inf")] * n
+    chosen = [False] * n
+    seed_i = 0
+    for j in range(1, n):
+        if ws[j] > ws[seed_i] or (ws[j] == ws[seed_i] and ids[j] < ids[seed_i]):
+            seed_i = j
+    picked = [seed_i]
+    chosen[seed_i] = True
+    def update_min(ci):
+        c = cvecs[ci]
+        for i in range(n):
+            if not chosen[i]:
+                v = cvecs[i]
+                s = 0.0
+                for d in range(dim):
+                    t = v[d] - c[d]
+                    s += t * t
+                if s < min_d2[i]:
+                    min_d2[i] = s
+    update_min(seed_i)
+    while len(picked) < k and len(picked) < n:
+        bi, bs = -1, -1.0
+        for i in range(n):
+            if not chosen[i]:
+                s = ws[i] * min_d2[i]
+                if s > bs or (s == bs and (bi < 0 or ids[i] < ids[bi])):
+                    bs, bi = s, i
+        chosen[bi] = True
+        picked.append(bi)
+        update_min(bi)
+    assert len(picked) == k, "scalable init pad path not mirrored (degenerate corpus)"
+    return [list(cvecs[i]) for i in picked]
+
+
 def fit(rows, k, iters, init="hash"):
-    c = init_farthest(rows, k) if init == "farthest" else init_centroids(rows, k)
+    if init == "farthest":
+        c = init_farthest(rows, k)
+    elif init == "scalable":
+        c = init_scalable(rows, k)
+    else:
+        c = init_centroids(rows, k)
     dim = len(c[0])
     for _ in range(iters):
         sums = [[0] * dim for _ in range(k)]  # unscaled at 1e-9
@@ -201,6 +281,19 @@ def derive(sf_dir):
         columns=["cid", "dim", "w", "n"]).astype(
         {"cid": "int64", "dim": "int64", "w": "float64", "n": "int64"})
 
+    # kmeans_scalable_init: the k-means||-style large-k init path at sf
+    # scale (k=8, 4 iters) — same independent derivation
+    cs = fit(rows, 8, 4, init="scalable")
+    scounts = {}
+    for _, v in rows:
+        j = assign_one(v, cs)[0]
+        scounts[j] = scounts.get(j, 0) + 1
+    scalable_df = pd.DataFrame(
+        [(j, d, float(round_dec(cs[j][d], E6)), scounts.get(j, 0))
+         for j in range(8) for d in range(len(cs[0]))],
+        columns=["cid", "dim", "w", "n"]).astype(
+        {"cid": "int64", "dim": "int64", "w": "float64", "n": "int64"})
+
     # kmeans_balanced_sample: per cell, the 20 rows with the smallest
     # (md5("bs:" + vec_id), vec_id) — same model as centroids/assign
     bs = []
@@ -268,17 +361,18 @@ def derive(sf_dir):
     con = connect(sf_dir)
     ne, he = con.execute(SIG_EMB_SQL).fetchone()
     con.close()
-    return (int(ne), int(he)), centroids_df, assign_df, quality_df, farthest_df, balanced_df, sem_df, ivf_df
+    return (int(ne), int(he)), centroids_df, assign_df, quality_df, farthest_df, scalable_df, balanced_df, sem_df, ivf_df
 
 
 def main(outfile, sf_dirs):
     per_query = {"kmeans_centroids": [], "kmeans_assign": [],
                  "kmeans_quality": [], "kmeans_farthest": [],
+                 "kmeans_scalable_init": [],
                  "kmeans_balanced_sample": [], "dedup_semantic_kmeans": [],
                  "ann_ivf_kmeans": []}
     guards, schema = [], {}
     for sf_dir in sf_dirs:
-        (ne, he), cdf, adf, qdf, fdf, bdf, sdf, idf = derive(sf_dir)
+        (ne, he), cdf, adf, qdf, fdf, scdf, bdf, sdf, idf = derive(sf_dir)
         guard = f"({emb_guard_sql(ne, he)})"
         guards.append(guard)
         print(f"  {sf_dir}: {len(cdf)} centroid rows, {len(adf)} assigns, "
@@ -287,11 +381,13 @@ def main(outfile, sf_dirs):
         per_query["kmeans_assign"].append(branch_sql(adf, guard))
         per_query["kmeans_quality"].append(branch_sql(qdf, guard))
         per_query["kmeans_farthest"].append(branch_sql(fdf, guard))
+        per_query["kmeans_scalable_init"].append(branch_sql(scdf, guard))
         per_query["kmeans_balanced_sample"].append(branch_sql(bdf, guard))
         per_query["dedup_semantic_kmeans"].append(branch_sql(sdf, guard))
         per_query["ann_ivf_kmeans"].append(branch_sql(idf, guard))
         schema = {"kmeans_centroids": cdf, "kmeans_assign": adf,
                   "kmeans_quality": qdf, "kmeans_farthest": fdf,
+                  "kmeans_scalable_init": scdf,
                   "kmeans_balanced_sample": bdf,
                   "dedup_semantic_kmeans": sdf, "ann_ivf_kmeans": idf}
     existing = json.load(open(outfile)) if os.path.exists(outfile) else {}
