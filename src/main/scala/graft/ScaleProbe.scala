@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
   *    the same code path at 200k edges).
   *
   * Usage: `runMain graft.ScaleProbe
-  * [minhash|resolve|bushy|spans|curation|ann|pq|pack|semantic|relational|ingest|layout|jsonl|retrieval|kmeans|kminit|append|sq|logit|all]
+  * [minhash|resolve|bushy|spans|curation|ann|pq|pack|semantic|relational|ingest|layout|jsonl|retrieval|kmeans|kminit|append|exact|sq|logit|all]
   * [repeats] [nDocs]`. Run each phase in its OWN JVM (`all` exists for
   * convenience only): round 5 recorded a 103 s resolve outlier that was
   * same-JVM memory pressure from the preceding 2M-doc minhash phase, not
@@ -27,8 +27,8 @@ object ScaleProbe {
     val phase = args.headOption.getOrElse("all")
     val repeats = args.lift(1).map(_.toInt).getOrElse(1)
     val nDocs = args.lift(2).map(_.toLong).getOrElse(2000000L)
-    require(Set("minhash", "resolve", "bushy", "spans", "curation", "ann", "pq", "pack", "semantic", "relational", "ingest", "layout", "jsonl", "retrieval", "kmeans", "kminit", "append", "sq", "logit", "all")(phase),
-      s"unknown phase '$phase' (want minhash|resolve|bushy|spans|curation|ann|pq|pack|semantic|relational|ingest|layout|jsonl|retrieval|kmeans|kminit|append|sq|logit|all)")
+    require(Set("minhash", "resolve", "bushy", "spans", "curation", "ann", "pq", "pack", "semantic", "relational", "ingest", "layout", "jsonl", "retrieval", "kmeans", "kminit", "append", "exact", "sq", "logit", "all")(phase),
+      s"unknown phase '$phase' (want minhash|resolve|bushy|spans|curation|ann|pq|pack|semantic|relational|ingest|layout|jsonl|retrieval|kmeans|kminit|append|exact|sq|logit|all)")
     // partition count scales with the probed data volume, exactly as a
     // cluster operator would size it: at 20M docs (1B token instances)
     // 32 shuffle partitions put a ~31M-group hash aggregate in every
@@ -219,6 +219,22 @@ object ScaleProbe {
         }
         println(f"[scale] kmeans_scalable_init_k4096 ${nDocs / 1000000}M vecs (run $rep/$repeats): $tInit%.1f s")
         embN.unpersist(blocking = true)
+        settle()
+      }
+
+      if (phase == "exact" || phase == "all") {
+        // exact dedup a THIRD decade above the suite: fingerprint +
+        // keep-first over nDocs docs (pass 100M+). The docs are NOT
+        // pre-persisted — at this scale the text exists only inside
+        // the one md5 scan (fp+id ride the shuffle, never documents),
+        // which is exactly the 100 TB contract being probed
+        val docsX = BenchData.dupGroupDocs(spark, nDocs)
+        val tExact = time {
+          println("  kept docs: " + operators.Dedup
+            .dropExactDuplicates(docsX, "text", "doc_id")
+            .select("doc_id").count())
+        }
+        println(f"[scale] dedup_exact ${nDocs / 1000000}M docs (run $rep/$repeats): $tExact%.1f s")
         settle()
       }
 

@@ -61,6 +61,7 @@ class PrecomputedOracleSpec extends AnyFunSuite {
     assert(IndependentOracles.sql.keySet ==
       Set("bpe_merges", "bpe_encode_stats", "kmeans_centroids",
         "kmeans_assign", "kmeans_quality", "kmeans_farthest",
+        "kmeans_scalable_init",
         "kmeans_balanced_sample", "dedup_semantic_kmeans",
         "ann_ivf_kmeans", "quality_train_weights",
         "quality_train_score", "quality_train_eval",
