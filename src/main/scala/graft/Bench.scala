@@ -318,6 +318,14 @@ object Bench {
         graft.operators.Kmeans.fit(big, "embedding", "id", k = 64,
           iters = 3); ()
       }
+      // the k-means||-style large-k init priced at its own regime
+      // (k=256 over 200k: 5 oversampling rounds, ~2.5k candidates,
+      // driver-local weighted greedy) — the init path IVF coarse
+      // quantizers use where farthest-first's k-1 scans are guarded off
+      results("bench_kmeans_scalable_init_200k") = time2 {
+        graft.operators.Kmeans.initScalableCentroids(big, "embedding",
+          "id", k = 256); ()
+      }
       big.unpersist(blocking = false)
     }
 
@@ -626,6 +634,17 @@ object Bench {
       results("bench_ivfsq_serve_200k") = time2 {
         graft.operators.Similarity.ivfSqTopKFromCodes(sqIdxCodes, model, sqM,
           qvecs, kNN = 10, nProbe = 4).count(); ()
+      }
+      // incremental ingest priced against the build: append a 1% batch
+      // with the FROZEN quantizers — encode scan of the batch + file
+      // adds in its cells only, no corpus re-read (the nightly-ingest
+      // contract; serve above is unchanged by appends)
+      val appBatch = spark.range(200000, 202000).select(col("id"),
+        transform(sequence(lit(1), lit(64)),
+          i => sin(col("id") * i * 0.7 + i * 1.3).cast("float")).as("embedding"))
+      results("bench_ivfsq_append1pct_200k") = time2 {
+        graft.operators.Similarity.appendToIvfSqIndex(appBatch, "embedding",
+          "id", model, sqM, ivfSqPath)
       }
 
       // --- int8 SQ on the same corpus: the parameter-free compression

@@ -44,7 +44,8 @@ object Explain {
         "ann_ivf_kmeans", "retrieval_rrf", "sq_encode",
         "sq_topk", "quality_train_score", "mine_hard_negatives",
         "label_consistency", "split_leakage", "char_entropy",
-        "split_leakage_planted", "multimodal_decode_real").foreach(show)
+        "split_leakage_planted", "multimodal_decode_real",
+        "ann_ivfsq_append").foreach(show)
     spark.stop()
   }
 }
