@@ -1051,6 +1051,29 @@ object Similarity {
                      path: String): (DataFrame, SqModel) =
     readSqIndex(spark, path)
 
+  /** Maintenance for an append-heavy IVF index (SQ or PQ layout):
+    * every [[appendToIvfSqIndex]] adds one file per (batch, task) to
+    * its cells, and at nightly-ingest cadence a hot cell accumulates
+    * thousands of small files whose open/footer cost eventually
+    * dominates the pruned serve scan. This rewrites `path/codes` into
+    * `outPath/codes` at ~`targetFileBytes` per file VIA
+    * [[graft.sources.Compact.compactParquet]] — per cell directory, so
+    * the `bmu_id=` routing (and static partition pruning) survives —
+    * and copies the params file verbatim. Off the serving path: build
+    * the compacted copy, then swap directories atomically at the
+    * deployment layer. Returns (input files, output files).
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String, outPath: String,
+                      targetFileBytes: Long = 512L * 1024 * 1024): (Int, Int) = {
+    val counts = graft.sources.Compact.compactParquet(
+      spark, s"$path/codes", s"$outPath/codes", targetFileBytes)
+    val params = spark.read.textFile(s"$path/params").collect()
+    spark.createDataset(params.toSeq)(org.apache.spark.sql.Encoders.STRING)
+      .coalesce(1).write.mode("overwrite").text(s"$outPath/params")
+    counts
+  }
+
   /** Serve cosine top-k from an assigned-codes table (inline
     * [[ivfSqAssign]] output or a [[writeIvfSqIndex]] read-back): per
     * query, one scan of its nProbe probed cells' int8 codes, decoded

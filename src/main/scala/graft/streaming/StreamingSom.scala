@@ -334,6 +334,24 @@ object StreamingSom {
     }
   }
 
+  /** Continuous index ingest: the streaming twin of
+    * [[graft.operators.Similarity.appendToIvfSqIndex]] — call from
+    * `foreachBatch` to encode each embedding micro-batch with the
+    * FROZEN quantizers (coarse cells + SQ bounds) and append its code
+    * files into the persisted cell-partitioned layout. Per-micro-batch
+    * cost is one encode scan of the batch plus file adds in its own
+    * cells — never a corpus read — and serving keeps pruning to probed
+    * cell directories throughout, so the index is queryable WHILE it
+    * ingests. Union of micro-batch appends == one batch append == one
+    * one-shot rebuild under the same frozen quantizers
+    * (`StreamingSpec` pins the equality through a real stream).
+    */
+  def appendIvfSqBatch(microBatch: DataFrame, vecCol: String, idCol: String,
+                       model: SomModel, sq: graft.operators.Similarity.SqModel,
+                       path: String): Unit =
+    graft.operators.Similarity.appendToIvfSqIndex(
+      microBatch, vecCol, idCol, model, sq, path)
+
   /** Incremental k-means (mini-batch, Sculley 2010 shape): call
     * `update` from `foreachBatch`. Cumulative per-cluster scale-9 sums
     * and counts accumulate across micro-batches — each batch is

@@ -1244,6 +1244,62 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("IVF index compaction: appended small files merge per cell, rows and serving unchanged") {
+    val rnd = new scala.util.Random(41)
+    val base = (0L until 200L).map(i => (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val baseDf = base.toDF("vec_id", "embedding")
+    val model = new graft.som.Som(
+      graft.som.SomConfig(3, 3, seed = 42)).fit(baseDf, "embedding", numEpochs = 2)
+    val sq = Similarity.sqTrain(baseDf, "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfsqcompact").toFile
+    val path = new java.io.File(dir, "idx").getAbsolutePath
+    val outPath = new java.io.File(dir, "idx_compact").getAbsolutePath
+    try {
+      Similarity.writeIvfSqIndex(baseDf, "embedding", "vec_id", model, sq, path)
+      // five small appends -> many small files per hot cell
+      (0 until 5).foreach { b =>
+        val batch = (200L + b * 20L until 220L + b * 20L)
+          .map(i => (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+        Similarity.appendToIvfSqIndex(batch, "embedding", "vec_id", model, sq, path)
+      }
+      val (nIn, nOut) = Similarity.compactIvfIndex(spark, path, outPath,
+        targetFileBytes = 512L * 1024 * 1024)
+      assert(nOut < nIn, s"compaction did not reduce files: $nIn -> $nOut")
+      val (oldCodes, oldSq) = Similarity.readIvfSqIndex(spark, path)
+      val (newCodes, newSq) = Similarity.readIvfSqIndex(spark, outPath)
+      assert(newSq.mins.sameElements(oldSq.mins) && newSq.maxs.sameElements(oldSq.maxs))
+      assert(newCodes.count() == 300L)
+      assert(newCodes.select("id", "bmu_id", "codes").collect().map(_.toString).sorted
+        .sameElements(oldCodes.select("id", "bmu_id", "codes").collect().map(_.toString).sorted))
+      // the bmu_id= routing survives: serving still prunes and matches
+      val qs = base.take(3).map { case (i, v) => (i, v.map(_.toDouble).toArray) }
+      val a = Similarity.ivfSqTopKFromCodes(newCodes, model, newSq, qs,
+        kNN = 5, nProbe = 2)
+      val b = Similarity.ivfSqTopKFromCodes(oldCodes, model, oldSq, qs,
+        kNN = 5, nProbe = 2)
+      assert(a.collect().map(_.toString).sorted
+        .sameElements(b.collect().map(_.toString).sorted))
+      def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        p.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+          case ad: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scansOf(ad.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            scansOf(q.plan)
+        }.flatten
+      scansOf(a.queryExecution.executedPlan).foreach { scan =>
+        assert(scan.partitionFilters.exists(_.references.exists(_.name == "bmu_id")),
+          "compacted index lost the bmu_id partition filter")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("IVF+PQ append: batch ingest serves identically to a full rebuild") {
     val rnd = new scala.util.Random(37)
     val base = (0L until 200L).map(i => (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))

@@ -765,4 +765,57 @@ class StreamingSpec extends SparkSpec {
       assert((1L until 20L by 2).forall(i => !streamed(i)._2))
     } finally q.stop()
   }
+
+  test("streaming IVF+SQ index ingest: micro-batch appends == one-shot rebuild, serving untouched") {
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(43)
+    val base = (0L until 150L).map(i => (i, Seq.fill(6)(rnd.nextFloat() * 2 - 1)))
+    // two micro-batches, the second drifting past the trained bounds
+    val mb1 = (150L until 190L).map(i => (i, Seq.fill(6)(rnd.nextFloat() * 2 - 1)))
+    val mb2 = (190L until 230L).map(i => (i, Seq.fill(6)(0.9f + rnd.nextFloat() * 0.5f)))
+    val baseDf = base.toDF("vec_id", "embedding")
+    val som = new Som(SomConfig(3, 3, seed = 7)).fit(baseDf, "embedding", numEpochs = 2)
+    val sq = Similarity.sqTrain(baseDf, "embedding") // FROZEN at base
+    val dir = java.nio.file.Files.createTempDirectory("ivfsqstream").toFile
+    val incPath = new java.io.File(dir, "inc").getAbsolutePath
+    val fullPath = new java.io.File(dir, "full").getAbsolutePath
+    try {
+      Similarity.writeIvfSqIndex(baseDf, "embedding", "vec_id", som, sq, incPath)
+      val input = MemoryStream[(Long, Seq[Float])]
+      val q = input.toDF().toDF("vec_id", "embedding").writeStream
+        .foreachBatch { (mb: org.apache.spark.sql.DataFrame, _: Long) =>
+          StreamingSom.appendIvfSqBatch(mb, "embedding", "vec_id", som, sq, incPath)
+        }
+        .start()
+      try {
+        input.addData(mb1: _*); q.processAllAvailable()
+        // the index is queryable BETWEEN micro-batches
+        val (midCodes, _) = Similarity.readIvfSqIndex(spark, incPath)
+        assert(midCodes.count() == 190L)
+        input.addData(mb2: _*); q.processAllAvailable()
+      } finally q.stop()
+      val allDf = (base ++ mb1 ++ mb2).toDF("vec_id", "embedding")
+      Similarity.writeIvfSqIndex(allDf, "embedding", "vec_id", som, sq, fullPath)
+      val (incCodes, incSq) = Similarity.readIvfSqIndex(spark, incPath)
+      val (fullCodes, fullSq) = Similarity.readIvfSqIndex(spark, fullPath)
+      assert(incCodes.count() == 230L)
+      assert(incCodes.select("id", "bmu_id", "codes").collect().map(_.toString).sorted
+        .sameElements(fullCodes.select("id", "bmu_id", "codes").collect().map(_.toString).sorted))
+      val qs = (base.take(2) ++ mb2.take(2)).map { case (i, v) =>
+        (i, v.map(_.toDouble).toArray)
+      }
+      val served = Similarity.ivfSqTopKFromCodesBatch(incCodes, som, incSq,
+        qs, kNN = 5, nProbe = 2)
+      val rebuilt = Similarity.ivfSqTopKFromCodesBatch(fullCodes, som, fullSq,
+        qs, kNN = 5, nProbe = 2)
+      assert(served.collect().map(_.toString).sorted
+        .sameElements(rebuilt.collect().map(_.toString).sorted))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
 }
