@@ -1068,6 +1068,31 @@ object Queries {
           embQueries(s, dir), kNN = 5, nProbe = 3)
       }),
 
+      // index lifecycle, delete leg: tombstone the vec_id%10==3 rows
+      // (a dedup verdict / erasure batch — id-list-sized, the immutable
+      // code files untouched) and serve the LIVE view; the oracle
+      // replays the ann_ivfsq chain with those ids excluded from the
+      // candidate set, so a leaked tombstoned row or an over-delete
+      // breaks the hash
+      "ann_ivfsq_delete" -> ((s, dir) => {
+        val model = fixedModel(s, dir)
+        val e = emb(s, dir)
+        val sq = Similarity.sqTrain(e, "embedding")
+        val path = s"/tmp/graft_ivfsq_delete_${ProcessHandle.current.pid}_${dir.hashCode.toHexString}"
+        // fresh tombstone epoch per run: the codes overwrite below
+        // resets the index, so stale tombstones must go too
+        val ts = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+        val fs = ts.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(ts)) fs.delete(ts, true)
+        Similarity.writeIvfSqIndex(e, "embedding", "vec_id", model, sq, path)
+        Similarity.deleteFromIvfIndex(
+          e.where(col("vec_id") % 10 === 3).select(col("vec_id")),
+          "vec_id", path)
+        val (live, sqB) = Similarity.readIvfSqIndexLive(s, path)
+        Similarity.ivfSqTopKFromCodesBatch(live, model, sqB,
+          embQueries(s, dir), kNN = 5, nProbe = 3)
+      }),
+
       // deterministic content-hash sampling: reproducible across engines
       // and partitionings (pipeline-scale sampling must not depend on RNG
       // stream position)
@@ -3134,6 +3159,53 @@ object Queries {
          |  SELECT p.qid, a.vec_id AS nid
          |  FROM probe p JOIN assign a ON a.bmu = p.nid
          |  WHERE a.vec_id <> p.qid
+         |), idots AS (
+         |  SELECT ca.qid, ca.nid, sum(e.v * dd.dv) AS dot
+         |  FROM cand ca
+         |  JOIN sqex e ON e.vec_id = ca.qid
+         |  JOIN sqdec dd ON dd.vec_id = ca.nid AND dd.i = e.i
+         |  GROUP BY ca.qid, ca.nid
+         |), isim AS (
+         |  SELECT dt.qid, dt.nid,
+         |         CASE WHEN sqrt(nq.nrm * nn.nrm) = 0 THEN 0
+         |              ELSE dt.dot / sqrt(nq.nrm * nn.nrm) END AS sim
+         |  FROM idots dt JOIN isqqn nq ON nq.vec_id = dt.qid
+         |               JOIN isqn nn ON nn.vec_id = dt.nid
+         |), isrk AS (
+         |  SELECT qid, nid, sim,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY sim DESC, nid ASC) AS rank
+         |  FROM isim)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+         |       CAST(nid AS BIGINT) AS nid,
+         |       CAST(round(sim, 6) AS DOUBLE) AS sim
+         |FROM isrk WHERE rank <= 5""".stripMargin,
+
+    // the tombstone-delete replay: the ann_ivfsq chain with the
+    // vec_id%10==3 rows excluded from the CANDIDATE side only (queries
+    // still come from the embeddings table, deletion removes index
+    // rows, not the right to query)
+    "ann_ivfsq_delete" ->
+      s"""$cbDistCte,
+         |$sqCodesCtes,
+         |assign AS (
+         |  SELECT vec_id, (array_agg(nid ORDER BY dist2 ASC, nid ASC))[1] AS bmu
+         |  FROM d GROUP BY vec_id
+         |), iq AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT 5),
+         |probe AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT d.vec_id AS qid, d.nid,
+         |           row_number() OVER (PARTITION BY d.vec_id
+         |                              ORDER BY d.dist2 ASC, d.nid ASC) AS rn
+         |    FROM d WHERE d.vec_id IN (SELECT qid FROM iq)) WHERE rn <= 3
+         |), $sqDecCte,
+         |isqn AS (SELECT vec_id, sum(dv * dv) AS nrm FROM sqdec GROUP BY vec_id),
+         |isqqn AS (SELECT vec_id, sum(v * v) AS nrm FROM sqex
+         |          WHERE vec_id IN (SELECT qid FROM iq) GROUP BY vec_id),
+         |cand AS (
+         |  SELECT p.qid, a.vec_id AS nid
+         |  FROM probe p JOIN assign a ON a.bmu = p.nid
+         |  WHERE a.vec_id <> p.qid AND a.vec_id % 10 <> 3
          |), idots AS (
          |  SELECT ca.qid, ca.nid, sum(e.v * dd.dv) AS dot
          |  FROM cand ca

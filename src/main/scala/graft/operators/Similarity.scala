@@ -1051,6 +1051,43 @@ object Similarity {
                      path: String): (DataFrame, SqModel) =
     readSqIndex(spark, path)
 
+  /** Delete rows from a persisted IVF index WITHOUT rewriting it:
+    * append the ids to a `path/tombstones` parquet side-table
+    * (batch-sized — the immutable code files are never touched).
+    * The removal paths a pipeline actually runs — dedup verdicts and
+    * per-id erasure requests — are both id-lists, and at 100 TB
+    * rewriting cells synchronously for each would cost more than the
+    * whole ingest. Serving applies tombstones via
+    * [[readIvfSqIndexLive]] (an anti-join against the side-table);
+    * [[compactIvfIndex]] folds them into the files for real and
+    * starts the next tombstone epoch empty.
+    */
+  def deleteFromIvfIndex(ids: DataFrame, idCol: String, path: String): Unit =
+    ids.select(col(idCol).cast("long").as("id"))
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  /** The serving view of an IVF+SQ index with pending tombstones
+    * applied: codes anti-joined against `path/tombstones` (absent dir
+    * = nothing pending). The anti-join sits ABOVE the pruned scan, so
+    * per-query partition pruning is untouched; with a sane deletion
+    * rate the tombstone side broadcasts.
+    */
+  def readIvfSqIndexLive(spark: org.apache.spark.sql.SparkSession,
+                         path: String): (DataFrame, SqModel) = {
+    val (codes, sq) = readSqIndex(spark, path)
+    (applyTombstones(codes, path), sq)
+  }
+
+  private def applyTombstones(codes: DataFrame, path: String): DataFrame = {
+    val spark = codes.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ts = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    if (ts.getFileSystem(conf).exists(ts))
+      codes.join(broadcast(spark.read.parquet(ts.toString)), Seq("id"),
+        "left_anti")
+    else codes
+  }
+
   /** Maintenance for an append-heavy IVF index (SQ or PQ layout):
     * every [[appendToIvfSqIndex]] adds one file per (batch, task) to
     * its cells, and at nightly-ingest cadence a hot cell accumulates
@@ -1066,8 +1103,38 @@ object Similarity {
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
                       path: String, outPath: String,
                       targetFileBytes: Long = 512L * 1024 * 1024): (Int, Int) = {
-    val counts = graft.sources.Compact.compactParquet(
-      spark, s"$path/codes", s"$outPath/codes", targetFileBytes)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ts = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val hasTombstones = ts.getFileSystem(conf).exists(ts)
+    val counts =
+      if (!hasTombstones)
+        // pure small-file merge: the generic per-leaf walk keeps each
+        // cell's file count sized to its own bytes
+        graft.sources.Compact.compactParquet(
+          spark, s"$path/codes", s"$outPath/codes", targetFileBytes)
+      else {
+        // tombstone fold: one distributed pass — anti-join the pending
+        // deletes and lay the survivors back out one file per cell
+        // (`repartition(bmu_id)`; the routing tree and static pruning
+        // survive, and the fresh epoch's tombstone dir starts absent
+        // because only codes + params are written to outPath)
+        def countFiles(dir: String): Int = {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val fs = p.getFileSystem(conf)
+          val it = fs.listFiles(p, true)
+          var n = 0
+          while (it.hasNext) {
+            if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+          }
+          n
+        }
+        val nIn = countFiles(s"$path/codes")
+        applyTombstones(spark.read.parquet(s"$path/codes"), path)
+          .repartition(col("bmu_id"))
+          .write.mode("overwrite").partitionBy("bmu_id")
+          .parquet(s"$outPath/codes")
+        (nIn, countFiles(s"$outPath/codes"))
+      }
     val params = spark.read.textFile(s"$path/params").collect()
     spark.createDataset(params.toSeq)(org.apache.spark.sql.Encoders.STRING)
       .coalesce(1).write.mode("overwrite").text(s"$outPath/params")

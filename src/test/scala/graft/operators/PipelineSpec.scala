@@ -1300,6 +1300,68 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("IVF tombstone deletes: live view excludes ids, compaction folds them, files untouched until then") {
+    val rnd = new scala.util.Random(47)
+    val rows = (0L until 300L).map(i => (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("vec_id", "embedding")
+    val model = new graft.som.Som(
+      graft.som.SomConfig(3, 3, seed = 42)).fit(df, "embedding", numEpochs = 2)
+    val sq = Similarity.sqTrain(df, "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfsqdelete").toFile
+    val path = new java.io.File(dir, "idx").getAbsolutePath
+    val refPath = new java.io.File(dir, "ref").getAbsolutePath
+    val foldPath = new java.io.File(dir, "fold").getAbsolutePath
+    try {
+      Similarity.writeIvfSqIndex(df, "embedding", "vec_id", model, sq, path)
+      val codesDir = new java.io.File(s"$path/codes")
+      def fileSet(): Set[String] = {
+        def walk(f: java.io.File): Seq[String] =
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+          else if (f.getName.endsWith(".parquet")) Seq(f.getAbsolutePath) else Seq.empty
+        walk(codesDir).toSet
+      }
+      val beforeDelete = fileSet()
+      // delete 40 ids in two batches (a dedup verdict, then an erasure)
+      val dead = ((10L until 40L) ++ (250L until 260L)).toSeq
+      Similarity.deleteFromIvfIndex(dead.take(30).toDF("vec_id"), "vec_id", path)
+      Similarity.deleteFromIvfIndex(dead.drop(30).toDF("vec_id"), "vec_id", path)
+      // immutable code files untouched by deletes
+      assert(fileSet() == beforeDelete)
+      // the live view excludes exactly the tombstoned ids
+      val (live, liveSq) = Similarity.readIvfSqIndexLive(spark, path)
+      assert(live.count() == 260L)
+      assert(live.where(col("id").isin(dead: _*)).count() == 0L)
+      // serving the live view == serving a rebuild that never had them
+      val survivors = rows.filterNot { case (i, _) => dead.contains(i) }
+      Similarity.writeIvfSqIndex(survivors.toDF("vec_id", "embedding"),
+        "embedding", "vec_id", model, sq, refPath)
+      val (refCodes, refSq) = Similarity.readIvfSqIndex(spark, refPath)
+      val qs = rows.take(2).map { case (i, v) => (i, v.map(_.toDouble).toArray) }
+      val a = Similarity.ivfSqTopKFromCodesBatch(live, model, liveSq, qs,
+        kNN = 5, nProbe = 2)
+      val b = Similarity.ivfSqTopKFromCodesBatch(refCodes, model, refSq, qs,
+        kNN = 5, nProbe = 2)
+      assert(a.collect().map(_.toString).sorted
+        .sameElements(b.collect().map(_.toString).sorted))
+      // compaction folds the tombstones: fresh epoch, reduced rows, no
+      // tombstones dir at the output, live == plain read there
+      Similarity.compactIvfIndex(spark, path, foldPath)
+      assert(!new java.io.File(s"$foldPath/tombstones").exists())
+      val (folded, foldedSq) = Similarity.readIvfSqIndex(spark, foldPath)
+      assert(folded.count() == 260L)
+      assert(folded.where(col("id").isin(dead: _*)).count() == 0L)
+      val c = Similarity.ivfSqTopKFromCodesBatch(folded, model, foldedSq, qs,
+        kNN = 5, nProbe = 2)
+      assert(c.collect().map(_.toString).sorted
+        .sameElements(b.collect().map(_.toString).sorted))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("IVF+PQ append: batch ingest serves identically to a full rebuild") {
     val rnd = new scala.util.Random(37)
     val base = (0L until 200L).map(i => (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
