@@ -1088,6 +1088,24 @@ object Similarity {
     else codes
   }
 
+  /** Read a persisted IVF+PQ index back: (codes with the `bmu_id`
+    * partition column, codebook, m, k) — [[readPqIndex]]'s parser,
+    * shared layout.
+    */
+  def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                     path: String): (DataFrame, Array[Double], Int, Int) =
+    readPqIndex(spark, path)
+
+  /** [[readIvfPqIndex]] with pending tombstones applied — the PQ
+    * sibling of [[readIvfSqIndexLive]] (the tombstone side-table is
+    * layout-agnostic: it joins on `id`).
+    */
+  def readIvfPqIndexLive(spark: org.apache.spark.sql.SparkSession,
+                         path: String): (DataFrame, Array[Double], Int, Int) = {
+    val (codes, cb, m, k) = readPqIndex(spark, path)
+    (applyTombstones(codes, path), cb, m, k)
+  }
+
   /** Maintenance for an append-heavy IVF index (SQ or PQ layout):
     * every [[appendToIvfSqIndex]] adds one file per (batch, task) to
     * its cells, and at nightly-ingest cadence a hot cell accumulates

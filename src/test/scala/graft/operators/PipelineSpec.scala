@@ -1395,6 +1395,20 @@ class PipelineSpec extends SparkSpec {
         m = 4, k = 8, qs, kNN = 5, nProbe = 2)
       assert(incServed.collect().map(_.toString).sorted
         .sameElements(fullServed.collect().map(_.toString).sorted))
+      // tombstones are layout-agnostic: the PQ live view drops them too
+      Similarity.deleteFromIvfIndex(
+        (250L until 300L).toDF("vec_id"), "vec_id", incPath)
+      val (liveCodes, liveCb, liveM, liveK) =
+        Similarity.readIvfPqIndexLive(spark, incPath)
+      assert(liveCodes.count() == 250L)
+      assert((liveM, liveK) == (4, 8) && liveCb.sameElements(cb))
+      val liveServed = Similarity.ivfPqTopKFromCodes(liveCodes, model,
+        liveCb, liveM, liveK, qs, kNN = 5, nProbe = 2)
+      val refServed = Similarity.ivfPqTopKFromCodes(
+        fullCodes.where(col("id") < 250L), model, cb, m = 4, k = 8, qs,
+        kNN = 5, nProbe = 2)
+      assert(liveServed.collect().map(_.toString).sorted
+        .sameElements(refServed.collect().map(_.toString).sorted))
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
