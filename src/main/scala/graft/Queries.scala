@@ -1680,6 +1680,35 @@ object Queries {
                   round(col("score"), 6).as("score"))
       }),
 
+      // the lexical index LIFECYCLE end-to-end: two segment appends
+      // (a base build and a nightly delta — each segment-sized, df
+      // deliberately NOT stored so appends cannot stale it), an
+      // id-list tombstone delete, and a segmented serve whose df /
+      // n_docs / avgdl are all recomputed exactly over the survivors —
+      // the oracle is the plain scan-path replay over the surviving
+      // corpus, so any stale-df or miscorrected-stats shortcut breaks
+      // the hash
+      "bm25_segmented" -> ((s, dir) => {
+        val tag = s"${ProcessHandle.current.pid}_${dir.hashCode.toHexString}"
+        val name = s"graft_bm25seg_$tag"
+        val path = s"/tmp/$name"
+        BenchData.deleteRecursively(path) // fresh epoch per run
+        val d = docs(s, dir)
+        graft.operators.Retrieval.appendBm25Segment(
+          d.where(col("doc_id") % 3 =!= 2), "text", "doc_id",
+          name, path, nBuckets = 8, segment = "base")
+        graft.operators.Retrieval.appendBm25Segment(
+          d.where(col("doc_id") % 3 === 2), "text", "doc_id",
+          name, path, nBuckets = 8, segment = "delta")
+        graft.operators.Retrieval.deleteFromBm25Index(
+          d.where(col("doc_id") % 7 === 3).select(col("doc_id")),
+          "doc_id", path)
+        graft.operators.Retrieval.bm25TopKSegmented(s, name, path,
+            bm25Queries, k = 10)
+          .select(col("qid"), col("rank"), col("doc_id"),
+                  round(col("score"), 6).as("score"))
+      }),
+
       // hybrid retrieval: reciprocal-rank fusion of the lexical BM25
       // ranking with the embedding brute-force-cosine ranking (the two
       // independently-oracled rankings above); a qid present in only
@@ -2162,14 +2191,16 @@ object Queries {
     * and the lexical leg of the `retrieval_rrf` fusion oracle, so the
     * rankings being fused are the ones being independently verified.
     */
-  private lazy val bm25RankedCtes: String =
+  /** `extraWhere` restricts the replayed corpus (the segmented-index
+    * delete replay); "" = all documents. */
+  private def bm25RankedCtesFor(extraWhere: String): String =
     s"""q(qid, token) AS (VALUES
        |  (0, 'hash'), (0, 'join'),
        |  (1, 'fast'), (1, 'scan'), (1, 'filter'),
        |  (2, 'stream'), (2, 'window'), (2, 'agg'),
        |  (3, 'customer'), (3, 'order'), (3, 'data'), (3, 'big'), (3, 'query')),
        |t AS MATERIALIZED (SELECT doc_id, $duckToks AS toks
-       |     FROM documents WHERE text IS NOT NULL),
+       |     FROM documents WHERE text IS NOT NULL$extraWhere),
        |st AS (SELECT count(*) AS n_docs, sum(len(toks)) AS sum_dl FROM t),
        |dl AS (SELECT doc_id, len(toks) AS dl FROM t),
        |tf AS MATERIALIZED (
@@ -2194,6 +2225,8 @@ object Queries {
        |r AS (SELECT qid, doc_id, score,
        |             row_number() OVER (PARTITION BY qid
        |               ORDER BY score DESC, doc_id) AS rank FROM s)""".stripMargin
+
+  private lazy val bm25RankedCtes: String = bm25RankedCtesFor("")
 
   private lazy val bm25TopkSql: String =
     s"""WITH $bm25RankedCtes
@@ -2615,6 +2648,17 @@ object Queries {
     // the serving-index path must produce byte-identical results to
     // the scan path — one oracle, two engine spellings
     "bm25_indexed" -> bm25TopkSql,
+
+    // the segmented lifecycle replay: the same scan-path chain over
+    // the corpus MINUS the tombstoned doc_id%7==3 slice — df, n_docs
+    // and avgdl in the oracle all derive from the survivors, exactly
+    // what the engine's serve-time recomputation must reproduce
+    "bm25_segmented" ->
+      s"""WITH ${bm25RankedCtesFor(" AND doc_id % 7 <> 3")}
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+         |       CAST(doc_id AS BIGINT) AS doc_id,
+         |       CAST(round(score, 6) AS DOUBLE) AS score
+         |FROM r WHERE rank <= 10""".stripMargin,
 
     // DSIR: md5-prefix hashed-unigram buckets, add-one smoothing,
     // log-ratios rounded to 9 decimals as DECIMAL(18,9), per-doc

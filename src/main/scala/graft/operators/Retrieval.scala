@@ -216,6 +216,164 @@ object Retrieval {
     topKByScore(contrib, k)
   }
 
+  // --------------------------------------------- segmented (appendable)
+
+  /** Append `docs` as a NEW SEGMENT of a segmented BM25 index rooted
+    * at `path` — the lexical sibling of the IVF append: nightly
+    * batches become segments, never rebuilds. Layout per segment `s`
+    * (catalog table `<name>__<s>`):
+    *
+    *   <path>/seg_<s>/        postings (token, doc_id, tf, dl),
+    *                          token-bucketed + token-sorted
+    *   <path>/seg_<s>_stats/  1 row (n_docs, sum_dl) — exact longs
+    *   <path>/seg_<s>_docs/   (doc_id, dl) doc-values, the exact
+    *                          stats correction table for deletes
+    *
+    * plus a root manifest `<path>/_segments`. Append cost is
+    * segment-sized: one scan of the new docs + one token shuffle.
+    *
+    * Unlike [[writeBm25Index]], df is NOT stored: a cross-segment df
+    * would be invalidated by every append (df is corpus-global). The
+    * serve path's bucket-pruned scan reads every surviving posting of
+    * each queried term ANYWAY, so [[bm25TopKSegmented]] recomputes df
+    * exactly there for the cost of one term-bounded window — which
+    * makes appends AND deletes exact by construction instead of by
+    * invalidation. Segments must carry disjoint doc_ids (the same
+    * contract as the IVF appends).
+    */
+  def appendBm25Segment(docs: DataFrame, textCol: String, idCol: String,
+                        name: String, path: String, nBuckets: Int,
+                        segment: String): Unit = {
+    require(nBuckets > 0, s"appendBm25Segment needs nBuckets > 0, got $nBuckets")
+    require(segment.matches("[A-Za-z0-9_-]+"),
+      s"segment must be a plain token, got '$segment'")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long").as("dl"),
+        graft.plans.GraftFunctions.token_tf(col(textCol)).as("__kvs"))
+    val pairs = d
+      .select(col("doc_id"), col("dl"), explode(col("__kvs")).as("kv"))
+      .select(col("kv.token").as("token"), col("doc_id"), col("dl"),
+        col("kv.tf").as("tf"))
+    graft.sources.Bucketed.writeBucketed(pairs, s"${name}__$segment",
+      s"$path/seg_$segment", "token", nBuckets)
+    d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/seg_${segment}_stats")
+    d.select(col("doc_id"), col("dl"))
+      .write.mode("overwrite").parquet(s"$path/seg_${segment}_docs")
+    Seq(segment).toDF("segment")
+      .write.mode("append").parquet(s"$path/_segments")
+  }
+
+  /** Tombstone doc_ids out of a segmented BM25 index — id-list-sized,
+    * the immutable segment files untouched (the IVF tombstone
+    * contract). [[bm25TopKSegmented]] applies them at serve;
+    * [[compactBm25Index]] folds them for real.
+    */
+  def deleteFromBm25Index(ids: DataFrame, idCol: String, path: String): Unit =
+    ids.select(col(idCol).cast("long").as("doc_id"))
+      .write.mode("append").parquet(s"$path/_tombstones")
+
+  private def bm25Segments(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Seq[String] =
+    spark.read.parquet(s"$path/_segments")
+      .select("segment").distinct().collect().map(_.getString(0)).sorted.toSeq
+
+  private def bm25Tombstones(spark: org.apache.spark.sql.SparkSession,
+                             path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      Some(spark.read.parquet(p.toString).select("doc_id").distinct())
+    else None
+  }
+
+  /** Serve a query batch from a segmented index, pending tombstones
+    * applied: per segment one bucket-pruned postings scan, unioned;
+    * tombstoned docs anti-joined out; df recomputed EXACTLY over the
+    * surviving scanned rows (one term-bounded window — each posting
+    * row is a distinct (doc, term), so count(*) per token IS df);
+    * corpus stats = Σ segment stats minus the tombstoned docs'
+    * doc-values (exact longs). Output is row-for-row what
+    * [[bm25TopK]] returns over the surviving corpus — the spec and
+    * the `bm25_segmented` oracle pin it.
+    */
+  def bm25TopKSegmented(spark: org.apache.spark.sql.SparkSession,
+                        name: String, path: String,
+                        queries: Seq[(Long, String)], k: Int,
+                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"bm25TopKSegmented needs k > 0, got $k")
+    import spark.implicits._
+    val qTerms = queryTerms(queries)
+    val qdf = broadcast(qTerms.toDF("qid", "token"))
+    val terms = qTerms.map(_._2).distinct
+    val segs = bm25Segments(spark, path)
+    require(segs.nonEmpty, s"no segments under $path")
+    val tomb = bm25Tombstones(spark, path).map(broadcast(_))
+
+    val scanned = segs.map { s =>
+      graft.sources.Bucketed.table(spark, s"${name}__$s")
+        .where(col("token").isin(terms: _*)) // bucket-pruned per segment
+    }.reduce(_ union _)
+    val posts = tomb.fold(scanned)(t => scanned.join(t, Seq("doc_id"), "left_anti"))
+
+    val statsAll = segs.map(s => spark.read.parquet(s"$path/seg_${s}_stats"))
+      .reduce(_ union _)
+      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+    val stats = tomb match {
+      case None => statsAll
+      case Some(t) =>
+        val dead = segs.map(s => spark.read.parquet(s"$path/seg_${s}_docs"))
+          .reduce(_ union _)
+          .join(t, Seq("doc_id"))
+          .agg(count(lit(1)).as("dead_n"),
+            coalesce(sum("dl"), lit(0L)).as("dead_dl"))
+        statsAll.crossJoin(dead)
+          .select((col("n_docs") - col("dead_n")).as("n_docs"),
+            (col("sum_dl") - col("dead_dl")).as("sum_dl"))
+    }
+
+    val contrib = posts
+      .withColumn("df", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("token")))
+      .crossJoin(broadcast(stats))
+      .join(qdf, Seq("token"))
+      .select(col("qid"), col("doc_id"), contribCol(k1, b).as("c"))
+    topKByScore(contrib, k)
+  }
+
+  /** Fold a segmented index into ONE fresh segment at `outPath`:
+    * surviving postings (tombstones applied) re-bucket once, stats and
+    * doc-values recompute from the survivors, and the new epoch starts
+    * with no tombstones. The maintenance pass that bounds per-serve
+    * segment fan-out — run it when segment count (not data size)
+    * starts to dominate serve planning.
+    */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+                       name: String, path: String,
+                       outName: String, outPath: String,
+                       nBuckets: Int): Unit = {
+    require(nBuckets > 0, s"compactBm25Index needs nBuckets > 0, got $nBuckets")
+    import spark.implicits._
+    val segs = bm25Segments(spark, path)
+    require(segs.nonEmpty, s"no segments under $path")
+    val tomb = bm25Tombstones(spark, path).map(broadcast(_))
+    val all = segs.map(s =>
+      graft.sources.Bucketed.table(spark, s"${name}__$s")).reduce(_ union _)
+    val survivors = tomb.fold(all)(t => all.join(t, Seq("doc_id"), "left_anti"))
+    graft.sources.Bucketed.writeBucketed(survivors, s"${outName}__0",
+      s"$outPath/seg_0", "token", nBuckets)
+    val dv = segs.map(s => spark.read.parquet(s"$path/seg_${s}_docs"))
+      .reduce(_ union _)
+    val dvLive = tomb.fold(dv)(t => dv.join(t, Seq("doc_id"), "left_anti"))
+    dvLive.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outPath/seg_0_stats")
+    dvLive.write.mode("overwrite").parquet(s"$outPath/seg_0_docs")
+    Seq("0").toDF("segment")
+      .write.mode("overwrite").parquet(s"$outPath/_segments")
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
     * of per-query rankings — the standard calibration-free way to
     * combine lexical ([[bm25TopK]]) and embedding

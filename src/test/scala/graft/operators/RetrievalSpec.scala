@@ -97,6 +97,68 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("segmented index: two appends == one scan; tombstones and compaction stay exact") {
+    // a bigger corpus so df/avgdl genuinely differ between the base
+    // segment and the union — any stale-df shortcut would show
+    val rnd = new scala.util.Random(53)
+    val vocab = Seq("apple", "banana", "cherry", "date", "fig", "grape",
+      "kiwi", "lemon", "mango", "olive")
+    val all = (0L until 120L).map { i =>
+      val n = 3 + (i % 5).toInt
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val corpus = all.toDF("doc_id", "text")
+    val segA = all.filter(_._1 % 3 != 2)
+    val segB = all.filter(_._1 % 3 == 2)
+    val q = Seq(0L -> "apple banana", 1L -> "cherry grape fig", 2L -> "mango")
+    val tag = s"seg_${System.nanoTime()}"
+    val name = s"graft_bm25s_$tag"
+    val path = s"/tmp/$name"
+    val outName = s"${name}_c"
+    val outPath = s"/tmp/$outName"
+    try {
+      Retrieval.appendBm25Segment(segA.toDF("doc_id", "text"), "text",
+        "doc_id", name, path, nBuckets = 8, segment = "a")
+      // segment A alone == scan over segment A's docs
+      val onlyA = Retrieval.bm25TopKSegmented(spark, name, path, q, 10)
+        .orderBy("qid", "rank").collect().toSeq
+      val scanA = Retrieval.bm25TopK(segA.toDF("doc_id", "text"), "text",
+        "doc_id", q, 10).orderBy("qid", "rank").collect().toSeq
+      assert(onlyA == scanA)
+      // after the append, the UNION is served with corpus-level df and
+      // avgdl — exactly the full-corpus scan
+      Retrieval.appendBm25Segment(segB.toDF("doc_id", "text"), "text",
+        "doc_id", name, path, nBuckets = 8, segment = "b")
+      val seg2 = Retrieval.bm25TopKSegmented(spark, name, path, q, 10)
+        .orderBy("qid", "rank").collect().toSeq
+      val scanAll = Retrieval.bm25TopK(corpus, "text", "doc_id", q, 10)
+        .orderBy("qid", "rank").collect().toSeq
+      assert(seg2 == scanAll)
+      // tombstone a slice: serve == scan over the survivors (df, n_docs
+      // and avgdl all shift — recomputation keeps every piece exact)
+      val dead = all.map(_._1).filter(_ % 7 == 3)
+      Retrieval.deleteFromBm25Index(dead.toDF("doc_id"), "doc_id", path)
+      val segDel = Retrieval.bm25TopKSegmented(spark, name, path, q, 10)
+        .orderBy("qid", "rank").collect().toSeq
+      val scanDel = Retrieval.bm25TopK(
+        all.filterNot(r => dead.contains(r._1)).toDF("doc_id", "text"),
+        "text", "doc_id", q, 10).orderBy("qid", "rank").collect().toSeq
+      assert(segDel == scanDel)
+      // compaction folds segments + tombstones into one fresh segment
+      Retrieval.compactBm25Index(spark, name, path, outName, outPath,
+        nBuckets = 8)
+      val folded = Retrieval.bm25TopKSegmented(spark, outName, outPath, q, 10)
+        .orderBy("qid", "rank").collect().toSeq
+      assert(folded == scanDel)
+      assert(!new java.io.File(s"$outPath/_tombstones").exists())
+    } finally {
+      Seq(s"${name}__a", s"${name}__b", s"${outName}__0")
+        .foreach(graft.sources.Bucketed.drop(spark, _))
+      graft.BenchData.deleteRecursively(path)
+      graft.BenchData.deleteRecursively(outPath)
+    }
+  }
+
   test("validation: empty/duplicate queries rejected") {
     intercept[IllegalArgumentException] {
       Retrieval.bm25TopK(docs, "text", "doc_id", Seq.empty, 5)
