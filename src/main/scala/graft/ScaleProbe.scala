@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
   *    the same code path at 200k edges).
   *
   * Usage: `runMain graft.ScaleProbe
-  * [minhash|resolve|bushy|spans|curation|ann|pq|pack|semantic|relational|ingest|layout|jsonl|retrieval|kmeans|kminit|append|exact|sq|logit|all]
+  * [minhash|resolve|bushy|spans|curation|ann|pq|pack|semantic|relational|ingest|layout|jsonl|retrieval|kmeans|kminit|append|exact|bm25seg|sq|logit|all]
   * [repeats] [nDocs]`. Run each phase in its OWN JVM (`all` exists for
   * convenience only): round 5 recorded a 103 s resolve outlier that was
   * same-JVM memory pressure from the preceding 2M-doc minhash phase, not
@@ -27,8 +27,8 @@ object ScaleProbe {
     val phase = args.headOption.getOrElse("all")
     val repeats = args.lift(1).map(_.toInt).getOrElse(1)
     val nDocs = args.lift(2).map(_.toLong).getOrElse(2000000L)
-    require(Set("minhash", "resolve", "bushy", "spans", "curation", "ann", "pq", "pack", "semantic", "relational", "ingest", "layout", "jsonl", "retrieval", "kmeans", "kminit", "append", "exact", "sq", "logit", "all")(phase),
-      s"unknown phase '$phase' (want minhash|resolve|bushy|spans|curation|ann|pq|pack|semantic|relational|ingest|layout|jsonl|retrieval|kmeans|kminit|append|exact|sq|logit|all)")
+    require(Set("minhash", "resolve", "bushy", "spans", "curation", "ann", "pq", "pack", "semantic", "relational", "ingest", "layout", "jsonl", "retrieval", "kmeans", "kminit", "append", "exact", "bm25seg", "sq", "logit", "all")(phase),
+      s"unknown phase '$phase' (want minhash|resolve|bushy|spans|curation|ann|pq|pack|semantic|relational|ingest|layout|jsonl|retrieval|kmeans|kminit|append|exact|bm25seg|sq|logit|all)")
     // partition count scales with the probed data volume, exactly as a
     // cluster operator would size it: at 20M docs (1B token instances)
     // 32 shuffle partitions put a ~31M-group hash aggregate in every
@@ -219,6 +219,45 @@ object ScaleProbe {
         }
         println(f"[scale] kmeans_scalable_init_k4096 ${nDocs / 1000000}M vecs (run $rep/$repeats): $tInit%.1f s")
         embN.unpersist(blocking = true)
+        settle()
+      }
+
+      if (phase == "bm25seg" || phase == "all") {
+        // segmented BM25 at scale: base segment over nDocs docs, then
+        // a 1% delta segment. The append must cost delta-sized; the
+        // segmented serve must cost what the monolithic serve costs
+        // (same term-bounded postings read, one extra term-bounded
+        // window for the serve-time df)
+        val docsN = BenchData.dupGroupDocs(spark, nDocs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        docsN.count()
+        val tag = s"bm25seg_${ProcessHandle.current.pid}_$rep"
+        val name = s"graft_$tag"
+        val path = s"/tmp/$name"
+        val q16 = (0L until 16L).map(i =>
+          i -> (s"w${i * 13 % 10000} w${(i * 131 + 7) % 10000} w${(i * 997 + 3) % 10000}"))
+        val tBase = time {
+          operators.Retrieval.appendBm25Segment(docsN, "text", "doc_id",
+            name, path, nBuckets = 64, segment = "base")
+        }
+        println(f"[scale] bm25seg_base ${nDocs / 1000000}M docs (run $rep/$repeats): $tBase%.1f s")
+        val delta = BenchData.dupGroupDocs(spark, nDocs / 100)
+          .select((org.apache.spark.sql.functions.col("doc_id") + nDocs).as("doc_id"),
+            org.apache.spark.sql.functions.col("text"))
+        val tDelta = time {
+          operators.Retrieval.appendBm25Segment(delta, "text", "doc_id",
+            name, path, nBuckets = 64, segment = "delta")
+        }
+        println(f"[scale] bm25seg_append_1pct ${nDocs / 1000000}M docs (run $rep/$repeats): $tDelta%.1f s")
+        val tServe = time {
+          println("  segmented rows: " + operators.Retrieval
+            .bm25TopKSegmented(spark, name, path, q16, k = 10).count())
+        }
+        println(f"[scale] bm25seg_serve ${nDocs / 1000000}M docs (run $rep/$repeats): $tServe%.1f s")
+        Seq(s"${name}__base", s"${name}__delta")
+          .foreach(graft.sources.Bucketed.drop(spark, _))
+        BenchData.deleteRecursively(path)
+        docsN.unpersist(blocking = true)
         settle()
       }
 
