@@ -96,19 +96,25 @@ object Queries {
     * without the cache a suite run trains it four times (~6 s each at
     * sf0.1). The model is a plain value and the features DataFrame is a
     * lazy plan (safe to reuse across queries); keying on the session
-    * UUID keeps a cached plan from leaking across SparkSessions in
-    * multi-session tests.
+    * OBJECT (not its identityHashCode, which is reused after GC and
+    * can collide across live sessions) keeps a cached plan from being
+    * handed to a different SparkSession in multi-session tests. The
+    * strong key pins the session for the cache's lifetime — the same
+    * pinning the cached DataFrame's plan already implies — so a small
+    * cap bounds what a long-lived multi-session JVM can accumulate.
     */
   private val gateCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), (DataFrame, graft.operators.LogitTrain.Model)]
+    .empty[(SparkSession, String), (DataFrame, graft.operators.LogitTrain.Model)]
   private def trainedGate(s: SparkSession, dir: String)
-      : (DataFrame, graft.operators.LogitTrain.Model) =
-    gateCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+      : (DataFrame, graft.operators.LogitTrain.Model) = {
+    if (gateCache.size > 8 && !gateCache.contains((s, dir))) gateCache.clear()
+    gateCache.getOrElseUpdate((s, dir), {
       val feats = graft.operators.LogitTrain.features(docs(s, dir),
         "text", "doc_id", logitLabel)
       (feats, graft.operators.LogitTrain.train(feats,
         iters = logitIters, lr = logitLr))
     })
+  }
 
   /** The DuckDB spelling of the same selection (self-contained, usable
     * inside nested WITH chains).

@@ -86,15 +86,26 @@ object Kmeans {
     */
   def initCentroids(df: DataFrame, vecCol: String, idCol: String, k: Int,
                     salt: String = "km"): Array[Array[Double]] = {
+    seededInitRows(slim(df, vecCol, idCol), k, salt).map(_._2)
+  }
+
+  /** The ONE spelling of the seeded selection, returning (id, vector)
+    * pairs — [[initCentroids]] keeps the vectors, the scalable init
+    * also needs the ids for candidate bookkeeping. One definition so
+    * the two callers (and the Python oracle's replay of this ordering)
+    * can never drift.
+    */
+  private def seededInitRows(data: DataFrame, k: Int,
+                             salt: String): Array[(Long, Array[Double])] = {
     require(k > 0, s"kmeans needs k > 0, got $k")
-    val rows = slim(df, vecCol, idCol)
+    val rows = data
       .withColumn("__h", md5(concat_ws(":", lit(salt), col("__id"))))
       .orderBy(col("__h"), col("__id"))
       .limit(k)
       .collect()
     require(rows.length == k,
       s"kmeans init needs >= $k non-null vectors, found ${rows.length}")
-    rows.map(_.getSeq[Double](1).toArray)
+    rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
   }
 
   /** Farthest-first traversal (Gonzalez k-center) init: seed with the
@@ -181,17 +192,15 @@ object Kmeans {
     require(rounds > 0, s"scalable init needs rounds > 0, got $rounds")
     val ell = if (oversample > 0) oversample else 2 * k
     val data = slim(df, vecCol, idCol)
-    val first = initCentroids(data, "__v", "__id", 1, salt)
+    // ONE seed job returning (id, vector) via the shared seeded
+    // selection — the old form ran initCentroids AND a second job just
+    // to recover the seed's id
+    val (firstId, firstVec) = seededInitRows(data, 1, salt)(0)
+    val first = Array(firstVec)
     val dim = first(0).length
     // (id, vec) candidates in selection order; ids seen for dedup
     val cand = scala.collection.mutable.ArrayBuffer[(Long, Array[Double])]()
     val seen = scala.collection.mutable.HashSet[Long]()
-    val firstId = {
-      // recover the seed's id for dedup (initCentroids returns vectors)
-      val r = data.withColumn("__h", md5(concat_ws(":", lit(salt), col("__id"))))
-        .orderBy(col("__h"), col("__id")).limit(1).collect()(0)
-      r.getLong(0)
-    }
     cand += ((firstId, first(0))); seen += firstId
     // running state: (__id, __v, __md2 = min d² to candidates so far,
     // __cid = that argmin's candidate index). Initialized against the

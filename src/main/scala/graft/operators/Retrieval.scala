@@ -249,22 +249,28 @@ object Retrieval {
       s"segment must be a plain token, got '$segment'")
     val spark = docs.sparkSession
     import spark.implicits._
+    // three write actions (postings, stats, doc-values) share ONE
+    // tokenization scan via the persist — without it each action
+    // re-runs the text scan + token kernels over the whole batch
     val d = docs.where(col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("doc_id"),
         graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long").as("dl"),
         graft.plans.GraftFunctions.token_tf(col(textCol)).as("__kvs"))
-    val pairs = d
-      .select(col("doc_id"), col("dl"), explode(col("__kvs")).as("kv"))
-      .select(col("kv.token").as("token"), col("doc_id"), col("dl"),
-        col("kv.tf").as("tf"))
-    graft.sources.Bucketed.writeBucketed(pairs, s"${name}__$segment",
-      s"$path/seg_$segment", "token", nBuckets)
-    d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/seg_${segment}_stats")
-    d.select(col("doc_id"), col("dl"))
-      .write.mode("overwrite").parquet(s"$path/seg_${segment}_docs")
-    Seq(segment).toDF("segment")
-      .write.mode("append").parquet(s"$path/_segments")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pairs = d
+        .select(col("doc_id"), col("dl"), explode(col("__kvs")).as("kv"))
+        .select(col("kv.token").as("token"), col("doc_id"), col("dl"),
+          col("kv.tf").as("tf"))
+      graft.sources.Bucketed.writeBucketed(pairs, s"${name}__$segment",
+        s"$path/seg_$segment", "token", nBuckets)
+      d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/seg_${segment}_stats")
+      d.select(col("doc_id"), col("dl"))
+        .write.mode("overwrite").parquet(s"$path/seg_${segment}_docs")
+      Seq(segment).toDF("segment")
+        .write.mode("append").parquet(s"$path/_segments")
+    } finally d.unpersist(blocking = false)
   }
 
   /** Tombstone doc_ids out of a segmented BM25 index — id-list-sized,

@@ -94,12 +94,19 @@ object MediaKernels {
     if (hdrSize < 40) return null // BITMAPCOREHEADER not supported
     val w = le32(b, 18)
     val hSigned = le32(b, 22)
-    val h = math.abs(hSigned)
     val bpp = le16(b, 28)
     val comp = le32(b, 30)
-    if (w <= 0 || h == 0 || bpp != 24 || comp != 0) return null
-    val stride = ((w * 3 + 3) / 4) * 4
-    if (dataOff < 54 || dataOff.toLong + stride.toLong * h > b.length) return null
+    // Int.MinValue height would survive math.abs as itself (negative)
+    // and sail past every check below as a bogus "successful" decode
+    if (w <= 0 || hSigned == 0 || hSigned == Int.MinValue ||
+      bpp != 24 || comp != 0) return null
+    val h = math.abs(hSigned)
+    // stride in LONG: `w * 3 + 3` overflows Int for w >= ~715M, turning
+    // the stride negative and defeating the bounds check (the decoder
+    // must never throw on a corrupt header — it falls back to raw)
+    val strideL = ((w.toLong * 3 + 3) / 4) * 4
+    if (dataOff < 54 || dataOff.toLong + strideL * h > b.length) return null
+    val stride = strideL.toInt // fits: strideL * h <= b.length above
     var sumB = 0L; var sumG = 0L; var sumR = 0L; var peak = 0L
     var rowI = 0
     while (rowI < h) {
@@ -252,13 +259,16 @@ object MediaKernels {
     * bug in either the builder or the decoder breaks parity.
     */
   def syntheticPayload(id: Long): Array[Byte] =
-    if (id % 2 == 0) {
-      val w = 4 + (id % 5).toInt
-      val h = 3 + (id % 3).toInt
+    // floorMod: a negative id must not drive the size/rate params
+    // negative into the builders' requires (for the non-negative
+    // doc_ids the oracle replays, floorMod == % bit-for-bit)
+    if (math.floorMod(id, 2L) == 0L) {
+      val w = 4 + math.floorMod(id, 5L).toInt
+      val h = 3 + math.floorMod(id, 3L).toInt
       buildBmp(w, h, (x, y, c) => ((id * 31 + y * 7 + x * 3 + c * 11) % 256).toInt)
     } else {
-      val sr = 8000 + ((id % 4) * 4000).toInt
-      val n = 64 + (id % 32).toInt
+      val sr = 8000 + (math.floorMod(id, 4L) * 4000).toInt
+      val n = 64 + math.floorMod(id, 32L).toInt
       val samples = Array.tabulate(n)(k =>
         (((id * 2654435761L + k * 40503L) % 65536L) - 32768L).toShort)
       buildWav(sr, samples)

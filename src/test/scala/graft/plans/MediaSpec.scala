@@ -110,6 +110,28 @@ class MediaSpec extends SparkSpec {
     val (k, d1, d2, f) = decoded(junk)
     assert(k == "raw" && d1 == 64L && d2 == 0L && f == Seq(1.0, 0.0, 0.0, 0.0))
     assert(decoded(Array.emptyByteArray) == (("raw", 0L, 0L, Seq(0.0, 0.0, 0.0, 0.0))))
+    // width whose `w * 3 + 3` overflows Int: an Int-arithmetic stride
+    // would turn negative and defeat the bounds check (review finding:
+    // AIOOBE instead of the raw fallback)
+    val wideW = goldenBmp.clone()
+    le32(715827883).zipWithIndex.foreach { case (b, i) => wideW(18 + i) = b }
+    le32(1).zipWithIndex.foreach { case (b, i) => wideW(22 + i) = b }
+    assert(decoded(wideW)._1 == "raw")
+    // height Int.MinValue: math.abs returns it UNCHANGED (negative) —
+    // must fall back to raw, not emit a bogus kind="bmp" row
+    val minH = goldenBmp.clone()
+    le32(Int.MinValue).zipWithIndex.foreach { case (b, i) => minH(22 + i) = b }
+    assert(decoded(minH)._1 == "raw")
+  }
+
+  test("syntheticPayload is total over negative ids (floorMod'd size params)") {
+    for (id <- Seq(-1L, -2L, -3L, -4L, -8L, -31L, -32L, Long.MinValue + 1)) {
+      val p = MediaKernels.syntheticPayload(id)
+      assert(p.nonEmpty)
+      // and the decoder reads its own builder's output
+      val kind = decoded(p)._1
+      assert(kind == "bmp" || kind == "wav", s"id=$id decoded as $kind")
+    }
   }
 
   test("builder round-trip equals the generating formula (the oracle's arithmetic)") {
