@@ -254,9 +254,37 @@ object ScaleProbe {
             .bm25TopKSegmented(spark, name, path, q16, k = 10).count())
         }
         println(f"[scale] bm25seg_serve ${nDocs / 1000000}M docs (run $rep/$repeats): $tServe%.1f s")
-        Seq(s"${name}__base", s"${name}__delta")
+        // fan-out leg: the SAME corpus as 8 segments — quantifies the
+        // per-segment serve overhead (8 pruned scans + plan fan-out vs
+        // 2) that tells an operator when to schedule compactBm25Index
+        val name8 = s"${name}8"
+        val path8 = s"/tmp/$name8"
+        (0 until 8).foreach { sgm =>
+          operators.Retrieval.appendBm25Segment(
+            docsN.where(org.apache.spark.sql.functions.col("doc_id") % 8 === sgm),
+            "text", "doc_id", name8, path8, nBuckets = 64, segment = s"s$sgm")
+        }
+        val tServe8 = time {
+          println("  8-segment rows: " + operators.Retrieval
+            .bm25TopKSegmented(spark, name8, path8, q16, k = 10).count())
+        }
+        println(f"[scale] bm25seg_serve_8seg ${nDocs / 1000000}M docs (run $rep/$repeats): $tServe8%.1f s")
+        val tCompact = time {
+          operators.Retrieval.compactBm25Index(spark, name8, path8,
+            s"${name8}c", s"/tmp/${name8}c", nBuckets = 64)
+        }
+        println(f"[scale] bm25seg_compact8 ${nDocs / 1000000}M docs (run $rep/$repeats): $tCompact%.1f s")
+        val tServeC = time {
+          println("  compacted rows: " + operators.Retrieval
+            .bm25TopKSegmented(spark, s"${name8}c", s"/tmp/${name8}c", q16, k = 10).count())
+        }
+        println(f"[scale] bm25seg_serve_compacted ${nDocs / 1000000}M docs (run $rep/$repeats): $tServeC%.1f s")
+        (Seq(s"${name}__base", s"${name}__delta", s"${name8}c__0") ++
+          (0 until 8).map(sgm => s"${name8}__s$sgm"))
           .foreach(graft.sources.Bucketed.drop(spark, _))
         BenchData.deleteRecursively(path)
+        BenchData.deleteRecursively(path8)
+        BenchData.deleteRecursively(s"/tmp/${name8}c")
         docsN.unpersist(blocking = true)
         settle()
       }

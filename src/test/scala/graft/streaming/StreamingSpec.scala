@@ -766,6 +766,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming BM25 segment ingest: per-micro-batch segments serve exact BM25 over arrivals") {
+    import graft.operators.Retrieval
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(59)
+    val vocab = Seq("apple", "banana", "cherry", "date", "fig", "grape")
+    val all = (0L until 90L).map { i =>
+      (i, Seq.fill(3 + (i % 4).toInt)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val q = Seq(0L -> "apple banana", 1L -> "cherry fig")
+    val tag = s"stream_${System.nanoTime()}"
+    val name = s"graft_bm25st_$tag"
+    val path = s"/tmp/$name"
+    val input = MemoryStream[(Long, String)]
+    val query = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (mb: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamingSom.appendBm25SegmentBatch(mb, "text", "doc_id",
+          name, path, nBuckets = 4, batchId = id)
+      }
+      .start()
+    try {
+      val (b1, b2) = all.splitAt(50)
+      input.addData(b1: _*); query.processAllAvailable()
+      // exact over what has arrived so far (df/avgdl from b1 alone)
+      val mid = Retrieval.bm25TopKSegmented(spark, name, path, q, 10)
+        .orderBy("qid", "rank").collect().toSeq
+      val midRef = Retrieval.bm25TopK(b1.toDF("doc_id", "text"), "text",
+        "doc_id", q, 10).orderBy("qid", "rank").collect().toSeq
+      assert(mid == midRef)
+      input.addData(b2: _*); query.processAllAvailable()
+      val end = Retrieval.bm25TopKSegmented(spark, name, path, q, 10)
+        .orderBy("qid", "rank").collect().toSeq
+      val endRef = Retrieval.bm25TopK(all.toDF("doc_id", "text"), "text",
+        "doc_id", q, 10).orderBy("qid", "rank").collect().toSeq
+      assert(end == endRef)
+    } finally {
+      query.stop()
+      Seq(s"${name}__b0", s"${name}__b1")
+        .foreach(graft.sources.Bucketed.drop(spark, _))
+      graft.BenchData.deleteRecursively(path)
+    }
+  }
+
   test("streaming IVF+SQ index ingest: micro-batch appends == one-shot rebuild, serving untouched") {
     import graft.operators.Similarity
     implicit val sqlCtx = spark.sqlContext
