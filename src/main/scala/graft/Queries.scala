@@ -107,7 +107,15 @@ object Queries {
     .empty[(SparkSession, String), (DataFrame, graft.operators.LogitTrain.Model)]
   private def trainedGate(s: SparkSession, dir: String)
       : (DataFrame, graft.operators.LogitTrain.Model) = {
-    if (gateCache.size > 8 && !gateCache.contains((s, dir))) gateCache.clear()
+    // evict only OTHER sessions' entries at the cap: a wholesale clear()
+    // would drop the live session's trained gates too, and a test
+    // rotating >8 (session, dir) pairs would thrash back to retraining
+    // every call (advice finding); dead sessions' strong keys are also
+    // exactly what this releases
+    if (gateCache.size > 8 && !gateCache.contains((s, dir))) {
+      gateCache.keys.filter(_._1 ne s).foreach(gateCache.remove)
+      if (gateCache.size > 8) gateCache.clear() // one session, >8 dirs
+    }
     gateCache.getOrElseUpdate((s, dir), {
       val feats = graft.operators.LogitTrain.features(docs(s, dir),
         "text", "doc_id", logitLabel)

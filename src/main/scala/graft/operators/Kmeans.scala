@@ -217,31 +217,43 @@ object Kmeans {
             .otherwise(col("__md2")).as("__md2"),
           when(col("__na.d2") < col("__md2"), col("__na.cid") + lit(baseIdx))
             .otherwise(col("__cid")).as("__cid"))
+    val md29 = round(col("__md2"), 9)
+    // φ (exact order-independent sum of the scale-9 running-min grid)
+    // doubles as the persist's materializing action: ONE pass both
+    // caches the new state and returns the next round's threshold
+    // denominator — the old shape paid a count() to materialize PLUS a
+    // separate φ scan at the top of every round (2 extra passes over
+    // the full corpus per round at probe scale)
+    def phiOf(df: DataFrame): Double = {
+      val phiRow = df.select(
+        sum(md29.cast(org.apache.spark.sql.types.DecimalType(38, 9))).as("phi"))
+        .collect()(0)
+      if (phiRow.isNullAt(0)) 0.0 else phiRow.getDecimal(0).doubleValue()
+    }
     var state = Materialize.once(data, "__na",
         KmeansFunctions.kmeans_assign(col("__v"),
           Model(Array(first(0))).flat, dim))
       .select(col("__id"), col("__v"), col("__na.d2").as("__md2"),
         lit(0).as("__cid"))
       .persist(mem)
-    state.count()
-    val md29 = round(col("__md2"), 9)
+    // φ only changes when the state changes, so it is carried between
+    // rounds instead of recomputed — a no-new-candidates round now costs
+    // zero jobs where it used to re-scan for an identical φ
+    var phi = phiOf(state)
     var r = 0
     while (r < rounds) {
-      // φ: exact order-independent sum of the scale-9 running-min grid
-      val phiRow = state.select(
-        sum(md29.cast(org.apache.spark.sql.types.DecimalType(38, 9))).as("phi"))
-        .collect()(0)
-      val phi =
-        if (phiRow.isNullAt(0)) 0.0 else phiRow.getDecimal(0).doubleValue()
       if (phi > 0.0) {
         val u = (conv(substring(md5(concat_ws(":", lit(s"$salt|sc$r"),
             col("__id"))), 1, 13), 16, 10)
           .cast("long").cast("double") + 0.5) / lit(4503599627370496.0) // 2^52
+        // collect unsorted and sort driver-side: the old orderBy forced
+        // a range-partitioning Exchange (plus its sampling pass) over
+        // the filtered rows just to fix the ~ell-row iteration order
         val picked = state
           .where(u < lit(ell.toDouble) * md29 / lit(phi))
-          .orderBy(col("__id"))
           .select(col("__id"), col("__v"))
           .collect()
+          .sortBy(_.getLong(0))
         require(picked.length <= 64 * ell,
           s"scalable init round $r selected ${picked.length} candidates " +
             s"(expected ~$ell) — pathological d² skew; raise rounds or " +
@@ -258,7 +270,7 @@ object Kmeans {
           val newFlat =
             Model(cand.slice(baseIdx, cand.length).map(_._2).toArray).flat
           val next = merged(state, newFlat, baseIdx).persist(mem)
-          next.count()
+          phi = phiOf(next) // materializes the persist AND updates φ
           state.unpersist(blocking = false)
           state = next
         }
@@ -292,10 +304,16 @@ object Kmeans {
       j += 1
     }
     val pickedIdx = scala.collection.mutable.ArrayBuffer[Int]()
-    def updateMin(cIdx: Int): Unit = {
+    // each i is independent (reads vecs, writes only minD2(i)) and the
+    // per-i arithmetic is the unchanged sequential IEEE dim loop, so
+    // splitting the range across cores is bit-identical; serial below
+    // the threshold where fork-join overhead beats the win. This keeps
+    // the O(k·candidates·dim) greedy from going single-threaded-hours
+    // at IVF-scale k (the round-10 verdict note)
+    def updateMinRange(cIdx: Int, lo: Int, hi: Int): Unit = {
       val c = vecs(cIdx)
-      var i = 0
-      while (i < nC) {
+      var i = lo
+      while (i < hi) {
         if (!chosen(i)) {
           val v = vecs(i)
           var s = 0.0; var d = 0
@@ -305,6 +323,16 @@ object Kmeans {
         i += 1
       }
     }
+    def updateMin(cIdx: Int): Unit =
+      if (nC.toLong * dim < (1 << 18)) updateMinRange(cIdx, 0, nC)
+      else {
+        val cores = Runtime.getRuntime.availableProcessors()
+        val chunk = math.max(1, (nC + cores - 1) / cores)
+        java.util.stream.IntStream.range(0, (nC + chunk - 1) / chunk)
+          .parallel()
+          .forEach(b => updateMinRange(cIdx, b * chunk,
+            math.min(nC, (b + 1) * chunk)))
+      }
     chosen(seedIdx) = true; pickedIdx += seedIdx; updateMin(seedIdx)
     while (pickedIdx.length < k && pickedIdx.length < nC) {
       var bi = -1; var bs = -1.0

@@ -110,12 +110,59 @@ object LogitTrain {
     (w2, mean9(sums(dim)))
   }
 
-  /** `iters` full-batch gradient steps from the all-zero init over a
-    * `(x, y)` feature frame (one Spark job per iteration; the input is
-    * cached here and released before returning). `y` must be 0/1-ish
-    * (any double works arithmetically; the residual is `p − y`).
+  /** Above this row count the iteration loop stays distributed; at or
+    * below it the features collect once and the remaining iterations
+    * run driver-local. A labeled training sample this small pays more
+    * per iteration in job scheduling (one full Spark job per GD step)
+    * than in arithmetic — 150 iterations over a few thousand rows is
+    * ~150 x ~40 ms of pure driver/scheduler overhead — and the local
+    * loop is BIT-IDENTICAL by construction: the per-row contribution is
+    * the same sequential IEEE arithmetic as [[graft.plans.LogitGrad]]
+    * (same scale-9 rounding), and the scale-9 long sums are exact and
+    * order-independent, so summing driver-side instead of per-partition
+    * cannot change a single bit (`LogitTrainSpec` pins the equality).
+    * At 65,536 rows the collected features are ≤ ~3 MB — driver-trivial.
     */
-  def train(feats: DataFrame, iters: Int, lr: Double): Model = {
+  val localTrainMaxRows = 65536L
+
+  /** The driver-local twin of [[gradSums]]: identical per-row
+    * arithmetic ([[graft.plans.LogitKernel.grad]]'s spelled-out loop),
+    * identical exact long sums.
+    */
+  private def gradSumsLocal(xs: Array[Array[Double]], ys: Array[Double],
+                            w: Array[Double]): Array[Long] = {
+    val sums = new Array[Long](dim + 1)
+    var rIdx = 0
+    while (rIdx < xs.length) {
+      val x = xs(rIdx)
+      var z = 0.0
+      var i = 0
+      while (i < dim) { z += w(i) * x(i); i += 1 }
+      val p = 0.5 * (1.0 + z / (1.0 + math.abs(z)))
+      val r = p - ys(rIdx)
+      i = 0
+      while (i < dim) {
+        sums(i) += graft.plans.VecScale9Kernel.scale9(r * x(i)); i += 1
+      }
+      sums(dim) += graft.plans.VecScale9Kernel.scale9(r * r)
+      rIdx += 1
+    }
+    sums
+  }
+
+  /** `iters` full-batch gradient steps from the all-zero init over a
+    * `(x, y)` feature frame (the input is cached here and released
+    * before returning). `y` must be 0/1-ish (any double works
+    * arithmetically; the residual is `p − y`).
+    *
+    * The FIRST iteration always runs distributed (it establishes `n`
+    * with no extra job); when `n <= localMaxRows` the features collect
+    * once and the remaining iterations run driver-local — same bits,
+    * see [[localTrainMaxRows]]. Pass `localMaxRows = 0` to force every
+    * iteration distributed (the spec uses it to pin the equality).
+    */
+  def train(feats: DataFrame, iters: Int, lr: Double,
+            localMaxRows: Long = localTrainMaxRows): Model = {
     require(iters >= 1, s"logit training needs iters >= 1, got $iters")
     require(lr > 0.0 && !lr.isNaN && !lr.isInfinite,
       s"logit training needs a positive finite learning rate, got $lr")
@@ -126,10 +173,21 @@ object LogitTrain {
       var mse = Double.NaN
       var n = 0L
       var it = 0
+      var local: Option[(Array[Array[Double]], Array[Double])] = None
       while (it < iters) {
-        val (s, nn) = gradSums(data, w)
-        require(nn > 0, "cannot train a logit model on an empty dataset")
-        n = nn
+        val (s, nn) = local match {
+          case Some((xs, ys)) => (gradSumsLocal(xs, ys, w).toSeq, n)
+          case None =>
+            val (sd, nd) = gradSums(data, w)
+            require(nd > 0, "cannot train a logit model on an empty dataset")
+            n = nd
+            if (n <= localMaxRows && it + 1 < iters) {
+              val rows = data.collect()
+              local = Some((rows.map(_.getSeq[Double](0).toArray),
+                rows.map(_.getDouble(1))))
+            }
+            (sd, nd)
+        }
         val (w2, m) = applyStep(w, s, n, lr)
         mse = m
         w = w2

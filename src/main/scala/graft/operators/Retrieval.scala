@@ -236,9 +236,9 @@ object Retrieval {
     * would be invalidated by every append (df is corpus-global). The
     * serve path's bucket-pruned scan reads every surviving posting of
     * each queried term ANYWAY, so [[bm25TopKSegmented]] recomputes df
-    * exactly there for the cost of one term-bounded window — which
-    * makes appends AND deletes exact by construction instead of by
-    * invalidation. Segments must carry disjoint doc_ids (the same
+    * exactly there with one map-side-combined per-term aggregate —
+    * which makes appends AND deletes exact by construction instead of
+    * by invalidation. Segments must carry disjoint doc_ids (the same
     * contract as the IVF appends).
     */
   def appendBm25Segment(docs: DataFrame, textCol: String, idCol: String,
@@ -298,8 +298,9 @@ object Retrieval {
   /** Serve a query batch from a segmented index, pending tombstones
     * applied: per segment one bucket-pruned postings scan, unioned;
     * tombstoned docs anti-joined out; df recomputed EXACTLY over the
-    * surviving scanned rows (one term-bounded window — each posting
-    * row is a distinct (doc, term), so count(*) per token IS df);
+    * surviving scanned rows (a map-side-combined per-token count —
+    * each posting row is a distinct (doc, term), so count(*) per token
+    * IS df — broadcast-joined back, so no posting row re-shuffles);
     * corpus stats = Σ segment stats minus the tombstoned docs'
     * doc-values (exact longs). Output is row-for-row what
     * [[bm25TopK]] returns over the surviving corpus — the spec and
@@ -340,9 +341,19 @@ object Retrieval {
             (col("sum_dl") - col("dead_dl")).as("sum_dl"))
     }
 
+    // df per term = count of surviving postings (each posting row is a
+    // distinct (doc, term)) via a MAP-SIDE-COMBINED aggregate, broadcast
+    // back — the bm25TopK spelling. The previous count(*) window over
+    // the unioned postings forced an Exchange of every scanned posting
+    // row (the union of per-segment bucketed tables does not preserve
+    // bucketing) AND pinned each hot token's full posting list on ONE
+    // task at serve time; the aggregate reduces every partition to
+    // ≤ |query vocab| rows before its exchange and re-attaches df with
+    // a broadcast join, so NO posting row is ever re-shuffled at serve.
+    // Same df values by construction — count per token either way.
+    val dfs = posts.groupBy("token").agg(count(lit(1)).as("df"))
     val contrib = posts
-      .withColumn("df", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("token")))
+      .join(broadcast(dfs), Seq("token"))
       .crossJoin(broadcast(stats))
       .join(qdf, Seq("token"))
       .select(col("qid"), col("doc_id"), contribCol(k1, b).as("c"))

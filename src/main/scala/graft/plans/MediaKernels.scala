@@ -103,10 +103,17 @@ object MediaKernels {
     val h = math.abs(hSigned)
     // stride in LONG: `w * 3 + 3` overflows Int for w >= ~715M, turning
     // the stride negative and defeating the bounds check (the decoder
-    // must never throw on a corrupt header — it falls back to raw)
+    // must never throw on a corrupt header — it falls back to raw).
+    // The bounds check itself must be overflow-free too: strideL * h
+    // wraps negative for w ≈ Int.Max, h ≈ 1.6e9 (strideL ≈ 6.4e9), so a
+    // crafted ~60-byte header would sail past `dataOff + strideL * h >
+    // b.length` and the pixel loop would throw — compare via division
+    // instead of multiplying
     val strideL = ((w.toLong * 3 + 3) / 4) * 4
-    if (dataOff < 54 || dataOff.toLong + strideL * h > b.length) return null
-    val stride = strideL.toInt // fits: strideL * h <= b.length above
+    if (dataOff < 54 || dataOff > b.length) return null
+    val room = b.length.toLong - dataOff
+    if (strideL > room || h.toLong > room / strideL) return null
+    val stride = strideL.toInt // fits: strideL <= room <= Int.MaxValue
     var sumB = 0L; var sumG = 0L; var sumR = 0L; var peak = 0L
     var rowI = 0
     while (rowI < h) {

@@ -86,6 +86,19 @@ class LogitSpec extends SparkSpec {
     assert((5L to 8L).forall(!scores(_)))
   }
 
+  test("driver-local fast path == forced-distributed loop, bit-for-bit") {
+    val feats = LogitTrain.features(toyDocs, "text", "doc_id", col("label"))
+    // localMaxRows = 0 forces every iteration through the distributed
+    // gradSums path; the default takes the collect-once local loop after
+    // iteration 1 — the two must agree exactly (same per-row IEEE
+    // arithmetic, same order-independent scale-9 long sums)
+    val dist = LogitTrain.train(feats, iters = 12, lr = 0.3, localMaxRows = 0L)
+    val loc = LogitTrain.train(feats, iters = 12, lr = 0.3)
+    assert(dist.weights.toSeq == loc.weights.toSeq)
+    assert(dist.mse == loc.mse)
+    assert(dist.n == loc.n)
+  }
+
   test("partitioning-invariant: 1 vs 7 partitions, identical weights") {
     val feats = LogitTrain.features(toyDocs, "text", "doc_id", col("label"))
     val a = LogitTrain.train(feats.repartition(1), iters = 8, lr = 0.3)

@@ -122,6 +122,14 @@ class MediaSpec extends SparkSpec {
     val minH = goldenBmp.clone()
     le32(Int.MinValue).zipWithIndex.foreach { case (b, i) => minH(22 + i) = b }
     assert(decoded(minH)._1 == "raw")
+    // strideL * h overflowing LONG: w = Int.MaxValue gives strideL ≈
+    // 6.4e9, and h = 1.6e9 wraps the product negative — a naive
+    // `dataOff + strideL * h > length` check passes and the pixel loop
+    // throws (advice finding); the division-form guard must reject it
+    val wrapLong = goldenBmp.clone()
+    le32(Int.MaxValue).zipWithIndex.foreach { case (b, i) => wrapLong(18 + i) = b }
+    le32(1600000000).zipWithIndex.foreach { case (b, i) => wrapLong(22 + i) = b }
+    assert(decoded(wrapLong)._1 == "raw")
   }
 
   test("syntheticPayload is total over negative ids (floorMod'd size params)") {
