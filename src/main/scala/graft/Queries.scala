@@ -1812,6 +1812,21 @@ object Queries {
             col("n"))
       }),
 
+      // the SAME fit with the driver-local small-input fast path
+      // disabled (localMaxRows = 0): keeps the DISTRIBUTED iteration
+      // loop (codegen assignment kernel + VecSumCount exchange)
+      // oracle-gated at every SF now that the tiny-corpus default
+      // dispatches locally — the som_train_distributed convention;
+      // byte-identical output to kmeans_centroids is the contract
+      "kmeans_train_distributed" -> ((s, dir) => {
+        val e = emb(s, dir)
+        val m = graft.operators.Kmeans.fit(e, "embedding", "vec_id",
+          k = 8, iters = 6, localMaxRows = 0L)
+        graft.operators.Kmeans.centroidsDf(e, "embedding", "vec_id", m)
+          .select(col("cid"), col("dim"), round(col("w"), 6).as("w"),
+            col("n"))
+      }),
+
       // the assignment pass: every vector's cell and squared distance
       // (pins each row's argmin AND its d2 arithmetic)
       "kmeans_assign" -> ((s, dir) => {
@@ -2326,12 +2341,18 @@ object Queries {
     * precomputed rows are (re)derived, so the cache's provenance is
     * mechanically checkable at any time.
     */
-  lazy val oracles: Map[String, String] =
+  lazy val oracles: Map[String, String] = {
     // IndependentOracles entries (BPE) have no live SQL form in ANY
     // mode — the independent Python derivation is their only oracle
-    (if (sys.env.contains("GRAFT_FULL_REPLAY")) liveOracles
-     else liveOracles ++ PrecomputedOracles.sql.view
-       .filterKeys(liveOracles.contains).toMap) ++ IndependentOracles.sql
+    val base =
+      (if (sys.env.contains("GRAFT_FULL_REPLAY")) liveOracles
+       else liveOracles ++ PrecomputedOracles.sql.view
+         .filterKeys(liveOracles.contains).toMap) ++ IndependentOracles.sql
+    // the forced-distributed twin computes byte-identically to
+    // kmeans_centroids — one independent oracle gates both paths
+    base ++ base.get("kmeans_centroids")
+      .map("kmeans_train_distributed" -> _)
+  }
 
   /** Every oracle in full-replay form (the precomputed entries' source
     * of truth; `gen_precomputed_oracles.py` consumes this via

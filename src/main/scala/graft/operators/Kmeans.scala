@@ -368,15 +368,153 @@ object Kmeans {
     picked.map(_._2).toArray
   }
 
+  /** At or below this row count [[fit]] collects the slim projection
+    * once and runs init + iterations driver-local — the [[graft.som.Som]]
+    * `localFitThreshold` pattern. A 2,000-row coarse-quantizer fit paid
+    * ~1 + iters Spark jobs of pure scheduler overhead (~50 ms each);
+    * the local twin is BIT-IDENTICAL by construction: the same
+    * sequential IEEE argmin loop as [[graft.plans.KmeansKernel.assign]],
+    * the same `VecScale9Kernel.scale9` per-element rounding, exact
+    * order-independent long sums, the same scale-9 HALF_UP division,
+    * and the same md5-hex init ordering (`KmeansSpec` pins
+    * local == forced-distributed across all three init methods, and the
+    * `kmeans_train_distributed` query keeps the distributed loop
+    * oracle-gated at every SF). 65,536 x 64-dim rows collect to
+    * ≤ ~34 MB — driver-trivial; pass 0 to force the distributed loop.
+    */
+  val localFitMaxRows = 65536L
+
+  /** Spark's `md5()` spelling (lowercase hex over UTF-8 bytes) for the
+    * local init's content-keyed ordering.
+    */
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xF, 16))
+      sb.append(Character.forDigit(d(i) & 0xF, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Driver-local Lloyd's over collected rows — the exact twin of the
+    * distributed loop (see [[localFitMaxRows]]). `rows` must be sorted
+    * by id ascending (ties in the farthest-init argmax and the hash
+    * init resolve on id like the distributed orderBys).
+    */
+  private def fitLocal(rows: Array[(Long, Array[Double])], k: Int,
+                       iters: Int, salt: String, initMethod: String,
+                       scalableInit: Option[Array[Array[Double]]]): Model = {
+    require(rows.length >= k,
+      s"kmeans init needs >= $k non-null vectors, found ${rows.length}")
+    val dim = rows(0)._2.length
+    val n = rows.length
+    // the kernel's dimension guard, once per row instead of per access
+    rows.foreach(r => if (r._2.length != dim)
+      throw new IllegalArgumentException(
+        s"Received ${r._2.length} features, expected $dim."))
+    def d2(x: Array[Double], c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val t = x(i) - c(i); s += t * t; i += 1 }
+      s
+    }
+    val c: Array[Array[Double]] = initMethod match {
+      case "scalable" => scalableInit.get
+      case "hash" =>
+        rows.map { case (id, v) => (md5Hex(s"$salt:$id"), id, v) }
+          .sortBy(t => (t._1, t._2)).take(k).map(_._3.clone())
+      case "farthest" =>
+        require(k <= farthestMaxK,
+          s"farthest-first init runs k-1 sequential full scans and is capped " +
+            s"at k <= $farthestMaxK; use initMethod='scalable' " +
+            s"(k-means||-style, O(rounds) scans) for k = $k")
+        val seed = rows.map { case (id, v) => (md5Hex(s"$salt:$id"), id, v) }
+          .minBy(t => (t._1, t._2))._3
+        val picked = scala.collection.mutable.ArrayBuffer[Array[Double]](seed.clone())
+        // running min-d2 to the picked set: IEEE min via strict < — the
+        // same VALUE the kernel's full-set argmin produces
+        val minD2 = rows.map(r => d2(r._2, seed))
+        while (picked.length < k) {
+          var bi = 0; var bv = minD2(0)
+          var i = 1
+          while (i < n) { // rows are id-ascending: strict > keeps the lowest id on ties
+            if (minD2(i) > bv) { bv = minD2(i); bi = i }
+            i += 1
+          }
+          val nxt = rows(bi)._2
+          picked += nxt.clone()
+          i = 0
+          while (i < n) {
+            val nd = d2(rows(i)._2, nxt)
+            if (nd < minD2(i)) minD2(i) = nd
+            i += 1
+          }
+        }
+        picked.toArray
+      case other => throw new IllegalArgumentException(
+        s"initMethod must be 'hash', 'farthest' or 'scalable', got '$other'")
+    }
+    // per-element scale-9 longs computed once (the cached __vl column)
+    val vl = rows.map(_._2.map(graft.plans.VecScale9Kernel.scale9))
+    var it = 0
+    while (it < iters) {
+      val sums = Array.ofDim[Long](k, dim)
+      val counts = new Array[Long](k)
+      var r = 0
+      while (r < n) {
+        val x = rows(r)._2
+        // the kernel's argmin: sequential d2, strict < ties to lowest cid
+        var best = 0; var bestV = Double.MaxValue
+        var j = 0
+        while (j < k) {
+          val dd = d2(x, c(j))
+          if (dd < bestV) { bestV = dd; best = j }
+          j += 1
+        }
+        counts(best) += 1
+        val l = vl(r)
+        var d = 0
+        while (d < dim) { sums(best)(d) += l(d); d += 1 }
+        r += 1
+      }
+      var j = 0
+      while (j < k) {
+        if (counts(j) > 0) { // empty clusters keep their previous centroid
+          var d = 0
+          while (d < dim) {
+            c(j)(d) = java.math.BigDecimal.valueOf(sums(j)(d), 9)
+              .divide(java.math.BigDecimal.valueOf(counts(j)), 9,
+                java.math.RoundingMode.HALF_UP).doubleValue
+            d += 1
+          }
+        }
+        j += 1
+      }
+      it += 1
+    }
+    Model(c)
+  }
+
   /** `iters` Lloyd's iterations from the seeded init (`initMethod` =
     * "hash" for the md5-keyed sample, "farthest" for Gonzalez
     * farthest-first traversal — k <= [[farthestMaxK]] — or "scalable"
     * for the k-means||-style large-k init). Empty clusters keep their
     * previous centroid (the standard convention; the guard mirrors
     * `_merge_updates`' zero-denominator rule).
+    *
+    * Inputs of at most `localMaxRows` rows dispatch to the driver-local
+    * twin ([[fitLocal]] — identical bits, see [[localFitMaxRows]]);
+    * the k-means|| init always runs distributed (its O(rounds) scans
+    * are the point of that path) with only the iteration loop going
+    * local.
     */
   def fit(df: DataFrame, vecCol: String, idCol: String, k: Int, iters: Int,
-          salt: String = "km", initMethod: String = "hash"): Model = {
+          salt: String = "km", initMethod: String = "hash",
+          localMaxRows: Long = localFitMaxRows): Model = {
+    require(k > 0, s"kmeans needs k > 0, got $k")
     require(iters >= 0, s"kmeans needs iters >= 0, got $iters")
     require(initMethod == "hash" || initMethod == "farthest" ||
         initMethod == "scalable",
@@ -391,39 +529,56 @@ object Kmeans {
       .withColumn("__vl", KmeansFunctions.vec_scale9(col("__v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val c = initMethod match {
-        case "farthest" => initFarthestCentroids(data, "__v", "__id", k, salt)
-        case "scalable" => initScalableCentroids(data, "__v", "__id", k, salt)
-        case _ => initCentroids(data, "__v", "__id", k, salt)
-      }
-      val dim = c(0).length
-      var it = 0
-      while (it < iters) {
-        val flat = Model(c).flat
-        val sums = data
-          .select(KmeansFunctions.kmeans_assign(col("__v"), flat, dim)
-            .getField("cid").as("cid"), col("__vl"))
-          .groupBy("cid")
-          .agg(KmeansFunctions.vec_sum_count(col("__vl"), dim).as("sc"))
-          .select(col("cid"), col("sc.sums"), col("sc.n"))
-          .collect()
-        sums.foreach { r =>
-          val cid = r.getInt(0)
-          val s = r.getSeq[Long](1)
-          val n = r.getLong(2)
-          var d = 0
-          while (d < dim) {
-            // BigDecimal(unscaled, 9) / n at scale 9 HALF_UP — the same
-            // numbers the DECIMAL(28,9)-sum spelling produced
-            c(cid)(d) = java.math.BigDecimal.valueOf(s(d), 9)
-              .divide(java.math.BigDecimal.valueOf(n), 9,
-                java.math.RoundingMode.HALF_UP).doubleValue
-            d += 1
-          }
+      // ONE CollectLimit probe decides the dispatch: < localMaxRows + 1
+      // rows back means we already hold the whole projection
+      val probe =
+        if (localMaxRows > 0)
+          data.select(col("__id"), col("__v"))
+            .limit((localMaxRows + 1).min(Int.MaxValue.toLong).toInt).collect()
+        else null
+      if (probe != null && probe.length <= localMaxRows) {
+        val rows = probe.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          .sortBy(_._1)
+        val scalableInit =
+          if (initMethod == "scalable")
+            Some(initScalableCentroids(data, "__v", "__id", k, salt))
+          else None
+        fitLocal(rows, k, iters, salt, initMethod, scalableInit)
+      } else {
+        val c = initMethod match {
+          case "farthest" => initFarthestCentroids(data, "__v", "__id", k, salt)
+          case "scalable" => initScalableCentroids(data, "__v", "__id", k, salt)
+          case _ => initCentroids(data, "__v", "__id", k, salt)
         }
-        it += 1
+        val dim = c(0).length
+        var it = 0
+        while (it < iters) {
+          val flat = Model(c).flat
+          val sums = data
+            .select(KmeansFunctions.kmeans_assign(col("__v"), flat, dim)
+              .getField("cid").as("cid"), col("__vl"))
+            .groupBy("cid")
+            .agg(KmeansFunctions.vec_sum_count(col("__vl"), dim).as("sc"))
+            .select(col("cid"), col("sc.sums"), col("sc.n"))
+            .collect()
+          sums.foreach { r =>
+            val cid = r.getInt(0)
+            val s = r.getSeq[Long](1)
+            val nn = r.getLong(2)
+            var d = 0
+            while (d < dim) {
+              // BigDecimal(unscaled, 9) / n at scale 9 HALF_UP — the same
+              // numbers the DECIMAL(28,9)-sum spelling produced
+              c(cid)(d) = java.math.BigDecimal.valueOf(s(d), 9)
+                .divide(java.math.BigDecimal.valueOf(nn), 9,
+                  java.math.RoundingMode.HALF_UP).doubleValue
+              d += 1
+            }
+          }
+          it += 1
+        }
+        Model(c)
       }
-      Model(c)
     } finally { data.unpersist(); () }
   }
 
@@ -560,12 +715,23 @@ object Kmeans {
     * filter, so only the probed cells' directories are ever listed.
     */
   def writeAssignedIndex(df: DataFrame, vecCol: String, idCol: String,
-                         model: Model, path: String): Unit =
+                         model: Model, path: String,
+                         filesPerCell: Int = Similarity.defaultFilesPerCell): Unit = {
+    require(filesPerCell > 0,
+      s"filesPerCell must be positive, got $filesPerCell")
+    // cell-clustered shuffle before the partitioned write: bounds the
+    // layout to ≤ k x filesPerCell files instead of tasks x cells (see
+    // Similarity.clusterByCell — same rationale, measured 5x on the
+    // write + fewer files for every future pruned serve); the
+    // content-derived salt keeps hot cells spread over filesPerCell
+    // tasks and task retries deterministic
     slim(df, vecCol, idCol)
       .select(col("__id").as("vec_id"), col("__v").as("vec"),
         KmeansFunctions.kmeans_assign(col("__v"), model.flat, model.dim)
           .getField("cid").cast("long").as("cid"))
+      .repartition(col("cid"), pmod(xxhash64(col("vec_id")), lit(filesPerCell)))
       .write.partitionBy("cid").parquet(path)
+  }
 
   /** Serve a query batch over a pre-assigned corpus — `assigned` is
     * either the inline assignment ([[ivfTopK]]) or a

@@ -50,11 +50,16 @@ class PrecomputedOracleSpec extends AnyFunSuite {
       }
     }
     // non-expensive oracles are identical in both modes (the
-    // INDEPENDENT-implementation oracles have no live form at all)
+    // INDEPENDENT-implementation oracles have no live form at all;
+    // kmeans_train_distributed is the forced-distributed twin that
+    // shares kmeans_centroids' independent oracle — also no live form)
     val live = Queries.liveOracles
-    (oracles.keySet -- expected -- IndependentOracles.sql.keySet).foreach { n =>
+    (oracles.keySet -- expected -- IndependentOracles.sql.keySet
+        - "kmeans_train_distributed").foreach { n =>
       assert(oracles(n) == live(n), s"$n unexpectedly differs from live form")
     }
+    assert(oracles("kmeans_train_distributed") == oracles("kmeans_centroids"),
+      "the forced-distributed twin must share kmeans_centroids' oracle")
   }
 
   test("independent oracles cover exactly the no-live-form queries, fail-loud") {

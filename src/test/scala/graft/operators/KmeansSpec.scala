@@ -69,6 +69,21 @@ class KmeansSpec extends SparkSpec {
     c
   }
 
+  test("driver-local fast path == forced-distributed fit, bit-for-bit, all inits") {
+    val (_, df) = synth(220, 5, parts = 7)
+    for (init <- Seq("hash", "farthest", "scalable")) {
+      // default dispatch takes the local twin at 220 rows;
+      // localMaxRows = 0 forces the distributed loop — identical bits
+      val loc = Kmeans.fit(df, "embedding", "vec_id", k = 5, iters = 4,
+        salt = "lp", initMethod = init)
+      val dist = Kmeans.fit(df, "embedding", "vec_id", k = 5, iters = 4,
+        salt = "lp", initMethod = init, localMaxRows = 0L)
+      for (j <- 0 until 5)
+        assert(loc.centroids(j).sameElements(dist.centroids(j)),
+          s"init=$init centroid $j diverges between local and distributed")
+    }
+  }
+
   private def synth(n: Int, dim: Int, parts: Int) = {
     val rows = (0 until n).map { i =>
       val rnd = new scala.util.Random(i * 7919 + 13)
