@@ -40,9 +40,14 @@ object Dsir {
   /** md5-prefix hash bucket in [0, buckets): the first 8 hex chars as
     * an unsigned 32-bit value, mod buckets. Engine-portable: DuckDB
     * spells it `('0x' || substr(md5(t), 1, 8))::BIGINT % buckets`.
+    * Computed by the fused [[graft.plans.Md5PrefixLong]] kernel —
+    * bit-identical to the `conv(substr(md5(t),1,8),16,10)` spelling
+    * (spec-pinned) without the per-row hex-string/substring/conv-parse
+    * allocations, which were ~70% of the bucketing scan's pair-stream
+    * cost (`DsirProbe`).
     */
   def hashBucket(token: Column, buckets: Int): Column =
-    conv(substr(md5(token), lit(1), lit(8)), 16, 10).cast("long") % buckets
+    graft.plans.GraftFunctions.md5_prefix_long(token, 8) % buckets
 
   /** Per-document (bucket, tf) pairs — per-doc distinct terms from the
     * one-pass `token_tf` kernel, bucketed; no shuffle (the document is

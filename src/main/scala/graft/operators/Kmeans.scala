@@ -243,9 +243,11 @@ object Kmeans {
     var r = 0
     while (r < rounds) {
       if (phi > 0.0) {
-        val u = (conv(substring(md5(concat_ws(":", lit(s"$salt|sc$r"),
-            col("__id"))), 1, 13), 16, 10)
-          .cast("long").cast("double") + 0.5) / lit(4503599627370496.0) // 2^52
+        // fused md5-prefix kernel — same bits as the
+        // conv(substring(md5(..),1,13),16,10) spelling the oracle replays
+        val u = (graft.plans.GraftFunctions.md5_prefix_long(
+            concat_ws(":", lit(s"$salt|sc$r"), col("__id")), 13)
+          .cast("double") + 0.5) / lit(4503599627370496.0) // 2^52
         // collect unsorted and sort driver-side: the old orderBy forced
         // a range-partitioning Exchange (plus its sampling pass) over
         // the filtered rows just to fix the ~ell-row iteration order

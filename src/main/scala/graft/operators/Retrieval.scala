@@ -366,6 +366,15 @@ object Retrieval {
     * with no tombstones. The maintenance pass that bounds per-serve
     * segment fan-out — run it when segment count (not data size)
     * starts to dominate serve planning.
+    *
+    * SINGLE-WRITER FENCE (the deployment contract): the fold snapshots
+    * `_tombstones` when it reads them; a delete issued AFTER that read
+    * but BEFORE the deployment layer swaps serving to `outPath` lands
+    * only in the OLD epoch's side-table and would vanish with it.
+    * Maintenance must either quiesce deletes for the duration of the
+    * fold or replay the old epoch's post-snapshot `_tombstones` delta
+    * onto the new epoch (tombstones for already-folded ids are
+    * harmless no-ops) before the swap.
     */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
                        name: String, path: String,

@@ -210,9 +210,12 @@ object Sampling {
   def sampleByWeight(df: DataFrame, keyCol: String, weightCol: String,
                      k: Int, salt: String = ""): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val u = (conv(substring(md5(concat(lit(salt),
-        coalesce(col(keyCol).cast("string"), lit("\u0000")))), 1, 13),
-        16, 10).cast("long").cast("double") + 0.5) /
+    // fused md5-prefix kernel: same bits as
+    // conv(substring(md5(..),1,13),16,10)::long (spec-pinned), no
+    // per-row hex-string/conv allocations
+    val u = (graft.plans.GraftFunctions.md5_prefix_long(concat(lit(salt),
+        coalesce(col(keyCol).cast("string"), lit("\u0000"))), 13)
+        .cast("double") + 0.5) /
       lit(4503599627370496.0) // 2^52
     df.where(col(weightCol).isNotNull && col(weightCol) > 0.0)
       .withColumn("draw", round(-log(u) / col(weightCol), 9))

@@ -1156,6 +1156,15 @@ object Similarity {
     * and copies the params file verbatim. Off the serving path: build
     * the compacted copy, then swap directories atomically at the
     * deployment layer. Returns (input files, output files).
+    *
+    * SINGLE-WRITER FENCE (the deployment contract): the tombstone fold
+    * snapshots `tombstones/` when it reads them; a delete issued AFTER
+    * that read but BEFORE the swap lands only in the OLD epoch's
+    * side-table and would vanish with it. Maintenance must either
+    * quiesce deletes for the duration of the fold or replay the old
+    * epoch's post-snapshot tombstone delta onto the new epoch
+    * (tombstones for already-folded ids are harmless no-ops) before
+    * the swap.
     */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
                       path: String, outPath: String,

@@ -13,6 +13,36 @@ object HashKernels {
     */
   @inline private def isWs(c: Char): Boolean = c == ' ' || (c >= '\t' && c <= '\r')
 
+  private val md5Tl: ThreadLocal[java.security.MessageDigest] =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** The first `nHex` hex digits of md5(utf8 bytes) as an unsigned
+    * long — BIT-IDENTICAL to the engine-portable spelling
+    * `conv(substring(md5(s), 1, nHex), 16, 10) CAST long` (hex digit
+    * 2i is byte i's high nibble, 2i+1 its low nibble; nHex ≤ 15 keeps
+    * the value < 2^60), WITHOUT materializing the 32-char hex string,
+    * the substring copy, or conv's string parse per row. The md5
+    * arithmetic itself is unchanged, so DuckDB/Python oracles replay
+    * it exactly as before.
+    */
+  def md5PrefixLong(s: org.apache.spark.unsafe.types.UTF8String,
+                    nHex: Int): Long = {
+    val md = md5Tl.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < nHex) {
+      val b = d(i >> 1) & 0xFF
+      v = (v << 4) | (if ((i & 1) == 0) b >>> 4 else b & 0xF)
+      i += 1
+    }
+    v
+  }
+
   /** FNV-1a 64-bit over UTF-16 code units — stable, allocation-free. */
   def fnv64(s: CharSequence, from: Int, until: Int): Long = {
     var h = 0xcbf29ce484222325L

@@ -418,6 +418,44 @@ case class TokensOf(child: Expression) extends UnaryExpression {
   override def prettyName: String = "tokens_of"
 }
 
+/** `string -> long`: the first `nHex` hex digits of md5 as an unsigned
+  * long — the fused form of the engine-portable hash-draw spelling
+  * `conv(substring(md5(x), 1, nHex), 16, 10)::long` that DSIR
+  * bucketing, weighted sampling, shard routing and the k-means||
+  * coin flips all use. Same md5 arithmetic, same value
+  * ([[HashKernels.md5PrefixLong]], differential-pinned in
+  * `TextKernelsSpec`); skips the per-row 32-char hex string, the
+  * substring copy and conv's base-16 string parse (~70% of the
+  * per-(doc, token) stream cost in the DSIR scans — `DsirProbe`).
+  */
+case class Md5PrefixLong(child: Expression, nHex: Int)
+    extends UnaryExpression {
+  require(nHex > 0 && nHex <= 15, s"nHex must be in 1..15, got $nHex")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"md5_prefix_long expects string, got $dt")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.md5PrefixLong(input.asInstanceOf[UTF8String], nHex)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = HashKernels.getClass.getName.stripSuffix("$") // mirror-class static forwarders
+    defineCodeGen(ctx, ev, c => s"$kernel.md5PrefixLong($c, $nHex)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5PrefixLong =
+    copy(child = newChild)
+  override def prettyName: String = "md5_prefix_long"
+}
+
 /** Unicode NFC normalization as a codegen kernel call
   * (`TextKernels.nfcNormalize`): canonical composition so that visually
   * identical strings hash/dedup/tokenize identically — the first step
@@ -751,6 +789,9 @@ object GraftFunctions {
 
   def nfc_normalize(text: Column): Column =
     GraftBridge.column(NfcNormalizeOf(GraftBridge.expression(text)))
+
+  def md5_prefix_long(s: Column, nHex: Int): Column =
+    GraftBridge.column(Md5PrefixLong(GraftBridge.expression(s), nHex))
 
   def pq_encode(vec: Column, cb: Array[Double], m: Int, subDim: Int,
                 k: Int): Column =

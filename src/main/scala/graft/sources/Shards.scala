@@ -26,8 +26,10 @@ object Shards {
     */
   def shardOf(key: Column, nShards: Int, salt: String = "graft"): Column = {
     require(nShards > 0, s"nShards must be positive: $nShards")
-    pmod(conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 8),
-              16, 10).cast("long"), lit(nShards.toLong))
+    // fused md5-prefix kernel: same bits as
+    // conv(substring(md5(..),1,8),16,10)::long, no per-row hex string
+    pmod(graft.plans.GraftFunctions.md5_prefix_long(
+      concat(lit(salt), key.cast("string")), 8), lit(nShards.toLong))
   }
 
   /** Write `df` into `nShards` directories (`shard=K/`), one file per

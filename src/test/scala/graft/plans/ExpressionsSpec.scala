@@ -428,6 +428,31 @@ class ExpressionsSpec extends SparkSpec {
     assert(got("g2") == Seq(("q", 9L)))
   }
 
+  test("md5_prefix_long == conv(substring(md5(x),1,n),16,10)::long, bit-for-bit") {
+    // the fused kernel must reproduce the engine-portable spelling on
+    // every shape the draw/bucket sites feed it: plain tokens, salted
+    // concats, ids rendered as strings, unicode, empty, the NUL
+    // sentinel, and both prefix widths in use (8 and 13) plus the max 15
+    val inputs = Seq("alpha", "km|sc3:12345", "graft42", "", " ",
+      " ", "w9773", "héllo wörld", "日本語テキスト", "0",
+      "-9223372036854775808", "a" * 300)
+    val idf = inputs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "s")
+    for (n <- Seq(1, 8, 13, 15)) {
+      val rows = idf.select(col("id"),
+          GraftFunctions.md5_prefix_long(col("s"), n).as("fused"),
+          expr(s"cast(conv(substring(md5(s), 1, $n), 16, 10) as bigint)")
+            .as("spelled"))
+        .collect()
+      rows.foreach(r => assert(r.getLong(1) == r.getLong(2),
+        s"n=$n id=${r.getLong(0)}: fused ${r.getLong(1)} != spelled ${r.getLong(2)}"))
+    }
+    // null input -> null (nullIntolerant)
+    val nullRow = Seq((0L, Option.empty[String])).toDF("id", "s")
+      .select(GraftFunctions.md5_prefix_long(col("s"), 8)).collect()(0)
+    assert(nullRow.isNullAt(0))
+  }
+
   test("char_entropy: hand-computed distributions, unicode, empty text") {
     import spark.implicits._
     val rows = Seq(
