@@ -177,17 +177,30 @@ object KminitProbe {
     def newInit(): Array[Array[Double]] =
       Kmeans.initScalableCentroids(big, "embedding", "id", k)
 
-    // equality gate: identical centroid matrices
-    val a = oldInit(big, k)
-    val b = newInit()
-    require(a.length == b.length &&
-      a.zip(b).forall { case (x, y) => x.sameElements(y) },
-      "old/new scalable-init centroid matrices diverge")
-
+    // KMINIT_FAST=1: probe-regime mode — the 200k/1M runs already pin
+    // centroid equality, so at the ~200 s/rep regime skip the equality
+    // pass and time ONE interleaved A/B/A/B round instead of min-of-3
+    // (interleaving shares any machine drift across both arms)
+    val fast = sys.env.contains("KMINIT_FAST")
+    if (!fast) {
+      // equality gate: identical centroid matrices
+      val a = oldInit(big, k)
+      val b = newInit()
+      require(a.length == b.length &&
+        a.zip(b).forall { case (x, y) => x.sameElements(y) },
+        "old/new scalable-init centroid matrices diverge")
+    }
     jobs.set(0); oldInit(big, k); val oldJobs = jobs.get()
     jobs.set(0); newInit(); val newJobs = jobs.get()
-    val tOld = time3 { oldInit(big, k); () }
-    val tNew = time3 { newInit(); () }
+    val (tOld, tNew) =
+      if (fast) {
+        val o1 = time { oldInit(big, k); () }
+        val n1 = time { newInit(); () }
+        val o2 = time { oldInit(big, k); () }
+        val n2 = time { newInit(); () }
+        (math.min(o1, o2), math.min(n1, n2))
+      } else
+        (time3 { oldInit(big, k); () }, time3 { newInit(); () })
     println(f"[kminitprobe] n=$nRows k=$k old=$tOld%.3f s ($oldJobs jobs) " +
       f"new=$tNew%.3f s ($newJobs jobs) speedup=${tOld / tNew}%.2f")
     big.unpersist(blocking = false)

@@ -191,8 +191,21 @@ def init_scalable(rows, k, salt="km", rounds=5, oversample=None):
         chosen[bi] = True
         picked.append(bi)
         update_min(bi)
-    assert len(picked) == k, "scalable init pad path not mirrored (degenerate corpus)"
-    return [list(cvecs[i]) for i in picked]
+    out = [list(cvecs[i]) for i in picked]
+    if len(out) < k:
+        # degenerate corpus (fewer d2-selected candidates than k): the
+        # engine pads from the hash-init order under salt + "|pad",
+        # skipping already-chosen ids (Kmeans.initScalableCentroids) —
+        # mirrored here so oracle generation replays it instead of
+        # crashing (r11 advice fix)
+        chosen_ids = {ids[i] for i in picked}
+        rest = [(hashlib.md5(f"{salt}|pad:{rid}".encode()).hexdigest(), rid, v)
+                for rid, v in rows if rid not in chosen_ids]
+        rest.sort(key=lambda t: (t[0], t[1]))
+        for _h, _rid, v in rest[: k - len(out)]:
+            out.append(list(v))
+    assert len(out) == k, f"scalable init needs >= {k} distinct non-null vectors"
+    return out
 
 
 def fit(rows, k, iters, init="hash"):
