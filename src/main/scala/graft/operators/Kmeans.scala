@@ -531,15 +531,17 @@ object Kmeans {
       .withColumn("__vl", KmeansFunctions.vec_scale9(col("__v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // ONE CollectLimit probe decides the dispatch: < localMaxRows + 1
-      // rows back means we already hold the whole projection
-      val probe =
-        if (localMaxRows > 0)
-          data.select(col("__id"), col("__v"))
-            .limit((localMaxRows + 1).min(Int.MaxValue.toLong).toInt).collect()
-        else null
-      if (probe != null && probe.length <= localMaxRows) {
-        val rows = probe.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      // ONE tiny CollectLimit probe decides the dispatch: a constant
+      // projection, so a LARGE input ships ≤ localMaxRows + 1 ints to
+      // the driver (never 65k vectors) and proceeds distributed; a
+      // small input pays one more cheap job to collect the real rows
+      val small = localMaxRows > 0 && {
+        val lim = (localMaxRows + 1).min(Int.MaxValue.toLong).toInt
+        data.select(lit(1).as("__one")).limit(lim).count() <= localMaxRows
+      }
+      if (small) {
+        val rows = data.select(col("__id"), col("__v")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
           .sortBy(_._1)
         val scalableInit =
           if (initMethod == "scalable")
