@@ -45,7 +45,8 @@ object Explain {
         "sq_topk", "quality_train_score", "mine_hard_negatives",
         "label_consistency", "split_leakage", "char_entropy",
         "split_leakage_planted", "multimodal_decode_real",
-        "ann_ivfsq_append").foreach(show)
+        "ann_ivfsq_append", "kmeans_train_distributed",
+        "bm25_segmented").foreach(show)
     spark.stop()
   }
 }
