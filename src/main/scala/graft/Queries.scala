@@ -1861,6 +1861,22 @@ object Queries {
             col("n"))
       }),
 
+      // the forced-distributed twin (localMaxRows = 0 disables the
+      // r11 driver-local small-input dispatch in BOTH the k-means||
+      // oversampling rounds and the Lloyd's loop): byte-identical to
+      // kmeans_scalable_init by the twin contract, sharing its
+      // independent-Python oracle — keeps the distributed init rounds
+      // driver-checked at every SF (the kmeans_train_distributed
+      // convention)
+      "kmeans_scalable_init_distributed" -> ((s, dir) => {
+        val e = emb(s, dir)
+        val m = graft.operators.Kmeans.fit(e, "embedding", "vec_id",
+          k = 8, iters = 4, initMethod = "scalable", localMaxRows = 0L)
+        graft.operators.Kmeans.centroidsDf(e, "embedding", "vec_id", m)
+          .select(col("cid"), col("dim"), round(col("w"), 6).as("w"),
+            col("n"))
+      }),
+
       // SemDeDup with the paper's own quantizer (k-means cells) — the
       // SOM-celled dedup_semantic's sibling; same pair/resolve core
       "dedup_semantic_kmeans" -> ((s, dir) => {
@@ -2348,10 +2364,13 @@ object Queries {
       (if (sys.env.contains("GRAFT_FULL_REPLAY")) liveOracles
        else liveOracles ++ PrecomputedOracles.sql.view
          .filterKeys(liveOracles.contains).toMap) ++ IndependentOracles.sql
-    // the forced-distributed twin computes byte-identically to
-    // kmeans_centroids — one independent oracle gates both paths
+    // the forced-distributed twins compute byte-identically to their
+    // default-dispatch siblings — one independent oracle gates both
+    // paths of each
     base ++ base.get("kmeans_centroids")
-      .map("kmeans_train_distributed" -> _)
+      .map("kmeans_train_distributed" -> _) ++
+      base.get("kmeans_scalable_init")
+        .map("kmeans_scalable_init_distributed" -> _)
   }
 
   /** Every oracle in full-replay form (the precomputed entries' source

@@ -187,11 +187,27 @@ object Kmeans {
     */
   def initScalableCentroids(df: DataFrame, vecCol: String, idCol: String,
                             k: Int, salt: String = "km", rounds: Int = 5,
-                            oversample: Int = -1): Array[Array[Double]] = {
+                            oversample: Int = -1,
+                            localMaxRows: Long = localFitMaxRows): Array[Array[Double]] = {
     require(k > 0, s"kmeans needs k > 0, got $k")
     require(rounds > 0, s"scalable init needs rounds > 0, got $rounds")
     val ell = if (oversample > 0) oversample else 2 * k
     val data = slim(df, vecCol, idCol)
+    // small-input dispatch (the [[fit]] pattern): ONE constant-projection
+    // CollectLimit probe, then the driver-local bit-identical twin — the
+    // distributed loop's ~2 jobs/round of scheduler overhead dwarfs the
+    // arithmetic at coarse-quantizer scale. Pass localMaxRows = 0 to
+    // force the distributed rounds (the kmeans_scalable_init_distributed
+    // oracle twin does).
+    if (localMaxRows > 0) {
+      val lim = (localMaxRows + 1).min(Int.MaxValue.toLong).toInt
+      if (data.select(lit(1).as("__one")).limit(lim).count() <= localMaxRows) {
+        val rows = data.collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          .sortBy(_._1)
+        return initScalableLocal(rows, k, salt, rounds, oversample)
+      }
+    }
     // ONE seed job returning (id, vector) via the shared seeded
     // selection — the old form ran initCentroids AND a second job just
     // to recover the seed's id
@@ -284,18 +300,38 @@ object Kmeans {
     val wRows = state.groupBy("__cid").agg(count(lit(1)).as("n"))
       .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
     state.unpersist(blocking = false)
-    val weighted = cand.zipWithIndex.map { case ((id, v), j) =>
-      (id, v, wRows.getOrElse(j, 0L))
-    }
-    // driver-local weighted greedy: heaviest seed (ties -> lowest id),
-    // then repeatedly the candidate maximizing weight * d² to the
-    // chosen set. Incremental min-distance tracking keeps the whole
-    // reduction at O(k * candidates * dim) over a candidate set bounded
-    // by rounds * 64 * ell — corpus-size-independent
-    val nC = weighted.length
-    val ids = weighted.map(_._1).toArray
-    val vecs = weighted.map(_._2).toArray
-    val ws = weighted.map(_._3.toDouble).toArray
+    reduceWeightedCandidates(cand.toIndexedSeq, j => wRows.getOrElse(j, 0L),
+      k, dim,
+      (chosenIds, need) => data
+        .where(!col("__id").isin(chosenIds.toSeq: _*))
+        .withColumn("__h", md5(concat_ws(":", lit(s"$salt|pad"), col("__id"))))
+        .orderBy(col("__h"), col("__id"))
+        .limit(need)
+        .collect()
+        .map(row => (row.getLong(0), row.getSeq[Double](1).toArray)).toSeq)
+  }
+
+  /** Shared tail of the scalable init (both dispatch arms): the
+    * driver-local weighted greedy over the oversampled candidates, then
+    * the hash-ordered pad for degenerate corpora. `pad(chosenIds, need)`
+    * returns `need` (id, vector) rows in `(md5(salt|pad:id), id)` order,
+    * excluding `chosenIds` — the distributed arm runs it as a
+    * TakeOrdered query, the local twin as an in-memory sort.
+    *
+    * Greedy: heaviest seed (ties -> lowest id), then repeatedly the
+    * candidate maximizing weight * d² to the chosen set. Incremental
+    * min-distance tracking keeps the whole reduction at
+    * O(k * candidates * dim) over a candidate set bounded by
+    * rounds * 64 * ell — corpus-size-independent.
+    */
+  private def reduceWeightedCandidates(
+      cand: IndexedSeq[(Long, Array[Double])], weightOf: Int => Long,
+      k: Int, dim: Int,
+      pad: (Set[Long], Int) => Seq[(Long, Array[Double])]): Array[Array[Double]] = {
+    val nC = cand.length
+    val ids = cand.map(_._1).toArray
+    val vecs = cand.map(_._2).toArray
+    val ws = Array.tabulate(nC)(j => weightOf(j).toDouble)
     val minD2 = Array.fill(nC)(Double.MaxValue)
     val chosen = new Array[Boolean](nC)
     var seedIdx = 0
@@ -355,19 +391,147 @@ object Kmeans {
     if (picked.length < k) {
       // degenerate corpus: pad from the hash-init order, skipping chosen
       val chosenIds = picked.map(_._1).toSet
-      val pad = data
-        .where(!col("__id").isin(chosenIds.toSeq: _*))
-        .withColumn("__h", md5(concat_ws(":", lit(s"$salt|pad"), col("__id"))))
-        .orderBy(col("__h"), col("__id"))
-        .limit(k - picked.length)
-        .collect()
-      pad.foreach(row =>
-        picked += ((row.getLong(0), row.getSeq[Double](1).toArray)))
+      pad(chosenIds, k - picked.length).foreach(p => picked += p)
     }
     require(picked.length == k,
       s"scalable init needs >= $k distinct non-null vectors, " +
         s"found ${picked.length}")
     picked.map(_._2).toArray
+  }
+
+  /** Driver-local twin of [[initScalableCentroids]] over collected
+    * (id, vector) rows, id-ascending — BIT-IDENTICAL by construction
+    * (the [[fitLocal]] argument, applied to the init): the same
+    * sequential IEEE d² loop as the `kmeans_assign` kernel with the
+    * same strict-< argmin (ties to the lowest candidate index), the
+    * same `VecScale9Kernel.scale9` per-value rounding whose exact
+    * long sums make φ order-independent (summing on the driver cannot
+    * change a bit), the same md5-hex draw
+    * (`parseLong(md5hex.take(13), 16)` == the fused
+    * `md5_prefix_long(..., 13)` kernel == the
+    * `conv(substring(md5(..),1,13),16,10)` spelling the Python oracle
+    * replays), the same double-arithmetic selection predicate
+    * `u < ell * round9(md2) / φ` with the same evaluation order, and
+    * the same (md5, id)-ordered seed and pad. `KmeansSpec` pins
+    * local == forced-distributed equality, and the
+    * `kmeans_scalable_init_distributed` query keeps the distributed
+    * rounds oracle-gated at every SF.
+    */
+  private[operators] def initScalableLocal(rows: Array[(Long, Array[Double])],
+      k: Int, salt: String, rounds: Int,
+      oversample: Int): Array[Array[Double]] = {
+    require(k > 0, s"kmeans needs k > 0, got $k")
+    require(rounds > 0, s"scalable init needs rounds > 0, got $rounds")
+    // the message the distributed arm's 1-row seed job raises on empty
+    require(rows.nonEmpty, "kmeans init needs >= 1 non-null vectors, found 0")
+    val ell = if (oversample > 0) oversample else 2 * k
+    val n = rows.length
+    val dim = rows(0)._2.length
+    // the kernel's dimension guard, once per row instead of per access
+    rows.foreach(r => if (r._2.length != dim)
+      throw new IllegalArgumentException(
+        s"Received ${r._2.length} features, expected $dim."))
+    def d2(x: Array[Double], c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val t = x(i) - c(i); s += t * t; i += 1 }
+      s
+    }
+    // seed: the (md5(salt:id), id)-smallest row (seededInitRows' order;
+    // md5 hex is ASCII so String compareTo == the UTF8String sort)
+    var seedI = 0
+    var seedH = md5Hex(s"$salt:${rows(0)._1}")
+    var i = 1
+    while (i < n) {
+      val h = md5Hex(s"$salt:${rows(i)._1}")
+      if (h.compareTo(seedH) < 0 ||
+          (h == seedH && rows(i)._1 < rows(seedI)._1)) {
+        seedH = h; seedI = i
+      }
+      i += 1
+    }
+    val seedVec = rows(seedI)._2
+    val cand = scala.collection.mutable.ArrayBuffer[(Long, Array[Double])]()
+    val seen = scala.collection.mutable.HashSet[Long]()
+    cand += ((rows(seedI)._1, seedVec)); seen += rows(seedI)._1
+    // running state: min d² to the candidate set + that argmin's index
+    val md2 = new Array[Double](n)
+    val cid = new Array[Int](n)
+    i = 0
+    while (i < n) { md2(i) = d2(rows(i)._2, seedVec); i += 1 }
+    import graft.plans.VecScale9Kernel.scale9
+    // φ = Σ round9(md2) summed exactly at scale 9 (the DECIMAL(38,9)
+    // sum), then the same Decimal -> double conversion
+    def phiOf(): Double = {
+      var s = java.math.BigInteger.ZERO
+      var j = 0
+      while (j < n) {
+        s = s.add(java.math.BigInteger.valueOf(scale9(md2(j)))); j += 1
+      }
+      new java.math.BigDecimal(s, 9).doubleValue
+    }
+    var phi = phiOf()
+    var r = 0
+    while (r < rounds) {
+      if (phi > 0.0) {
+        // same per-row draw and threshold as the distributed filter:
+        // u = (md5_prefix_long("salt|scR:id", 13) + 0.5) / 2^52,
+        // keep when u < ell * round9(md2) / φ
+        val selIdx = scala.collection.mutable.ArrayBuffer[Int]()
+        i = 0
+        while (i < n) {
+          val u = (java.lang.Long.parseLong(
+              md5Hex(s"$salt|sc$r:${rows(i)._1}").substring(0, 13), 16)
+            .toDouble + 0.5) / 4503599627370496.0 // 2^52
+          val md29 = new java.math.BigDecimal(
+            java.math.BigInteger.valueOf(scale9(md2(i))), 9).doubleValue
+          if (u < ell.toDouble * md29 / phi) selIdx += i
+          i += 1
+        }
+        require(selIdx.length <= 64 * ell,
+          s"scalable init round $r selected ${selIdx.length} candidates " +
+            s"(expected ~$ell) — pathological d² skew; raise rounds or " +
+            s"check the data")
+        val baseIdx = cand.length
+        // rows are id-ascending, so this IS the sorted-collect order
+        selIdx.foreach { idx =>
+          val id = rows(idx)._1
+          if (!seen.contains(id)) { seen += id; cand += ((id, rows(idx)._2)) }
+        }
+        if (cand.length > baseIdx) {
+          // merge ONLY the round's new candidates: the kernel's argmin
+          // (strict <, ties to lowest index), then the strict-< running
+          // min — exactly the `merged` frame
+          val newVecs = cand.slice(baseIdx, cand.length).map(_._2).toArray
+          val m = newVecs.length
+          i = 0
+          while (i < n) {
+            var best = 0; var bestV = Double.MaxValue
+            var j = 0
+            while (j < m) {
+              val dd = d2(rows(i)._2, newVecs(j))
+              if (dd < bestV) { bestV = dd; best = j }
+              j += 1
+            }
+            if (bestV < md2(i)) { md2(i) = bestV; cid(i) = best + baseIdx }
+            i += 1
+          }
+          phi = phiOf()
+        }
+      }
+      r += 1
+    }
+    // per-candidate population weights from the final state
+    val wCounts = new Array[Long](cand.length)
+    i = 0
+    while (i < n) { wCounts(cid(i)) += 1L; i += 1 }
+    reduceWeightedCandidates(cand.toIndexedSeq, j => wCounts(j), k, dim,
+      (chosenIds, need) => rows.iterator
+        .filter(t => !chosenIds.contains(t._1))
+        .map(t => (md5Hex(s"$salt|pad:${t._1}"), t._1, t._2))
+        .toArray
+        .sortBy(t => (t._1, t._2))
+        .take(need)
+        .map(t => (t._2, t._3)).toSeq)
   }
 
   /** At or below this row count [[fit]] collects the slim projection
@@ -545,13 +709,21 @@ object Kmeans {
           .sortBy(_._1)
         val scalableInit =
           if (initMethod == "scalable")
-            Some(initScalableCentroids(data, "__v", "__id", k, salt))
+            // the rows are already collected (id-ascending) — run the
+            // init's driver-local twin directly, zero further jobs
+            // (defaults mirror initScalableCentroids' rounds/oversample)
+            Some(initScalableLocal(rows, k, salt, rounds = 5, oversample = -1))
           else None
         fitLocal(rows, k, iters, salt, initMethod, scalableInit)
       } else {
         val c = initMethod match {
           case "farthest" => initFarthestCentroids(data, "__v", "__id", k, salt)
-          case "scalable" => initScalableCentroids(data, "__v", "__id", k, salt)
+          // localMaxRows = 0: this branch is either genuinely above the
+          // threshold or a forced-distributed caller — skip the probe
+          // job and keep the distributed rounds in both cases
+          case "scalable" =>
+            initScalableCentroids(data, "__v", "__id", k, salt,
+              localMaxRows = 0L)
           case _ => initCentroids(data, "__v", "__id", k, salt)
         }
         val dim = c(0).length

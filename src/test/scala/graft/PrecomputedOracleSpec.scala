@@ -55,11 +55,15 @@ class PrecomputedOracleSpec extends AnyFunSuite {
     // shares kmeans_centroids' independent oracle — also no live form)
     val live = Queries.liveOracles
     (oracles.keySet -- expected -- IndependentOracles.sql.keySet
-        - "kmeans_train_distributed").foreach { n =>
+        - "kmeans_train_distributed"
+        - "kmeans_scalable_init_distributed").foreach { n =>
       assert(oracles(n) == live(n), s"$n unexpectedly differs from live form")
     }
     assert(oracles("kmeans_train_distributed") == oracles("kmeans_centroids"),
       "the forced-distributed twin must share kmeans_centroids' oracle")
+    assert(oracles("kmeans_scalable_init_distributed") ==
+        oracles("kmeans_scalable_init"),
+      "the forced-distributed init twin must share kmeans_scalable_init's oracle")
   }
 
   test("independent oracles cover exactly the no-live-form queries, fail-loud") {

@@ -84,6 +84,37 @@ class KmeansSpec extends SparkSpec {
     }
   }
 
+  test("scalable init: driver-local twin == forced-distributed rounds, bit-for-bit") {
+    // large enough that every oversampling round selects candidates and
+    // the weighted greedy does real work (k=24 -> ell=48 over 600 rows)
+    val (_, df) = synth(600, 6, parts = 9)
+    val loc = Kmeans.initScalableCentroids(df, "embedding", "vec_id",
+      k = 24, salt = "sc")
+    val dist = Kmeans.initScalableCentroids(df, "embedding", "vec_id",
+      k = 24, salt = "sc", localMaxRows = 0L)
+    assert(loc.length == 24 && dist.length == 24)
+    for (j <- 0 until 24)
+      assert(loc(j).sameElements(dist(j)),
+        s"scalable-init centroid $j diverges between local and distributed")
+  }
+
+  test("scalable init pad path: local twin == distributed on a degenerate corpus") {
+    // 10 identical vectors: phi = 0 after the seed, so no oversampling
+    // round ever selects -> the greedy stops at 1 and the md5-ordered
+    // pad fills the rest, on both dispatch arms
+    val rows = (0 until 10).map(i => (i.toLong, Seq.fill(4)(0.25)))
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+      .repartition(3)
+    val loc = Kmeans.initScalableCentroids(df, "embedding", "vec_id",
+      k = 6, salt = "pd")
+    val dist = Kmeans.initScalableCentroids(df, "embedding", "vec_id",
+      k = 6, salt = "pd", localMaxRows = 0L)
+    assert(loc.length == 6 && dist.length == 6)
+    for (j <- 0 until 6)
+      assert(loc(j).sameElements(dist(j)),
+        s"pad-path centroid $j diverges between local and distributed")
+  }
+
   private def synth(n: Int, dim: Int, parts: Int) = {
     val rows = (0 until n).map { i =>
       val rnd = new scala.util.Random(i * 7919 + 13)
