@@ -46,6 +46,7 @@ object Explain {
         "label_consistency", "split_leakage", "char_entropy",
         "split_leakage_planted", "multimodal_decode_real",
         "ann_ivfsq_append", "kmeans_train_distributed",
+        "kmeans_scalable_init_distributed",
         "bm25_segmented").foreach(show)
     spark.stop()
   }
