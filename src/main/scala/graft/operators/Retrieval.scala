@@ -367,14 +367,15 @@ object Retrieval {
     * segment fan-out — run it when segment count (not data size)
     * starts to dominate serve planning.
     *
-    * SINGLE-WRITER FENCE (the deployment contract): the fold snapshots
-    * `_tombstones` when it reads them; a delete issued AFTER that read
-    * but BEFORE the deployment layer swaps serving to `outPath` lands
-    * only in the OLD epoch's side-table and would vanish with it.
-    * Maintenance must either quiesce deletes for the duration of the
-    * fold or replay the old epoch's post-snapshot `_tombstones` delta
-    * onto the new epoch (tombstones for already-folded ids are
-    * harmless no-ops) before the swap.
+    * DELETE FENCE: the fold snapshots the `_tombstones` FILE listing,
+    * folds exactly those files, and records the listing in the new
+    * epoch (`outPath/_folded_tombstones`). A delete issued after the
+    * snapshot but before the deployment-layer swap lands only in the
+    * old epoch's side-table; [[replayBm25TombstoneDelta]] — called
+    * immediately before the swap — copies exactly those post-snapshot
+    * files into the new epoch, where the serve-time anti-join picks
+    * them up (tombstones for already-folded docs are harmless no-ops).
+    * No writer quiesce needed; see [[graft.sources.Tombstones]].
     */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
                        name: String, path: String,
@@ -384,7 +385,14 @@ object Retrieval {
     import spark.implicits._
     val segs = bm25Segments(spark, path)
     require(segs.nonEmpty, s"no segments under $path")
-    val tomb = bm25Tombstones(spark, path).map(broadcast(_))
+    // fold EXACTLY the snapshotted files (reading the live dir could
+    // pick up tombstones the folded listing below does not record)
+    val tombFiles = graft.sources.Tombstones.listParquet(
+      spark, s"$path/_tombstones")
+    val tomb =
+      if (tombFiles.isEmpty) None
+      else Some(broadcast(spark.read.parquet(tombFiles: _*)
+        .select("doc_id").distinct()))
     val all = segs.map(s =>
       graft.sources.Bucketed.table(spark, s"${name}__$s")).reduce(_ union _)
     val survivors = tomb.fold(all)(t => all.join(t, Seq("doc_id"), "left_anti"))
@@ -398,7 +406,19 @@ object Retrieval {
     dvLive.write.mode("overwrite").parquet(s"$outPath/seg_0_docs")
     Seq("0").toDF("segment")
       .write.mode("overwrite").parquet(s"$outPath/_segments")
+    graft.sources.Tombstones.writeFolded(spark, outPath,
+      "_folded_tombstones", tombFiles)
   }
+
+  /** Pre-swap fence step for [[compactBm25Index]]: copy tombstone files
+    * the old epoch accumulated AFTER the fold's snapshot into the new
+    * epoch's side-table, so a delete issued mid-compaction survives the
+    * swap. Idempotent; returns the number of files replayed.
+    */
+  def replayBm25TombstoneDelta(spark: org.apache.spark.sql.SparkSession,
+                               path: String, outPath: String): Int =
+    graft.sources.Tombstones.replayDelta(spark, s"$path/_tombstones",
+      outPath, "_folded_tombstones", s"$outPath/_tombstones")
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
     * of per-query rankings — the standard calibration-free way to

@@ -1157,21 +1157,23 @@ object Similarity {
     * the compacted copy, then swap directories atomically at the
     * deployment layer. Returns (input files, output files).
     *
-    * SINGLE-WRITER FENCE (the deployment contract): the tombstone fold
-    * snapshots `tombstones/` when it reads them; a delete issued AFTER
-    * that read but BEFORE the swap lands only in the OLD epoch's
-    * side-table and would vanish with it. Maintenance must either
-    * quiesce deletes for the duration of the fold or replay the old
-    * epoch's post-snapshot tombstone delta onto the new epoch
-    * (tombstones for already-folded ids are harmless no-ops) before
-    * the swap.
+    * DELETE FENCE: the fold snapshots the tombstone FILE listing, folds
+    * exactly those files, and records the listing in the new epoch
+    * (`outPath/_folded_tombstones`). A delete issued after the snapshot
+    * but before the deployment-layer swap lands only in the old epoch's
+    * side-table; [[replayIvfTombstoneDelta]] — called immediately
+    * before the swap — copies exactly those post-snapshot files into
+    * the new epoch, where the serve-time anti-join picks them up
+    * (tombstones for already-folded ids are harmless no-ops). No
+    * writer quiesce needed; see [[graft.sources.Tombstones]].
     */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
                       path: String, outPath: String,
                       targetFileBytes: Long = 512L * 1024 * 1024): (Int, Int) = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val ts = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    val hasTombstones = ts.getFileSystem(conf).exists(ts)
+    val tombFiles = graft.sources.Tombstones.listParquet(
+      spark, s"$path/tombstones")
+    val hasTombstones = tombFiles.nonEmpty
     val counts =
       if (!hasTombstones)
         // pure small-file merge: the generic per-leaf walk keeps each
@@ -1197,7 +1199,12 @@ object Similarity {
           n
         }
         val nIn = countFiles(s"$path/codes")
-        clusterByCell(applyTombstones(spark.read.parquet(s"$path/codes"), path),
+        // fold EXACTLY the snapshotted files (reading the live dir here
+        // could pick up tombstones the listing below does not record)
+        val pending = broadcast(
+          spark.read.parquet(tombFiles: _*).select("id"))
+        clusterByCell(spark.read.parquet(s"$path/codes")
+            .join(pending, Seq("id"), "left_anti"),
           xxhash64(col("id")), defaultFilesPerCell)
           .write.mode("overwrite").partitionBy("bmu_id")
           .parquet(s"$outPath/codes")
@@ -1206,8 +1213,20 @@ object Similarity {
     val params = spark.read.textFile(s"$path/params").collect()
     spark.createDataset(params.toSeq)(org.apache.spark.sql.Encoders.STRING)
       .coalesce(1).write.mode("overwrite").text(s"$outPath/params")
+    graft.sources.Tombstones.writeFolded(spark, outPath,
+      "_folded_tombstones", tombFiles)
     counts
   }
+
+  /** Pre-swap fence step for [[compactIvfIndex]]: copy tombstone files
+    * the old epoch accumulated AFTER the fold's snapshot into the new
+    * epoch's side-table, so a delete issued mid-compaction survives the
+    * swap. Idempotent; returns the number of files replayed.
+    */
+  def replayIvfTombstoneDelta(spark: org.apache.spark.sql.SparkSession,
+                              path: String, outPath: String): Int =
+    graft.sources.Tombstones.replayDelta(spark, s"$path/tombstones",
+      outPath, "_folded_tombstones", s"$outPath/tombstones")
 
   /** Serve cosine top-k from an assigned-codes table (inline
     * [[ivfSqAssign]] output or a [[writeIvfSqIndex]] read-back): per

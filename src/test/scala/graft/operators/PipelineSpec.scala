@@ -1354,6 +1354,25 @@ class PipelineSpec extends SparkSpec {
         kNN = 5, nProbe = 2)
       assert(c.collect().map(_.toString).sorted
         .sameElements(b.collect().map(_.toString).sorted))
+      // DELETE FENCE: a delete issued AFTER the fold's snapshot (i.e.
+      // mid-compaction, landing only in the old epoch's side-table)
+      // survives the swap once the pre-swap replay runs — and the
+      // replay is an idempotent no-op the second time
+      Similarity.deleteFromIvfIndex(Seq(100L).toDF("vec_id"), "vec_id", path)
+      assert(Similarity.replayIvfTombstoneDelta(spark, path, foldPath) >= 1)
+      val (fenced, fencedSq) = Similarity.readIvfSqIndexLive(spark, foldPath)
+      assert(fenced.count() == 259L)
+      assert(fenced.where(col("id") === 100L).count() == 0L)
+      // already-folded ids in the replayed delta are harmless no-ops
+      assert(fenced.where(col("id").isin(dead: _*)).count() == 0L)
+      assert(Similarity.replayIvfTombstoneDelta(spark, path, foldPath) == 0)
+      val d = Similarity.ivfSqTopKFromCodesBatch(fenced, model, fencedSq, qs,
+        kNN = 5, nProbe = 2)
+      val refFenced = Similarity.ivfSqTopKFromCodesBatch(
+        refCodes.where(col("id") =!= 100L), model, refSq, qs,
+        kNN = 5, nProbe = 2)
+      assert(d.collect().map(_.toString).sorted
+        .sameElements(refFenced.collect().map(_.toString).sorted))
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()

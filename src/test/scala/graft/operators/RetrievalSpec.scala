@@ -151,6 +151,21 @@ class RetrievalSpec extends SparkSpec {
         .orderBy("qid", "rank").collect().toSeq
       assert(folded == scanDel)
       assert(!new java.io.File(s"$outPath/_tombstones").exists())
+      // DELETE FENCE: a delete issued AFTER the fold's snapshot (i.e.
+      // mid-compaction, landing only in the old epoch's side-table)
+      // survives the swap once the pre-swap replay runs — and the
+      // replay is an idempotent no-op the second time
+      val lateDead = all.map(_._1).filterNot(dead.contains).take(2)
+      Retrieval.deleteFromBm25Index(lateDead.toDF("doc_id"), "doc_id", path)
+      assert(Retrieval.replayBm25TombstoneDelta(spark, path, outPath) >= 1)
+      val fenced = Retrieval.bm25TopKSegmented(spark, outName, outPath, q, 10)
+        .orderBy("qid", "rank").collect().toSeq
+      val scanFenced = Retrieval.bm25TopK(
+        all.filterNot(r => dead.contains(r._1) || lateDead.contains(r._1))
+          .toDF("doc_id", "text"),
+        "text", "doc_id", q, 10).orderBy("qid", "rank").collect().toSeq
+      assert(fenced == scanFenced)
+      assert(Retrieval.replayBm25TombstoneDelta(spark, path, outPath) == 0)
     } finally {
       Seq(s"${name}__a", s"${name}__b", s"${outName}__0")
         .foreach(graft.sources.Bucketed.drop(spark, _))
