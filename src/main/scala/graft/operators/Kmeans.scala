@@ -208,10 +208,17 @@ object Kmeans {
         return initScalableLocal(rows, k, salt, rounds, oversample)
       }
     }
+    // distributed rounds: every per-round action below is either a
+    // no-exchange collect (selection filter, TakeOrdered seed/pad) or
+    // an aggregate whose reduce side is tiny at any corpus scale (φ =
+    // one DECIMAL per map task; the weight counts = ≤ |candidates|
+    // (cid, n) pairs) — run them with AQE's per-stage barrier off and
+    // a single reduce partition (LoopSession doc; saves 2 jobs/round)
+    val dataL = LoopSession.rebase(data, 1)
     // ONE seed job returning (id, vector) via the shared seeded
     // selection — the old form ran initCentroids AND a second job just
     // to recover the seed's id
-    val (firstId, firstVec) = seededInitRows(data, 1, salt)(0)
+    val (firstId, firstVec) = seededInitRows(dataL, 1, salt)(0)
     val first = Array(firstVec)
     val dim = first(0).length
     // (id, vec) candidates in selection order; ids seen for dedup
@@ -246,7 +253,7 @@ object Kmeans {
         .collect()(0)
       if (phiRow.isNullAt(0)) 0.0 else phiRow.getDecimal(0).doubleValue()
     }
-    var state = Materialize.once(data, "__na",
+    var state = Materialize.once(dataL, "__na",
         KmeansFunctions.kmeans_assign(col("__v"),
           Model(Array(first(0))).flat, dim))
       .select(col("__id"), col("__v"), col("__na.d2").as("__md2"),
@@ -302,7 +309,7 @@ object Kmeans {
     state.unpersist(blocking = false)
     reduceWeightedCandidates(cand.toIndexedSeq, j => wRows.getOrElse(j, 0L),
       k, dim,
-      (chosenIds, need) => data
+      (chosenIds, need) => dataL
         .where(!col("__id").isin(chosenIds.toSeq: _*))
         .withColumn("__h", md5(concat_ws(":", lit(s"$salt|pad"), col("__id"))))
         .orderBy(col("__h"), col("__id"))
@@ -727,10 +734,17 @@ object Kmeans {
           case _ => initCentroids(data, "__v", "__id", k, salt)
         }
         val dim = c(0).length
+        // the per-iteration aggregate's reduce side is k buffers of
+        // (dim+1) longs — constant at any corpus scale. Run the loop on
+        // a child session with AQE off (its stage barrier costs one
+        // extra job per iteration and has nothing to adapt: the key
+        // space is ≤ k integers) and the exchange sized to that key
+        // space, never above the caller's default (LoopSession doc)
+        val dataLoop = LoopSession.rebase(data, k)
         var it = 0
         while (it < iters) {
           val flat = Model(c).flat
-          val sums = data
+          val sums = dataLoop
             .select(KmeansFunctions.kmeans_assign(col("__v"), flat, dim)
               .getField("cid").as("cid"), col("__vl"))
             .groupBy("cid")

@@ -168,6 +168,13 @@ object LogitTrain {
       s"logit training needs a positive finite learning rate, got $lr")
     val data = feats.select(col("x"), col("y"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // the gradient pass is a GLOBAL aggregate — its reduce side is one
+    // (dim+2)-long buffer per map task at any corpus scale, so AQE's
+    // per-stage barrier (one extra job per iteration, measured 21 vs
+    // 11 jobs on a 10-iteration train) has nothing to adapt; run the
+    // iterations on a loop-scoped child session with a single reduce
+    // partition (LoopSession doc). Exact long sums: bit-identical.
+    val dataLoop = LoopSession.rebase(data, 1)
     try {
       var w = new Array[Double](dim)
       var mse = Double.NaN
@@ -178,7 +185,7 @@ object LogitTrain {
         val (s, nn) = local match {
           case Some((xs, ys)) => (gradSumsLocal(xs, ys, w).toSeq, n)
           case None =>
-            val (sd, nd) = gradSums(data, w)
+            val (sd, nd) = gradSums(dataLoop, w)
             require(nd > 0, "cannot train a logit model on an empty dataset")
             n = nd
             if (n <= localMaxRows && it + 1 < iters) {
